@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All real logic lives in the ``football_etl_pipeline_spark`` package;
+this module only adapts its registry to the driver's contract.
 """
 
 from __future__ import annotations
@@ -13,26 +15,57 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from football_etl_pipeline_spark.operators import ORACLES, QUERIES
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the engine's signature shape — the reference's
+    standings pipeline re-expressed over the testdata star schema:
+    join fact→dims (broadcast), aggregate revenue per nation, and
+    rank within region with a window (the reference stores a
+    precomputed ``rank`` column — /root/reference/unified_schemas/
+    v1.json:12 — here we compute it).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from football_etl_pipeline_spark.functions.numeric import dsum
+    from football_etl_pipeline_spark.sources.testdata import load_table
+
+    li = load_table(spark, SMOKE_SF_DIR, "lineitem")
+    orders = load_table(spark, SMOKE_SF_DIR, "orders")
+    cust = load_table(spark, SMOKE_SF_DIR, "customer")
+    nation = load_table(spark, SMOKE_SF_DIR, "nation")
+    region = load_table(spark, SMOKE_SF_DIR, "region")
+
+    revenue = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+    w = Window.partitionBy("r_name").orderBy(
+        F.col("revenue").desc(), F.col("n_name").asc()
+    )
+    return revenue.withColumn("rank_in_region", F.rank().over(w))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each SQL-expressible query."""
+    return dict(ORACLES)

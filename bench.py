@@ -1,0 +1,91 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed once after a shared warmup (session + first
+touch of the parquet footers), timed end-to-end including the action
+(count of the result) — i.e. full plan execution, not just planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family — scan/agg, topk, joins,
+# windows, setops, events, dedup, similarity, text. Extended as
+# families land (names absent from the registry are skipped).
+HEADLINE = [
+    "q1_pricing_summary",
+    "scan_filter_project",
+    "agg_stats_by_segment",
+    "orderby_limit_topk",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_anti_unshipped",
+    "window_topk_per_group",
+    "window_running_total",
+    "rollup_revenue",
+    "setop_priority_overlap",
+    "events_sessionize",
+    "events_windowed_funnel",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh",
+    "text_quality_score",
+    "text_langid",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from football_etl_pipeline_spark.operators import QUERIES
+    from football_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    # Warmup: touch every table's footer + run one trivial action so JVM
+    # startup/codegen compile cost isn't attributed to the first query.
+    from football_etl_pipeline_spark.sources.testdata import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

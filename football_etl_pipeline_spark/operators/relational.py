@@ -1,0 +1,164 @@
+"""Core relational operators: scan → filter/project → hash aggregate.
+
+Reference parity: the reference's only aggregation is a GroupByKey
+(``/root/reference/dataflow-flex/football_pipeline/pipeline.py:39``)
+and its filters are probe-miss drops and guards
+(``transforms.py:26-27,44-46``). Here those generalize to the full
+scan/filter/aggregate surface, expressed declaratively so Catalyst
+pushes filters and projections into the parquet scan and runs the
+aggregates as partial (map-side) + final hash aggregation — the plan
+shape that scales to 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import davg, dsum
+from ..sources.testdata import load_table
+from .registry import query
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: full-scan hash aggregate — 2 group cols, 8 aggregates.
+
+    Plan: parquet scan with ReadSchema pruned to 7 columns and the
+    shipdate predicate pushed down → partial HashAggregate →
+    single shuffle on (returnflag, linestatus) → final HashAggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "scan_filter_project",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS net_price,
+      l_returnflag
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+      AND l_discount > 0.05
+      AND l_returnflag IN ('A', 'R')
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown showcase: BETWEEN + range + IN filters, pruned
+    projection, derived column. All three predicates reach the parquet
+    scan (PushedFilters) — the scan reads 6 of 16 columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate").between(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("1996-12-31").cast("timestamp"),
+            )
+            & (F.col("l_discount") > 0.05)
+            & F.col("l_returnflag").isin("A", "R")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,6)")
+            .alias("net_price"),
+            "l_returnflag",
+        )
+    )
+
+
+@query(
+    "agg_stats_by_segment",
+    oracle="""
+    SELECT
+      c_mktsegment,
+      COUNT(*) AS n_customers,
+      COUNT(DISTINCT c_nationkey) AS n_nations,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance,
+      CAST(MIN(c_acctbal) AS DOUBLE) AS min_balance,
+      CAST(MAX(c_acctbal) AS DOUBLE) AS max_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_stats_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate with COUNT DISTINCT (expand + two-phase agg)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        dsum(F.col("c_acctbal")).alias("total_balance"),
+        F.min("c_acctbal").alias("min_balance"),
+        F.max("c_acctbal").alias("max_balance"),
+    )
+
+
+@query(
+    "distinct_values",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority
+    FROM orders
+    """,
+)
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = groupBy-no-agg; Catalyst plans it as a hash aggregate."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).distinct()
+
+
+@query(
+    "orderby_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def orderby_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K: Spark plans TakeOrderedAndProject — each partition
+    keeps its local top 25, only 25xP rows move — no full sort at scale."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )

@@ -1,0 +1,52 @@
+"""SparkSession factory.
+
+Local testing runs on ``local[N]`` (single JVM), but every config here is
+chosen to also be the right default on a large multi-executor cluster:
+
+- AQE on (runtime re-planning, partition coalescing, skew-join splitting)
+  so plans survive 100x scale-ups without hand-tuning.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE's coalescePartitions makes the static number mostly moot.
+- UTC session timezone so timestamp semantics match the DuckDB oracle
+  (DuckDB timestamps are UTC-naive).
+- Arrow enabled for the few Pandas-UDF code paths (vectorized transfer).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "football_etl_pipeline_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-appropriate defaults."""
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        # 128 MiB input splits: good balance for both local[32] at sf0.1
+        # and wide parquet scans on a cluster.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,116 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB at the given sf dir, then compares row-count, column names,
+and an order-insensitive value comparison (exact string equality of
+normalized cells — STRICTER than tolerant float compare, so passing
+here means the driver's value-hash should match too).
+
+Usage: python tools/verify_oracle.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def normalize_cell(v):
+    import datetime
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # repr keeps full double precision — bit-level mismatches WILL show.
+        return repr(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(normalize_cell(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def rows_to_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(
+        "|".join(normalize_cell(r[i]) for i in order) for r in rows
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2:]
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from football_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("verify_oracle")
+    con = duckdb.connect()
+    from football_etl_pipeline_spark.sources.testdata import TABLES
+
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    names = [n for n in qs if not name_filter or any(f in n for f in name_filter)]
+    n_pass = n_fail = n_weak = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {ex}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows={len(srows)} (no oracle; rows-only check)")
+            n_weak += 1
+            continue
+        try:
+            rel = con.execute(oracles[name])
+            ocols = [d[0] for d in rel.description]
+            orows = rel.fetchall()
+        except Exception as ex:
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"schema: spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount: spark={len(srows)} oracle={len(orows)}")
+        if not problems:
+            sm = rows_to_multiset([tuple(r) for r in srows], scols)
+            om = rows_to_multiset(orows, ocols)
+            if sm != om:
+                diffs = [
+                    (a, b) for a, b in zip(sm, om) if a != b
+                ][:3]
+                problems.append(f"values: first diffs {diffs}")
+        dt = time.time() - t0
+        if problems:
+            print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"ok    {name} ({dt:.1f}s, {len(srows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_weak} weak (rows-only), {n_fail} FAIL")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
