@@ -1,1 +1,199 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-stream analytics (batch form): time bucketing, sessionization,
+funnels, retention — the query surface the `events` table exists for.
+The streaming twins (watermarked, incremental) live in
+``football_etl_pipeline_spark.streaming``.
+
+Sessionization uses the lag-gap + running-sum pattern: one shuffle on
+user_id, one in-partition sort — linear at any scale, no self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+from ..sources.testdata import load_table
+from .registry import query
+
+SESSION_GAP_SEC = 1800  # 30 min
+
+
+@query(
+    "events_by_hour",
+    oracle="""
+    SELECT
+      CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+      event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming
+    windowed agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH seq AS (
+      SELECT
+        user_id,
+        event_id,
+        CAST(ts AS TIMESTAMP) AS ts,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR date_diff('second', LAG(CAST(ts AS TIMESTAMP)) OVER w, CAST(ts AS TIMESTAMP)) > {SESSION_GAP_SEC}
+             THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT
+        user_id,
+        event_id,
+        SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS session_id
+      FROM seq
+    )
+    SELECT
+      user_id,
+      CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+      COUNT(*) AS n_events,
+      CAST(COUNT(*) AS DOUBLE) / MAX(session_id) AS events_per_session
+    FROM sess
+    GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap → session ids → per-user
+    session stats. lag + running sum, one shuffle total."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sessions = ev.withColumn(
+        "is_new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > SESSION_GAP_SEC), 1).otherwise(0),
+    ).withColumn("session_id", F.sum("is_new_session").over(wrun))
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.count(F.lit(1)).cast("double") / F.max("session_id")).alias(
+            "events_per_session"
+        ),
+    )
+
+
+@query(
+    "events_windowed_funnel",
+    oracle="""
+    WITH stage_ts AS (
+      SELECT
+        user_id,
+        MIN(CASE WHEN event_type = 'view'     THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+        MIN(CASE WHEN event_type = 'click'    THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+        MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) AS n_users,
+      COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_viewed,
+      COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 END) AS n_clicked_after_view,
+      COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click THEN 1 END) AS n_full_funnel
+    FROM stage_ts
+    """,
+)
+def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase via min-per-stage (single
+    aggregation, no joins)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage_min(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        stage_min("view").alias("t_view"),
+        stage_min("click").alias("t_click"),
+        stage_min("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_viewed"),
+        F.count(
+            F.when(F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1)
+        ).alias("n_clicked_after_view"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@query(
+    "events_daily_retention",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS active_day
+      FROM events
+    )
+    SELECT
+      f.cohort_day,
+      CAST(date_diff('day', f.cohort_day, a.active_day) AS INT) AS day_offset,
+      COUNT(DISTINCT a.user_id) AS n_active
+    FROM activity a
+    JOIN first_day f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: first-seen day × day offset."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    first_day = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = ev.select("user_id", day.alias("active_day")).distinct()
+    return (
+        activity.join(first_day, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query("events_approx_distinct")  # no oracle: HLL sketches are engine-specific
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event type — the
+    constant-memory distinct at 100 TB. No DuckDB oracle: sketch
+    estimates are engine-specific; driver records rows-only."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("approx_percentile(value, array(0.5, 0.95, 0.99))").alias(
+            "value_pcts"
+        ),
+    )

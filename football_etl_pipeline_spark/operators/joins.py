@@ -1,1 +1,329 @@
-"""Placeholder — populated in a later milestone."""
+"""Join operators: broadcast/sort-merge equi-joins in every flavor,
+plus theta (range) and as-of joins built from standard primitives.
+
+Reference parity: the reference's two joins are worker-local Python
+hash joins with the tiny teams side as the build dict
+(``/root/reference/dataflow-flex/football_pipeline/transforms.py:32,89``)
+— i.e. broadcast hash joins. Here the small dimensions are explicitly
+``F.broadcast`` (region/nation always; others sized by AQE), and big
+fact-fact joins are left to sort-merge where Catalyst picks it.
+
+Scale notes: every query here has its join keys chosen so the shuffle
+(when there is one) is on the natural key of the bigger side; the
+dimension sides broadcast, so a 100x bigger lineitem only grows the
+scan + one shuffle, never a cross-network dimension shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+from ..sources.testdata import load_table
+from .registry import query
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+      l.l_orderkey,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      o.o_orderdate,
+      o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: 3-way join + group + top-10. customer (filtered) joins
+    broadcast; orders⋈lineitem shuffles on orderkey once."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT
+      n.n_name,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way join with a composite (supp, nation) condition.
+    supplier/nation/region broadcast; the fact chain shuffles on
+    orderkey only."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "join_left_nulls",
+    oracle="""
+    SELECT
+      c.c_custkey,
+      c.c_name,
+      o.o_orderkey,
+      CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+    """,
+)
+def join_left_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER with a pushed join-side predicate — preserves every
+    customer, nulls where no qualifying order exists."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cust_n AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+      FROM customer GROUP BY c_nationkey
+    ), supp_n AS (
+      SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT
+      COALESCE(c.nationkey, s.nationkey) AS nationkey,
+      c.n_customers,
+      s.n_suppliers
+    FROM cust_n c
+    FULL OUTER JOIN supp_n s ON c.nationkey = s.nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER of two pre-aggregated sides (sort-merge; full outer
+    can't broadcast)."""
+    cust_n = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cust_n.join(supp_n, "nationkey", "full").select(
+        "nationkey", "n_customers", "n_suppliers"
+    )
+
+
+@query(
+    "join_semi_active_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    """,
+)
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join ≡ EXISTS — output never duplicates the left side."""
+    cust = load_table(spark, sf_dir, "customer")
+    fo = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(
+        fo, cust.c_custkey == fo.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "join_anti_unshipped",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderdate
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    )
+    """,
+)
+def join_anti_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join ≡ NOT EXISTS. Mirrors the reference's logged
+    probe-miss side (transforms.py:44-46): the anti join IS the set of
+    dropped rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    early = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    return orders.join(
+        early, orders.o_orderkey == early.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_orderstatus", "o_orderdate")
+
+
+@query(
+    "join_right_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, l.l_orderkey, l.l_quantity
+    FROM (SELECT * FROM lineitem WHERE l_quantity >= 49) l
+    RIGHT JOIN (SELECT * FROM part WHERE p_size <= 5) p
+      ON l.l_partkey = p.p_partkey
+    """,
+)
+def join_right_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER: all small parts, with their high-quantity lineitems
+    if any."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    return li.join(part, li.l_partkey == part.p_partkey, "right").select(
+        "p_partkey", "p_brand", "l_orderkey", "l_quantity"
+    )
+
+
+@query(
+    "join_range_price_bands",
+    oracle="""
+    SELECT b.band, COUNT(*) AS n, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders o
+    JOIN (VALUES
+        ('low',      0.0,      100000.0),
+        ('mid',      100000.0, 300000.0),
+        ('high',     300000.0, 450000.0),
+        ('whale',    450000.0, 1e18)
+      ) AS b(band, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (range) join against a tiny literal dimension — Spark
+    plans BroadcastNestedLoopJoin; at any scale the bands table is
+    constant-size so this stays O(rows x bands) map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("low", 0.0, 100000.0),
+            ("mid", 100000.0, 300000.0),
+            ("high", 300000.0, 450000.0),
+            ("whale", 450000.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
+@query(
+    "join_asof_last_purchase",
+    oracle="""
+    SELECT
+      event_id,
+      user_id,
+      ts,
+      last_purchase_ts
+    FROM (
+      SELECT
+        event_id,
+        user_id,
+        CAST(ts AS TIMESTAMP) AS ts,
+        event_type,
+        LAST_VALUE(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_ts
+      FROM events
+    )
+    WHERE event_type = 'click'
+    """,
+)
+def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): for every click, the most
+    recent STRICTLY-PRIOR purchase by the same user, via a
+    last-ignore-nulls window over the unioned stream — one shuffle on
+    user_id, no pairwise join blowup. This is the scalable as-of
+    pattern: at 100 TB the alternative (range self-join) is quadratic
+    per user, while this is a single sort within user partitions."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn(
+            "last_purchase_ts",
+            F.last(
+                F.when(F.col("event_type") == "purchase", F.col("ts")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "last_purchase_ts")
+    )

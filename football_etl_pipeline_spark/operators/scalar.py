@@ -1,1 +1,235 @@
-"""Placeholder — populated in a later milestone."""
+"""Scalar function batteries: string, date/time, math, conditional,
+array, and JSON functions — the expression surface (SURVEY.md §2c
+"Scalar fns") beyond the reference's concat/regex/arithmetic/casts
+(``transforms.py:49``, ``helpers.py:20,66-70``, ``main.py:15-22``).
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side,
+inside whole-stage codegen. No Python UDFs anywhere in this module.
+
+Oracle-parity notes baked into the choices below:
+- ROUND on arbitrary doubles is avoided (engine tie-rounding differs);
+  ceil/floor/abs/mod/sqrt are exact or correctly-rounded IEEE in both.
+- extract-style functions are cast to explicit widths (Spark year() is
+  INT, DuckDB's is BIGINT).
+- weekday uses locale-stable full names (date_format 'EEEE' vs
+  strftime '%A').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .registry import query
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT
+      c_custkey,
+      UPPER(c_name) AS up,
+      LOWER(c_mktsegment) AS lo,
+      CAST(LENGTH(c_name) AS INT) AS name_len,
+      SUBSTR(c_name, 1, 8) AS prefix,
+      c_name || '/' || c_mktsegment AS joined,
+      LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+      REPLACE(c_name, 'Customer', 'Cust') AS replaced,
+      REVERSE(c_mktsegment) AS rev,
+      CAST(STRPOS(c_name, '#') AS INT) AS hash_pos,
+      TRIM('  ' || c_mktsegment || ' ') AS trimmed,
+      regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+      CASE WHEN c_name LIKE 'Customer%' THEN 1 ELSE 0 END AS is_cust,
+      split_part(c_name, '#', 2) AS after_hash
+    FROM customer
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("joined"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("replaced"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.instr("c_name", "#").cast("int").alias("hash_pos"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("trimmed"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.when(F.col("c_name").like("Customer%"), 1).otherwise(0).alias("is_cust"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("after_hash"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(year(o_orderdate) AS INT) AS yr,
+      CAST(month(o_orderdate) AS INT) AS mo,
+      CAST(day(o_orderdate) AS INT) AS dom,
+      CAST(quarter(o_orderdate) AS INT) AS qtr,
+      date_trunc('month', o_orderdate) AS month_start,
+      CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+      CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_epoch_start,
+      strftime(o_orderdate, '%A') AS weekday_name,
+      strftime(o_orderdate, '%Y-%m') AS ym,
+      CAST(last_day(o_orderdate) AS DATE) AS eom,
+      CAST(epoch(o_orderdate) AS BIGINT) AS unix_sec
+    FROM orders
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        # DuckDB's date_trunc returns DATE for day-or-coarser parts;
+        # Spark returns TIMESTAMP — align on DATE.
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate"), 30).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("int")
+        .alias("days_since_epoch_start"),
+        F.date_format("o_orderdate", "EEEE").alias("weekday_name"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.last_day("o_orderdate").alias("eom"),
+        F.unix_timestamp("o_orderdate").cast("bigint").alias("unix_sec"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      CAST(abs(l_extendedprice - 50000) AS DOUBLE) AS dist_from_mid,
+      CAST(ceil(l_quantity / 10.0) AS BIGINT) AS qty_decile,
+      CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_kbucket,
+      CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+      CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+      CAST(greatest(l_quantity, l_discount * 100) AS DOUBLE) AS big,
+      CAST(least(l_tax, l_discount) AS DOUBLE) AS small,
+      CAST(sqrt(l_quantity) AS DOUBLE) AS qty_sqrt,
+      CAST(l_quantity * l_quantity AS DOUBLE) AS qty_sq
+    FROM lineitem
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000).cast("double").alias("dist_from_mid"),
+        F.ceil(F.col("l_quantity") / 10.0).cast("bigint").alias("qty_decile"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("bigint").alias("price_kbucket"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100)
+        .cast("double")
+        .alias("big"),
+        F.least(F.col("l_tax"), F.col("l_discount")).cast("double").alias("small"),
+        F.sqrt(F.col("l_quantity")).cast("double").alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).cast("double").alias("qty_sq"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CASE
+        WHEN o_totalprice >= 300000 THEN 'large'
+        WHEN o_totalprice >= 100000 THEN 'medium'
+        ELSE 'small'
+      END AS size_class,
+      COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_decoded,
+      CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS is_hot,
+      IF(o_orderdate < TIMESTAMP '1998-01-01', 'old', 'recent') AS era
+    FROM orders
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_decoded"
+        ),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("is_hot"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "old"
+        )
+        .otherwise("recent")
+        .alias("era"),
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(len(words) AS INT) AS n_words,
+      CAST(len(list_sort(list_distinct(words))) AS INT) AS n_unique,
+      list_sort(list_distinct(words))[1:3] AS first3_sorted,
+      CAST(list_contains(words, 'data') AS BOOLEAN) AS has_data,
+      array_to_string(list_sort(list_distinct(words))[1:3], '-') AS joined3
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    )
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface over tokenized text: split/size/distinct/sort/
+    slice/contains/join. (array_distinct output order is engine-
+    specific, so distinct is always followed by sort.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    uniq_sorted = F.array_sort(F.array_distinct(words))
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("int").alias("n_words"),
+        F.size(uniq_sorted).cast("int").alias("n_unique"),
+        F.slice(uniq_sorted, 1, 3).alias("first3_sorted"),
+        F.array_contains(words, "data").alias("has_data"),
+        F.array_join(F.slice(uniq_sorted, 1, 3), "-").alias("joined3"),
+    )
+
+
+@query(
+    "scalar_json_funcs",
+    oracle="""
+    SELECT
+      event_id,
+      json_extract_string(props, '$.k') AS k_str,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+      CAST(json_extract_string(props, '$.missing') IS NULL AS BOOLEAN) AS missing_is_null
+    FROM events
+    """,
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from a string column (events.props)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+    )
