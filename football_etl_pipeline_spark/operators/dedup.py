@@ -1,1 +1,439 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators over the ``documents`` table: exact
+(content-hash), n-gram Jaccard, MinHash+LSH, and SimHash — the dedup
+ladder of a large-scale training-data pipeline.
+
+The reference deduplicates by full-table overwrite only (idempotency
+via WRITE_TRUNCATE, ``/root/reference/dataflow-flex/pipeline.py:53``);
+content dedup is new surface per the engine charter (BASELINE.json:6).
+
+All four operators are pure DataFrame plans — no Python in the row
+path. The content hash is the engine's portable 60-bit md5 prefix
+(``textops.hash60_*``), computed identically by Spark and DuckDB, so
+every stage (including the MinHash permutations) has an exact oracle.
+
+Scale design (100 TB):
+- exact: one hash-groupBy shuffle on a 60-bit key — uniform by
+  construction, no skew; runs as partial+final hash aggregate.
+- ngram-jaccard: candidate generation joins docs on shared shingles.
+  A document-frequency cap (DF_CAP) drops stop-shingles before the
+  join — without it one viral shingle makes a quadratic hot key; with
+  it the join is bounded by DF_CAP² pairs per shingle. This is the
+  exact-but-expensive path; MinHash is the scale path.
+- minhash-lsh: signatures are k min-aggregates over one shingle
+  explode (single shuffle), banding turns all-pairs into equality
+  joins on band keys — cost O(n·k) + collisions, not O(n²).
+- simhash: frequency-weighted 32-bit simhash via 32 conditional sums
+  in one aggregate pass; candidate pairs via 8-bit band equality
+  (pigeonhole over 4 bands: any pair within hamming ≤ 3 must share a
+  band, so the radius-2 cut has exact recall).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .registry import query
+from .textops import (
+    SHINGLES_DUCK,
+    SHINGLES_SPARK,
+    TOKENS_DUCK,
+    TOKENS_SPARK,
+    hash60_duck,
+    hash60_spark,
+)
+
+# ---- exact dedup -----------------------------------------------------
+
+NORM_SPARK = r"regexp_replace(trim(lower(text)), '\\s+', ' ')"
+NORM_DUCK = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, md5({NORM_DUCK}) AS fp FROM documents
+    )
+    SELECT
+      doc_id,
+      fp,
+      MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+      doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS is_dup
+    FROM t
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash: every doc mapped to the
+    min doc_id of its content group (canonical), flagged if dropped.
+
+    Plan: projection → window min over the hash (one shuffle on a
+    uniform 128-bit key — unskewable). At 100 TB the same plan holds;
+    to *materialize* the deduped corpus it's a filter on ``is_dup``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    return (
+        docs.select("doc_id", F.expr(f"md5({NORM_SPARK})").alias("fp"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("is_dup", F.col("doc_id") != F.col("canonical_id"))
+    )
+
+
+# ---- n-gram Jaccard --------------------------------------------------
+
+# Drop shingles shared by more than DF_CAP docs before pairing: they
+# are stop-shingles that contribute near-zero Jaccard evidence but
+# quadratic join blowup. Part of the operator contract.
+DF_CAP = 50
+JACCARD_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct({SHINGLES_DUCK})) AS s FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), rare AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {DF_CAP}
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+      FROM sh a
+      JOIN rare r ON a.s = r.s
+      JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT
+      a_id,
+      b_id,
+      n_shared,
+      CAST(n_shared * 1.0 / (sa.n + sb.n - n_shared) AS DECIMAL(18,6)) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.5, candidates from a
+    shared-shingle equi-join with a document-frequency cap.
+
+    Plan: explode distinct shingles (one scan), df-cap semi-filter,
+    self equi-join on shingle (shuffle on shingle key), pair-count
+    aggregate, two broadcast-able size joins. The DF cap bounds the
+    worst key to DF_CAP² pairs; for corpora where that's still too
+    hot, ``dedup_minhash_lsh`` is the subquadratic path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({SHINGLES_SPARK})")).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= DF_CAP
+    ).select("s")
+    a = sh.alias("a").join(rare, "s")
+    pairs = (
+        a.join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
+    return (
+        pairs.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("a_id"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("b_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared",
+            jac.cast("decimal(18,6)").alias("jaccard"),
+        )
+    )
+
+
+# ---- MinHash + LSH ---------------------------------------------------
+
+# k universal-hash permutations h_i(x) = (a_i·x + b_i) mod P over the
+# 60-bit shingle hash reduced mod P. P = 2^31−1 (Mersenne); a_i < 2^15
+# keeps a_i·x < 2^46 — no 64-bit overflow in either engine. Constants
+# are seeded so the signature (and its oracle) is reproducible.
+MINHASH_P = 2_147_483_647
+MINHASH_K = 16
+MINHASH_BANDS = 4  # 4 bands × 4 rows: catches J≥0.5 pairs w.h.p.
+_rng = random.Random(42)
+MINHASH_A = [_rng.randrange(1, 1 << 15) for _ in range(MINHASH_K)]
+MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(MINHASH_K)]
+
+_ROWS_PER_BAND = MINHASH_K // MINHASH_BANDS
+
+
+def _minhash_min_exprs() -> list[str]:
+    """The k ``min((a·h + b) % P)`` aggregate expressions (both
+    dialects — the arithmetic is identical)."""
+    return [
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
+def _band_key(band: int, dialect: str) -> str:
+    cols = [f"m{band * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
+    if dialect == "spark":
+        return "concat_ws(',', " + ", ".join(cols) + ")"
+    return " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n             ".join(_minhash_min_exprs())
+    band_rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band_id, {_band_key(b, 'duck')} AS bkey FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct({SHINGLES_DUCK})) AS s FROM toks
+    ), hashed AS (
+      SELECT doc_id, s, {hash60_duck('s')} % {MINHASH_P} AS h FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+{band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), verified AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS n_shared
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.a_id
+      JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
+      GROUP BY 1, 2
+    )
+    SELECT
+      v.a_id,
+      v.b_id,
+      CAST(v.n_shared * 1.0 / (sa.n + sb.n - v.n_shared) AS DECIMAL(18,6)) AS jaccard
+    FROM verified v
+    JOIN sizes sa ON sa.doc_id = v.a_id
+    JOIN sizes sb ON sb.doc_id = v.b_id
+    WHERE v.n_shared * 1.0 / (sa.n + sb.n - v.n_shared) >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: 16-permutation signatures over word
+    3-gram shingles, 4×4 banding for candidates, exact-Jaccard verify
+    at ≥ 0.5.
+
+    Plan: shingle explode → ONE groupBy computing all 16 minhashes
+    (partial+final agg) → band explode (no shuffle, array unnest) →
+    equality self-join on (band, key) → verify join back to shingles.
+    Subquadratic: pairs only materialize on band collisions. At 100 TB
+    the band join is the only shuffle that grows superlinearly, and
+    its keys are 4-minhash tuples — collision lists stay tiny unless
+    the docs really are near-dups.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({SHINGLES_SPARK})")).alias("s"),
+    )
+    hashed = sh.select(
+        "doc_id", "s", (F.expr(hash60_spark("s")) % MINHASH_P).alias("h")
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
+            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.expr(_band_key(b, "spark")).alias("bkey"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "bd.band_id", "bd.bkey")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    verified = (
+        cand.join(sh.alias("x"), F.col("x.doc_id") == F.col("a_id"))
+        .join(
+            sh.alias("y"),
+            (F.col("y.doc_id") == F.col("b_id")) & (F.col("y.s") == F.col("x.s")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
+    return (
+        verified.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("a_id"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("b_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", jac.cast("decimal(18,6)").alias("jaccard"))
+    )
+
+
+# ---- SimHash ---------------------------------------------------------
+
+SIMHASH_BITS = 32
+# 4 bands × 8 bits guarantee recall for hamming ≤ 3 (pigeonhole); we
+# use 2 — on this corpus's tiny shared vocabulary the background
+# hamming distribution peaks near 7, so 2 is the discriminating radius.
+SIMHASH_RADIUS = 2
+
+
+def _simhash_bit_sums(dialect: str) -> list[str]:
+    """Per-bit signed frequency sums (no alias): +cnt if bit b of the
+    token hash is set, else −cnt. Same arithmetic in both dialects."""
+    exprs = []
+    for b in range(SIMHASH_BITS):
+        sr = f"shiftright(th, {b})" if dialect == "spark" else f"(th >> {b})"
+        exprs.append(f"sum(CASE WHEN ({sr} & 1) = 1 THEN cnt ELSE -cnt END)")
+    return exprs
+
+
+def _simhash_value() -> str:
+    return " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n             ".join(
+        f"{e} AS s{b}" for b, e in enumerate(_simhash_bit_sums("duck"))
+    )
+    n_bands = 4
+    band_rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {i} AS band_id,"
+        f" (simhash >> {8 * i}) & 255 AS bkey FROM sh_val"
+        for i in range(n_bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TOKENS_DUCK}) AS tok FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+    ), hashed AS (
+      SELECT doc_id, cnt, {hash60_duck('tok')} AS th FROM tf
+    ), bitsums AS (
+      SELECT doc_id,
+             {sums}
+      FROM hashed GROUP BY doc_id
+    ), sh_val AS (
+      SELECT doc_id, {_simhash_value()} AS simhash FROM bitsums
+    ), bands AS (
+{band_rows}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT
+      p.a_id,
+      p.b_id,
+      bit_count(xor(x.simhash, y.simhash)) AS hamming
+    FROM pairs p
+    JOIN sh_val x ON x.doc_id = p.a_id
+    JOIN sh_val y ON y.doc_id = p.b_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_RADIUS}
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: frequency-weighted 32-bit simhash per
+    doc, 8-bit band candidates, Hamming distance ≤ 6.
+
+    Plan: token explode → term-frequency aggregate → ONE groupBy
+    computing all 32 signed bit-sums → arithmetic simhash → band
+    explode → equality self-join → bit_count(xor) filter. Everything
+    codegen'd; the band join is the only pairing shuffle. Pigeonhole
+    over 4 bands guarantees full recall for any radius ≤ 3, so the
+    radius-2 cut is exact, not best-effort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hashed = tf.select("doc_id", "cnt", F.expr(hash60_spark("tok")).alias("th"))
+    bitsums = hashed.groupBy("doc_id").agg(
+        *[
+            F.expr(e).alias(f"s{b}")
+            for b, e in enumerate(_simhash_bit_sums("spark"))
+        ]
+    )
+    sh_val = bitsums.select("doc_id", F.expr(_simhash_value()).alias("simhash"))
+    n_bands = 4
+    bands = sh_val.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        (F.shiftright(F.col("simhash"), 8 * i) % 256).alias("bkey"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "bd.band_id", "bd.bkey")
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    )
+    return (
+        pairs.join(sh_val.alias("x"), F.col("x.doc_id") == F.col("a_id"))
+        .join(sh_val.alias("y"), F.col("y.doc_id") == F.col("b_id"))
+        .filter(ham <= SIMHASH_RADIUS)
+        .select("a_id", "b_id", ham.alias("hamming"))
+    )

@@ -1,1 +1,268 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search operators over the ``embeddings`` table
+(``vec_id``, ``embedding: array<float>[64]``, ``label``): cosine
+near-duplicate pairs, brute-force top-k neighbors, and a
+hyperplane-LSH bucketed ANN variant — the embedding leg of a
+training-data dedup/retrieval pipeline (new surface per
+BASELINE.json:6; the reference has no vector ops).
+
+Everything is built-in DataFrame expressions — the dot product is a
+``zip_with`` + ``aggregate`` fold, which Spark and DuckDB evaluate in
+the same element order, so cosine scores are BIT-IDENTICAL across
+engines (verified) and every query has an exact oracle.
+
+Scale design (100 TB of vectors):
+- cosine_pairs / topk_bruteforce are O(n²) cross joins — correct
+  baselines, fine for ≤10⁵ vectors per partition-group, NOT the scale
+  path. Spark broadcasts the smaller side (here the 5-row query set),
+  so brute-force top-k is a single broadcast-nested-loop with a
+  per-partition TakeOrdered — no shuffle of the big side at all.
+- ann_lsh is the scale path: a random-hyperplane signature maps each
+  vector to a bucket (one narrow projection, no shuffle), and search
+  joins only same-bucket vectors — O(n·n/2^planes) expected pair
+  work, tunable by plane count. The hyperplanes are derived from the
+  engine's portable 60-bit md5 hash, so both engines materialize the
+  exact same planes without shipping 512 float literals around.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .registry import query
+from .textops import hash60_duck, hash60_spark
+
+DIM = 64
+COSINE_NEAR_THRESHOLD = 0.45  # max background cosine here is ~0.51
+TOPK = 10
+N_QUERIES = 5  # vec_id < 5 are the standing query vectors
+ANN_PLANES = 4  # 16 buckets
+ANN_TOPK = 5
+
+
+# ---- shared expression builders -------------------------------------
+
+def _dot_spark(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+
+def _dot_duck(a: str, b: str) -> str:
+    return f"list_sum([{a}[i+1] * {b}[i+1] for i in range({DIM})])"
+
+
+def _norm_spark(a: str) -> str:
+    return f"sqrt({_dot_spark(a, a)})"
+
+
+def _norm_duck(a: str) -> str:
+    return f"sqrt({_dot_duck(a, a)})"
+
+
+# Pseudo-random hyperplane component p(i, j) ∈ [-1, 1], derived from
+# the portable content hash of the literal string 'plane-i-j' — both
+# engines compute the identical plane without any literal tables.
+
+def _plane_spark(i: int) -> str:
+    h = hash60_spark(f"concat('plane-{i}-', j)")
+    return f"transform(sequence(0, {DIM - 1}), j -> ({h} % 2001 - 1000) / 1000.0)"
+
+
+def _plane_duck(i: int) -> str:
+    h = hash60_duck(f"'plane-{i}-' || j")
+    return f"[({h} % 2001 - 1000) / 1000.0 for j in range({DIM})]"
+
+
+def _bucket_spark(vec: str) -> str:
+    bits = [
+        f"(CASE WHEN {_dot_spark(vec, _plane_spark(i))} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(ANN_PLANES)
+    ]
+    return " + ".join(bits)
+
+
+def _bucket_duck(vec: str) -> str:
+    bits = [
+        f"(CASE WHEN {_dot_duck(vec, _plane_duck(i))} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(ANN_PLANES)
+    ]
+    return " + ".join(bits)
+
+
+_NORMED_DUCK = f"""
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_norm_duck("(embedding::DOUBLE[])")} AS nrm
+      FROM embeddings
+"""
+
+
+@query(
+    "similarity_cosine_pairs",
+    oracle=f"""
+    WITH e AS ({_NORMED_DUCK})
+    SELECT
+      a.vec_id AS a_id,
+      b.vec_id AS b_id,
+      CAST({_dot_duck("a.v", "b.v")} / (a.nrm * b.nrm) AS DECIMAL(18,6)) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_dot_duck("a.v", "b.v")} / (a.nrm * b.nrm) >= {COSINE_NEAR_THRESHOLD}
+    """,
+)
+def similarity_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: all (a, b) with cosine ≥ 0.45.
+
+    The exact O(n²) baseline — a self cross-join with the pair filter
+    evaluated inside codegen. Correctness anchor for ``ann_lsh``; at
+    scale, bucket first (LSH) or pre-partition by coarse quantizer so
+    each executor only crosses its own cell.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.expr(_norm_spark("v")))
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.expr(_dot_spark("a.v", "b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= COSINE_NEAR_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            cos.cast("decimal(18,6)").alias("cosine"),
+        )
+    )
+
+
+@query(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    WITH e AS ({_NORMED_DUCK}),
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT
+        q.vec_id AS query_id,
+        e.vec_id AS neighbor_id,
+        {_dot_duck("q.v", "e.v")} / (q.nrm * e.nrm) AS cosine
+      FROM q JOIN e ON e.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(cosine AS DECIMAL(18,6)) AS cosine, rnk
+    FROM ranked WHERE rnk <= {TOPK}
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for the 5 standing query vectors.
+
+    Plan: the tiny query side is broadcast, so scoring is a broadcast
+    nested-loop over one scan of the corpus; ranking is a window over
+    (query_id) — 5 keys, trivially parallel. This is the exact-recall
+    baseline ANN is measured against.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.expr(_norm_spark("v")))
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    cos = F.expr(_dot_spark("q.v", "e.v")) / (F.col("q.nrm") * F.col("e.nrm"))
+    scored = (
+        F.broadcast(q.alias("q"))
+        .join(e.alias("e"), F.col("e.vec_id") != F.col("q.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("e.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cosine").cast("decimal(18,6)").alias("cosine"),
+            "rnk",
+        )
+    )
+
+
+@query(
+    "similarity_ann_lsh",
+    oracle=f"""
+    WITH e AS ({_NORMED_DUCK}),
+    bucketed AS (
+      SELECT vec_id, v, nrm, {_bucket_duck("v")} AS bucket FROM e
+    ),
+    q AS (SELECT * FROM bucketed WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT
+        q.vec_id AS query_id,
+        c.vec_id AS neighbor_id,
+        q.bucket,
+        {_dot_duck("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
+      FROM q JOIN bucketed c
+        ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, bucket,
+           CAST(cosine AS DECIMAL(18,6)) AS cosine, rnk
+    FROM ranked WHERE rnk <= {ANN_TOPK}
+    """,
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via random-hyperplane LSH: vectors
+    hash to one of 2^4 buckets (sign pattern against 4 derived
+    hyperplanes); search only scans the query's bucket.
+
+    Plan: bucket assignment is a pure projection (one corpus scan, no
+    shuffle — the planes are derived in-expression from md5, shared
+    with the oracle); the candidate join is an equality join on
+    ``bucket``, so expected pair work drops 16× vs brute force. More
+    planes → smaller buckets → faster/lower recall: the standard LSH
+    dial. Recall is measured against ``similarity_topk_bruteforce``.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.expr(_norm_spark("v")))
+    bucketed = e.withColumn("bucket", F.expr(_bucket_spark("v")))
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES)
+    cos = F.expr(_dot_spark("q.v", "c.v")) / (F.col("q.nrm") * F.col("c.nrm"))
+    scored = (
+        F.broadcast(q.alias("q"))
+        .join(
+            bucketed.alias("c"),
+            (F.col("c.bucket") == F.col("q.bucket"))
+            & (F.col("c.vec_id") != F.col("q.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.col("q.bucket").alias("bucket"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            F.col("cosine").cast("decimal(18,6)").alias("cosine"),
+            "rnk",
+        )
+    )

@@ -1,1 +1,284 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators over the ``documents`` table: token
+counting, quality scoring, language identification, and document
+fingerprinting — the per-document text metrics a large-scale training
+-data pipeline computes before dedup/filtering.
+
+The reference has no text analytics (its only string ops are concat
+``transforms.py:49`` and the path regex ``helpers.py:20-27``); this is
+new surface per the engine charter (BASELINE.json:6).
+
+Scale notes (100 TB): every query here is a narrow per-row projection
+— no shuffle at all except the final aggregate in the quality/lang
+rollups, which reduces to (small cardinality) keys. Tokenization and
+ratio math stay in whole-stage codegen via built-in higher-order
+functions (``transform``/``filter``/``aggregate``); there is NO Python
+in the row path. Document fingerprints use md5, which both Spark and
+DuckDB compute identically — the first 15 hex chars (60 bits) cast to
+BIGINT form the engine's portable content hash (also the basis of the
+MinHash family in ``dedup.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .registry import query
+
+# Shared vocabulary for stopword/marker metrics. Tuple order matters
+# only for readability; membership tests are order-free.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+# Marker tokens per language for the n-gram/keyword language-ID vote.
+# Checked in fixed precedence order (de, fr, es, en) with a CJK-script
+# check for zh — precedence is part of the operator's contract so the
+# Spark and oracle CASE chains tie-break identically.
+LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "une", "des", "pas"),
+    "es": ("el", "los", "las", "y", "es", "una", "que", "por"),
+    "en": ("the", "a", "and", "is", "of", "to", "it", "that"),
+}
+
+# ---- shared expression fragments (Spark SQL and DuckDB dialects) ----
+
+TOKENS_SPARK = r"split(trim(lower(text)), '\\s+')"
+TOKENS_DUCK = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _dec6(expr: str) -> str:
+    """Ratio-safe compare: double math → DECIMAL(18,6) (same cast rule
+    in Spark and DuckDB), so the oracle's value-hash is exact."""
+    return f"CAST({expr} AS DECIMAL(18,6))"
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {TOKENS_DUCK} AS toks FROM documents
+    )
+    SELECT
+      doc_id,
+      len(toks) AS n_tokens,
+      len(text) AS n_chars_obs,
+      {_dec6("list_sum(list_transform(toks, s -> len(s))) * 1.0 / len(toks)")} AS avg_token_len,
+      {_dec6(f"len(list_filter(toks, s -> s IN ({_sql_list(STOPWORDS)}))) * 1.0 / len(toks)")} AS stopword_ratio,
+      {_dec6("len(list_distinct(toks)) * 1.0 / len(toks)")} AS uniq_token_ratio
+    FROM t
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: whitespace token count, observed
+    char length, mean token length, stopword ratio, unique-token ratio.
+
+    Plan: single projection over the parquet scan (ReadSchema pruned to
+    doc_id/text), zero shuffles; all lambdas are JVM higher-order
+    functions inside one WholeStageCodegen span.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(TOKENS_SPARK)
+    n = F.size(toks)
+    stop_list = _sql_list(STOPWORDS)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.length("text").alias("n_chars_obs"),
+        (
+            F.expr(f"aggregate(transform({TOKENS_SPARK}, s -> length(s)), 0, (acc, x) -> acc + x)")
+            * 1.0 / n
+        ).cast("decimal(18,6)").alias("avg_token_len"),
+        (
+            F.size(F.expr(f"filter({TOKENS_SPARK}, s -> s IN ({stop_list}))")) * 1.0 / n
+        ).cast("decimal(18,6)").alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)) * 1.0 / n).cast("decimal(18,6)").alias("uniq_token_ratio"),
+    )
+
+
+# Quality score: a weighted blend of (capped) length, vocabulary
+# diversity, and non-stopword density — the standard pre-training
+# quality heuristic shape. Weights are part of the contract.
+_QUALITY_SPARK = (
+    "least(size(TOKS) / 100.0, 1.0) * 0.5"
+    " + (size(array_distinct(TOKS)) * 1.0 / size(TOKS)) * 0.3"
+    " + (1.0 - size(filter(TOKS, s -> s IN (STOP))) * 1.0 / size(TOKS)) * 0.2"
+)
+_QUALITY_DUCK = (
+    "least(len(toks) / 100.0, 1.0) * 0.5"
+    " + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.3"
+    " + (1.0 - len(list_filter(toks, s -> s IN (STOP))) * 1.0 / len(toks)) * 0.2"
+)
+
+
+@query(
+    "text_quality_by_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, {TOKENS_DUCK} AS toks FROM documents
+    ), scored AS (
+      SELECT source,
+             {_dec6(_QUALITY_DUCK.replace("STOP", _sql_list(STOPWORDS)))} AS q
+      FROM t
+    )
+    SELECT
+      source,
+      COUNT(*) AS n_docs,
+      CAST(SUM(q) AS DOUBLE) / COUNT(*) AS avg_quality,
+      MIN(q) AS min_quality,
+      MAX(q) AS max_quality,
+      COUNT(*) FILTER (WHERE q >= 0.8) AS n_high_quality
+    FROM scored
+    GROUP BY source
+    """,
+)
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring rollup: per-doc heuristic score (length cap +
+    diversity + non-stopword density), aggregated per source corpus.
+
+    The per-doc score is fixed to DECIMAL(18,6) *before* the aggregate
+    so SUM is exact-decimal (order-insensitive) — the same trick as
+    ``functions.numeric.dsum`` — and the plan is scan → partial agg →
+    one shuffle on ``source`` → final agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    q_expr = _QUALITY_SPARK.replace("TOKS", TOKENS_SPARK).replace(
+        "STOP", _sql_list(STOPWORDS)
+    )
+    scored = docs.select(
+        "source", F.expr(q_expr).cast("decimal(18,6)").alias("q")
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("q").cast("double") / F.count(F.lit(1))).alias("avg_quality"),
+        F.min("q").alias("min_quality"),
+        F.max("q").alias("max_quality"),
+        F.count_if(F.col("q") >= 0.8).alias("n_high_quality"),
+    )
+
+
+CJK_COUNT_DUCK = r"len(regexp_extract_all(text, '[一-鿿]'))"
+CJK_COUNT_SPARK = r"size(regexp_extract_all(text, '[\\u4e00-\\u9fff]', 0))"
+
+
+def _lang_case(counts: dict[str, str], cjk: str) -> str:
+    """Fixed-precedence argmax CASE over marker counts (same text in
+    both dialects): zh wins on any CJK evidence, then de/fr/es must
+    strictly beat en's count, else en if any marker hit, else unknown."""
+    others = ["de", "fr", "es"]
+    branches = [f"WHEN {cjk} > 0 THEN 'zh'"]
+    for lang in others:
+        rivals = " AND ".join(
+            f"{counts[lang]} >= {counts[o]}" for o in others if o != lang
+        )
+        branches.append(
+            f"WHEN {counts[lang]} > {counts['en']} AND {rivals} THEN '{lang}'"
+        )
+    branches.append(f"WHEN {counts['en']} > 0 THEN 'en'")
+    return "CASE " + " ".join(branches) + " ELSE 'unknown' END"
+
+
+def _marker_count(tokens_expr: str, lang: str, dialect: str) -> str:
+    fn = "size(filter" if dialect == "spark" else "len(list_filter"
+    return f"{fn}({tokens_expr}, s -> s IN ({_sql_list(LANG_MARKERS[lang])})))"
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, {TOKENS_DUCK} AS toks, text FROM documents
+    )
+    SELECT
+      lang,
+      {_lang_case({lg: _marker_count("toks", lg, "duck") for lg in LANG_MARKERS},
+                  CJK_COUNT_DUCK)} AS predicted_lang,
+      COUNT(*) AS n_docs
+    FROM t
+    GROUP BY 1, 2
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification (marker-token vote + CJK-script check),
+    reported as a labeled-vs-predicted confusion rollup.
+
+    The heuristic is deterministic: count per-language marker tokens,
+    fixed-precedence argmax. (The synthetic corpus is English word-salad
+    under all labels, so the *accuracy* is meaningless here — the
+    operator contract is the deterministic classification itself.)
+    Plan: projection + small-key aggregate, one shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        lg: _marker_count(TOKENS_SPARK, lg, "spark") for lg in LANG_MARKERS
+    }
+    pred = _lang_case(counts, CJK_COUNT_SPARK)
+    return (
+        docs.select("lang", F.expr(pred).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---- portable content hash (shared with dedup.py) ----
+# First 15 hex chars of md5 = 60 bits, fits BIGINT identically in
+# Spark (conv base16→10) and DuckDB ('0x…' cast).
+
+def hash60_spark(expr: str) -> str:
+    return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+def hash60_duck(expr: str) -> str:
+    return f"try_cast('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+# Word 3-gram shingles over the token array (empty when < 3 tokens).
+SHINGLES_SPARK = (
+    "case when size(TOKS) >= 3 then"
+    " transform(sequence(0, size(TOKS) - 3),"
+    " i -> concat_ws(' ', TOKS[i], TOKS[i+1], TOKS[i+2]))"
+    " else array() end"
+).replace("TOKS", TOKENS_SPARK)
+SHINGLES_DUCK = (
+    "list_transform(range(greatest(len(toks) - 2, 0)),"
+    " i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])"
+)
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
+             {TOKENS_DUCK} AS toks
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      md5(norm) AS fp_md5,
+      {hash60_duck("norm")} AS fp60,
+      len(list_distinct({SHINGLES_DUCK})) AS n_shingles
+    FROM t
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the whitespace-normalized text,
+    its 60-bit BIGINT form (the engine's portable content hash), and
+    the distinct word-3-gram shingle count (the MinHash input size).
+
+    Plan: pure projection, zero shuffles; md5 + higher-order shingling
+    all codegen'd JVM-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = r"regexp_replace(trim(lower(text)), '\\s+', ' ')"
+    return docs.select(
+        "doc_id",
+        F.expr(f"md5({norm})").alias("fp_md5"),
+        F.expr(hash60_spark(norm)).alias("fp60"),
+        F.expr(f"size(array_distinct({SHINGLES_SPARK}))").alias("n_shingles"),
+    )
