@@ -1,0 +1,226 @@
+"""Multimodal-column operators: image/audio/video payloads carried as
+opaque ``binary`` columns with typed metadata, decoded/feature-
+extracted through Arrow-batched ``mapInPandas`` — the plumbing a
+multimodal training-data pipeline needs (new surface per
+BASELINE.json:6; the reference is text/JSON only).
+
+The container has no image/audio codecs, so the *real* decoder is a
+clearly-marked stub (``decode_media_real`` raises NotImplementedError
+unless PIL/soundfile appear); the *deterministic* decoder used by the
+queries computes features from the raw bytes. Because the synthetic
+corpus is pure ASCII, those byte-level features have exact DuckDB
+oracles via per-char codepoints — i.e. even the Pandas-UDF path is
+oracle-verified end to end, not just smoke-checked.
+
+Scale design (100 TB of media):
+- payloads stay opaque bytes end-to-end; metadata is columnar, so
+  filters (mime, size) prune at the parquet scan WITHOUT touching
+  payload bytes (Parquet column pruning is the whole game here).
+- decode runs in ``mapInPandas`` — Arrow moves each partition's
+  payload column to Python ONCE per batch (no per-row pickling), and
+  the output schema is declared so Catalyst plans around it. Batch
+  size is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  to keep decoded frames within executor memory.
+- frame sampling is a 1→N row expansion inside the same Arrow pass —
+  no shuffle; downstream repartition only if frame fan-out skews.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .registry import query
+
+FRAME_STRIDE = 64  # sample one "frame" byte every 64 payload bytes
+
+# mime assignment: deterministic from the numeric suffix of ``source``
+# (srcN → N % 3), simulating a mixed image/audio/video corpus.
+_MIME_CASE = (
+    "CASE CAST(substr(source, 4) AS INTEGER) % 3"
+    " WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'"
+    " ELSE 'video/mp4' END"
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal staging table: documents re-landed as opaque
+    binary payloads + typed metadata (mime, byte length, checksum).
+    At scale this is what a media lakehouse table looks like — payload
+    column never read unless a query asks for it."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.expr(_MIME_CASE).alias("mime"),
+    ).withColumn("n_bytes", F.length("payload")).withColumn(
+        "checksum", F.md5("payload")
+    )
+
+
+def decode_media_real(payload: bytes, mime: str):
+    """Real decoder — requires codec libraries absent from this
+    container. STUB: the deterministic byte-level decoder below is
+    what the queries run; swap this in when PIL/soundfile/av exist."""
+    try:
+        if mime.startswith("image/"):
+            from PIL import Image  # noqa: F401
+        elif mime.startswith("audio/"):
+            import soundfile  # noqa: F401
+        else:
+            import av  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"no codec for {mime!r} in this environment; "
+            "deterministic byte-level decode is the supported path"
+        ) from exc
+    raise NotImplementedError("real decode not wired up yet")
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle=f"""
+    SELECT
+      doc_id AS media_id,
+      {_MIME_CASE} AS mime,
+      octet_length(encode(text)) AS n_bytes,
+      md5(text) AS checksum  -- DuckDB md5 is VARCHAR-only; equals the
+                             -- payload md5 because payload IS utf-8(text)
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata projection over the media table: mime, byte length,
+    md5 checksum — the query pattern that must NEVER deserialize the
+    payload column at scale. (checksum here is computed from bytes,
+    but in a real lakehouse it's written at ingest and this projection
+    prunes the payload column entirely.)"""
+    return media_table(spark, sf_dir).select(
+        "media_id", "mime", "n_bytes", "checksum"
+    )
+
+
+_FEATURES_SCHEMA = (
+    "media_id long, mime string, n_bytes long, byte_sum long, "
+    "mean_byte double, n_frames long"
+)
+
+
+def _decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic 'decode': per-payload byte statistics + a fake
+    frame count (1 frame per FRAME_STRIDE bytes). Pure numpy over the
+    Arrow batch — no per-row Python."""
+    import numpy as np
+
+    for pdf in batches:
+        sums, means, frames, sizes = [], [], [], []
+        for payload in pdf["payload"]:
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            n = len(arr)
+            s = int(arr.sum())
+            sizes.append(n)
+            sums.append(s)
+            means.append(s / n if n else 0.0)
+            frames.append((n + FRAME_STRIDE - 1) // FRAME_STRIDE)
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "mime": pdf["mime"],
+                "n_bytes": sizes,
+                "byte_sum": sums,
+                "mean_byte": means,
+                "n_frames": frames,
+            }
+        )
+
+
+@query(
+    "multimodal_decode_features",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id AS media_id,
+             {_MIME_CASE} AS mime,
+             octet_length(encode(text)) AS n_bytes,
+             list_sum(list_transform(string_split(text, ''), c -> ord(c))) AS byte_sum
+      FROM documents
+    )
+    SELECT
+      media_id,
+      mime,
+      n_bytes,
+      byte_sum,
+      CAST(byte_sum * 1.0 / n_bytes AS DECIMAL(18,6)) AS mean_byte,
+      (n_bytes + {FRAME_STRIDE - 1}) // {FRAME_STRIDE} AS n_frames
+    FROM b
+    """,
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through the Arrow/Pandas-UDF path: payloads
+    stream into Python as Arrow batches, numpy computes per-media byte
+    features, and the declared output schema lets Catalyst keep
+    planning above/below the Python stage.
+
+    This is the template for real decode: replace ``_decode_features``
+    internals with PIL/ffmpeg calls; schema, partitioning and batch
+    shape stay identical. Oracle-exact because the corpus is ASCII
+    (byte == codepoint).
+    """
+    media = media_table(spark, sf_dir).select(
+        "media_id", "mime", "payload"
+    )
+    out = media.mapInPandas(_decode_features, schema=_FEATURES_SCHEMA)
+    return out.withColumn(
+        "mean_byte",
+        (F.col("byte_sum") * 1.0 / F.col("n_bytes")).cast("decimal(18,6)"),
+    )
+
+
+_FRAME_SCHEMA = "media_id long, frame_idx long, frame_byte long"
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """1→N expansion: emit every FRAME_STRIDE-th byte as a 'frame'."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, idxs, vals = [], [], []
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            sampled = arr[::FRAME_STRIDE]
+            ids.extend([media_id] * len(sampled))
+            idxs.extend(range(len(sampled)))
+            vals.extend(int(v) for v in sampled)
+        yield pd.DataFrame(
+            {"media_id": ids, "frame_idx": idxs, "frame_byte": vals}
+        )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id AS media_id, string_split(text, '') AS chars
+      FROM documents
+    )
+    SELECT
+      media_id,
+      i AS frame_idx,
+      ord(chars[i * {FRAME_STRIDE} + 1]) AS frame_byte
+    FROM b, LATERAL (
+      SELECT unnest(range((len(chars) + {FRAME_STRIDE - 1}) // {FRAME_STRIDE})) AS i
+    )
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling as a 1→N mapInPandas expansion: one row per
+    sampled frame (every 64th payload byte stands in for a video
+    frame). The expansion happens inside the Arrow pass — no shuffle,
+    no driver involvement; at scale the only knob is repartitioning
+    afterwards if frame counts skew."""
+    media = media_table(spark, sf_dir).select("media_id", "payload")
+    return media.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)

@@ -1,0 +1,171 @@
+"""Structured Streaming variant of the ingest→validate→aggregate
+pipeline over the ``events`` shape (event_id, ts, user_id, event_type,
+value, props).
+
+The reference is batch-only (``streaming=False`` pinned at
+``/root/reference/dataflow-flex/main.py:42``); this is the streaming
+capability the engine adds (SURVEY.md §7 Stage 4): a file-source
+stream with schema-on-read validation, a dead-letter side channel
+(streaming analog of the reference's TaggedOutput,
+``transforms.py:180-184``), and watermarked event-time windows so
+late data is bounded, not unbounded state.
+
+Design notes:
+- Every transformation here is written against a plain DataFrame and
+  works IDENTICALLY on a batch frame — that's Spark's unification
+  contract, and the tests exploit it (batch result == availableNow
+  stream result on the same files).
+- Watermark = 10 minutes: state for a window is dropped once the
+  event-time high-water mark passes window_end + 10 min; rows later
+  than that are discarded (counted nowhere) — the bounded-state knob
+  that makes this run forever on a cluster.
+- Dead-letter is a second streaming query over the same source (two
+  cheap file scans), because a single-pass streaming multi-output
+  does not exist in Spark — same divergence-from-Beam note as the
+  batch pipeline (plans/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+VALID_EVENT_TYPES = ("view", "click", "purchase", "error", "signup")
+WATERMARK = "10 minutes"
+WINDOW = "5 minutes"
+SESSION_GAP = "30 minutes"
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over a landing directory of JSON events —
+    the streaming twin of the batch ingest landing zone
+    (plans/ingest.py). maxFilesPerTrigger bounds per-batch work so one
+    giant backlog can't blow a micro-batch."""
+    return (
+        spark.readStream.format("json")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .load(source_dir)
+    )
+
+
+def split_valid(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Validation split: (valid, dead_letter). A record dead-letters
+    when required fields are null or event_type is unknown — the
+    streaming analog of the batch enforcement error column
+    (plans/enforce.py); the reason travels with the record."""
+    err = (
+        F.when(F.col("event_id").isNull(), F.lit("missing event_id"))
+        .when(F.col("ts").isNull(), F.lit("missing ts"))
+        .when(F.col("user_id").isNull(), F.lit("missing user_id"))
+        .when(
+            ~F.col("event_type").isin(*VALID_EVENT_TYPES),
+            F.concat(F.lit("unknown event_type: "), F.coalesce("event_type", F.lit("NULL"))),
+        )
+    )
+    tagged = events.withColumn("_error", err)
+    valid = tagged.filter(F.col("_error").isNull()).drop("_error")
+    dead = tagged.filter(F.col("_error").isNotNull())
+    return valid, dead
+
+
+def windowed_counts(events: DataFrame) -> DataFrame:
+    """Tumbling event-time window per event_type with a 10-minute
+    watermark. On a stream this is incremental state (partial aggs
+    merged per micro-batch, state evicted past the watermark); on a
+    batch frame the same code is an ordinary hash aggregate."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized(events: DataFrame) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — Spark's
+    built-in session_window keeps one open-interval state per key,
+    merged on overlap; the watermark closes sessions for good."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
+def start_to_memory(
+    df: DataFrame,
+    name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    available_now: bool = True,
+):
+    """Drive a streaming frame into an in-memory table (tests/dev).
+    availableNow=True processes the current backlog then stops —
+    batch-equivalent semantics; False leaves a continuous query the
+    caller feeds with processAllAvailable()."""
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def write_dead_letter(dead: DataFrame, path: str, checkpoint_dir: str):
+    """Dead-letter sink: append-mode JSON files, one directory the
+    operators can replay later — the reference's dead_letter/
+    WriteToText (pipeline.py:58-63) with streaming checkpoints."""
+    return (
+        dead.writeStream.format("json")
+        .option("path", path)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "dead_letter"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

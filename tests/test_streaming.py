@@ -1,0 +1,175 @@
+"""Structured Streaming tests: stream/batch equivalence on the same
+files, dead-letter routing, session windows, and watermark late-data
+discard across micro-batches."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from football_etl_pipeline_spark.streaming.events_stream import (
+    EVENTS_SCHEMA,
+    read_events_stream,
+    sessionized,
+    split_valid,
+    start_to_memory,
+    windowed_counts,
+    write_dead_letter,
+)
+
+
+def _write_events(path: str, rows: list[dict], fname: str = "part0.json") -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, fname), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _ev(i, ts, user=1, etype="click", value=1.0):
+    return {
+        "event_id": i,
+        "ts": ts,
+        "user_id": user,
+        "event_type": etype,
+        "value": value,
+        "props": "{}",
+    }
+
+
+ROWS = [
+    _ev(0, "2024-01-01T00:00:30", user=1, etype="view", value=2.0),
+    _ev(1, "2024-01-01T00:01:10", user=1, etype="click", value=3.0),
+    _ev(2, "2024-01-01T00:06:00", user=2, etype="click", value=5.0),
+    _ev(3, "2024-01-01T00:07:45", user=2, etype="purchase", value=7.0),
+    _ev(4, "2024-01-01T01:00:00", user=1, etype="view", value=1.0),
+]
+
+
+def test_stream_batch_equivalence(spark, tmp_path):
+    """availableNow stream result == batch result over the same files,
+    restricted to windows the final watermark has CLOSED — append mode
+    never emits still-open windows; that is the contract, not a bug."""
+    import datetime
+
+    src = str(tmp_path / "src")
+    _write_events(src, ROWS)
+
+    stream = read_events_stream(spark, src)
+    assert stream.isStreaming
+    q = start_to_memory(
+        windowed_counts(stream), "wc_stream", str(tmp_path / "ck"), "append"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start.isoformat(), r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM wc_stream").collect()
+    }
+
+    batch = spark.read.schema(EVENTS_SCHEMA).json(src)
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    final_watermark = max_ts - datetime.timedelta(minutes=10)
+    closed = windowed_counts(batch).filter(F.col("window_end") <= final_watermark)
+    want = {
+        (r.window_start.isoformat(), r.event_type): (r.n_events, r.total_value)
+        for r in closed.collect()
+    }
+    assert got == want
+    assert len(want) == 4  # every window except the open 01:00 one
+
+
+def test_dead_letter_routing(spark, tmp_path):
+    """Invalid rows (null required field / unknown type) land in the
+    dead-letter sink with a reason; valid rows don't."""
+    src = str(tmp_path / "src")
+    bad = [
+        {**_ev(10, "2024-01-01T00:00:00"), "user_id": None},
+        {**_ev(11, "2024-01-01T00:00:01"), "event_type": "mystery"},
+    ]
+    _write_events(src, ROWS + bad)
+
+    valid, dead = split_valid(read_events_stream(spark, src))
+    dl_path = str(tmp_path / "dead")
+    q1 = start_to_memory(valid, "valid_stream", str(tmp_path / "ck"), "append")
+    q2 = write_dead_letter(dead, dl_path, str(tmp_path / "ck"))
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    n_valid = spark.sql("SELECT count(*) c FROM valid_stream").collect()[0].c
+    assert n_valid == len(ROWS)
+    dl = spark.read.json(dl_path)
+    errs = {r.event_id: r._error for r in dl.collect()}
+    assert errs[10] == "missing user_id"
+    assert errs[11] == "unknown event_type: mystery"
+
+
+def test_sessionization(spark, tmp_path):
+    """Session windows merge events within the 30-min gap and split
+    across it. User 1's 01:00 session is still OPEN when the stream
+    drains (watermark stops at 00:50), so append mode withholds it —
+    only the closed sessions are emitted."""
+    src = str(tmp_path / "src")
+    _write_events(src, ROWS)
+    q = start_to_memory(
+        sessionized(read_events_stream(spark, src)),
+        "sess_stream",
+        str(tmp_path / "ck"),
+        "append",
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM sess_stream ORDER BY user_id, session_start"
+    ).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.n_events)
+    assert by_user == {1: [2], 2: [2]}
+
+
+def test_watermark_discards_late_data(spark, tmp_path):
+    """A row arriving after the watermark passed its window is
+    dropped: feed a first batch that advances event time to 01:00
+    (watermark 10 min ⇒ 00:50), then a straggler at 00:02 — its
+    00:00-00:05 window is already finalized without it."""
+    src = str(tmp_path / "src")
+    _write_events(src, ROWS, "batch1.json")
+
+    stream = read_events_stream(spark, src)
+    q = (
+        windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName("late_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck" / "late"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # watermark now 01:00 − 10min = 00:50
+        _write_events(
+            src,
+            [_ev(99, "2024-01-01T00:02:00", user=3, etype="view", value=100.0)],
+            "batch2_late.json",
+        )
+        q.processAllAvailable()
+        # one more batch so append-mode emits every closed window
+        _write_events(
+            src,
+            [_ev(100, "2024-01-01T02:00:00", user=3, etype="view", value=1.0)],
+            "batch3.json",
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM late_stream").collect()
+    finally:
+        q.stop()
+    first_window_views = [
+        r.n_events
+        for r in rows
+        if r.window_start.isoformat() == "2024-01-01T00:00:00"
+        and r.event_type == "view"
+    ]
+    # the straggler (value=100, 00:02) must NOT appear: count stays 1
+    assert first_window_views == [1]
+    assert all(r.total_value < 100.0 for r in rows)
