@@ -36,12 +36,15 @@ HEADLINE = [
     "events_sessionize",
     "events_windowed_funnel",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "sim_topk_bruteforce",
-    "sim_ann_lsh",
-    "text_quality_score",
-    "text_langid",
+    "similarity_topk_bruteforce",
+    "similarity_ann_lsh",
+    "text_stats",
+    "text_quality_by_source",
+    "text_language_id",
+    "multimodal_decode_features",
 ]
 
 

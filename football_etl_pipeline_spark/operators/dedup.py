@@ -94,22 +94,44 @@ DF_CAP = 50
 JACCARD_THRESHOLD = 0.5
 
 
+def _hashed_shingles(docs: DataFrame, col: str) -> DataFrame:
+    """(doc_id, <col>): distinct word-3-gram shingles reduced to their
+    60-bit content hash. Two-step select so the text is tokenized ONCE
+    per row (lambda bodies defeat CSE — embedding split() in the
+    shingle expression costs ~5 tokenizations per row)."""
+    from .textops import shingles_spark
+
+    return docs.select(
+        "doc_id", F.expr(TOKENS_SPARK).alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform({shingles_spark('toks')}, s -> {hash60_spark('s')}))"
+            )
+        ).alias(col),
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
     ), sh AS (
-      SELECT doc_id, unnest(list_distinct({SHINGLES_DUCK})) AS s FROM toks
+      SELECT doc_id,
+             unnest(list_distinct(list_transform({SHINGLES_DUCK},
+                                                 s -> {hash60_duck('s')}))) AS h
+      FROM toks
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), rare AS (
-      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {DF_CAP}
+      SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= {DF_CAP}
     ), pairs AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
       FROM sh a
-      JOIN rare r ON a.s = r.s
-      JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+      JOIN rare r ON a.h = r.h
+      JOIN sh b ON b.h = a.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT
@@ -127,24 +149,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard ≥ 0.5, candidates from a
     shared-shingle equi-join with a document-frequency cap.
 
-    Plan: explode distinct shingles (one scan), df-cap semi-filter,
-    self equi-join on shingle (shuffle on shingle key), pair-count
-    aggregate, two broadcast-able size joins. The DF cap bounds the
-    worst key to DF_CAP² pairs; for corpora where that's still too
-    hot, ``dedup_minhash_lsh`` is the subquadratic path.
+    Plan: shingles are reduced to their 60-bit content hash INSIDE the
+    explode (8-byte join keys instead of ~20-char strings — less than
+    half the shuffle bytes), persisted once (four subtrees read it),
+    then df-cap semi-filter → self equi-join on the hash → pair-count
+    aggregate. The DF cap bounds the worst key to DF_CAP² pairs; for
+    corpora where that's still too hot, ``dedup_minhash_lsh`` is the
+    subquadratic path. Hash collisions would merge two shingles — at
+    60 bits that's ~never, and the oracle hashes identically, so the
+    comparison is exact either way.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.expr(f"array_distinct({SHINGLES_SPARK})")).alias("s"),
-    )
+    sh = _hashed_shingles(docs, "h").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+    rare = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= DF_CAP
-    ).select("s")
-    a = sh.alias("a").join(rare, "s")
+    ).select("h")
+    a = sh.alias("a").join(rare, "h")
     pairs = (
-        a.join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(sh.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -204,9 +227,12 @@ def _minhash_oracle() -> str:
     WITH toks AS (
       SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
     ), sh AS (
-      SELECT doc_id, unnest(list_distinct({SHINGLES_DUCK})) AS s FROM toks
+      SELECT doc_id,
+             unnest(list_distinct(list_transform({SHINGLES_DUCK},
+                                                 s -> {hash60_duck('s')}))) AS sh60
+      FROM toks
     ), hashed AS (
-      SELECT doc_id, s, {hash60_duck('s')} % {MINHASH_P} AS h FROM sh
+      SELECT doc_id, sh60 % {MINHASH_P} AS h FROM sh
     ), sig AS (
       SELECT doc_id,
              {mins}
@@ -223,7 +249,7 @@ def _minhash_oracle() -> str:
       SELECT c.a_id, c.b_id, COUNT(*) AS n_shared
       FROM cand c
       JOIN sh x ON x.doc_id = c.a_id
-      JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
+      JOIN sh y ON y.doc_id = c.b_id AND y.sh60 = x.sh60
       GROUP BY 1, 2
     )
     SELECT
@@ -252,13 +278,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the docs really are near-dups.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.expr(f"array_distinct({SHINGLES_SPARK})")).alias("s"),
-    )
-    hashed = sh.select(
-        "doc_id", "s", (F.expr(hash60_spark("s")) % MINHASH_P).alias("h")
-    )
+    # Persisted: the hashed shingle set (8-byte keys, md5 computed
+    # once) feeds the signature aggregate, the per-doc sizes, and both
+    # sides of the verify join (4 subtrees).
+    sh = _hashed_shingles(docs, "sh60").persist()
+    hashed = sh.select("doc_id", (F.col("sh60") % MINHASH_P).alias("h"))
     sig = hashed.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
@@ -295,7 +319,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sh.alias("x"), F.col("x.doc_id") == F.col("a_id"))
         .join(
             sh.alias("y"),
-            (F.col("y.doc_id") == F.col("b_id")) & (F.col("y.s") == F.col("x.s")),
+            (F.col("y.doc_id") == F.col("b_id")) & (F.col("y.sh60") == F.col("x.sh60")),
         )
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -401,7 +425,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b, e in enumerate(_simhash_bit_sums("spark"))
         ]
     )
-    sh_val = bitsums.select("doc_id", F.expr(_simhash_value()).alias("simhash"))
+    # Persisted: simhash values feed the band explode and both sides
+    # of the hamming join — 3 subtrees over the tf+bitsum chain.
+    sh_val = bitsums.select(
+        "doc_id", F.expr(_simhash_value()).alias("simhash")
+    ).persist()
     n_bands = 4
     bands = sh_val.select(
         "doc_id",

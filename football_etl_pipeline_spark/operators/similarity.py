@@ -60,17 +60,27 @@ def _norm_duck(a: str) -> str:
 
 
 # Pseudo-random hyperplane component p(i, j) ∈ [-1, 1], derived from
-# the portable content hash of the literal string 'plane-i-j' — both
-# engines compute the identical plane without any literal tables.
+# the md5 of 'plane-i-j' — PRECOMPUTED in Python (hashlib md5 ==
+# Spark/DuckDB md5) and embedded as double literals, so neither engine
+# hashes per row. repr() round-trips doubles exactly in both parsers.
+
+def _plane(i: int) -> list[float]:
+    import hashlib
+
+    out = []
+    for j in range(DIM):
+        h = int(hashlib.md5(f"plane-{i}-{j}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
 
 def _plane_spark(i: int) -> str:
-    h = hash60_spark(f"concat('plane-{i}-', j)")
-    return f"transform(sequence(0, {DIM - 1}), j -> ({h} % 2001 - 1000) / 1000.0)"
+    return "array(" + ", ".join(f"{v!r}D" for v in _plane(i)) + ")"
 
 
 def _plane_duck(i: int) -> str:
-    h = hash60_duck(f"'plane-{i}-' || j")
-    return f"[({h} % 2001 - 1000) / 1000.0 for j in range({DIM})]"
+    # parenthesized so the literal can be indexed inside _dot_duck
+    return "([" + ", ".join(repr(v) for v in _plane(i)) + "])"
 
 
 def _bucket_spark(vec: str) -> str:

@@ -82,21 +82,25 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions inside one WholeStageCodegen span.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.expr(TOKENS_SPARK)
-    n = F.size(toks)
+    # Tokenize ONCE into a column — the metrics reference it 5×, and
+    # CollapseProject keeps the barrier (split() is non-cheap).
+    toked = docs.select(
+        "doc_id", F.length("text").alias("n_chars_obs"), F.expr(TOKENS_SPARK).alias("toks")
+    )
+    n = F.size(F.col("toks"))
     stop_list = _sql_list(STOPWORDS)
-    return docs.select(
+    return toked.select(
         "doc_id",
         n.alias("n_tokens"),
-        F.length("text").alias("n_chars_obs"),
+        "n_chars_obs",
         (
-            F.expr(f"aggregate(transform({TOKENS_SPARK}, s -> length(s)), 0, (acc, x) -> acc + x)")
+            F.expr("aggregate(transform(toks, s -> length(s)), 0, (acc, x) -> acc + x)")
             * 1.0 / n
         ).cast("decimal(18,6)").alias("avg_token_len"),
         (
-            F.size(F.expr(f"filter({TOKENS_SPARK}, s -> s IN ({stop_list}))")) * 1.0 / n
+            F.size(F.expr(f"filter(toks, s -> s IN ({stop_list}))")) * 1.0 / n
         ).cast("decimal(18,6)").alias("stopword_ratio"),
-        (F.size(F.array_distinct(toks)) * 1.0 / n).cast("decimal(18,6)").alias("uniq_token_ratio"),
+        (F.size(F.array_distinct(F.col("toks"))) * 1.0 / n).cast("decimal(18,6)").alias("uniq_token_ratio"),
     )
 
 
@@ -146,12 +150,12 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on ``source`` → final agg.
     """
     docs = load_table(spark, sf_dir, "documents")
-    q_expr = _QUALITY_SPARK.replace("TOKS", TOKENS_SPARK).replace(
+    q_expr = _QUALITY_SPARK.replace("TOKS", "toks").replace(
         "STOP", _sql_list(STOPWORDS)
     )
     scored = docs.select(
-        "source", F.expr(q_expr).cast("decimal(18,6)").alias("q")
-    )
+        "source", F.expr(TOKENS_SPARK).alias("toks")
+    ).select("source", F.expr(q_expr).cast("decimal(18,6)").alias("q"))
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("q").cast("double") / F.count(F.lit(1))).alias("avg_quality"),
@@ -213,12 +217,22 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: projection + small-key aggregate, one shuffle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    counts = {
-        lg: _marker_count(TOKENS_SPARK, lg, "spark") for lg in LANG_MARKERS
-    }
-    pred = _lang_case(counts, CJK_COUNT_SPARK)
+    # Three-step select: tokenize once, then materialize each marker
+    # count once (the argmax CASE references every count up to 4× —
+    # inlining them re-runs the token filters per reference).
+    counted = docs.select(
+        "lang", "text", F.expr(TOKENS_SPARK).alias("toks")
+    ).select(
+        "lang",
+        *[
+            F.expr(_marker_count("toks", lg, "spark")).alias(f"c_{lg}")
+            for lg in LANG_MARKERS
+        ],
+        F.expr(CJK_COUNT_SPARK).alias("c_cjk"),
+    )
+    pred = _lang_case({lg: f"c_{lg}" for lg in LANG_MARKERS}, "c_cjk")
     return (
-        docs.select("lang", F.expr(pred).alias("predicted_lang"))
+        counted.select("lang", F.expr(pred).alias("predicted_lang"))
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -236,13 +250,22 @@ def hash60_duck(expr: str) -> str:
     return f"try_cast('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
-# Word 3-gram shingles over the token array (empty when < 3 tokens).
-SHINGLES_SPARK = (
-    "case when size(TOKS) >= 3 then"
-    " transform(sequence(0, size(TOKS) - 3),"
-    " i -> concat_ws(' ', TOKS[i], TOKS[i+1], TOKS[i+2]))"
-    " else array() end"
-).replace("TOKS", TOKENS_SPARK)
+# Word 3-gram shingles over a NAMED token-array column (empty when
+# < 3 tokens). Callers must tokenize into a column first — embedding
+# the split() expression here would re-tokenize per reference (5×),
+# because Catalyst cannot CSE inside lambda bodies. The two-step
+# select survives optimization: CollapseProject refuses to inline a
+# non-cheap expression referenced more than once.
+def shingles_spark(toks: str = "toks") -> str:
+    return (
+        f"case when size({toks}) >= 3 then"
+        f" transform(sequence(0, size({toks}) - 3),"
+        f" i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2]))"
+        " else array() end"
+    )
+
+
+SHINGLES_SPARK = shingles_spark("toks")
 SHINGLES_DUCK = (
     "list_transform(range(greatest(len(toks) - 2, 0)),"
     " i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])"
@@ -276,9 +299,15 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     norm = r"regexp_replace(trim(lower(text)), '\\s+', ' ')"
-    return docs.select(
+    staged = docs.select(
         "doc_id",
         F.expr(f"md5({norm})").alias("fp_md5"),
-        F.expr(hash60_spark(norm)).alias("fp60"),
+        F.expr(TOKENS_SPARK).alias("toks"),
+    )
+    return staged.select(
+        "doc_id",
+        "fp_md5",
+        # fp60 derives from the md5 already computed — no second md5.
+        F.expr("cast(conv(substring(fp_md5, 1, 15), 16, 10) as bigint)").alias("fp60"),
         F.expr(f"size(array_distinct({SHINGLES_SPARK}))").alias("n_shingles"),
     )
