@@ -1,0 +1,136 @@
+"""Iterative graph operator: connected components over the near-dup
+pair graph → dedup clusters. This is the step that turns pairwise
+similarity (dedup.py) into actionable groups ("keep one doc per
+component") in a training-data pipeline.
+
+Algorithm: min-label propagation to fixpoint — every node repeatedly
+adopts the smallest label among itself and its neighbors. A driver
+loop with a convergence check is the idiomatic Spark shape for
+iterative algorithms (each iteration is one shuffle; lineage is cut
+with localCheckpoint so the plan doesn't grow unboundedly). For
+web-scale graphs the same loop upgrades to the large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SOCC'14) — same driver-loop skeleton, fewer iterations.
+
+Oracled exactly: DuckDB computes the same fixpoint with a recursive
+CTE (min reachable label per node), so even an ITERATIVE operator is
+value-checked, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .dedup import dedup_ngram_jaccard
+from .registry import query
+
+MAX_ITERATIONS = 20  # diameter bound; components here are tiny
+
+
+def connected_components(edges: DataFrame, src: str = "a_id", dst: str = "b_id") -> DataFrame:
+    """(node, component) for every node in ``edges``; the component id
+    is the minimum node id reachable. Undirected. One shuffle per
+    iteration; converges in O(diameter) iterations."""
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    sym = sym.distinct().localCheckpoint()
+
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(MAX_ITERATIONS):
+        # candidate label per node: min over neighbors' labels
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # cut lineage: the plan must not grow per iteration
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      -- same candidate pairs as dedup_ngram_jaccard's oracle
+      SELECT * FROM (
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   list_transform(range(greatest(len(toks) - 2, 0)),
+                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]),
+                   s -> try_cast('0x' || substr(md5(s), 1, 15) AS BIGINT)))) AS h
+          FROM toks
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), rare AS (
+          SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= 50
+        ), cand AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+          FROM sh a
+          JOIN rare r ON a.h = r.h
+          JOIN sh b ON b.h = a.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a_id, b_id FROM cand
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.5
+      )
+    ), edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ), reach AS (
+      SELECT u AS node, u AS label FROM edges
+      UNION
+      SELECT e.u AS node, r.label
+      FROM edges e JOIN reach r ON r.node = e.v
+    )
+    SELECT node AS doc_id, MIN(label) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components over the Jaccard≥0.5 pair
+    graph; every clustered doc labeled with its component's min
+    doc_id (the canonical survivor).
+
+    Non-SQL-expressible in Spark (a driver loop), yet exactly oracled
+    — DuckDB's recursive CTE computes the identical min-reachable
+    fixpoint. Scale: each iteration is one join+groupBy shuffle over
+    the edge list; localCheckpoint keeps plans flat; iteration count
+    is the component diameter (near-dup clusters: 1-3)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )

@@ -1,0 +1,155 @@
+"""Pandas-UDF operator surface: vectorized scalar ``pandas_udf`` and
+grouped ``applyInPandas`` — the sanctioned escape hatches when a
+transformation genuinely can't be a built-in expression (the
+reference's analog is its per-API ``DoFn``/transform registry,
+``/root/reference/dataflow-flex/.../transforms.py:129-184``, which is
+ALL Python; here Python is the exception, not the rule).
+
+Determinism note: everything computed in pandas here is exact integer
+or order-insensitive math (counts, min/max, median of integer-valued
+data), so the DuckDB oracles match bit-for-bit — demonstrating the
+UDF path can still be oracle-gated when its math is chosen carefully.
+
+Scale notes: ``pandas_udf`` runs inside the stage pipeline on Arrow
+batches (no shuffle of its own); ``applyInPandas`` forces one shuffle
+on the group key and each group must fit a pandas frame in one
+executor — fine for bounded per-group cardinality (here: order counts
+per priority), a deliberate design constraint to document, not hide.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..sources.testdata import load_table
+from .registry import query
+
+
+def _quantity_bucket_udf():
+    """Vectorized bucketing UDF: ⌊quantity / 10⌋ clipped to [0, 4].
+    Built lazily — pandas_udf resolves its DDL return type against the
+    active session, so it can't be created at import time."""
+
+    @pandas_udf("long")
+    def _quantity_bucket(qty: pd.Series) -> pd.Series:
+        return (qty // 10).clip(0, 4).astype("int64")
+
+    return _quantity_bucket
+
+
+@query(
+    "pandas_udf_quantity_buckets",
+    oracle="""
+    SELECT
+      LEAST(GREATEST(CAST(FLOOR(l_quantity / 10) AS BIGINT), 0), 4) AS qty_bucket,
+      COUNT(*) AS n_lines,
+      CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+      CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def pandas_udf_quantity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas UDF in the hot path: Arrow-vectorized bucket
+    assignment feeding a normal JVM aggregate. The UDF evaluates
+    inside the scan stage (ArrowEvalPython), no extra shuffle; the
+    aggregate stays whole-stage-codegen. The same logic IS expressible
+    as a built-in (the oracle proves it) — registered deliberately so
+    the UDF plumbing is exercised and measured against the JVM path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("qty_bucket", _quantity_bucket_udf()("l_quantity"))
+        .groupBy("qty_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min("l_quantity").cast("double").alias("min_qty"),
+            F.max("l_quantity").cast("double").alias("max_qty"),
+        )
+    )
+
+
+_PRIORITY_SCHEMA = (
+    "o_orderpriority string, n_orders long, min_price double, max_price double, "
+    "median_price double"
+)
+
+
+def _priority_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-priority order stats in pandas; median over an even/odd
+    count of 2-decimal prices is exact (midpoint of two doubles)."""
+    prices = pdf["o_totalprice"]
+    return pd.DataFrame(
+        {
+            "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+            "n_orders": [len(pdf)],
+            "min_price": [prices.min()],
+            "max_price": [prices.max()],
+            "median_price": [prices.median()],
+        }
+    )
+
+
+@query(
+    "applyinpandas_priority_stats",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+      CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+      MEDIAN(o_totalprice) AS median_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def applyinpandas_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ``applyInPandas``: each priority class's orders land in one
+    pandas frame (shuffle on o_orderpriority), stats computed in numpy. The
+    contract to respect at scale: per-group data must fit in executor
+    memory — priority classes are few and bounded, which is
+    WHY this key is safe (and why per-group size, not group count,
+    is the thing to watch); never applyInPandas on an unbounded key.
+    Median is the honest reason for the UDF: exact percentiles aren't
+    a single built-in aggregate, and pandas' interpolated median over
+    exact doubles matches DuckDB's MEDIAN."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    return orders.groupBy("o_orderpriority").applyInPandas(_priority_stats, _PRIORITY_SCHEMA)
+
+
+@query(
+    "pandas_udf_grouped_topk",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value DESC, event_id ASC
+             ) AS rnk
+      FROM events
+    )
+    SELECT event_type, event_id, value, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def pandas_udf_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events per type via ``applyInPandas`` (nlargest in
+    pandas), oracled against the window-function formulation — the
+    UDF and declarative paths provably agree. At scale prefer the
+    window: it needs no Python and AQE handles skewed types."""
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        ).head(3)
+        out = out.assign(rnk=range(1, len(out) + 1))
+        return out[["event_type", "event_id", "value", "rnk"]]
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    return ev.groupBy("event_type").applyInPandas(
+        topk, "event_type string, event_id long, value double, rnk long"
+    )
