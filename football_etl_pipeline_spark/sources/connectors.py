@@ -1,0 +1,104 @@
+"""Format connectors: schema'd reads with corrupt-record capture, and
+writes with every mode the engine supports (append/overwrite/dynamic
+partition overwrite, partitioning, bucketing, single-file).
+
+Reference parity + generalization: the reference reads GCS JSON
+(``/root/reference/dataflow-flex/.../transforms.py:160``), writes one
+warehouse table with WRITE_TRUNCATE (``pipeline.py:49-55``) and a
+single-shard dead-letter text file (``pipeline.py:58-63``). Here that
+generalizes to json/csv/parquet in both directions.
+
+Scale rules encoded here:
+- ALWAYS pass an explicit schema for json/csv at scale — schema
+  inference is a full extra pass over the data.
+- PERMISSIVE + ``_corrupt_record`` turns parse failures into rows
+  (dead-letterable, like everything else) instead of task failures.
+- ``partitionBy`` on write → partition discovery + partition PRUNING
+  on read: the reference's regex-over-path key extraction
+  (``helpers.py:20-27``) becomes a pure metadata operation.
+- dynamic partition overwrite replaces only the partitions present in
+  the incoming frame — idempotent daily reruns without truncating the
+  whole table (the scalable version of WRITE_TRUNCATE).
+- ``coalesce(1)`` only for tiny side outputs (dead letters); never on
+  the main path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructField, StructType, StringType
+
+CORRUPT_COL = "_corrupt_record"
+
+READ_FORMATS = ("parquet", "json", "csv")
+
+
+def read_with_dead_letter(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: StructType,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Read json/csv with malformed rows CAPTURED, not fatal: returns
+    (good, corrupt) where corrupt rows carry the raw text. Parquet is
+    self-describing — corrupt capture doesn't apply (returns empty)."""
+    if fmt == "parquet":
+        df = spark.read.schema(schema).options(**options).parquet(path)
+        return df, df.limit(0).selectExpr("cast(null as string) as " + CORRUPT_COL)
+    full = StructType(schema.fields + [StructField(CORRUPT_COL, StringType())])
+    reader = (
+        spark.read.format(fmt)
+        .schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .options(**options)
+    )
+    df = reader.load(path)
+    # Spark requires caching (or re-read) before filtering on the
+    # corrupt column alone — referencing only _corrupt_record on a
+    # lazy parse raises ANALYSIS error; select real cols alongside.
+    df = df.cache()
+    good = df.filter(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
+    corrupt = df.filter(df[CORRUPT_COL].isNotNull())
+    return good, corrupt
+
+
+def write(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    single_file: bool = False,
+    dynamic_overwrite: bool = False,
+    **options: str,
+) -> None:
+    """One write surface for all formats/modes. ``dynamic_overwrite``
+    replaces only the incoming partitions (requires partition_by) —
+    set per-write via the writer option, not session-wide."""
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.format(fmt).mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+        if dynamic_overwrite:
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_cols) at
+    WRITE time so later equi-joins/aggregations on those columns skip
+    the shuffle entirely — the pre-partitioning strategy for a fact
+    table joined repeatedly on the same key at 100 TB."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
