@@ -98,10 +98,16 @@ def _hashed_shingles(docs: DataFrame, col: str) -> DataFrame:
     """(doc_id, <col>): distinct word-3-gram shingles reduced to their
     60-bit content hash. Two-step select so the text is tokenized ONCE
     per row (lambda bodies defeat CSE — embedding split() in the
-    shingle expression costs ~5 tokenizations per row)."""
+    shingle expression costs ~5 tokenizations per row).
+
+    The input is repartitioned to all cores first: tokenize+md5 is
+    compute-bound, and a small source file otherwise pins the whole
+    stage to however few input splits the scan produced (a 5 000-row
+    parquet file is ONE split — one core does everything)."""
     from .textops import shingles_spark
 
-    return docs.select(
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return spread.select(
         "doc_id", F.expr(TOKENS_SPARK).alias("toks")
     ).select(
         "doc_id",
@@ -413,6 +419,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius-2 cut is exact, not best-effort.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # spread the compute-bound tokenize+hash stage across all cores
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     tf = (
         docs.select("doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("tok"))
         .groupBy("doc_id", "tok")

@@ -54,6 +54,9 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale this is what a media lakehouse table looks like — payload
     column never read unless a query asks for it."""
     docs = load_table(spark, sf_dir, "documents")
+    # spread the payload work (and any downstream Python stage) across
+    # all cores — a single small parquet file is one input split
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),

@@ -170,6 +170,47 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "correlated_max_per_group",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_acctbal = (
+      SELECT MAX(s2.s_acctbal) FROM supplier s2
+      WHERE s2.s_nationkey = s.s_nationkey
+    )
+    ORDER BY n.n_name, s.s_suppkey
+    """,
+)
+def correlated_max_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MAX subquery (top supplier per
+    nation) → window-max + equality filter, the decorrelation that
+    avoids a second scan of supplier entirely.
+
+    Plan: one scan, one shuffle on nationkey for the window, filter,
+    broadcast nation for the name. Equality on the max is exact (the
+    compared doubles are the same stored values)."""
+    from pyspark.sql import Window
+
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey")
+    return (
+        supp.withColumn("_mx", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_mx"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+        .orderBy("n_name", "s_suppkey")
+    )
+
+
+@query(
     "scalar_subquery_above_avg",
     oracle="""
     SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice

@@ -217,6 +217,8 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: projection + small-key aggregate, one shuffle.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # compute-bound per-row stage: spread beyond the file's one split
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     # Three-step select: tokenize once, then materialize each marker
     # count once (the argmax CASE references every count up to 4× —
     # inlining them re-runs the token filters per reference).

@@ -157,6 +157,40 @@ def start_to_memory(
     return writer.start()
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (n_events, total_value) accumulator that
+    SURVIVES across micro-batches — the arbitrary-state escape hatch
+    when built-in windows can't express the semantics (e.g. lifetime
+    counters, custom session logic, fraud scores).
+
+    Contract at scale: state lives in the state store partitioned by
+    the group key (one shuffle per batch), so per-key state must stay
+    small and bounded — here two numbers. Each batch emits the
+    updated totals for the users seen in that batch (update
+    semantics)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def write_dead_letter(dead: DataFrame, path: str, checkpoint_dir: str):
     """Dead-letter sink: append-mode JSON files, one directory the
     operators can replay later — the reference's dead_letter/

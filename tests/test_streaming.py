@@ -129,6 +129,49 @@ def test_sessionization(spark, tmp_path):
     assert by_user == {1: [2], 2: [2]}
 
 
+def test_stateful_user_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-user accumulators across
+    micro-batches: after feeding two batches, the LAST emission per
+    user equals the all-data batch aggregate."""
+    from football_etl_pipeline_spark.streaming.events_stream import (
+        stateful_user_totals,
+    )
+
+    src = str(tmp_path / "src")
+    _write_events(src, ROWS[:3], "b1.json")
+    q = (
+        stateful_user_totals(read_events_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("state_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck" / "state"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_events(src, ROWS[3:], "b2.json")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM state_stream").collect()
+    finally:
+        q.stop()
+    # last emission per user wins (update mode appends each revision
+    # to the memory sink; take the max n_events per user)
+    latest = {}
+    for r in rows:
+        if r.user_id not in latest or r.n_events > latest[r.user_id].n_events:
+            latest[r.user_id] = r
+    want = {
+        r.user_id: (r.n, r.t)
+        for r in spark.read.schema(EVENTS_SCHEMA)
+        .json(src)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    got = {u: (r.n_events, r.total_value) for u, r in latest.items()}
+    assert got == want
+
+
 def test_watermark_discards_late_data(spark, tmp_path):
     """A row arriving after the watermark passed its window is
     dropped: feed a first batch that advances event time to 01:00
