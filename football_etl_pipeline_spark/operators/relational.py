@@ -162,3 +162,35 @@ def orderby_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(25)
     )
+
+
+@query(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT
+      l_returnflag,
+      quantile_cont(l_quantity, 0.25) AS p25,
+      quantile_cont(l_quantity, 0.5)  AS p50,
+      quantile_cont(l_quantity, 0.75) AS p75,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (type-7 linear interpolation) per group —
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    interpolation formula, verified bit-identical on this data.
+
+    Scale note: exact percentiles sort each group's values — fine for
+    bounded groups; for heavy-hitter keys switch to
+    ``approx_percentile`` (t-digest, mergeable, no sort) and accept
+    the error bound. Both belong in the library; this is the exact
+    anchor the approximate one is measured against."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25D)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.5D)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75D)").alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
