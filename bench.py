@@ -64,6 +64,14 @@ def main() -> None:
 
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).count()
+    # Warm the Python/Arrow worker pool too (mapInPandas queries
+    # otherwise pay per-session daemon cold-start inside their timing,
+    # just as the JVM warmup above absorbs codegen compile cost).
+    import pandas as _pd
+
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

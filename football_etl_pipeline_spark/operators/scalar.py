@@ -233,3 +233,24 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
         F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
     )
+
+
+@query(
+    "posexplode_name_words",
+    oracle="""
+    SELECT p_partkey, i - 1 AS pos, words[i] AS word
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part),
+    LATERAL (SELECT unnest(range(1, len(words)+1)) AS i)
+    """,
+)
+def posexplode_name_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral 1→N expansion with ordinality: ``posexplode`` over the
+    split part name (the LATERAL VIEW / UNNEST WITH ORDINALITY shape).
+    Generator runs inside the projection — no shuffle; output row
+    count is data-dependent, which is exactly what downstream
+    repartitioning exists for at scale."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
+    )

@@ -191,6 +191,44 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def view_to_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's views in the preceding 30 minutes (attribution window).
+
+    Both sides carry watermarks and the join condition bounds event
+    time on BOTH ends — that's what lets Spark expire join state: a
+    view older than (purchase watermark − 30 min) can never match
+    again and is dropped from the state store. Without the time bound
+    the state grows forever; with it, steady-state memory is
+    ~30 minutes of views per partition. Works identically on batch
+    frames (minus the state mechanics)."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", WATERMARK)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("p_user", "purchase_id", "view_id", "view_ts", "purchase_ts", "amount")
+
+
 def write_dead_letter(dead: DataFrame, path: str, checkpoint_dir: str):
     """Dead-letter sink: append-mode JSON files, one directory the
     operators can replay later — the reference's dead_letter/

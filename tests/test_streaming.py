@@ -172,6 +172,43 @@ def test_stateful_user_totals_across_batches(spark, tmp_path):
     assert got == want
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream attribution join (views→purchase within 30 min)
+    emits exactly the batch join's matches once the stream drains."""
+    from football_etl_pipeline_spark.streaming.events_stream import (
+        view_to_purchase_join,
+    )
+
+    rows = [
+        _ev(0, "2024-01-01T00:00:00", user=1, etype="view"),
+        _ev(1, "2024-01-01T00:10:00", user=1, etype="view"),
+        _ev(2, "2024-01-01T00:20:00", user=1, etype="purchase", value=9.0),
+        _ev(3, "2024-01-01T02:00:00", user=1, etype="purchase", value=5.0),  # no view in window
+        _ev(4, "2024-01-01T00:15:00", user=2, etype="view"),  # other user
+        _ev(5, "2024-01-01T03:00:00", user=3, etype="view"),  # advances watermark
+    ]
+    src = str(tmp_path / "src")
+    _write_events(src, rows)
+    q = start_to_memory(
+        view_to_purchase_join(read_events_stream(spark, src)),
+        "ss_join",
+        str(tmp_path / "ck"),
+        "append",
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    )
+    batch = spark.read.schema(EVENTS_SCHEMA).json(src)
+    want = sorted(
+        (r.purchase_id, r.view_id)
+        for r in view_to_purchase_join(batch).collect()
+    )
+    assert got == want
+    assert got == [(2, 0), (2, 1)]  # both views attribute; 02:00 purchase has none
+
+
 def test_watermark_discards_late_data(spark, tmp_path):
     """A row arriving after the watermark passed its window is
     dropped: feed a first batch that advances event time to 01:00
