@@ -94,8 +94,8 @@ DF_CAP = 50
 JACCARD_THRESHOLD = 0.5
 
 
-def _hashed_shingles(docs: DataFrame, col: str) -> DataFrame:
-    """(doc_id, <col>): distinct word-3-gram shingles reduced to their
+def _hashed_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh60): distinct word-3-gram shingles reduced to their
     60-bit content hash. Two-step select so the text is tokenized ONCE
     per row (lambda bodies defeat CSE — embedding split() in the
     shingle expression costs ~5 tokenizations per row).
@@ -115,7 +115,7 @@ def _hashed_shingles(docs: DataFrame, col: str) -> DataFrame:
             F.expr(
                 f"array_distinct(transform({shingles_spark('toks')}, s -> {hash60_spark('s')}))"
             )
-        ).alias(col),
+        ).alias("sh60"),
     )
 
 
@@ -166,14 +166,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is exact either way.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _hashed_shingles(docs, "h").persist()
+    sh = _hashed_shingles(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    rare = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
+    rare = sh.groupBy("sh60").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= DF_CAP
-    ).select("h")
-    a = sh.alias("a").join(rare, "h")
+    ).select("sh60")
+    a = sh.alias("a").join(rare, "sh60")
     pairs = (
-        a.join(sh.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(sh.alias("b"), (F.col("a.sh60") == F.col("b.sh60")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -287,7 +287,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted: the hashed shingle set (8-byte keys, md5 computed
     # once) feeds the signature aggregate, the per-doc sizes, and both
     # sides of the verify join (4 subtrees).
-    sh = _hashed_shingles(docs, "sh60").persist()
+    sh = _hashed_shingles(docs).persist()
     hashed = sh.select("doc_id", (F.col("sh60") % MINHASH_P).alias("h"))
     sig = hashed.groupBy("doc_id").agg(
         *[

@@ -194,3 +194,77 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.75D)").alias("p75"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+        AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + global aggregate — the pushdown litmus
+    test. All four predicates reach the parquet scan (PushedFilters);
+    the aggregate is a map-side partial + one single-row merge, i.e.
+    the whole query moves ~P rows across the wire."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END
+               AS DECIMAL(18,6))) AS DOUBLE)
+      / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+               AS DECIMAL(18,6))) AS DOUBLE) * 100.0 AS promo_share_pct,
+      COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: conditional aggregate ratio (promo revenue share).
+    part broadcasts (it's a dimension); the month filter prunes the
+    fact scan; both sums are exact-decimal so the final double
+    division is deterministic across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                dsum(F.when(F.col("p_type") == "PROMO", net).otherwise(0.0))
+                / dsum(net)
+                * 100.0
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

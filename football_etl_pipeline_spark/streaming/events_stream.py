@@ -229,6 +229,33 @@ def view_to_purchase_join(events: DataFrame) -> DataFrame:
     ).select("p_user", "purchase_id", "view_id", "view_ts", "purchase_ts", "amount")
 
 
+def write_foreach_batch(
+    df: DataFrame, path: str, checkpoint_dir: str, fmt: str = "parquet"
+):
+    """foreachBatch sink: hands every micro-batch to the BATCH writer,
+    which is how streams reach sinks with no streaming connector
+    (JDBC, multi-table fan-out, merge/upsert …).
+
+    Idempotency contract: Spark replays a failed batch with the SAME
+    batch_id, so the writer keys the output on it (one directory per
+    batch, overwritten on replay) — exactly-once via deterministic
+    overwrite, the same truncate-idempotency idea as the reference's
+    WRITE_TRUNCATE (/root/reference/dataflow-flex/pipeline.py:53) but
+    scoped per batch instead of per table."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").format(fmt).save(
+            os.path.join(path, f"batch_id={batch_id}")
+        )
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "feb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def write_dead_letter(dead: DataFrame, path: str, checkpoint_dir: str):
     """Dead-letter sink: append-mode JSON files, one directory the
     operators can replay later — the reference's dead_letter/

@@ -209,6 +209,26 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert got == [(2, 0), (2, 1)]  # both views attribute; 02:00 purchase has none
 
 
+def test_foreach_batch_sink(spark, tmp_path):
+    """foreachBatch lands every micro-batch through the batch writer,
+    partitioned by batch_id; the union of batches equals the input."""
+    from football_etl_pipeline_spark.streaming.events_stream import (
+        write_foreach_batch,
+    )
+
+    src = str(tmp_path / "src")
+    _write_events(src, ROWS)
+    out = str(tmp_path / "out")
+    q = write_foreach_batch(
+        read_events_stream(spark, src), out, str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == len(ROWS)
+    assert "batch_id" in back.columns  # partition-discovered column
+    assert sorted(r.event_id for r in back.collect()) == [0, 1, 2, 3, 4]
+
+
 def test_watermark_discards_late_data(spark, tmp_path):
     """A row arriving after the watermark passed its window is
     dropped: feed a first batch that advances event time to 01:00
