@@ -327,3 +327,55 @@ def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "click")
         .select("event_id", "user_id", "ts", "last_purchase_ts")
     )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+           AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a join whose filter is a DISJUNCTION of
+    conjunctive brand/size/quantity clauses spanning both tables.
+
+    Catalyst factors the common part-side constraints out of the OR
+    (constraint propagation pushes `p_brand IN (...)` and a size upper
+    bound into the part scan) while the mixed residual evaluates after
+    the join — the pattern that breaks naive pushdown and is exactly
+    what an optimizer must split correctly. part broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(clause).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -276,3 +276,117 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---- IVF (inverted-file) ANN ----------------------------------------
+
+IVF_K = 8        # coarse-quantizer cells
+IVF_NPROBE = 2   # cells probed per query
+IVF_TOPK = 5
+
+_CENT_DUCK = f"""
+      SELECT vec_id AS c_id, v AS cv, nrm AS cnrm
+      FROM e WHERE vec_id < {IVF_K}
+"""
+
+
+@query(
+    "similarity_ann_ivf",
+    oracle=f"""
+    WITH e AS ({_NORMED_DUCK}),
+    cent AS ({_CENT_DUCK}),
+    aff AS (
+      SELECT e.vec_id, e.v, e.nrm, c.c_id,
+             {_dot_duck("e.v", "c.cv")} / (e.nrm * c.cnrm) AS ccos,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_dot_duck("e.v", "c.cv")} / (e.nrm * c.cnrm) DESC,
+                        c.c_id ASC
+             ) AS crank
+      FROM e CROSS JOIN cent c
+    ),
+    assign AS (SELECT vec_id, v, nrm, c_id AS cell FROM aff WHERE crank = 1),
+    qcells AS (
+      SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, c_id AS cell
+      FROM aff WHERE vec_id < {N_QUERIES} AND crank <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT q.q_id AS query_id, a.vec_id AS neighbor_id, q.cell,
+             {_dot_duck("q.qv", "a.v")} / (q.qnrm * a.nrm) AS cosine
+      FROM qcells q JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(cosine AS DECIMAL(18,6)) AS cosine, rnk
+    FROM ranked WHERE rnk <= {IVF_TOPK}
+    """,
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: a coarse quantizer assigns every vector to its
+    nearest of K centroid cells (the inverted file); queries probe
+    their IVF_NPROBE closest cells and rank only those candidates.
+
+    Centroids here are fixed (the first K corpus vectors) so the
+    operator — and its oracle — is fully deterministic; a production
+    IVF trains them with k-means OFFLINE and ships them exactly like
+    this: a small broadcast table. The assignment pass is one corpus
+    scan × broadcast(K); the search joins candidates by cell — the
+    classic recall/latency dial is (K, nprobe), orthogonal to the
+    plumbing shown. Multi-probe means a query can rank ~2/K of the
+    corpus instead of all of it."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.expr(_norm_spark("v")))
+    cent = e.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    ccos = F.expr(_dot_spark("v", "cv")) / (F.col("nrm") * F.col("cnrm"))
+    wcell = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("c_id").asc()
+    )
+    aff = (
+        e.join(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("crank", F.row_number().over(wcell))
+    ).persist()  # feeds both the assignment and the query-probe sides
+    assign = aff.filter(F.col("crank") == 1).select(
+        "vec_id", "v", "nrm", F.col("c_id").alias("cell")
+    )
+    qcells = aff.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("c_id").alias("cell"),
+    )
+    qcos = F.expr(_dot_spark("qv", "v")) / (F.col("qnrm") * F.col("nrm"))
+    scored = (
+        F.broadcast(qcells)
+        .join(assign, (qcells.cell == assign.cell) & (assign.vec_id != qcells.q_id))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            qcos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= IVF_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cosine").cast("decimal(18,6)").alias("cosine"),
+            "rnk",
+        )
+    )
