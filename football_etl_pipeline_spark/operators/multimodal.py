@@ -108,9 +108,12 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# mean byte value in floor'd micro-units: pure integer math, so Spark,
+# DuckDB and numpy agree EXACTLY — a decimal-cast double hits rounding
+# ties (e.g. 92.9140625 → HALF_UP vs round-half-even) at larger SFs.
 _FEATURES_SCHEMA = (
     "media_id long, mime string, n_bytes long, byte_sum long, "
-    "mean_byte double, n_frames long"
+    "mean_byte_micro long, n_frames long"
 )
 
 
@@ -128,7 +131,7 @@ def _decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             s = int(arr.sum())
             sizes.append(n)
             sums.append(s)
-            means.append(s / n if n else 0.0)
+            means.append(s * 1_000_000 // n if n else 0)
             frames.append((n + FRAME_STRIDE - 1) // FRAME_STRIDE)
         yield pd.DataFrame(
             {
@@ -136,7 +139,7 @@ def _decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "mime": pdf["mime"],
                 "n_bytes": sizes,
                 "byte_sum": sums,
-                "mean_byte": means,
+                "mean_byte_micro": means,
                 "n_frames": frames,
             }
         )
@@ -157,7 +160,7 @@ def _decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
       mime,
       n_bytes,
       byte_sum,
-      CAST(byte_sum * 1.0 / n_bytes AS DECIMAL(18,6)) AS mean_byte,
+      byte_sum * 1000000 // n_bytes AS mean_byte_micro,
       (n_bytes + {FRAME_STRIDE - 1}) // {FRAME_STRIDE} AS n_frames
     FROM b
     """,
@@ -176,11 +179,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir).select(
         "media_id", "mime", "payload"
     )
-    out = media.mapInPandas(_decode_features, schema=_FEATURES_SCHEMA)
-    return out.withColumn(
-        "mean_byte",
-        (F.col("byte_sum") * 1.0 / F.col("n_bytes")).cast("decimal(18,6)"),
-    )
+    return media.mapInPandas(_decode_features, schema=_FEATURES_SCHEMA)
 
 
 _FRAME_SCHEMA = "media_id long, frame_idx long, frame_byte long"

@@ -37,7 +37,8 @@ DIM = 64
 COSINE_NEAR_THRESHOLD = 0.45  # max background cosine here is ~0.51
 TOPK = 10
 N_QUERIES = 5  # vec_id < 5 are the standing query vectors
-ANN_PLANES = 4  # 16 buckets
+ANN_PLANES = 4  # 16 buckets per table
+ANN_TABLES = 4  # multi-table LSH: union candidates over 4 signatures
 ANN_TOPK = 5
 
 
@@ -202,65 +203,109 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tables_duck() -> str:
+    """UNION ALL of per-table (vec_id, table_id, bucket) rows — table
+    t uses planes t*ANN_PLANES .. t*ANN_PLANES+3."""
+    parts = []
+    for t in range(ANN_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN {_dot_duck('v', _plane_duck(t * ANN_PLANES + i))} > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(ANN_PLANES)
+        )
+        parts.append(
+            f"      SELECT vec_id, v, nrm, {t} AS table_id, {bits} AS bucket FROM e"
+        )
+    return "\n      UNION ALL\n".join(parts)
+
+
 @query(
     "similarity_ann_lsh",
     oracle=f"""
     WITH e AS ({_NORMED_DUCK}),
     bucketed AS (
-      SELECT vec_id, v, nrm, {_bucket_duck("v")} AS bucket FROM e
+{_tables_duck()}
     ),
     q AS (SELECT * FROM bucketed WHERE vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM q JOIN bucketed c
+        ON c.table_id = q.table_id AND c.bucket = q.bucket
+       AND c.vec_id <> q.vec_id
+    ),
     scored AS (
       SELECT
-        q.vec_id AS query_id,
-        c.vec_id AS neighbor_id,
-        q.bucket,
-        {_dot_duck("q.v", "c.v")} / (q.nrm * c.nrm) AS cosine
-      FROM q JOIN bucketed c
-        ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+        cand.query_id,
+        cand.neighbor_id,
+        {_dot_duck("qe.v", "ne.v")} / (qe.nrm * ne.nrm) AS cosine
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ne ON ne.vec_id = cand.neighbor_id
     ), ranked AS (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
       ) AS rnk
       FROM scored
     )
-    SELECT query_id, neighbor_id, bucket,
+    SELECT query_id, neighbor_id,
            CAST(cosine AS DECIMAL(18,6)) AS cosine, rnk
     FROM ranked WHERE rnk <= {ANN_TOPK}
     """,
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 neighbors via random-hyperplane LSH: vectors
-    hash to one of 2^4 buckets (sign pattern against 4 derived
-    hyperplanes); search only scans the query's bucket.
+    """Approximate top-5 neighbors via MULTI-TABLE random-hyperplane
+    LSH: ANN_TABLES independent 4-plane signatures per vector;
+    candidates = union of same-bucket vectors over all tables.
 
-    Plan: bucket assignment is a pure projection (one corpus scan, no
-    shuffle — the planes are derived in-expression from md5, shared
-    with the oracle); the candidate join is an equality join on
-    ``bucket``, so expected pair work drops 16× vs brute force. More
-    planes → smaller buckets → faster/lower recall: the standard LSH
-    dial. Recall is measured against ``similarity_topk_bruteforce``.
-    """
+    One table's recall for a cosine-0.5 neighbor is only
+    (1−θ/π)^4 ≈ 0.2 — we MEASURED 0.08 on this corpus
+    (tests/test_ann_recall.py) before going multi-table; L tables
+    lift it to 1−(1−p^k)^L ≈ 0.6. That measurement loop is the
+    operator's design story: recall and candidate volume trade off
+    via (planes per table, tables).
+
+    Plan: bucket assignment is a per-row projection exploded L× (no
+    shuffle — planes are precomputed literals shared with the
+    oracle); candidate generation is an equality join on
+    (table, bucket); scoring joins back to the vectors only for the
+    DISTINCT candidate pairs."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn("nrm", F.expr(_norm_spark("v")))
-    bucketed = e.withColumn("bucket", F.expr(_bucket_spark("v")))
+    ).withColumn("nrm", F.expr(_norm_spark("v"))).persist()
+    tables = []
+    for t in range(ANN_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN {_dot_spark('v', _plane_spark(t * ANN_PLANES + i))} > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(ANN_PLANES)
+        )
+        tables.append(
+            F.struct(F.lit(t).alias("table_id"), F.expr(bits).alias("bucket"))
+        )
+    bucketed = e.select(
+        "vec_id", F.explode(F.array(*tables)).alias("tb")
+    ).select("vec_id", "tb.table_id", "tb.bucket")
     q = bucketed.filter(F.col("vec_id") < N_QUERIES)
-    cos = F.expr(_dot_spark("q.v", "c.v")) / (F.col("q.nrm") * F.col("c.nrm"))
-    scored = (
+    cand = (
         F.broadcast(q.alias("q"))
         .join(
             bucketed.alias("c"),
-            (F.col("c.bucket") == F.col("q.bucket"))
+            (F.col("c.table_id") == F.col("q.table_id"))
+            & (F.col("c.bucket") == F.col("q.bucket"))
             & (F.col("c.vec_id") != F.col("q.vec_id")),
         )
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            F.col("q.bucket").alias("bucket"),
-            cos.alias("cosine"),
         )
+        .distinct()
+    )
+    cos = F.expr(_dot_spark("qe.v", "ne.v")) / (F.col("qe.nrm") * F.col("ne.nrm"))
+    scored = (
+        cand.join(e.alias("qe"), F.col("qe.vec_id") == F.col("query_id"))
+        .join(e.alias("ne"), F.col("ne.vec_id") == F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -271,7 +316,6 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            "bucket",
             F.col("cosine").cast("decimal(18,6)").alias("cosine"),
             "rnk",
         )
