@@ -28,6 +28,9 @@ HEADLINE = [
     "orderby_limit_topk",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_order_counts",
     "join_anti_unshipped",
     "window_topk_per_group",
     "window_running_total",
@@ -72,6 +75,22 @@ def main() -> None:
     spark.range(64).repartition(32).mapInPandas(
         lambda it: (pdf for pdf in it), "id long"
     ).count()
+
+    # Per-query codegen warmup: run each headline query once at the
+    # smallest SF before timing it at the target SF. Whole-stage
+    # codegen compiles per generated-source (expression shape, not
+    # data size), and a cold compile costs ~3-4s for the big
+    # hash/transform expressions — a constant that would swamp the
+    # scale-sensitive signal the bench exists to track. Caches are
+    # plan-keyed, so the sf0.001 warmup shares NO data with the timed
+    # run; only JIT/codegen state carries over (steady-state
+    # throughput, the number that extrapolates to a long-running
+    # cluster).
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is not None:
+            fn(spark, warm_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
