@@ -313,3 +313,61 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(conv(substring(fp_md5, 1, 15), 16, 10) as bigint)").alias("fp60"),
         F.expr(f"size(array_distinct({SHINGLES_SPARK}))").alias("n_shingles"),
     )
+
+
+# GPT-2-style pre-tokenizer (ASCII subset — the corpus is pure ASCII):
+# contraction suffix | space-prefixed word | space-prefixed number |
+# space-prefixed punctuation run. Vanilla alternation only, so Java
+# (Spark) and RE2 (DuckDB) regex engines count identically — verified
+# corpus-wide at sf0.01/sf0.1.
+BPE_PAT = "'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+_WS_COUNT_SPARK = r"size(split(trim(text), '\\s+'))"
+_WS_COUNT_DUCK = r"len(regexp_split_to_array(trim(text), '\s+'))"
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=f"""
+    WITH t AS (
+      SELECT
+        source,
+        {_WS_COUNT_DUCK} AS n_ws,
+        len(regexp_extract_all(text, '{BPE_PAT.replace("'", "''")}', 0)) AS n_bpe
+      FROM documents
+    )
+    SELECT
+      source,
+      COUNT(*) AS n_docs,
+      SUM(n_ws) AS ws_tokens,
+      SUM(n_bpe) AS bpe_tokens,
+      SUM(n_bpe) * 1000000 // SUM(n_ws) AS bpe_per_ws_micro
+    FROM t
+    GROUP BY source
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data budgeting: whitespace tokens
+    vs BPE-ish pre-tokenizer pieces, aggregated per source, with the
+    pieces-per-word blowup ratio in floor'd micro-units (integer math
+    — immune to the decimal rounding-tie divergence).
+
+    Plan: the regex runs once per row inside codegen (ReadSchema
+    pruned to source/text), then a partial+final hash aggregate on
+    the low-cardinality source key — one shuffle, no Python in the
+    row path. At 100 TB this is the canonical 'how many tokens do we
+    have' sweep: embarrassingly parallel, output rows = #sources.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.expr(_WS_COUNT_SPARK).alias("n_ws"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PAT), F.lit(0))).alias(
+            "n_bpe"
+        ),
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").alias("ws_tokens"),
+        F.sum("n_bpe").alias("bpe_tokens"),
+        F.expr("sum(n_bpe) * 1000000 div sum(n_ws)").alias("bpe_per_ws_micro"),
+    )
