@@ -226,3 +226,62 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     afterwards if frame counts skew."""
     media = media_table(spark, sf_dir).select("media_id", "payload")
     return media.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
+
+
+RESIZE_TARGET = 32  # fixed-size "thumbnail": 32 sampled bytes
+
+_RESIZE_SCHEMA = "media_id long, orig_bytes long, resized string"
+
+
+def _resize_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Nearest-neighbor resample of each payload to RESIZE_TARGET
+    bytes — index map i -> floor(i*n/T), the 1-D analog of image
+    nearest-neighbor resize (works for down- AND up-sampling)."""
+    import numpy as np
+
+    idx_frac = np.arange(RESIZE_TARGET)
+
+    for pdf in batches:
+        ids, origs, resized = [], [], []
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            n = len(arr)
+            ids.append(media_id)
+            origs.append(n)
+            if n == 0:
+                resized.append("")
+                continue
+            take = (idx_frac * n) // RESIZE_TARGET
+            resized.append(bytes(arr[take]).decode("ascii"))
+        yield pd.DataFrame(
+            {"media_id": ids, "orig_bytes": origs, "resized": resized}
+        )
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id AS media_id, text, len(text) AS n FROM documents
+    )
+    SELECT
+      media_id,
+      n AS orig_bytes,
+      array_to_string(
+        list_transform(range({RESIZE_TARGET}), i -> text[(i * n) // {RESIZE_TARGET} + 1]),
+        '') AS resized
+    FROM b
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize through the Arrow path: every payload resampled to a
+    fixed {RESIZE_TARGET}-byte thumbnail by nearest-neighbor striding
+    (swap the numpy index map for PIL ``Image.resize`` when codecs
+    exist — schema, batch shape and plan are identical).
+
+    Plan: one mapInPandas pass, payload column Arrow-batched to
+    Python once, fixed-width output — the shape of every bulk media
+    preprocessing job. Oracle-exact: the corpus is ASCII, so the
+    byte-level resample equals the DuckDB char-level resample."""
+    media = media_table(spark, sf_dir).select("media_id", "payload")
+    return media.mapInPandas(_resize_payloads, schema=_RESIZE_SCHEMA)
