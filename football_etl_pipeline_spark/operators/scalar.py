@@ -254,3 +254,44 @@ def posexplode_name_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
     )
+
+
+@query(
+    "scalar_map_funcs",
+    oracle="""
+    WITH m AS (
+      SELECT
+        p_partkey,
+        MAP {'brand': p_brand, 'type': p_type} AS attrs,
+        MAP {'size': CAST(p_size AS VARCHAR)} AS extra
+      FROM part
+    )
+    SELECT
+      p_partkey,
+      attrs['brand'][1] AS brand_val,
+      map_keys(attrs) AS attr_keys,
+      map_values(attrs) AS attr_vals,
+      cardinality(map_concat(attrs, extra)) AS n_merged
+    FROM m
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType battery: build → element_at → keys/values → concat →
+    cardinality. Maps stay JVM-side expressions (no UDF); key order is
+    insertion order in BOTH engines, so the array-valued outputs
+    compare exactly.
+
+    (DuckDB v1.0 map subscript returns a LIST — the oracle indexes
+    ``[1]`` to get the scalar Spark's ``element_at`` returns.)"""
+    part = load_table(spark, sf_dir, "part")
+    attrs = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    extra = F.create_map(F.lit("size"), F.col("p_size").cast("string"))
+    return part.select(
+        "p_partkey",
+        F.element_at(attrs, "brand").alias("brand_val"),
+        F.map_keys(attrs).alias("attr_keys"),
+        F.map_values(attrs).alias("attr_vals"),
+        F.size(F.map_concat(attrs, extra)).alias("n_merged"),
+    )
