@@ -112,6 +112,27 @@ def windowed_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Sliding event-time window (10-minute span, 5-minute slide):
+    each event lands in TWO overlapping windows. Spark expands the
+    row per overlapping window BEFORE the aggregate (no special
+    state shape vs tumbling — just ×(span/slide) state rows), and
+    the watermark still bounds it."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def sessionized(events: DataFrame) -> DataFrame:
     """Session windows (30-min inactivity gap) per user — Spark's
     built-in session_window keeps one open-interval state per key,

@@ -273,3 +273,40 @@ def test_watermark_discards_late_data(spark, tmp_path):
     # the straggler (value=100, 00:02) must NOT appear: count stays 1
     assert first_window_views == [1]
     assert all(r.total_value < 100.0 for r in rows)
+
+
+def test_sliding_window_stream_batch_equivalence(spark, tmp_path):
+    """Sliding windows (10 min span / 5 min slide): every event counted
+    in exactly two windows; availableNow stream == batch restricted to
+    watermark-closed windows."""
+    import datetime
+
+    from football_etl_pipeline_spark.streaming.events_stream import (
+        sliding_counts,
+    )
+
+    src = str(tmp_path / "src")
+    _write_events(src, ROWS)
+
+    stream = read_events_stream(spark, src)
+    q = start_to_memory(
+        sliding_counts(stream), "slide_stream", str(tmp_path / "ck_slide"), "append"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start.isoformat(), r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM slide_stream").collect()
+    }
+
+    batch = spark.read.schema(EVENTS_SCHEMA).json(src)
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    final_watermark = max_ts - datetime.timedelta(minutes=10)
+    closed = sliding_counts(batch).filter(F.col("window_end") <= final_watermark)
+    want = {
+        (r.window_start.isoformat(), r.event_type): r.n_events
+        for r in closed.collect()
+    }
+    assert got == want
+    # each of the 4 early events lands in two overlapping windows;
+    # dedupe by window_start proves the overlap actually happened
+    assert sum(want.values()) == 8
