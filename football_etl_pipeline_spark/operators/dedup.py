@@ -473,3 +473,85 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(ham <= SIMHASH_RADIUS)
         .select("a_id", "b_id", ham.alias("hamming"))
     )
+
+
+# ---- embedding-cosine near-dup ---------------------------------------
+
+# Semantic near-dup pairs: unlike the lexical ladder above, this
+# catches paraphrase-style duplicates with no shared shingles. The
+# cosine threshold matches the similarity module's calibration
+# (planted near-dups score >> 0.45; background tops out ~0.51).
+EMB_DUP_THRESHOLD = 0.45
+
+
+def _emb_dedup_oracle() -> str:
+    from .similarity import _NORMED_DUCK, _dot_duck
+
+    return f"""
+    WITH e AS ({_NORMED_DUCK}),
+    pairs AS (
+      SELECT
+        a.vec_id AS a_id,
+        b.vec_id AS b_id,
+        {_dot_duck("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE {_dot_duck("a.v", "b.v")} / (a.nrm * b.nrm) >= {EMB_DUP_THRESHOLD}
+    )
+    SELECT
+      p.a_id,
+      p.b_id,
+      CAST(p.cosine AS DECIMAL(18,6)) AS cosine,
+      da.source AS a_source,
+      db.source AS b_source,
+      da.source = db.source AS same_source
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.a_id
+    JOIN documents db ON db.doc_id = p.b_id
+    """
+
+
+@query("dedup_embedding_cosine", oracle=_emb_dedup_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ON THE DOCUMENTS TABLE:
+    embeddings (vec_id == doc_id, 1:1) provide the semantic signal;
+    the output is doc-level — pair, cosine, per-side source, and a
+    same-source flag (cross-source semantic dups are the interesting
+    ones a lexical dedup misses).
+
+    Plan: exact O(n²) self-join baseline (the calibration anchor —
+    ``similarity_ann_lsh``/``ann_ivf`` are the subquadratic scale
+    paths for the same predicate); the documents joins are broadcast
+    lookups of two metadata columns (payload text never read)."""
+    from .similarity import _dot_spark, _norm_spark
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", F.expr(_norm_spark("v")))
+    )
+    cos = F.expr(_dot_spark("a.v", "b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    da = docs.select(F.col("doc_id").alias("da_id"), F.col("source").alias("a_source"))
+    db = docs.select(F.col("doc_id").alias("db_id"), F.col("source").alias("b_source"))
+    return (
+        pairs.join(F.broadcast(da), F.col("da_id") == F.col("a_id"))
+        .join(F.broadcast(db), F.col("db_id") == F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.col("cosine").cast("decimal(18,6)").alias("cosine"),
+            "a_source",
+            "b_source",
+            (F.col("a_source") == F.col("b_source")).alias("same_source"),
+        )
+    )
