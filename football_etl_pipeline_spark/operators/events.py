@@ -197,3 +197,56 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_pcts"
         ),
     )
+
+
+@query(
+    "events_multi_rollup",
+    oracle="""
+    WITH base AS (
+      SELECT
+        CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket_hour,
+        CAST(date_trunc('day',  CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket_day,
+        event_type,
+        value
+      FROM events
+    )
+    SELECT
+      CASE WHEN GROUPING(bucket_hour) = 0 THEN 'hour' ELSE 'day' END AS grain,
+      COALESCE(bucket_hour, bucket_day) AS bucket_ts,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM base
+    GROUP BY GROUPING SETS ((bucket_hour, event_type), (bucket_day, event_type))
+    """,
+)
+def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly AND daily
+    aggregates of the same events in ONE scan via GROUPING SETS, with
+    a ``grain`` discriminator (the continuous-aggregate shape of
+    time-series stores).
+
+    Plan: Catalyst expands the two sets with a single Expand node
+    feeding one hash aggregate — one scan, one shuffle, both
+    resolutions. At 100 TB this halves fact-scan I/O vs two jobs, and
+    finer→coarser reaggregation (day from hour) is the incremental
+    refinement path."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        F.date_trunc("hour", "ts").alias("bucket_hour"),
+        F.date_trunc("day", "ts").alias("bucket_day"),
+        "event_type",
+        "value",
+    ).createOrReplaceTempView("events_rollup_base")
+    return spark.sql(
+        """
+        SELECT
+          CASE WHEN GROUPING(bucket_hour) = 0 THEN 'hour' ELSE 'day' END AS grain,
+          COALESCE(bucket_hour, bucket_day) AS bucket_ts,
+          event_type,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events_rollup_base
+        GROUP BY GROUPING SETS ((bucket_hour, event_type), (bucket_day, event_type))
+        """
+    )
