@@ -318,3 +318,63 @@ class TestIngestion:
 
         parts = [p for p in glob.glob(dl_dir + "/part-*") if not p.endswith(".crc")]
         assert len(parts) == 1  # num_shards=1 parity
+
+
+class TestSchemaEvolution:
+    def test_v2_add_field_repoint(self, spark, tmp_path):
+        """SURVEY §1 evolution contract: add a v2 schema with a new
+        NULLABLE field and repoint the job — no code change. The new
+        field lands as explicit NULL (T11: NULLABLE-missing → None)
+        and every record stamps schema_version '2'."""
+        import copy
+
+        v2 = copy.deepcopy(UNIFIED_SCHEMA_V1)
+        v2["version"] = 2
+        v2["fields"].insert(
+            -1, {"name": "sponsor", "type": "STRING", "mode": "NULLABLE"}
+        )
+
+        d = str(tmp_path)
+        files = [
+            fx.stage(d, "apifootball", "teams", fx.apifootball_teams()),
+            fx.stage(d, "apifootball", "standings", fx.apifootball_standings()),
+        ]
+        res = run_transform(spark, "apifootball", files, schema_data=v2)
+        rows = _rows_by_pk(res.good)
+        assert res.dead_letter.count() == 0
+        assert len(rows) == 3
+        assert "sponsor" in res.good.columns
+        for r in rows.values():
+            assert r["sponsor"] is None
+            assert r["schema_version"] == "2"
+        # v1 columns unharmed
+        assert rows["2023-153-100"]["points"] == 33
+
+    def test_v2_tighten_mode_dead_letters(self, spark, tmp_path):
+        """Evolution can also TIGHTEN: making ``form`` REQUIRED in v2
+        dead-letters records that lack it, without touching the code."""
+        import copy
+
+        v2 = copy.deepcopy(UNIFIED_SCHEMA_V1)
+        v2["version"] = 2
+        for f in v2["fields"]:
+            if f["name"] == "form":
+                f["mode"] = "REQUIRED"
+
+        teams = fx.apifootball_teams()
+        standings = fx.apifootball_standings()
+        # strip the form source field from one standings record
+        victim = [s for s in standings if s["team_id"] == "100"][0]
+        del victim["overall_league_form"]
+        d = str(tmp_path)
+        files = [
+            fx.stage(d, "apifootball", "teams", teams),
+            fx.stage(d, "apifootball", "standings", standings),
+        ]
+        res = run_transform(spark, "apifootball", files, schema_data=v2)
+        # reference semantics (transforms.py:182-184): ONE failing
+        # record dead-letters its whole (season, league) group
+        assert res.good.count() == 0
+        assert res.dead_letter.count() == 1
+        err = res.dead_letter.collect()[0]["error"]
+        assert "form" in err
