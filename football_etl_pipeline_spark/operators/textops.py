@@ -371,3 +371,59 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bpe").alias("bpe_tokens"),
         F.expr("sum(n_bpe) * 1000000 div sum(n_ws)").alias("bpe_per_ws_micro"),
     )
+
+
+# Deterministic train/val/test split: bucket = content-hash mod 100.
+# Hash-based (not random) so the split is (a) reproducible across
+# runs/engines, (b) stable under re-partitioning, (c) consistent for
+# duplicate documents — the properties a training pipeline needs.
+SPLIT_BUCKETS = (("train", 0, 90), ("val", 90, 95), ("test", 95, 100))
+
+
+def _split_case(bucket_expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {bucket_expr} >= {lo} AND {bucket_expr} < {hi} THEN '{name}'"
+        for name, lo, hi in SPLIT_BUCKETS
+    )
+    return f"CASE {arms} END"
+
+
+@query(
+    "text_train_val_test_split",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source, {hash60_duck('text')} % 100 AS bucket
+      FROM documents
+    )
+    SELECT
+      source,
+      {_split_case('bucket')} AS split,
+      COUNT(*) AS n_docs,
+      MIN(doc_id) AS min_doc_id,
+      MAX(doc_id) AS max_doc_id
+    FROM h
+    GROUP BY source, {_split_case('bucket')}
+    """,
+)
+def text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by content-hash
+    bucket, summarized per (source, split). Membership is a pure
+    projection (`hash60(text) % 100`), so the full assignment — not
+    just these counts — is identical on any cluster size, any run.
+
+    Plan: projection + one hash aggregate on a 3×#sources key space.
+    At 100 TB the assignment adds one codegen'd expression to the
+    scan; materializing the split is a partitioned write on the
+    ``split`` column (3 partitions, no shuffle beyond the write)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        (F.expr(hash60_spark("text")) % 100).alias("bucket"),
+    )
+    split = F.expr(_split_case("bucket"))
+    return h.groupBy("source", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

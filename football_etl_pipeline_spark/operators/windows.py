@@ -221,3 +221,50 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "window_range_frame_30d",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      o_orderdate,
+      COUNT(*) OVER w AS n_orders_30d,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        AS spend_30d
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey
+      ORDER BY o_orderdate
+      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame: each order sees the count and
+    exact-decimal spend of the SAME customer's orders in the trailing
+    30 days — a frame defined by time distance, not row count (same-
+    date ties are all in-frame, which ROWS frames can't express).
+
+    Plan: one shuffle on o_custkey, sort by date, then a sliding
+    range-frame scan; Spark expresses the time interval as an epoch-
+    seconds rangeBetween over the cast ordering column."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        # NTZ has no direct long cast; NTZ → TIMESTAMP is exact under
+        # the session's UTC timezone, then → epoch seconds.
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+    )
