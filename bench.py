@@ -44,9 +44,14 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk_bruteforce",
     "similarity_ann_lsh",
+    "similarity_ann_ivf",
     "text_stats",
     "text_quality_by_source",
     "text_language_id",
+    "text_bpe_token_count",
+    "text_curation_pipeline",
+    "events_multi_rollup",
+    "window_range_frame_30d",
     "multimodal_decode_features",
 ]
 

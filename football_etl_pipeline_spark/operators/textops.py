@@ -427,3 +427,98 @@ def text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# Composite curation pipeline: the end-to-end "make a training set"
+# query — quality gate → exact-dedup to canonicals → split assignment
+# → per-(source, split) accounting. Threshold 0.55 keeps ~70% here.
+CURATION_QUALITY_MIN = 0.55
+
+
+@query(
+    "text_curation_pipeline",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {TOKENS_DUCK} AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id, source, text, len(toks) AS n_toks,
+             {_dec6(_QUALITY_DUCK.replace("STOP", _sql_list(STOPWORDS)))} AS q
+      FROM t
+    ), kept AS (
+      SELECT * FROM scored WHERE q >= {CURATION_QUALITY_MIN}
+    ), canon AS (
+      SELECT *,
+             doc_id = MIN(doc_id) OVER (
+               PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+             ) AS is_canonical
+      FROM kept
+    ), final AS (
+      SELECT
+        source,
+        CASE WHEN {hash60_duck('text')} % 100 < 90 THEN 'train'
+             WHEN {hash60_duck('text')} % 100 < 95 THEN 'val'
+             ELSE 'test' END AS split,
+        n_toks, q
+      FROM canon WHERE is_canonical
+    )
+    SELECT
+      source,
+      split,
+      COUNT(*) AS n_docs,
+      SUM(n_toks) AS n_tokens,
+      CAST(SUM(q) AS DOUBLE) / COUNT(*) AS avg_quality
+    FROM final
+    GROUP BY source, split
+    """,
+)
+def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pipeline in ONE plan:
+    quality-score gate → exact dedup (canonical = min doc_id per
+    normalized-content hash) → deterministic hash split → per-(source,
+    split) doc/token/quality accounting.
+
+    Plan: tokenize once, score in codegen, ONE window shuffle on the
+    content hash (uniform key), one final aggregate shuffle. This is
+    the query a 100 TB curation run actually executes — every stage
+    is a column expression, so the whole pipeline is two shuffles
+    regardless of scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    stop_list = _sql_list(STOPWORDS)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.expr(TOKENS_SPARK).alias("toks"),
+    ).select(
+        "doc_id",
+        "source",
+        "text",
+        F.size("toks").alias("n_toks"),
+        F.expr(
+            _QUALITY_SPARK.replace("TOKS", "toks").replace("STOP", stop_list)
+        ).cast("decimal(18,6)").alias("q"),
+    )
+    kept = scored.filter(F.col("q") >= CURATION_QUALITY_MIN)
+    norm = r"regexp_replace(trim(lower(text)), '\\s+', ' ')"
+    canon = kept.withColumn(
+        "is_canonical",
+        F.col("doc_id")
+        == F.min("doc_id").over(Window.partitionBy(F.expr(f"md5({norm})"))),
+    ).filter("is_canonical")
+    bucket = F.expr(hash60_spark("text")) % 100
+    final = canon.select(
+        "source",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+        "n_toks",
+        "q",
+    )
+    return final.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        (F.sum("q").cast("double") / F.count(F.lit(1))).alias("avg_quality"),
+    )
