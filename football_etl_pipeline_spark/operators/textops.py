@@ -522,3 +522,79 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").alias("n_tokens"),
         (F.sum("q").cast("double") / F.count(F.lit(1))).alias("avg_quality"),
     )
+
+
+# Rabin-Karp rolling-hash fingerprint: polynomial hash of every
+# char-4-gram window, reduced to a per-doc sketch (min / max /
+# distinct count — the winnowing-style summary). Constants chosen so
+# the window value stays < 2^63 in both engines' BIGINT arithmetic.
+RK_BASE = 257
+RK_MOD = 2_147_483_647  # 2^31 - 1
+RK_K = 4
+
+
+def _rk_windows(dialect: str) -> str:
+    b3, b2, b1 = RK_BASE**3, RK_BASE**2, RK_BASE
+    if dialect == "spark":
+        terms = (
+            f"ascii(substr(text, i, 1)) * {b3}"
+            f" + ascii(substr(text, i + 1, 1)) * {b2}"
+            f" + ascii(substr(text, i + 2, 1)) * {b1}"
+            f" + ascii(substr(text, i + 3, 1))"
+        )
+        return (
+            f"CASE WHEN length(text) >= {RK_K} THEN "
+            f"transform(sequence(1, length(text) - {RK_K - 1}),"
+            f" i -> ({terms}) % {RK_MOD}) "
+            f"ELSE array() END"
+        )
+    terms = (
+        f"ord(text[i]) * {b3}"
+        f" + ord(text[i + 1]) * {b2}"
+        f" + ord(text[i + 2]) * {b1}"
+        f" + ord(text[i + 3])"
+    )
+    return (
+        f"CASE WHEN len(text) >= {RK_K} THEN "
+        f"list_transform(range(1, len(text) - {RK_K - 2}),"
+        f" i -> ({terms}) % {RK_MOD}) "
+        f"ELSE [] END"
+    )
+
+
+@query(
+    "text_rolling_fingerprint",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_rk_windows('duck')} AS rks FROM documents
+    )
+    SELECT
+      doc_id,
+      len(rks) AS n_windows,
+      list_min(rks) AS min_rk,
+      list_max(rks) AS max_rk,
+      len(list_distinct(rks)) AS n_distinct_rk
+    FROM w
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (Rabin-Karp) document fingerprint: the polynomial
+    hash of every char-4-gram, summarized per doc as min / max /
+    distinct-count — the winnowing-sketch shape (min-of-window-hashes
+    is what plagiarism/near-dup winnowers keep).
+
+    Plan: one higher-order-function projection per row, zero
+    shuffles; integer-only arithmetic so both engines agree exactly.
+    (The window values are computed positionally inside codegen — with
+    k fixed at {RK_K} that is O(n·k) per row with no Python; a true
+    incremental rolling update would need a stateful fold for the
+    same constant factor.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.expr(_rk_windows("spark")).alias("rks"))
+    return w.select(
+        "doc_id",
+        F.size("rks").alias("n_windows"),
+        F.array_min("rks").alias("min_rk"),
+        F.array_max("rks").alias("max_rk"),
+        F.size(F.array_distinct("rks")).alias("n_distinct_rk"),
+    )
