@@ -246,3 +246,53 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(50)
     )
+
+
+@query(
+    "subquery_not_in_null_semantics",
+    oracle="""
+    WITH excl AS (
+      -- deliberately nullable key set: negative-balance customers
+      -- surface as NULL, poisoning NOT IN per SQL 3-valued logic
+      SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+      FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT 'not_in' AS variant, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT k FROM excl)
+    UNION ALL
+    SELECT 'not_exists' AS variant, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM excl WHERE excl.k = o.o_custkey)
+    """,
+)
+def subquery_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS under NULLs — SQL's classic 3-valued-logic
+    trap, pinned as a query: one NULL in the subquery's key set makes
+    every ``NOT IN`` predicate UNKNOWN (count 0), while ``NOT EXISTS``
+    ignores the NULL and counts normally. Both engines must agree on
+    BOTH branches.
+
+    Plan: Spark plans NOT IN as a null-aware anti join (a broadcast
+    of the key set with an extra null check) and NOT EXISTS as a
+    plain left-anti — the two counts come from one orders scan each,
+    union'd."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH excl AS (
+          SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+          FROM customer
+          WHERE c_mktsegment = 'BUILDING'
+        )
+        SELECT 'not_in' AS variant, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT k FROM excl)
+        UNION ALL
+        SELECT 'not_exists' AS variant, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM excl WHERE excl.k = o.o_custkey)
+        """
+    )
