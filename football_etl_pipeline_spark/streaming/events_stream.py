@@ -212,6 +212,19 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def deduped_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact-dedup on ``event_id`` with watermark-bounded
+    state (``dropDuplicatesWithinWatermark``): re-delivered events —
+    at-least-once sources redeliver across micro-batches — are
+    emitted once; dedup state for an id is dropped once the watermark
+    passes it, so state is bounded by the lateness budget instead of
+    growing forever (the difference between a demo and a pipeline
+    that runs for months)."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def view_to_purchase_join(events: DataFrame) -> DataFrame:
     """Stream-stream inner join: each purchase matched to the same
     user's views in the preceding 30 minutes (attribution window).

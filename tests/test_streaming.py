@@ -310,3 +310,33 @@ def test_sliding_window_stream_batch_equivalence(spark, tmp_path):
     # each of the 4 early events lands in two overlapping windows;
     # dedupe by window_start proves the overlap actually happened
     assert sum(want.values()) == 8
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the same event_id delivered in
+    two different files (micro-batches) is emitted exactly once."""
+    from football_etl_pipeline_spark.streaming.events_stream import (
+        deduped_stream,
+    )
+
+    src = str(tmp_path / "src")
+    _write_events(src, ROWS, fname="part0.json")
+    # redeliver two of the same events + one genuinely new one
+    _write_events(
+        src,
+        [
+            _ev(1, "2024-01-01T00:01:10", user=1, etype="click", value=3.0),
+            _ev(2, "2024-01-01T00:06:00", user=2, etype="click", value=5.0),
+            _ev(9, "2024-01-01T00:09:00", user=3, etype="view", value=4.0),
+        ],
+        fname="part1.json",
+    )
+
+    stream = read_events_stream(spark, src)
+    q = start_to_memory(
+        deduped_stream(stream), "dedup_stream", str(tmp_path / "ck_dd"), "append"
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup_stream").collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [0, 1, 2, 3, 4, 9]  # 5 originals + the new id 9, no dupes
