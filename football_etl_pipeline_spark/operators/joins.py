@@ -44,8 +44,9 @@ from .registry import query
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: 3-way join + group + top-10. customer (filtered) joins
-    broadcast; orders⋈lineitem shuffles on orderkey once."""
+    """TPC-H Q3: 3-way join + group + top-10. customer (filtered,
+    unhinted — AQE broadcasts while it fits) joins in;
+    orders⋈lineitem shuffles on orderkey once."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -57,7 +58,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -86,7 +87,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: 6-way join with a composite (supp, nation) condition.
-    supplier/nation/region broadcast; the fact chain shuffles on
+    nation/region broadcast by hint, supplier AQE-sized; the fact
+    chain shuffles on
     orderkey only."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -101,7 +103,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -354,10 +356,11 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (constraint propagation pushes `p_brand IN (...)` and a size upper
     bound into the part scan) while the mixed residual evaluates after
     the join — the pattern that breaks naive pushdown and is exactly
-    what an optimizer must split correctly. part broadcasts."""
+    what an optimizer must split correctly. part is AQE-sized
+    (broadcast at this SF, shuffle at 100 TB)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     clause = (
         (
             (F.col("p_brand") == "Brand#12")

@@ -248,7 +248,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: conditional aggregate ratio (promo revenue share).
-    part broadcasts (it's a dimension); the month filter prunes the
+    part is AQE-sized (broadcast while it fits — it scales with SF,
+    so no hardcoded hint); the month filter prunes the
     fact scan; both sums are exact-decimal so the final double
     division is deterministic across engines."""
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -258,7 +259,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 dsum(F.when(F.col("p_type") == "PROMO", net).otherwise(0.0))

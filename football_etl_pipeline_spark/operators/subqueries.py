@@ -108,7 +108,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("threshold")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(part_avg, li.l_partkey == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < F.col("threshold"))
         .agg(

@@ -24,11 +24,15 @@ table, no ``l_shipmode``/``l_commitdate``/``l_receiptdate``, no
   (scalar subquery over a filtered avg + NOT EXISTS anti join +
   aggregate) is unchanged.
 
-Scale notes: every dimension side (nation, region, part, supplier,
-the Q15 revenue maximum) is broadcast; the fact-fact joins (orders ⋈
-lineitem) shuffle on the join key only after pushed-down date filters
-prune the scans. Per-year / per-nation groupings are low-cardinality,
-so the final aggregations are cheap single shuffles on top.
+Broadcast policy (the 100 TB rule): only FIXED-cardinality frames
+carry an explicit ``F.broadcast`` hint — nation (25), region (5),
+1-row scalar aggregates. customer/supplier/part GROW with scale
+factor (customer is billions of rows at 100 TB), so they carry no
+hint: AQE's runtime size check broadcasts them while they fit and
+falls back to shuffle joins when they don't — same plan code, both
+regimes. Fact-fact joins (orders ⋈ lineitem) shuffle on the join key
+after pushed-down date filters prune the scans; per-year/per-nation
+groupings are low-cardinality, so final aggregations are cheap.
 """
 
 from __future__ import annotations
@@ -77,8 +81,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction — a 6-table join with a disjunctive cross-nation filter.
 
     Plan: nation is broadcast twice (two aliases, two 25-row hash
-    maps); supplier and customer broadcast as dimensions; the only
-    shuffle joins are lineitem⋈orders (on orderkey). The nation-pair
+    maps); supplier and customer are unhinted — AQE broadcasts them
+    at this SF, shuffle-joins them at 100 TB; lineitem⋈orders always
+    shuffles (on orderkey). The nation-pair
     predicate can only be applied AFTER both nation joins, but the
     shipdate range is pushed into the lineitem scan, so the fact
     input is pruned first."""
@@ -102,8 +107,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
         .filter(pair)
@@ -150,9 +155,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: national market share — an 8-table join tree feeding a
     conditional-aggregate ratio per year.
 
-    Plan: all six dimension sides broadcast (nation ×2, region, part,
-    supplier, customer); the one shuffle join is lineitem⋈orders. The
-    ``p_type`` filter prunes part BEFORE its broadcast, shrinking the
+    Plan: fixed-size nation ×2 and region broadcast by hint;
+    part/supplier/customer are AQE-sized (broadcast here, shuffle at
+    100 TB); the always-shuffle join is lineitem⋈orders. The
+    ``p_type`` filter prunes part BEFORE the join, shrinking its
     build side; both numerator and denominator are exact-decimal sums
     so the double division is engine-invariant."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
@@ -174,10 +180,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -231,7 +237,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -357,7 +363,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the revenue aggregate is computed once and cached
     implicitly by plan-dedup; the MAX side collapses to a 1-row
     broadcast joined as an equality filter (exact match is safe: both
-    sides are the same decimal-sum doubles). supplier is broadcast."""
+    sides are the same decimal-sum doubles). supplier is unhinted —
+    AQE-sized like every SF-scaling dimension."""
     rev = (
         load_table(spark, sf_dir, "lineitem")
         .filter(
@@ -375,7 +382,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     return (
         rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
