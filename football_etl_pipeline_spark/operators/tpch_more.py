@@ -12,8 +12,10 @@ Schema adaptations (the testdata is a slimmed TPC-H — no ``partsupp``
 table, no ``l_shipmode``/``l_commitdate``/``l_receiptdate``, no
 ``c_phone``/comments — see ``/root/repo/TESTDATA.md``):
 
-- Q2/Q9/Q11/Q16/Q20/Q21 need ``partsupp`` or receipt/commit dates and
-  are structurally out of scope on this data.
+- Q2/Q9/Q11/Q16/Q20 need ``partsupp`` and are structurally out of
+  scope on this data.
+- Q21 keeps its double-correlation shape with lateness redefined as
+  shipped >90 days after order date (no commit/receipt dates).
 - Q12 keeps its shape (fact-fact join + two conditional counts) with
   "late" redefined as shipped >90 days after order date and
   ``l_linestatus`` standing in for ``l_shipmode``.
@@ -443,4 +445,86 @@ def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM l l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.is_late
+      AND EXISTS (
+        SELECT 1 FROM l l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM l l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.is_late
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 25
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (lateness = shipped >90 days after order date —
+    the slimmed schema has no commit/receipt dates): suppliers who were
+    the SOLE late shipper on a multi-supplier finalized order.
+
+    Plan: the lateness flag is computed once on the joined fact
+    (one orderkey shuffle), then the double correlation decorrelates
+    into one semi and one anti join against the SAME frame, both
+    co-partitioned on orderkey — Spark reuses the shuffle (Exchange
+    reuse), so the two EXISTS probes add no extra fact scans. Final
+    top-25 is TakeOrderedAndProject."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    l = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("is_late"),
+        )
+        .persist()
+    )
+    l1 = l.filter("is_late").alias("l1")
+    other = l.select("l_orderkey", "l_suppkey").alias("l2")
+    other_late = l.filter("is_late").select("l_orderkey", "l_suppkey").alias("l3")
+    s = load_table(spark, sf_dir, "supplier")
+    sole_late = (
+        l1.join(
+            other,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(25)
     )
