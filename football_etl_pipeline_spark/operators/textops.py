@@ -598,3 +598,62 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("rks").alias("max_rk"),
         F.size(F.array_distinct("rks")).alias("n_distinct_rk"),
     )
+
+
+@query(
+    "text_top_ngrams",
+    oracle=f"""
+    WITH t AS (
+      SELECT {TOKENS_DUCK} AS toks FROM documents
+    ),
+    b AS (
+      SELECT unnest([toks[i+1] || ' ' || toks[i+2]
+                     for i in range(len(toks)-1)]) AS bigram
+      FROM t
+    )
+    SELECT bigram, COUNT(*) AS n_occurrences
+    FROM b
+    GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram ASC
+    LIMIT 25
+    """,
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-25 word bigrams by occurrence count — the corpus
+    n-gram statistic every training-data pipeline computes (vocab
+    building, boilerplate detection, contamination screens).
+
+    Plan: tokenize once into a column (separate select — Catalyst
+    does not CSE inside lambda bodies), build bigrams JVM-side with
+    ``zip_with`` over two ``slice`` views (no Python in the row
+    path), explode, then hash-aggregate. The count is map-side
+    partial-aggregated before the single shuffle on the bigram key,
+    and the top-25 runs as TakeOrderedAndProject (per-partition
+    heaps + driver merge) — no global sort shuffle. At 100 TB the
+    shuffle carries only (distinct-bigram, partial-count) pairs per
+    task, not raw occurrences. Ordering ties break on the bigram
+    string so both engines pick an identical, deterministic row set.
+    The input is spread across all cores first: the testdata is one
+    parquet file = one split, and tokenize+bigram is compute-bound."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # No size>=2 filter: a 1-token doc yields an empty bigram array and
+    # explode drops it — an explicit filter gets pushed below the
+    # repartition and re-tokenizes every row (no CSE across the push).
+    toks = docs.select(F.expr(TOKENS_SPARK).alias("toks"))
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
+        .limit(25)
+    )
