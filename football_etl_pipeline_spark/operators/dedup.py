@@ -85,6 +85,54 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, n_chars, md5({NORM_DUCK}) AS fp
+      FROM documents
+    )
+    SELECT
+      fp,
+      MIN(doc_id) AS doc_id,
+      MIN_BY(source, doc_id) AS source,
+      MIN_BY(n_chars, doc_id) AS n_chars,
+      COUNT(*) AS n_copies
+    FROM t
+    GROUP BY fp
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection: materialize ONE canonical row per exact-dup
+    cluster (min doc_id) with its payload and the cluster size.
+
+    Where ``dedup_exact`` *labels* every row, this emits the deduped
+    corpus itself — the step a training-data pipeline actually ships.
+    Plan: hash-groupBy on the content hash with ``min``/``min_by``
+    carrying the survivor's payload — fully partial-aggregable (one
+    shuffle of pre-combined groups, no window sort, no join-back to
+    recover columns). At 100 TB that is the cheapest possible shape:
+    map-side combine collapses duplicates before the exchange, and the
+    128-bit key is uniform by construction so no salting is needed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.expr(f"md5({NORM_SPARK})").alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.expr("min_by(source, doc_id)").alias("source"),
+            F.expr("min_by(n_chars, doc_id)").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
 # ---- n-gram Jaccard --------------------------------------------------
 
 # Drop shingles shared by more than DF_CAP docs before pairing: they
