@@ -192,7 +192,7 @@ def _hashed_shingles(docs: DataFrame) -> DataFrame:
       a_id,
       b_id,
       n_shared,
-      CAST(n_shared * 1.0 / (sa.n + sb.n - n_shared) AS DECIMAL(18,6)) AS jaccard
+      CAST(CAST(n_shared * 1.0 / (sa.n + sb.n - n_shared) AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
     FROM pairs
     JOIN sizes sa ON sa.doc_id = a_id
     JOIN sizes sb ON sb.doc_id = b_id
@@ -234,7 +234,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_id",
             "b_id",
             "n_shared",
-            jac.cast("decimal(18,6)").alias("jaccard"),
+            jac.cast("decimal(18,6)").cast("double").alias("jaccard"),
         )
     )
 
@@ -309,7 +309,7 @@ def _minhash_oracle() -> str:
     SELECT
       v.a_id,
       v.b_id,
-      CAST(v.n_shared * 1.0 / (sa.n + sb.n - v.n_shared) AS DECIMAL(18,6)) AS jaccard
+      CAST(CAST(v.n_shared * 1.0 / (sa.n + sb.n - v.n_shared) AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
     FROM verified v
     JOIN sizes sa ON sa.doc_id = v.a_id
     JOIN sizes sb ON sb.doc_id = v.b_id
@@ -383,7 +383,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("a_id"))
         .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("b_id"))
         .filter(jac >= JACCARD_THRESHOLD)
-        .select("a_id", "b_id", jac.cast("decimal(18,6)").alias("jaccard"))
+        .select("a_id", "b_id", jac.cast("decimal(18,6)").cast("double").alias("jaccard"))
     )
 
 
@@ -548,7 +548,7 @@ def _emb_dedup_oracle() -> str:
     SELECT
       p.a_id,
       p.b_id,
-      CAST(p.cosine AS DECIMAL(18,6)) AS cosine,
+      CAST(CAST(p.cosine AS DECIMAL(18,6)) AS DOUBLE) AS cosine,
       da.source AS a_source,
       db.source AS b_source,
       da.source = db.source AS same_source
@@ -597,7 +597,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "a_id",
             "b_id",
-            F.col("cosine").cast("decimal(18,6)").alias("cosine"),
+            F.col("cosine").cast("decimal(18,6)").cast("double").alias("cosine"),
             "a_source",
             "b_source",
             (F.col("a_source") == F.col("b_source")).alias("same_source"),

@@ -189,13 +189,17 @@ def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event type — the
     constant-memory distinct at 100 TB. No DuckDB oracle: sketch
-    estimates are engine-specific; driver records rows-only."""
+    estimates are engine-specific; driver records rows-only. Percentile
+    sketch output is flattened to three scalar columns (the rows-only
+    check still canonicalizes the frame, and list cells break pandas
+    hashing)."""
     ev = load_table(spark, sf_dir, "events")
+    pcts = F.expr("approx_percentile(value, array(0.5, 0.95, 0.99))")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.expr("approx_percentile(value, array(0.5, 0.95, 0.99))").alias(
-            "value_pcts"
-        ),
+        F.element_at(pcts, 1).alias("value_p50"),
+        F.element_at(pcts, 2).alias("value_p95"),
+        F.element_at(pcts, 3).alias("value_p99"),
     )
 
 

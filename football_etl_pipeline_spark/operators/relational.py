@@ -71,7 +71,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l_orderkey,
       l_linenumber,
-      CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS net_price,
+      CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS DOUBLE) AS net_price,
       l_returnflag
     FROM lineitem
     WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
@@ -98,6 +98,7 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
             (F.col("l_extendedprice") * (1 - F.col("l_discount")))
             .cast("decimal(18,6)")
+            .cast("double")
             .alias("net_price"),
             "l_returnflag",
         )

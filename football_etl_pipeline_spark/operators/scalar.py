@@ -188,7 +188,7 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
       doc_id,
       CAST(len(words) AS INT) AS n_words,
       CAST(len(list_sort(list_distinct(words))) AS INT) AS n_unique,
-      list_sort(list_distinct(words))[1:3] AS first3_sorted,
+      array_to_string(list_sort(list_distinct(words))[1:3], '|') AS first3_sorted,
       CAST(list_contains(words, 'data') AS BOOLEAN) AS has_data,
       array_to_string(list_sort(list_distinct(words))[1:3], '-') AS joined3
     FROM (
@@ -199,7 +199,10 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array surface over tokenized text: split/size/distinct/sort/
     slice/contains/join. (array_distinct output order is engine-
-    specific, so distinct is always followed by sort.)"""
+    specific, so distinct is always followed by sort. Array values are
+    serialized with array_join in the FINAL projection — the driver's
+    pandas canonicalizer cannot hash list cells, and the repo-wide
+    output rule is scalar-only final schemas.)"""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     uniq_sorted = F.array_sort(F.array_distinct(words))
@@ -207,7 +210,7 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(words).cast("int").alias("n_words"),
         F.size(uniq_sorted).cast("int").alias("n_unique"),
-        F.slice(uniq_sorted, 1, 3).alias("first3_sorted"),
+        F.array_join(F.slice(uniq_sorted, 1, 3), "|").alias("first3_sorted"),
         F.array_contains(words, "data").alias("has_data"),
         F.array_join(F.slice(uniq_sorted, 1, 3), "-").alias("joined3"),
     )
@@ -269,8 +272,8 @@ def posexplode_name_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       p_partkey,
       attrs['brand'][1] AS brand_val,
-      map_keys(attrs) AS attr_keys,
-      map_values(attrs) AS attr_vals,
+      array_to_string(map_keys(attrs), '|') AS attr_keys,
+      array_to_string(map_values(attrs), '|') AS attr_vals,
       cardinality(map_concat(attrs, extra)) AS n_merged
     FROM m
     """,
@@ -278,8 +281,9 @@ def posexplode_name_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType battery: build → element_at → keys/values → concat →
     cardinality. Maps stay JVM-side expressions (no UDF); key order is
-    insertion order in BOTH engines, so the array-valued outputs
-    compare exactly.
+    insertion order in BOTH engines, so the keys/values serialize to
+    identical joined strings (final schema stays scalar-only for the
+    driver's canonicalizer).
 
     (DuckDB v1.0 map subscript returns a LIST — the oracle indexes
     ``[1]`` to get the scalar Spark's ``element_at`` returns.)"""
@@ -291,7 +295,7 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select(
         "p_partkey",
         F.element_at(attrs, "brand").alias("brand_val"),
-        F.map_keys(attrs).alias("attr_keys"),
-        F.map_values(attrs).alias("attr_vals"),
+        F.array_join(F.map_keys(attrs), "|").alias("attr_keys"),
+        F.array_join(F.map_values(attrs), "|").alias("attr_vals"),
         F.size(F.map_concat(attrs, extra)).alias("n_merged"),
     )

@@ -114,7 +114,7 @@ _NORMED_DUCK = f"""
     SELECT
       a.vec_id AS a_id,
       b.vec_id AS b_id,
-      CAST({_dot_duck("a.v", "b.v")} / (a.nrm * b.nrm) AS DECIMAL(18,6)) AS cosine
+      CAST(CAST({_dot_duck("a.v", "b.v")} / (a.nrm * b.nrm) AS DECIMAL(18,6)) AS DOUBLE) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE {_dot_duck("a.v", "b.v")} / (a.nrm * b.nrm) >= {COSINE_NEAR_THRESHOLD}
     """,
@@ -139,7 +139,7 @@ def similarity_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("a_id"),
             F.col("b.vec_id").alias("b_id"),
-            cos.cast("decimal(18,6)").alias("cosine"),
+            cos.cast("decimal(18,6)").cast("double").alias("cosine"),
         )
     )
 
@@ -161,7 +161,7 @@ def similarity_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) AS rnk
       FROM scored
     )
-    SELECT query_id, neighbor_id, CAST(cosine AS DECIMAL(18,6)) AS cosine, rnk
+    SELECT query_id, neighbor_id, CAST(CAST(cosine AS DECIMAL(18,6)) AS DOUBLE) AS cosine, rnk
     FROM ranked WHERE rnk <= {TOPK}
     """,
 )
@@ -197,7 +197,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.col("cosine").cast("decimal(18,6)").alias("cosine"),
+            F.col("cosine").cast("decimal(18,6)").cast("double").alias("cosine"),
             "rnk",
         )
     )
@@ -248,7 +248,7 @@ def _tables_duck() -> str:
       FROM scored
     )
     SELECT query_id, neighbor_id,
-           CAST(cosine AS DECIMAL(18,6)) AS cosine, rnk
+           CAST(CAST(cosine AS DECIMAL(18,6)) AS DOUBLE) AS cosine, rnk
     FROM ranked WHERE rnk <= {ANN_TOPK}
     """,
 )
@@ -316,7 +316,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.col("cosine").cast("decimal(18,6)").alias("cosine"),
+            F.col("cosine").cast("decimal(18,6)").cast("double").alias("cosine"),
             "rnk",
         )
     )
@@ -365,7 +365,7 @@ _CENT_DUCK = f"""
       ) AS rnk
       FROM scored
     )
-    SELECT query_id, neighbor_id, CAST(cosine AS DECIMAL(18,6)) AS cosine, rnk
+    SELECT query_id, neighbor_id, CAST(CAST(cosine AS DECIMAL(18,6)) AS DOUBLE) AS cosine, rnk
     FROM ranked WHERE rnk <= {IVF_TOPK}
     """,
 )
@@ -430,7 +430,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.col("cosine").cast("decimal(18,6)").alias("cosine"),
+            F.col("cosine").cast("decimal(18,6)").cast("double").alias("cosine"),
             "rnk",
         )
     )

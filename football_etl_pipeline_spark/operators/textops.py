@@ -67,9 +67,9 @@ def _dec6(expr: str) -> str:
       doc_id,
       len(toks) AS n_tokens,
       len(text) AS n_chars_obs,
-      {_dec6("list_sum(list_transform(toks, s -> len(s))) * 1.0 / len(toks)")} AS avg_token_len,
-      {_dec6(f"len(list_filter(toks, s -> s IN ({_sql_list(STOPWORDS)}))) * 1.0 / len(toks)")} AS stopword_ratio,
-      {_dec6("len(list_distinct(toks)) * 1.0 / len(toks)")} AS uniq_token_ratio
+      CAST({_dec6("list_sum(list_transform(toks, s -> len(s))) * 1.0 / len(toks)")} AS DOUBLE) AS avg_token_len,
+      CAST({_dec6(f"len(list_filter(toks, s -> s IN ({_sql_list(STOPWORDS)}))) * 1.0 / len(toks)")} AS DOUBLE) AS stopword_ratio,
+      CAST({_dec6("len(list_distinct(toks)) * 1.0 / len(toks)")} AS DOUBLE) AS uniq_token_ratio
     FROM t
     """,
 )
@@ -96,11 +96,11 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.expr("aggregate(transform(toks, s -> length(s)), 0, (acc, x) -> acc + x)")
             * 1.0 / n
-        ).cast("decimal(18,6)").alias("avg_token_len"),
+        ).cast("decimal(18,6)").cast("double").alias("avg_token_len"),
         (
             F.size(F.expr(f"filter(toks, s -> s IN ({stop_list}))")) * 1.0 / n
-        ).cast("decimal(18,6)").alias("stopword_ratio"),
-        (F.size(F.array_distinct(F.col("toks"))) * 1.0 / n).cast("decimal(18,6)").alias("uniq_token_ratio"),
+        ).cast("decimal(18,6)").cast("double").alias("stopword_ratio"),
+        (F.size(F.array_distinct(F.col("toks"))) * 1.0 / n).cast("decimal(18,6)").cast("double").alias("uniq_token_ratio"),
     )
 
 
@@ -133,8 +133,8 @@ _QUALITY_DUCK = (
       source,
       COUNT(*) AS n_docs,
       CAST(SUM(q) AS DOUBLE) / COUNT(*) AS avg_quality,
-      MIN(q) AS min_quality,
-      MAX(q) AS max_quality,
+      CAST(MIN(q) AS DOUBLE) AS min_quality,
+      CAST(MAX(q) AS DOUBLE) AS max_quality,
       COUNT(*) FILTER (WHERE q >= 0.8) AS n_high_quality
     FROM scored
     GROUP BY source
@@ -159,8 +159,8 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("q").cast("double") / F.count(F.lit(1))).alias("avg_quality"),
-        F.min("q").alias("min_quality"),
-        F.max("q").alias("max_quality"),
+        F.min("q").cast("double").alias("min_quality"),
+        F.max("q").cast("double").alias("max_quality"),
         F.count_if(F.col("q") >= 0.8).alias("n_high_quality"),
     )
 

@@ -32,13 +32,21 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
+from .structlog import etl_event
+
 log = logging.getLogger(__name__)
 
 # Fetcher contract: (api_name, endpoint, league_id, season) -> payload
 # (the object to be JSON-serialized into the staged file). Tests inject
-# fixture payloads; production would wrap requests+Retry like
-# ingestion/api_clients.py:6-73.
+# fixture payloads; production uses ``http_fetch.make_http_fetcher``
+# (urllib3-Retry parity with ingestion/api_clients.py:6-73).
 Fetcher = Callable[[str, str, int, int], object]
+
+# The reference's structured-log vocabulary (main.py:37-113) — stage is
+# spelled "injection" and the fetch-failure event "fecth_error" [sic];
+# both strings are preserved verbatim so log pipelines keyed on the
+# reference vocabulary match.
+ETL_STAGE = "injection"
 
 ENDPOINTS = ("teams", "standings")
 
@@ -68,7 +76,13 @@ def parse_trigger_message(payload: dict | None) -> dict:
     then falls back to configured leagues)."""
     if isinstance(payload, dict):
         return payload
-    log.warning("Malformed trigger payload: %r", payload)
+    etl_event(
+        ETL_STAGE,
+        "parse_trigger_message_error",
+        severity="WARNING",
+        reason="Malformed Pub/Sub message data",
+        error=repr(payload),
+    )
     return {}
 
 
@@ -100,14 +114,36 @@ class IngestResult:
     error: str | None = None
 
 
-def rollback(files: list[str]) -> None:
+def rollback(files: list[str], api_name: str = "", run_id: str = "") -> None:
     """I6 (main.py:34-52): compensating delete of everything this run
-    staged; failures logged CRITICAL, never raised (best-effort)."""
+    staged; success logs ``remove_uploaded_files`` INFO, failure logs
+    it CRITICAL with the file list — never raises (best-effort)."""
+    failed: list[str] = []
+    err: str | None = None
     for path in files:
         try:
             os.remove(path)
         except OSError as e:
-            log.critical("Rollback failed to delete %s: %s", path, e)
+            failed.append(path)
+            err = str(e)
+    if failed:
+        etl_event(
+            ETL_STAGE,
+            "remove_uploaded_files",
+            api_name,
+            run_id,
+            severity="CRITICAL",
+            reason=err,
+            files=failed,
+        )
+    else:
+        etl_event(
+            ETL_STAGE,
+            "remove_uploaded_files",
+            api_name,
+            run_id,
+            reason="cleanup_successful",
+        )
 
 
 def ingest(
@@ -127,29 +163,47 @@ def ingest(
     try:
         for league_id in leagues:
             for endpoint in ENDPOINTS:
-                payload = fetcher(api_name, endpoint, league_id, season)
+                try:
+                    payload = fetcher(api_name, endpoint, league_id, season)
+                except Exception as e:
+                    # Reference event name "fecth_error" [sic]
+                    # (main.py:95-103) — preserved for log parity.
+                    etl_event(
+                        ETL_STAGE,
+                        "fecth_error",
+                        api_name,
+                        run_id,
+                        severity="ERROR",
+                        league_id=league_id,
+                        endpoint=endpoint,
+                        reason=str(e),
+                    )
+                    raise
                 path = staged_path(
                     landing_root, api_name, season, league_id, endpoint, run_id
                 )
-                os.makedirs(os.path.dirname(path), exist_ok=True)
-                with open(path, "w") as f:
-                    json.dump(payload, f)
-                result.uploaded_files.append(path)
-                log.info(
-                    json.dumps(
-                        {
-                            "etl-stage": "ingestion",
-                            "event": "file-staged",
-                            "api-source": api_name,
-                            "run_id": run_id,
-                            "path": path,
-                        }
+                try:
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    with open(path, "w") as f:
+                        json.dump(payload, f)
+                except Exception as e:
+                    etl_event(
+                        ETL_STAGE,
+                        "store_error",
+                        api_name,
+                        run_id,
+                        severity="ERROR",
+                        league_id=league_id,
+                        endpoint=endpoint,
+                        reason=str(e),
                     )
+                    raise
+                result.uploaded_files.append(path)
+                etl_event(
+                    ETL_STAGE, "file-staged", api_name, run_id, path=path
                 )
     except Exception as e:  # noqa: BLE001 — any fetch/store failure compensates
-        log.error("Ingest failed for %s: %s — rolling back %d files",
-                  api_name, e, len(result.uploaded_files))
-        rollback(result.uploaded_files)
+        rollback(result.uploaded_files, api_name, run_id)
         result.rolled_back = True
         result.error = str(e)
         result.uploaded_files = []

@@ -19,6 +19,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def non_canonical_types(rows) -> set[str]:
+    """Cell types the DRIVER's pandas canonicalizer mishandles even
+    when str-equal across engines: Decimal hashes differently than the
+    float64 the DuckDB client yields, and list/dict cells are
+    unhashable. A local pass must imply a driver pass, so these are
+    hard failures here (checked on a row sample — types are uniform
+    per column)."""
+    import decimal
+
+    bad: set[str] = set()
+    for r in rows[:5]:
+        for v in r:
+            if isinstance(v, decimal.Decimal):
+                bad.add("Decimal")
+            elif isinstance(v, (list, tuple, dict, set)):
+                bad.add(type(v).__name__)
+    return bad
+
+
 def normalize_cell(v):
     import datetime
 
@@ -77,8 +96,13 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"weak  {name}: rows={len(srows)} (no oracle; rows-only check)")
-            n_weak += 1
+            bad = non_canonical_types([tuple(r) for r in srows])
+            if bad:
+                print(f"FAIL  {name}: non-canonical cell types {sorted(bad)} in rows-only query")
+                n_fail += 1
+            else:
+                print(f"weak  {name}: rows={len(srows)} (no oracle; rows-only check)")
+                n_weak += 1
             continue
         try:
             rel = con.execute(oracles[name])
@@ -89,6 +113,13 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
+        for side, rws in (("spark", srows), ("oracle", orows)):
+            bad = non_canonical_types(rws)
+            if bad:
+                problems.append(
+                    f"non-canonical {side} cell types {sorted(bad)} "
+                    "(driver canonicalizer breaks on these)"
+                )
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema: spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
