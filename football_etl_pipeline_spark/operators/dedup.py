@@ -22,10 +22,11 @@ Scale design (100 TB):
 - minhash-lsh: signatures are k min-aggregates over one shingle
   explode (single shuffle), banding turns all-pairs into equality
   joins on band keys — cost O(n·k) + collisions, not O(n²).
-- simhash: frequency-weighted 32-bit simhash via 32 conditional sums
-  in one aggregate pass; candidate pairs via 8-bit band equality
+- simhash: frequency-weighted 60-bit simhash via 60 conditional sums
+  in one aggregate pass; candidate pairs via 15-bit band equality
   (pigeonhole over 4 bands: any pair within hamming ≤ 3 must share a
-  band, so the radius-2 cut has exact recall).
+  band, so the radius-2 cut has exact recall; 2^15 buckets per band
+  keep the band self-join subquadratic).
 """
 
 from __future__ import annotations
@@ -219,9 +220,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = sh.groupBy("sh60").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= DF_CAP
     ).select("sh60")
-    a = sh.alias("a").join(rare, "sh60")
+    # Both self-join sides are the SAME rare-filtered frame (a pair
+    # needs its shared shingle on both sides, so filtering b is a
+    # no-op semantically): identical plan subtrees → one shuffle,
+    # ReusedExchange on the other side — instead of shuffling the
+    # full shingle frame (hot shingles included) for b.
+    shr = sh.join(rare, "sh60")
     pairs = (
-        a.join(sh.alias("b"), (F.col("a.sh60") == F.col("b.sh60")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        shr.alias("a")
+        .join(shr.alias("b"), (F.col("a.sh60") == F.col("b.sh60")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -389,10 +396,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- SimHash ---------------------------------------------------------
 
-SIMHASH_BITS = 32
-# 4 bands × 8 bits guarantee recall for hamming ≤ 3 (pigeonhole); we
-# use 2 — on this corpus's tiny shared vocabulary the background
-# hamming distribution peaks near 7, so 2 is the discriminating radius.
+# 60-bit simhash (the token hashes are already 60-bit, so every bit
+# position carries signal) split into 4 bands × 15 bits. Pigeonhole
+# over 4 bands guarantees full recall for hamming ≤ 3 at ANY width;
+# width only controls candidate volume: expected background band
+# collisions are ~4·n²/(2·2^15) vs 4·n²/(2·2^8) for the old 32-bit/
+# 8-bit layout — 128× fewer pairs, and the band self-join stays
+# subquadratic until n approaches ~2^15 docs per partition-disjoint
+# corpus slice. The next rung at that scale is two-level banding
+# (band → sub-band) — same query shape, one more explode.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15  # SIMHASH_BITS / SIMHASH_BANDS
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 SIMHASH_RADIUS = 2
 
 
@@ -417,11 +433,11 @@ def _simhash_oracle() -> str:
     sums = ",\n             ".join(
         f"{e} AS s{b}" for b, e in enumerate(_simhash_bit_sums("duck"))
     )
-    n_bands = 4
     band_rows = "\n      UNION ALL\n".join(
         f"      SELECT doc_id, {i} AS band_id,"
-        f" (simhash >> {8 * i}) & 255 AS bkey FROM sh_val"
-        for i in range(n_bands)
+        f" (simhash >> {SIMHASH_BAND_BITS * i}) & {SIMHASH_BAND_MASK} AS bkey"
+        " FROM sh_val"
+        for i in range(SIMHASH_BANDS)
     )
     return f"""
     WITH toks AS (
@@ -456,15 +472,21 @@ def _simhash_oracle() -> str:
 
 @query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: frequency-weighted 32-bit simhash per
-    doc, 8-bit band candidates, Hamming distance ≤ 6.
+    """SimHash near-dup pairs: frequency-weighted 60-bit simhash per
+    doc, 15-bit band candidates, Hamming distance ≤ 2.
 
     Plan: token explode → term-frequency aggregate → ONE groupBy
-    computing all 32 signed bit-sums → arithmetic simhash → band
+    computing all 60 signed bit-sums → arithmetic simhash → band
     explode → equality self-join → bit_count(xor) filter. Everything
     codegen'd; the band join is the only pairing shuffle. Pigeonhole
     over 4 bands guarantees full recall for any radius ≤ 3, so the
     radius-2 cut is exact, not best-effort.
+
+    Scale: 2^15 buckets per band keep expected background collisions
+    at ~4·n²/2^16 — at sf0.1 (5k docs) that's ~1.5k candidate pairs
+    vs ~195k under the old 8-bit bands; extrapolating 100× (500k
+    docs), ~15M candidates (vs ~2B), still a small fraction of a
+    single shuffle. Beyond that, add a second banding level.
     """
     docs = load_table(spark, sf_dir, "documents")
     # spread the compute-bound tokenize+hash stage across all cores
@@ -486,7 +508,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_val = bitsums.select(
         "doc_id", F.expr(_simhash_value()).alias("simhash")
     ).persist()
-    n_bands = 4
     bands = sh_val.select(
         "doc_id",
         F.explode(
@@ -494,9 +515,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band_id"),
-                        (F.shiftright(F.col("simhash"), 8 * i) % 256).alias("bkey"),
+                        F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * i)
+                        .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
+                        .alias("bkey"),
                     )
-                    for i in range(n_bands)
+                    for i in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bd"),

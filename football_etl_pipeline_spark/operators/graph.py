@@ -74,9 +74,94 @@ def connected_components(edges: DataFrame, src: str = "a_id", dst: str = "b_id")
     return labels
 
 
-@query(
-    "dedup_components",
-    oracle="""
+def connected_components_star(
+    edges: DataFrame, src: str = "a_id", dst: str = "b_id", max_iter: int = 50
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SOCC'14) — the
+    scale path ``connected_components``' docstring promises.
+
+    Per round: *large-star* points every neighbor larger than a node
+    at that node's minimum neighborhood label; *small-star* collapses
+    the remaining smaller-than chains. Each is one groupBy + one join
+    on the edge list — same per-round shuffle cost as label
+    propagation, but convergence is O(log n) rounds instead of
+    O(diameter), which is the difference that matters on web-scale
+    dup graphs with long chains. At fixpoint the edge set is a star
+    per component: every node points directly at the component min.
+
+    Convergence is detected by an order-insensitive edge-set checksum
+    (count + bit_xor of xxhash64; XOR can't overflow and the edge set
+    is distinct, so no pair cancellation) — one tiny aggregate per
+    round instead of a full except-join."""
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def checksum(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    prev = checksum(e)
+    for _ in range(max_iter):
+        # Large-star: m(x) = min(N(x) ∪ {x}); emit (v, m) for v > x.
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # Small-star on the (larger→smaller) edges: m = min neighbor;
+        # re-point every smaller neighbor and the center itself at m.
+        minsS = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(minsS, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(minsS.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        e = small
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    labels = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("label"))
+    return all_nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("label")
+    )
+
+
+# Shared by dedup_components (label propagation) and
+# dedup_components_star (large/small-star): both compute the same
+# min-reachable-label fixpoint, so one recursive-CTE oracle serves.
+_COMPONENTS_ORACLE = """
     WITH RECURSIVE pairs AS (
       -- same candidate pairs as dedup_ngram_jaccard's oracle
       SELECT * FROM (
@@ -117,8 +202,10 @@ def connected_components(edges: DataFrame, src: str = "a_id", dst: str = "b_id")
     )
     SELECT node AS doc_id, MIN(label) AS component
     FROM reach GROUP BY node
-    """,
-)
+    """
+
+
+@query("dedup_components", oracle=_COMPONENTS_ORACLE)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clusters: connected components over the Jaccard≥0.5 pair
     graph; every clustered doc labeled with its component's min
@@ -131,6 +218,19 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the component diameter (near-dup clusters: 1-3)."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
     comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
+@query("dedup_components_star", oracle=_COMPONENTS_ORACLE)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dedup clusters as ``dedup_components``, computed with the
+    large-star/small-star algorithm — the O(log n)-round scale path
+    for web-scale dup graphs, oracled against the identical recursive
+    CTE (both algorithms must land on the same min-label fixpoint)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    comp = connected_components_star(pairs)
     return comp.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )

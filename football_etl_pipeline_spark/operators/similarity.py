@@ -37,8 +37,15 @@ DIM = 64
 COSINE_NEAR_THRESHOLD = 0.45  # max background cosine here is ~0.51
 TOPK = 10
 N_QUERIES = 5  # vec_id < 5 are the standing query vectors
-ANN_PLANES = 4  # 16 buckets per table
-ANN_TABLES = 4  # multi-table LSH: union candidates over 4 signatures
+# Tuned by measurement (tests/test_ann_recall.py): for a cosine-0.5
+# neighbor one k-plane table hits with p = (1-θ/π)^k — k=4 gives 0.20,
+# k=3 gives 0.30 — and L tables lift it to 1-(1-p)^L: the old 4×4
+# measured ~0.5 mean recall; 8×3 predicts ~0.94 and the test floor is
+# 0.8. Fewer planes per table = coarser buckets = more candidates per
+# table; that trade is bounded by the DISTINCT on candidate pairs and
+# is the knob to re-tighten if corpus-scale candidate volume bites.
+ANN_PLANES = 3  # 8 buckets per table
+ANN_TABLES = 8  # multi-table LSH: union candidates over 8 signatures
 ANN_TOPK = 5
 
 
@@ -254,13 +261,14 @@ def _tables_duck() -> str:
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via MULTI-TABLE random-hyperplane
-    LSH: ANN_TABLES independent 4-plane signatures per vector;
-    candidates = union of same-bucket vectors over all tables.
+    LSH: ANN_TABLES independent ANN_PLANES-plane signatures per
+    vector; candidates = union of same-bucket vectors over all tables.
 
     One table's recall for a cosine-0.5 neighbor is only
-    (1−θ/π)^4 ≈ 0.2 — we MEASURED 0.08 on this corpus
-    (tests/test_ann_recall.py) before going multi-table; L tables
-    lift it to 1−(1−p^k)^L ≈ 0.6. That measurement loop is the
+    (1−θ/π)^k — we MEASURED 0.08 on this corpus with a single
+    4-plane table, ~0.5 with 4×4 (tests/test_ann_recall.py), and the
+    current 8 tables × 3 planes holds the ≥0.8 test floor
+    (predicted 1−(1−0.3)^8 ≈ 0.94). That measurement loop is the
     operator's design story: recall and candidate volume trade off
     via (planes per table, tables).
 

@@ -1,0 +1,115 @@
+"""Streaming exactness against a DuckDB oracle on REAL data.
+
+The synthetic-row tests in test_streaming.py pin the mechanics
+(watermarks, state, micro-batch boundaries); these tests give the
+stateful accumulator and the stream-stream join the same exactness
+story the batch queries have: the sf0.001 ``events`` table is
+exported once to JSON, streamed through the operator with
+``availableNow``, and compared against DuckDB SQL over the *same*
+JSON file (both engines see byte-identical input, so ID sets and
+counts must match exactly).
+
+The export is a single file on purpose: one file → one micro-batch →
+no intermediate watermark advancement, so join state can't be evicted
+mid-stream and the full match set must be emitted (inner stream-stream
+joins emit on match; only outer joins hold results for the watermark).
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from football_etl_pipeline_spark.streaming.events_stream import (
+    read_events_stream,
+    start_to_memory,
+    stateful_user_totals,
+    view_to_purchase_join,
+)
+
+
+@pytest.fixture(scope="module")
+def events_json(spark, sf_dir, tmp_path_factory):
+    """sf0.001 events exported to ONE json file (micro-second ts)."""
+    from football_etl_pipeline_spark.sources.testdata import load_table
+
+    out = str(tmp_path_factory.mktemp("ev_json"))
+    (
+        load_table(spark, sf_dir, "events")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .json(out)
+    )
+    (part,) = glob.glob(out + "/part-*.json")
+    return out, part
+
+
+def test_stateful_totals_match_duckdb_oracle(spark, events_json, tmp_path):
+    """applyInPandasWithState lifetime totals over the real corpus ==
+    DuckDB GROUP BY on the same JSON: counts exact, double totals to
+    float tolerance (accumulation order differs by construction)."""
+    import duckdb
+
+    src, part = events_json
+    q = start_to_memory(
+        stateful_user_totals(read_events_stream(spark, src)),
+        "oracle_state",
+        str(tmp_path / "ck1"),
+        "update",
+    )
+    q.awaitTermination(300)
+    latest: dict[int, tuple[int, float]] = {}
+    for r in spark.sql("SELECT * FROM oracle_state").collect():
+        cur = latest.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            latest[r.user_id] = (r.n_events, r.total_value)
+
+    want = {
+        int(u): (int(n), float(t))
+        for u, n, t in duckdb.sql(
+            f"SELECT user_id, COUNT(*), SUM(value) FROM read_json_auto('{part}') "
+            "GROUP BY user_id"
+        ).fetchall()
+    }
+    assert set(latest) == set(want)
+    for u, (n, t) in want.items():
+        assert latest[u][0] == n, f"user {u} count"
+        assert latest[u][1] == pytest.approx(t, rel=1e-9), f"user {u} total"
+
+
+def test_stream_stream_join_matches_duckdb_oracle(spark, events_json, tmp_path):
+    """Attribution join streamed over the real corpus == DuckDB's
+    interval join on the same JSON — exact (purchase_id, view_id) set."""
+    import duckdb
+
+    src, part = events_json
+    q = start_to_memory(
+        view_to_purchase_join(read_events_stream(spark, src)),
+        "oracle_ssjoin",
+        str(tmp_path / "ck2"),
+        "append",
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT * FROM oracle_ssjoin").collect()
+    )
+    want = sorted(
+        (int(p), int(v))
+        for p, v in duckdb.sql(
+            f"""
+            WITH ev AS (
+              SELECT event_id, user_id, event_type, ts::TIMESTAMP AS ts
+              FROM read_json_auto('{part}')
+            )
+            SELECT p.event_id, v.event_id
+            FROM ev v JOIN ev p
+              ON v.user_id = p.user_id
+             AND v.event_type = 'view' AND p.event_type = 'purchase'
+             AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
