@@ -657,3 +657,225 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
         .limit(25)
     )
+
+
+# ---- sequence packing ------------------------------------------------
+
+PACK_CONTEXT = 2048   # tokens per training context window
+PACK_SHARDS = 32      # independent packing shards
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             len({TOKENS_DUCK}) AS n_tokens
+      FROM documents
+    ), o AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS tok_offset
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens, tok_offset,
+           tok_offset // {PACK_CONTEXT} AS pack_id,
+           ((tok_offset + n_tokens - 1) // {PACK_CONTEXT})
+             > (tok_offset // {PACK_CONTEXT}) AS straddles
+    FROM o
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: concatenate the corpus token stream (in
+    doc_id order) and chop it into fixed {PACK_CONTEXT}-token windows —
+    every doc gets its pack id, intra-pack offset, and a straddle flag
+    (crosses a window boundary), the bookkeeping a pretraining loader
+    needs to pack sequences without padding waste.
+
+    Packing runs independently per shard (``doc_id % PACK_SHARDS``) —
+    that is the scale design, not a shortcut: a single global
+    running-sum window would serialize 100 TB through one partition,
+    while per-shard packing is embarrassingly parallel (one shuffle on
+    the shard key, ~n/SHARDS rows per window partition) and shard
+    boundaries only ever waste < CONTEXT tokens each. The token count
+    reuses the whitespace tokenizer (tokenize-once projection); the
+    cumulative offset is an exclusive-frame running sum — both engines
+    evaluate the identical frame, and all math is integer, so the
+    oracle compare is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.expr(TOKENS_SPARK)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = t.withColumn(
+        "tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return o.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "tok_offset",
+        F.expr(f"tok_offset div {PACK_CONTEXT}").alias("pack_id"),
+        (
+            F.expr(f"(tok_offset + n_tokens - 1) div {PACK_CONTEXT}")
+            > F.expr(f"tok_offset div {PACK_CONTEXT}")
+        ).alias("straddles"),
+    )
+
+
+# ---- deterministic stratified sampling -------------------------------
+
+SAMPLE_K = 20  # survivors per source stratum
+
+
+@query(
+    "text_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY md5(text), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, rn FROM ranked WHERE rn <= {SAMPLE_K}
+    """,
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly {SAMPLE_K} docs per
+    source, chosen by ranking on ``md5(text)`` — a content-keyed
+    pseudo-random order that is identical on every engine and every
+    rerun (no RNG seed to disagree about), which is what makes
+    training-data subsets reproducible and auditable.
+
+    Plan: one shuffle on ``source``; the rank prunes to K rows per
+    stratum inside the window sort (WindowGroupLimit pushes the
+    rn <= K filter into the sort at execution, so each partition
+    keeps a K-heap rather than materializing the full stratum —
+    the same mechanism as window_topk_per_group). At 100 TB the
+    md5 ranking key is computed in the scan projection and only
+    (source, hash) pairs matter to the sort, not payloads."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.md5("text"), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= SAMPLE_K)
+    )
+
+
+# ---- benchmark decontamination screen --------------------------------
+
+# Train/eval split for the screen: every doc whose id lands in the
+# first EVAL_PCT of the id-mod-100 ring plays the benchmark set.
+EVAL_PCT = 5
+CONTAM_N = 5  # n-gram width; longer grams = rarer = sharper evidence
+
+
+def _ngrams_spark(n: int, toks: str = "toks") -> str:
+    cat = ", ".join(f"{toks}[i+{j}]" for j in range(n))
+    return (
+        f"case when size({toks}) >= {n} then"
+        f" transform(sequence(0, size({toks}) - {n}), i -> concat_ws(' ', {cat}))"
+        " else array() end"
+    )
+
+
+def _ngrams_duck(n: int, toks: str = "toks") -> str:
+    cat = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(1, n + 1))
+    return (
+        f"list_transform(range(greatest(len({toks}) - {n - 1}, 0)), i -> {cat})"
+    )
+
+
+@query(
+    "text_contamination_screen",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               {_ngrams_duck(CONTAM_N)},
+               s -> try_cast('0x' || substr(md5(s), 1, 15) AS BIGINT)))) AS g
+      FROM t
+    ), eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 100 < {EVAL_PCT}
+    ), train AS (
+      SELECT doc_id, g, COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM grams WHERE doc_id % 100 >= {EVAL_PCT}
+    )
+    SELECT
+      t.doc_id,
+      ANY_VALUE(t.n_grams) AS n_grams,
+      COUNT(*) AS n_overlapping,
+      CAST(CAST(COUNT(*) * 1.0 / ANY_VALUE(t.n_grams) AS DECIMAL(18,6))
+           AS DOUBLE) AS contamination_ratio
+    FROM train t JOIN eval_grams e ON t.g = e.g
+    GROUP BY t.doc_id
+    """,
+)
+def text_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares at least one distinct word-{CONTAM_N}-gram with the
+    held-out benchmark set (here: docs with ``doc_id % 100 <
+    EVAL_PCT``), with the overlap count and contamination ratio —
+    the screen run before any pretraining corpus ships.
+
+    Plan: one tokenize-once projection feeds both sides; n-grams are
+    reduced to 60-bit hashes inside the explode (8-byte join keys);
+    the eval side collapses to DISTINCT grams before the join (at
+    100 TB that's the small side — AQE broadcast-joins it while it
+    fits, per the repo broadcast policy); overlap counting is a
+    hash aggregate on doc_id. The n-gram width is the scale knob:
+    longer grams are rarer, so the gram join's fan-out shrinks as
+    the corpus grows — the standard reason decontamination uses
+    8-13-grams in production; 5 fits this corpus's short docs."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    from .textops import hash60_spark  # self-import safe at module level
+
+    grams = (
+        docs.select("doc_id", F.expr(TOKENS_SPARK).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform({_ngrams_spark(CONTAM_N)},"
+                    f" s -> {hash60_spark('s')}))"
+                )
+            ).alias("g"),
+        )
+        .persist()  # feeds the eval set, the train side, and sizes
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 100 < EVAL_PCT).select("g").distinct()
+    )
+    from pyspark.sql import Window
+
+    train = grams.filter(F.col("doc_id") % 100 >= EVAL_PCT).withColumn(
+        "n_grams", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    return (
+        train.join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_overlapping"),
+            (
+                F.count(F.lit(1)) * 1.0 / F.any_value("n_grams")
+            ).cast("decimal(18,6)").cast("double").alias("contamination_ratio"),
+        )
+    )

@@ -34,7 +34,7 @@ def exact_neighbors(spark):
 
 @pytest.mark.parametrize(
     "ann_fn,min_mean_recall",
-    [(similarity_ann_lsh, 0.8), (similarity_ann_ivf, 0.2)],
+    [(similarity_ann_lsh, 0.8), (similarity_ann_ivf, 0.6)],
     ids=["lsh", "ivf"],
 )
 def test_ann_recall_floor(spark, exact_neighbors, ann_fn, min_mean_recall):
