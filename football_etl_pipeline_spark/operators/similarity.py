@@ -508,3 +508,91 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("aggregate(qv, 0L, (acc, x) -> acc + x)").alias("q_sum"),
         F.array_join("qv", "|").alias("q_vals"),
     )
+
+
+# ---- k-means refinement step (IVF centroid training) -----------------
+
+KMEANS_MICRO = 1_000_000_000  # nano-unit fixed point for exact means
+
+
+@query(
+    "embedding_kmeans_step",
+    oracle=f"""
+    WITH e AS ({_NORMED_DUCK}),
+    cent AS ({_CENT_DUCK}),
+    aff AS (
+      SELECT e.vec_id, e.v, c.c_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_dot_duck("e.v", "c.cv")} / (e.nrm * c.cnrm) DESC,
+                        c.c_id ASC
+             ) AS crank
+      FROM e CROSS JOIN cent c
+    ),
+    assign AS (SELECT vec_id, v, c_id AS cell FROM aff WHERE crank = 1),
+    dims AS (
+      SELECT cell, d.d AS dim,
+             CAST(FLOOR(v[d.d + 1] * {KMEANS_MICRO}) AS BIGINT) AS micro
+      FROM assign, LATERAL (SELECT unnest(range({DIM})) AS d) d
+    )
+    SELECT cell, dim,
+           COUNT(*) AS n_members,
+           SUM(micro) AS sum_micro,
+           CAST(SUM(micro) AS DOUBLE) / (COUNT(*) * {KMEANS_MICRO}.0)
+             AS centroid
+    FROM dims GROUP BY cell, dim
+    """,
+)
+def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) refinement step for the IVF coarse
+    quantizer: assign every vector to its nearest current centroid
+    (cosine, same assignment pass as ``similarity_ann_ivf``), then
+    recompute each cell's centroid as the per-dimension member mean —
+    the training loop that turns the fixed seed centroids into real
+    ones runs exactly this step until movement stalls.
+
+    Exactness: per-dimension sums are floor'd nano-unit BIGINTs
+    (``floor(v·1e9)``), so the aggregation is integer — order-
+    insensitive with no decimal rounding ties — and the emitted
+    centroid is one deterministic double division. Plan: broadcast(K)
+    assignment scan → posexplode to (cell, dim) → ONE partial-agg
+    shuffle on (cell, dim) = K·DIM groups; at 100 TB the map-side
+    combine reduces each task's output to ≤ K·DIM rows regardless of
+    corpus size — the canonical iterative-ML shape on Spark (each
+    Lloyd iteration is one such pass with re-broadcast centroids)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.expr(_norm_spark("v")))
+    cent = e.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    ccos = F.expr(_dot_spark("v", "cv")) / (F.col("nrm") * F.col("cnrm"))
+    wcell = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("c_id").asc()
+    )
+    assign = (
+        e.join(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("crank", F.row_number().over(wcell))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "v", F.col("c_id").alias("cell"))
+    )
+    dims = assign.select(
+        "cell",
+        F.posexplode("v").alias("dim", "val"),
+    ).select(
+        "cell",
+        "dim",
+        F.floor(F.col("val") * KMEANS_MICRO).cast("bigint").alias("micro"),
+    )
+    return dims.groupBy("cell", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("micro").alias("sum_micro"),
+        (
+            F.sum("micro").cast("double")
+            / (F.count(F.lit(1)) * float(KMEANS_MICRO))
+        ).alias("centroid"),
+    )
