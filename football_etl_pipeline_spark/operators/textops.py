@@ -879,3 +879,61 @@ def text_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("decimal(18,6)").cast("double").alias("contamination_ratio"),
         )
     )
+
+
+# ---- percentile quality gate -----------------------------------------
+
+GATE_PCTL = 0.25  # drop the bottom quartile per source
+
+
+@query(
+    "text_quality_percentile_gate",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {TOKENS_DUCK} AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             {_dec6(_QUALITY_DUCK.replace("STOP", _sql_list(STOPWORDS)))} AS q
+      FROM t
+    ), ranked AS (
+      SELECT doc_id, source, q,
+             PERCENT_RANK() OVER (
+               PARTITION BY source ORDER BY q, doc_id
+             ) AS pr
+      FROM scored
+    )
+    SELECT doc_id, source, CAST(q AS DOUBLE) AS quality, pr
+    FROM ranked WHERE pr >= {GATE_PCTL}
+    """,
+)
+def text_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality gate: drop the bottom quartile of documents
+    *within each source* by the standard quality heuristic — the
+    robust sibling of ``text_curation_pipeline``'s absolute threshold
+    (an absolute cut over- or under-prunes sources with different
+    score distributions; a per-source percentile survives them).
+
+    Determinism: the score is fixed to DECIMAL(18,6) before ranking
+    (identical rank order both engines), ties broken on doc_id, and
+    PERCENT_RANK is the exact rational (rank−1)/(n−1) evaluated
+    identically. Plan: one shuffle on ``source``; the window computes
+    rank in the same sort the shuffle already established."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    q_expr = _QUALITY_SPARK.replace("TOKS", "toks").replace(
+        "STOP", _sql_list(STOPWORDS)
+    )
+    scored = docs.select(
+        "doc_id", "source", F.expr(TOKENS_SPARK).alias("toks")
+    ).select(
+        "doc_id", "source", F.expr(q_expr).cast("decimal(18,6)").alias("q")
+    )
+    w = Window.partitionBy("source").orderBy("q", "doc_id")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= GATE_PCTL)
+        .select(
+            "doc_id", "source", F.col("q").cast("double").alias("quality"), "pr"
+        )
+    )

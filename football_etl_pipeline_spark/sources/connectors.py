@@ -30,7 +30,7 @@ from pyspark.sql.types import StructField, StructType, StringType
 
 CORRUPT_COL = "_corrupt_record"
 
-READ_FORMATS = ("parquet", "json", "csv")
+READ_FORMATS = ("parquet", "orc", "json", "csv")
 
 
 def read_with_dead_letter(
@@ -41,10 +41,11 @@ def read_with_dead_letter(
     **options: str,
 ) -> tuple[DataFrame, DataFrame]:
     """Read json/csv with malformed rows CAPTURED, not fatal: returns
-    (good, corrupt) where corrupt rows carry the raw text. Parquet is
-    self-describing — corrupt capture doesn't apply (returns empty)."""
-    if fmt == "parquet":
-        df = spark.read.schema(schema).options(**options).parquet(path)
+    (good, corrupt) where corrupt rows carry the raw text. Parquet and
+    ORC are self-describing — corrupt capture doesn't apply (returns
+    empty)."""
+    if fmt in ("parquet", "orc"):
+        df = spark.read.schema(schema).options(**options).format(fmt).load(path)
         return df, df.limit(0).selectExpr("cast(null as string) as " + CORRUPT_COL)
     full = StructType(schema.fields + [StructField(CORRUPT_COL, StringType())])
     reader = (

@@ -42,7 +42,7 @@ def _nation(spark):
     )
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
 def test_round_trip(spark, tmp_path, fmt):
     src = _nation(spark)
     path = str(tmp_path / f"rt.{fmt}")
