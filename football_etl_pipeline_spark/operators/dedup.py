@@ -482,11 +482,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     over 4 bands guarantees full recall for any radius ≤ 3, so the
     radius-2 cut is exact, not best-effort.
 
-    Scale: 2^15 buckets per band keep expected background collisions
-    at ~4·n²/2^16 — at sf0.1 (5k docs) that's ~1.5k candidate pairs
-    vs ~195k under the old 8-bit bands; extrapolating 100× (500k
-    docs), ~15M candidates (vs ~2B), still a small fraction of a
-    single shuffle. Beyond that, add a second banding level.
+    Scale (MEASURED, sf0.1 = 5k docs): the band self-join produces
+    277k candidate pairs with 15-bit bands vs 2.75M with the old
+    8-bit bands — a 10× cut (less than the uniform-bucket 128×
+    because this corpus's shared vocabulary correlates simhash
+    values; band occupancy is skewed, which is exactly why wider
+    bands matter). Collision volume still grows ~quadratically with
+    corpus size *within* a band's hot buckets, so the next rungs at
+    100× are (a) two-level banding (band → sub-band, one more
+    explode) and (b) an occupancy cap analogous to the jaccard
+    DF_CAP — both keep this plan shape.
     """
     docs = load_table(spark, sf_dir, "documents")
     # spread the compute-bound tokenize+hash stage across all cores
