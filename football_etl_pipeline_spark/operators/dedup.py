@@ -462,7 +462,7 @@ def _simhash_oracle() -> str:
     SELECT
       p.a_id,
       p.b_id,
-      bit_count(xor(x.simhash, y.simhash)) AS hamming
+      CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
     FROM pairs p
     JOIN sh_val x ON x.doc_id = p.a_id
     JOIN sh_val y ON y.doc_id = p.b_id

@@ -152,7 +152,7 @@ def _decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
       SELECT doc_id AS media_id,
              {_MIME_CASE} AS mime,
              octet_length(encode(text)) AS n_bytes,
-             list_sum(list_transform(string_split(text, ''), c -> ord(c))) AS byte_sum
+             list_sum(list_transform(string_split(text, ''), c -> ord(c)))::BIGINT AS byte_sum
       FROM documents
     )
     SELECT
@@ -160,7 +160,7 @@ def _decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
       mime,
       n_bytes,
       byte_sum,
-      byte_sum * 1000000 // n_bytes AS mean_byte_micro,
+      (byte_sum * 1000000 // n_bytes)::BIGINT AS mean_byte_micro,
       (n_bytes + {FRAME_STRIDE - 1}) // {FRAME_STRIDE} AS n_frames
     FROM b
     """,

@@ -274,7 +274,7 @@ def posexplode_name_words(spark: SparkSession, sf_dir: str) -> DataFrame:
       attrs['brand'][1] AS brand_val,
       array_to_string(map_keys(attrs), '|') AS attr_keys,
       array_to_string(map_values(attrs), '|') AS attr_vals,
-      cardinality(map_concat(attrs, extra)) AS n_merged
+      CAST(cardinality(map_concat(attrs, extra)) AS INT) AS n_merged
     FROM m
     """,
 )

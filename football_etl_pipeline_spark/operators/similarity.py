@@ -537,7 +537,7 @@ KMEANS_MICRO = 1_000_000_000  # nano-unit fixed point for exact means
     )
     SELECT cell, dim,
            COUNT(*) AS n_members,
-           SUM(micro) AS sum_micro,
+           SUM(micro)::BIGINT AS sum_micro,
            CAST(SUM(micro) AS DOUBLE) / (COUNT(*) * {KMEANS_MICRO}.0)
              AS centroid
     FROM dims GROUP BY cell, dim

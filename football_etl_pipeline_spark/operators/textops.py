@@ -338,9 +338,9 @@ _WS_COUNT_DUCK = r"len(regexp_split_to_array(trim(text), '\s+'))"
     SELECT
       source,
       COUNT(*) AS n_docs,
-      SUM(n_ws) AS ws_tokens,
-      SUM(n_bpe) AS bpe_tokens,
-      SUM(n_bpe) * 1000000 // SUM(n_ws) AS bpe_per_ws_micro
+      SUM(n_ws)::BIGINT AS ws_tokens,
+      SUM(n_bpe)::BIGINT AS bpe_tokens,
+      (SUM(n_bpe) * 1000000 // SUM(n_ws))::BIGINT AS bpe_per_ws_micro
     FROM t
     GROUP BY source
     """,
@@ -465,7 +465,7 @@ CURATION_QUALITY_MIN = 0.55
       source,
       split,
       COUNT(*) AS n_docs,
-      SUM(n_toks) AS n_tokens,
+      SUM(n_toks)::BIGINT AS n_tokens,
       CAST(SUM(q) AS DOUBLE) / COUNT(*) AS avg_quality
     FROM final
     GROUP BY source, split
@@ -677,11 +677,11 @@ PACK_SHARDS = 32      # independent packing shards
              COALESCE(SUM(n_tokens) OVER (
                PARTITION BY shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-             ), 0) AS tok_offset
+             ), 0)::BIGINT AS tok_offset
       FROM t
     )
     SELECT doc_id, shard, n_tokens, tok_offset,
-           tok_offset // {PACK_CONTEXT} AS pack_id,
+           (tok_offset // {PACK_CONTEXT})::BIGINT AS pack_id,
            ((tok_offset + n_tokens - 1) // {PACK_CONTEXT})
              > (tok_offset // {PACK_CONTEXT}) AS straddles
     FROM o

@@ -265,9 +265,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l.l_linestatus,
       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-               THEN 1 ELSE 0 END) AS high_line_count,
+               THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-               THEN 1 ELSE 0 END) AS low_line_count
+               THEN 1 ELSE 0 END)::BIGINT AS low_line_count
     FROM orders o
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY

@@ -43,3 +43,50 @@ def test_final_schema_is_scalar_non_decimal(name, spark, sf_dir):
         "cast DECIMAL results to DOUBLE and serialize arrays/maps "
         "(array_join/to_json) in the final projection of BOTH dialects"
     )
+
+
+# ---- pandas dtype-class parity (the driver's actual compare path) ----
+
+_INTS = {"int8", "int16", "int32", "int64", "uint8", "uint16", "uint32", "uint64"}
+
+
+def _dtype_class(dt: str) -> str:
+    if dt in _INTS:
+        return "int"
+    if dt.startswith("datetime"):
+        return "datetime"
+    if dt == "object":  # strings / date objects — hash per-value
+        return "object"
+    return dt  # float64, bool, ...
+
+
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
+def test_pandas_dtype_class_parity(name, spark, sf_dir, duck):
+    """The driver canonicalizes BOTH engines through pandas frames; a
+    column that is int64 on one side and float64 on the other hashes
+    differently even when every value matches. Round-1 evidence shows
+    int-width (int32 vs int64) and datetime-precision (ns vs us)
+    differences hash equal, and object-vs-datetime for date cells is
+    green — so those are allowed; int-vs-float is the class this test
+    exists to block (DuckDB SUM(BIGINT) returns HUGEINT, which pandas
+    renders as float64 — every integer-sum oracle needs ::BIGINT)."""
+    from football_etl_pipeline_spark.operators import ORACLES
+
+    if name not in ORACLES:
+        pytest.skip("rows-only query")
+    sdf = ALL_QUERIES[name](spark, sf_dir).toPandas()
+    odf = duck.execute(ORACLES[name]).df()
+    bad = []
+    for c in odf.columns:
+        if c not in sdf.columns:
+            continue
+        a, b = _dtype_class(str(sdf[c].dtype)), _dtype_class(str(odf[c].dtype))
+        if a != b and not (
+            {a, b} == {"object", "datetime"}
+        ):
+            bad.append(f"{c}: spark={sdf[c].dtype} duck={odf[c].dtype}")
+    assert not bad, (
+        f"query {name!r} has pandas dtype-class mismatches {bad}; "
+        "cast the oracle output (::BIGINT for integer sums) or the "
+        "Spark output so both sides land in the same dtype class"
+    )
