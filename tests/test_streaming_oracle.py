@@ -26,6 +26,7 @@ from football_etl_pipeline_spark.streaming.events_stream import (
     start_to_memory,
     stateful_user_totals,
     view_to_purchase_join,
+    windowed_counts,
 )
 
 
@@ -112,4 +113,45 @@ def test_stream_stream_join_matches_duckdb_oracle(spark, events_json, tmp_path):
             """
         ).fetchall()
     )
+    assert got == want and len(got) > 0
+
+
+def test_windowed_counts_match_duckdb_oracle(spark, events_json, tmp_path):
+    """Tumbling watermarked aggregation streamed over the real corpus
+    == DuckDB time_bucket aggregation on the same JSON, restricted to
+    windows the final watermark closed (append-mode contract). The
+    decimal-sum pattern makes total_value exact, not approximate."""
+    import duckdb
+
+    src, part = events_json
+    q = start_to_memory(
+        windowed_counts(read_events_stream(spark, src)),
+        "oracle_wc",
+        str(tmp_path / "ck3"),
+        "append",
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.window_start.isoformat(), r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM oracle_wc").collect()
+    }
+    want = {
+        (ws.isoformat(), et): (int(n), float(tv))
+        for ws, et, n, tv in duckdb.sql(
+            f"""
+            WITH ev AS (
+              SELECT ts::TIMESTAMP AS ts, event_type, value
+              FROM read_json_auto('{part}')
+            )
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws,
+                   event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS tv
+            FROM ev
+            GROUP BY 1, 2
+            HAVING ws + INTERVAL '5 minutes'
+                     <= (SELECT MAX(ts) FROM ev) - INTERVAL '10 minutes'
+            """
+        ).fetchall()
+    }
     assert got == want and len(got) > 0
