@@ -61,9 +61,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return revenue.withColumn("rank_in_region", F.rank().over(w))
 
 
+def _released(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Release the PREVIOUS query's tracked persisted frames before
+    building this one's plan. By the time the harness calls the next
+    query, the prior result has been collected, so its caches are dead
+    weight — without this, a 98-query session accumulates persisted
+    frames and the tail pays the memory/GC bill."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from football_etl_pipeline_spark.operators.registry import release_persists
+
+        release_persists()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return {name: _released(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -91,22 +91,39 @@ def main() -> None:
     # run; only JIT/codegen state carries over (steady-state
     # throughput, the number that extrapolates to a long-running
     # cluster).
+    from football_etl_pipeline_spark.operators.registry import release_persists
+
     warm_dir = "/root/testdata/sf0.001"
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is not None:
             fn(spark, warm_dir).count()
+            release_persists()
 
+    # Median of N_RUNS per query, releasing tracked persisted frames
+    # after every run: each timing sees the same clean cache state, so
+    # queries can't poison each other's tail (BENCH_r02 lesson — 14
+    # accumulated persists inflated late queries ~2.4×), and the median
+    # damps the ±40% machine noise a single local[32] run carries.
+    N_RUNS = 3
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        runs = []
+        n = 0
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            runs.append(time.time() - t0)
+            release_persists()
+        timings[name] = round(sorted(runs)[N_RUNS // 2], 3)
+        print(
+            f"# {name}: {timings[name]:.3f}s median of "
+            f"{'/'.join(f'{r:.2f}' for r in runs)} ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
-from .registry import query
+from .registry import persist_tracked, query
 from .textops import (
     SHINGLES_DUCK,
     SHINGLES_SPARK,
@@ -215,7 +215,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is exact either way.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _hashed_shingles(docs).persist()
+    sh = persist_tracked(_hashed_shingles(docs))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     rare = sh.groupBy("sh60").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= DF_CAP
@@ -342,7 +342,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted: the hashed shingle set (8-byte keys, md5 computed
     # once) feeds the signature aggregate, the per-doc sizes, and both
     # sides of the verify join (4 subtrees).
-    sh = _hashed_shingles(docs).persist()
+    sh = persist_tracked(_hashed_shingles(docs))
     hashed = sh.select("doc_id", (F.col("sh60") % MINHASH_P).alias("h"))
     sig = hashed.groupBy("doc_id").agg(
         *[
@@ -510,9 +510,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Persisted: simhash values feed the band explode and both sides
     # of the hamming join — 3 subtrees over the tf+bitsum chain.
-    sh_val = bitsums.select(
-        "doc_id", F.expr(_simhash_value()).alias("simhash")
-    ).persist()
+    sh_val = persist_tracked(
+        bitsums.select("doc_id", F.expr(_simhash_value()).alias("simhash"))
+    )
     bands = sh_val.select(
         "doc_id",
         F.explode(

@@ -185,21 +185,79 @@ def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_approx_distinct")  # no oracle: HLL sketches are engine-specific
+# Sketch-accuracy contracts the query asserts PER GROUP (and the
+# oracle asserts trivially as TRUE — both sketches are deterministic
+# functions of the data, so the booleans are stable across runs):
+# - HLL++ at default rsd 0.05: estimate within ±10% of the exact count.
+# - approx_percentile at default accuracy 1e4: rank error ≤ n/1e4, so
+#   the returned value must lie between the exact quantiles at
+#   q ± PCT_SLACK (0.01 — 100× the guarantee; value-space bounds via
+#   quantile monotonicity).
+HLL_REL_ERR = 0.10
+PCT_SLACK = 0.01
+
+
+@query(
+    "events_approx_distinct",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(DISTINCT user_id) AS n_exact_users,
+      TRUE AS hll_within_10pct,
+      TRUE AS p50_in_bounds,
+      TRUE AS p95_in_bounds,
+      TRUE AS p99_in_bounds
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) per event type — the
-    constant-memory distinct at 100 TB. No DuckDB oracle: sketch
-    estimates are engine-specific; driver records rows-only. Percentile
-    sketch output is flattened to three scalar columns (the rows-only
-    check still canonicalizes the frame, and list cells break pandas
-    hashing)."""
+    """Sketch aggregates per event type — approx_count_distinct
+    (HyperLogLog++) and approx_percentile (Greenwald-Khanna), the
+    constant-memory distinct/quantile pair every 100 TB pipeline
+    relies on — made FULLY oracle-checkable: sketch estimates are
+    engine-specific numbers DuckDB cannot reproduce, so the query
+    emits the exact values (hash-compared) plus per-group booleans
+    asserting the sketch landed inside its accuracy contract (the
+    oracle emits TRUE). Both sketches are deterministic given the
+    data, so the booleans are stable; a Spark regression that blew
+    the error bound would flip a cell and fail the hash compare.
+
+    Plan: ONE hash aggregate computes the exact distinct, both
+    sketches, and the exact bounding percentiles together — the
+    sketches still execute for real; the exact columns ride along at
+    this scale's cost (at 100 TB a user would drop them and keep the
+    sketch-only plan, which this query also exercises)."""
     ev = load_table(spark, sf_dir, "events")
-    pcts = F.expr("approx_percentile(value, array(0.5, 0.95, 0.99))")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.element_at(pcts, 1).alias("value_p50"),
-        F.element_at(pcts, 2).alias("value_p95"),
-        F.element_at(pcts, 3).alias("value_p99"),
+    apcts = F.expr("approx_percentile(value, array(0.5, 0.95, 0.99))")
+    lo = [0.5 - PCT_SLACK, 0.95 - PCT_SLACK, 0.99 - PCT_SLACK]
+    hi = [0.5 + PCT_SLACK, 0.95 + PCT_SLACK, 1.0]
+    bounds = F.expr(
+        "percentile(value, array(" + ", ".join(repr(q) for q in lo + hi) + "))"
+    )
+    g = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact_users"),
+        F.approx_count_distinct("user_id").alias("_hll"),
+        apcts.alias("_ap"),
+        bounds.alias("_bp"),
+    )
+    within = (
+        F.abs(F.col("_hll") - F.col("n_exact_users"))
+        <= F.col("n_exact_users") * HLL_REL_ERR
+    )
+
+    def in_bounds(i: int):
+        return (F.element_at("_ap", i) >= F.element_at("_bp", i)) & (
+            F.element_at("_ap", i) <= F.element_at("_bp", i + 3)
+        )
+
+    return g.select(
+        "event_type",
+        "n_exact_users",
+        within.alias("hll_within_10pct"),
+        in_bounds(1).alias("p50_in_bounds"),
+        in_bounds(2).alias("p95_in_bounds"),
+        in_bounds(3).alias("p99_in_bounds"),
     )
 
 

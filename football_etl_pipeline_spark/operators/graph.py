@@ -44,6 +44,7 @@ def connected_components(edges: DataFrame, src: str = "a_id", dst: str = "b_id")
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(MAX_ITERATIONS):
         # candidate label per node: min over neighbors' labels
         neighbor_min = (
@@ -70,7 +71,15 @@ def connected_components(edges: DataFrame, src: str = "a_id", dst: str = "b_id")
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Non-fixpoint labels are WRONG labels — never return them as
+        # if they were components.
+        raise RuntimeError(
+            f"connected_components did not converge in {MAX_ITERATIONS} "
+            "iterations (graph diameter exceeds the bound)"
+        )
     return labels
 
 
@@ -118,6 +127,7 @@ def connected_components_star(
         return (row.n, row.h)
 
     prev = checksum(e)
+    converged = False
     for _ in range(max_iter):
         # Large-star: m(x) = min(N(x) ∪ {x}); emit (v, m) for v > x.
         sym = e.select("u", "v").union(
@@ -149,8 +159,14 @@ def connected_components_star(
         e = small
         cur = checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — refusing to return possibly non-fixpoint labels"
+        )
 
     labels = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("label"))
     return all_nodes.join(labels, "node", "left").select(

@@ -25,6 +25,39 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# ---- persisted-frame lifecycle ---------------------------------------
+#
+# Several operators persist() an intermediate frame that multiple plan
+# subtrees read (shingle sets, simhash values, IVF affinities). The
+# persist must outlive the operator function — the caller triggers the
+# action later — so a try/finally inside the operator would defeat it.
+# Instead every such persist is *tracked*, and harnesses (bench,
+# verify, the driver adapter) call release_persists() once the
+# previous query's action has run. Without this, a long session
+# accumulates cached frames and later queries pay the memory/GC bill
+# (measured 2.4× inflation on BENCH_r02 tail queries).
+
+_LIVE_PERSISTS: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """``df.persist()`` registered for later bulk release."""
+    df.persist()
+    _LIVE_PERSISTS.append(df)
+    return df
+
+
+def release_persists() -> int:
+    """Unpersist every tracked frame; returns how many were released.
+
+    Safe to call at any point where no returned-but-unexecuted plan
+    still needs the cache (i.e. after the previous query's action)."""
+    n = len(_LIVE_PERSISTS)
+    for df in _LIVE_PERSISTS:
+        df.unpersist()
+    _LIVE_PERSISTS.clear()
+    return n
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query operator and (optionally) its oracle."""

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
-from .registry import query
+from .registry import persist_tracked, query
 from .textops import hash60_duck, hash60_spark
 
 DIM = 64
@@ -277,10 +277,11 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle); candidate generation is an equality join on
     (table, bucket); scoring joins back to the vectors only for the
     DISTINCT candidate pairs."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn("nrm", F.expr(_norm_spark("v"))).persist()
+    e = persist_tracked(
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", F.expr(_norm_spark("v")))
+    )
     tables = []
     for t in range(ANN_TABLES):
         bits = " + ".join(
@@ -403,11 +404,11 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcell = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("c_id").asc()
     )
-    aff = (
+    aff = persist_tracked(  # feeds both the assignment and the query-probe sides
         e.join(F.broadcast(cent))
         .withColumn("ccos", ccos)
         .withColumn("crank", F.row_number().over(wcell))
-    ).persist()  # feeds both the assignment and the query-probe sides
+    )
     assign = aff.filter(F.col("crank") == 1).select(
         "vec_id", "v", "nrm", F.col("c_id").alias("cell")
     )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
-from .registry import query
+from .registry import persist_tracked, query
 
 # Shared vocabulary for stopword/marker metrics. Tuple order matters
 # only for readability; membership tests are order-free.
@@ -689,7 +689,7 @@ PACK_SHARDS = 32      # independent packing shards
 )
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: concatenate the corpus token stream (in
-    doc_id order) and chop it into fixed {PACK_CONTEXT}-token windows —
+    doc_id order) and chop it into fixed PACK_CONTEXT-token (2048) windows —
     every doc gets its pack id, intra-pack offset, and a straddle flag
     (crosses a window boundary), the bookkeeping a pretraining loader
     needs to pack sequences without padding waste.
@@ -752,7 +752,7 @@ SAMPLE_K = 20  # survivors per source stratum
     """,
 )
 def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sample: exactly {SAMPLE_K} docs per
+    """Deterministic stratified sample: exactly SAMPLE_K (20) docs per
     source, chosen by ranking on ``md5(text)`` — a content-keyed
     pseudo-random order that is identical on every engine and every
     rerun (no RNG seed to disagree about), which is what makes
@@ -828,7 +828,7 @@ def _ngrams_duck(n: int, toks: str = "toks") -> str:
 )
 def text_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag every training document that
-    shares at least one distinct word-{CONTAM_N}-gram with the
+    shares at least one distinct word-CONTAM_N-gram (5-gram) with the
     held-out benchmark set (here: docs with ``doc_id % 100 <
     EVAL_PCT``), with the overlap count and contamination ratio —
     the screen run before any pretraining corpus ships.
@@ -847,7 +847,7 @@ def text_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .textops import hash60_spark  # self-import safe at module level
 
-    grams = (
+    grams = persist_tracked(  # feeds the eval set, the train side, and sizes
         docs.select("doc_id", F.expr(TOKENS_SPARK).alias("toks"))
         .select(
             "doc_id",
@@ -858,7 +858,6 @@ def text_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g"),
         )
-        .persist()  # feeds the eval set, the train side, and sizes
     )
     eval_grams = (
         grams.filter(F.col("doc_id") % 100 < EVAL_PCT).select("g").distinct()

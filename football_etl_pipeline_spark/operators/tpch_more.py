@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum
 from ..sources.testdata import load_table
-from .registry import query
+from .registry import persist_tracked, query
 
 _NET = "l_extendedprice * (1 - l_discount)"
 
@@ -492,7 +492,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus") == "F"
     )
     li = load_table(spark, sf_dir, "lineitem")
-    l = (
+    l = persist_tracked(
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
             "l_orderkey",
@@ -501,7 +501,6 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
             ).alias("is_late"),
         )
-        .persist()
     )
     l1 = l.filter("is_late").alias("l1")
     other = l.select("l_orderkey", "l_suppkey").alias("l2")

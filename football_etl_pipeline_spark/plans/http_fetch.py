@@ -90,8 +90,13 @@ def http_get_json(
     """GET → JSON with urllib3-Retry-equivalent behavior.
 
     Retries forcelist statuses and transport errors with exponential
-    backoff; any other non-2xx raises immediately (the reference's
-    ``raise_for_status``)."""
+    backoff; any other status ≥ 400 raises immediately (the
+    reference's ``raise_for_status``). Statuses in 300-399 never
+    reach this layer from the real transport — urllib follows
+    redirects internally — so the injectable-transport contract is
+    2xx/4xx/5xx only; a 3xx from an injected transport raises with
+    an explicit contract-violation message rather than being treated
+    as an error response."""
     policy = policy or RetryPolicy()
     transport = transport or _urllib_transport
     if params:
@@ -113,6 +118,12 @@ def http_get_json(
                     return json.loads(body.decode("utf-8"))
                 except (ValueError, UnicodeDecodeError) as e:
                     raise HttpFetchError(f"invalid JSON body: {e}", status)
+            if 300 <= status < 400:
+                raise HttpFetchError(
+                    f"unexpected 3xx from injected transport ({status}) for"
+                    f" {url}: the real transport follows redirects itself",
+                    status,
+                )
             if status not in policy.status_forcelist:
                 raise HttpFetchError(f"HTTP {status} for {url}", status)
             errors += 1
@@ -202,13 +213,18 @@ def make_http_fetcher(
                 transport=transport,
                 sleep=sleep,
             )
-        return fetch_apisports_data(
-            key,
-            endpoint,
-            {"league": league_id, "season": season},
-            policy=policy,
-            transport=transport,
-            sleep=sleep,
-        )
+        if api_name == "apisports":
+            return fetch_apisports_data(
+                key,
+                endpoint,
+                {"league": league_id, "season": season},
+                policy=policy,
+                transport=transport,
+                sleep=sleep,
+            )
+        # Unknown api names must not fall through to either client — a
+        # typo'd name with a configured key would silently send that
+        # key to the wrong host.
+        raise HttpFetchError(f"unknown api name {api_name!r}")
 
     return fetcher

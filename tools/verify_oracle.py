@@ -24,17 +24,25 @@ def non_canonical_types(rows) -> set[str]:
     when str-equal across engines: Decimal hashes differently than the
     float64 the DuckDB client yields, and list/dict cells are
     unhashable. A local pass must imply a driver pass, so these are
-    hard failures here (checked on a row sample — types are uniform
-    per column)."""
+    hard failures here. Types are uniform per column except for NULLs,
+    so each column is judged by its first NON-NULL cell — scanning
+    however deep that takes (a leading-NULL column must not escape
+    the gate)."""
     import decimal
 
     bad: set[str] = set()
-    for r in rows[:5]:
-        for v in r:
+    if not rows:
+        return bad
+    for i in range(len(rows[0])):
+        for r in rows:
+            v = r[i]
+            if v is None:
+                continue
             if isinstance(v, decimal.Decimal):
                 bad.add("Decimal")
             elif isinstance(v, (list, tuple, dict, set)):
                 bad.add(type(v).__name__)
+            break  # first non-null cell decides the column
     return bad
 
 
