@@ -1,0 +1,107 @@
+"""Recall ground-truth tests for the banded near-dup operators.
+
+The driver's oracle mirrors each operator's bucketing contract, so a
+green CORRECTNESS row proves Spark == DuckDB but NOT that the
+bucketing finds every true pair. These tests close that gap by
+comparing banded output against brute-force ground truth computed
+from the same signatures.
+
+dedup_simhash's two-level banding claims EXACT recall at radius ≤ 2
+(pigeonhole: 4 bands, ≤ 2 differing bits ⇒ ≥ 2 clean bands, and a
+pair surfacing only through a hot bucket still shares a second band
+for the composite key) — so the assertion is set equality, not a
+recall floor. Measured band occupancies: sf0.01 tops out at 27
+(below SIMHASH_HOT_CAP=32 — cold path only), sf0.1 reaches 216, so
+the sf0.1 case is the one that actually exercises the hot-bucket
+composite-key join; both run here.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from football_etl_pipeline_spark.operators.dedup import (
+    SIMHASH_BAND_BITS,
+    SIMHASH_BAND_MASK,
+    SIMHASH_BANDS,
+    SIMHASH_HOT_CAP,
+    SIMHASH_RADIUS,
+    TOKENS_SPARK,
+    _simhash_bit_sums,
+    _simhash_value,
+    dedup_simhash,
+    hash60_spark,
+)
+from football_etl_pipeline_spark.operators.registry import release_persists
+from football_etl_pipeline_spark.sources.testdata import load_table
+
+
+def _simhash_values(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hashed = tf.select("doc_id", "cnt", F.expr(hash60_spark("tok")).alias("th"))
+    bitsums = hashed.groupBy("doc_id").agg(
+        *[F.expr(e).alias(f"s{b}") for b, e in enumerate(_simhash_bit_sums("spark"))]
+    )
+    return bitsums.select("doc_id", F.expr(_simhash_value()).alias("simhash"))
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_simhash_two_level_banding_has_exact_recall(spark, sf_dir):
+    """Banded output == brute-force radius-2 pairs (no misses, no
+    extras) — the two-level hot-bucket rung must be lossless."""
+    out = {
+        (r.a_id, r.b_id)
+        for r in dedup_simhash(spark, sf_dir).select("a_id", "b_id").collect()
+    }
+    sh = _simhash_values(spark, sf_dir).persist()
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    truth = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= SIMHASH_RADIUS)
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .collect()
+    }
+    sh.unpersist()
+    release_persists()
+    assert out == truth
+    assert truth, "ground truth empty — planted near-dups missing?"
+
+
+def test_simhash_hot_path_is_exercised(spark):
+    """At sf0.1 some buckets must exceed the cap, or the composite-key
+    join is dead code and the recall test above proves nothing about
+    it."""
+    sh = _simhash_values(spark, "/root/testdata/sf0.1")
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * i)
+                        .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
+                        .alias("bkey"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("bd.band_id", "bd.bkey")
+    max_occ = (
+        bands.groupBy("band_id", "bkey")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .agg(F.max("occ"))
+        .collect()[0][0]
+    )
+    assert max_occ > SIMHASH_HOT_CAP
