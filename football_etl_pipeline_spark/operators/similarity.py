@@ -597,3 +597,258 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * float(KMEANS_MICRO))
         ).alias("centroid"),
     )
+
+
+# ---- multi-iteration k-means training + trained-centroid IVF ---------
+
+KMEANS_ITERS = 3  # fixed iteration count keeps the DuckDB oracle expressible
+
+
+def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", F.expr(_norm_spark("v")))
+    )
+
+
+def _cent_df(spark: SparkSession, cents: dict[int, list[float]]) -> DataFrame:
+    """Broadcastable centroid frame from driver-side vectors. Doubles
+    round-trip exactly through collect/createDataFrame, so the values
+    are bit-identical to what the oracle computes in-engine."""
+    rows = [(int(c), [float(x) for x in vec]) for c, vec in sorted(cents.items())]
+    df = spark.createDataFrame(rows, "c_id bigint, cv array<double>")
+    return df.withColumn("cnrm", F.expr(_norm_spark("cv")))
+
+
+def _assign_cells(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, v, cell): nearest-centroid assignment by cosine, ties
+    broken on c_id — the shared pass of ann_ivf / kmeans."""
+    ccos = F.expr(_dot_spark("v", "cv")) / (F.col("nrm") * F.col("cnrm"))
+    wcell = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("c_id").asc()
+    )
+    return (
+        e.join(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("crank", F.row_number().over(wcell))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "v", F.col("c_id").alias("cell"))
+    )
+
+
+def _cell_dim_means(assign: DataFrame) -> DataFrame:
+    """(cell, dim, n_members, sum_micro, centroid): exact nano-unit
+    member means per centroid dimension."""
+    dims = assign.select("cell", F.posexplode("v").alias("dim", "val")).select(
+        "cell",
+        "dim",
+        F.floor(F.col("val") * KMEANS_MICRO).cast("bigint").alias("micro"),
+    )
+    return dims.groupBy("cell", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("micro").alias("sum_micro"),
+        (
+            F.sum("micro").cast("double")
+            / (F.count(F.lit(1)) * float(KMEANS_MICRO))
+        ).alias("centroid"),
+    )
+
+
+def _train_centroids(
+    spark: SparkSession, e: DataFrame, iters: int
+) -> dict[int, list[float]]:
+    """Lloyd's algorithm driver loop: ``iters`` refinement steps from
+    the first-K seed. Each step is one broadcast-assignment scan plus
+    ONE partial-agg shuffle of K·DIM groups; only K·DIM rows ever
+    reach the driver per step (the graph.py convergence-checksum shape
+    — at 100 TB the collect is 512 rows, not data). Empty cells keep
+    their previous centroid. Division ``sum_micro / (n · 1e9)`` on
+    exactly-representable ints matches both engines' double division
+    bit-for-bit, so trained centroids are oracle-exact."""
+    seed = e.filter(F.col("vec_id") < IVF_K).select("vec_id", "v").collect()
+    cents = {int(r.vec_id): list(r.v) for r in seed}
+    for _ in range(iters):
+        means = _cell_dim_means(_assign_cells(e, _cent_df(spark, cents)))
+        nxt: dict[int, list[float]] = {}
+        for r in means.collect():
+            nxt.setdefault(int(r.cell), [0.0] * DIM)[r.dim] = r.sum_micro / (
+                r.n_members * KMEANS_MICRO
+            )
+        merged = dict(cents)
+        merged.update(nxt)
+        cents = merged
+    return cents
+
+
+def _kmeans_cte_chain(iters: int) -> tuple[str, str, str]:
+    """DuckDB CTE chain unrolling ``iters`` Lloyd steps. Returns
+    (with_body, last_means_cte, last_cent_cte) — last_cent_cte is the
+    centroid set AFTER the final step (empty cells kept), ready for an
+    IVF search; last_means_cte is the final step's per-(cell, dim)
+    aggregate."""
+    parts = [
+        f"e AS ({_NORMED_DUCK})",
+        f"cent0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm"
+        f" FROM e WHERE vec_id < {IVF_K})",
+    ]
+    prev = "cent0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""aff{i} AS (
+      SELECT e.vec_id, e.v, c.c_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_dot_duck("e.v", "c.cv")} / (e.nrm * c.cnrm) DESC,
+                        c.c_id ASC
+             ) AS crank
+      FROM e CROSS JOIN {prev} c
+    )"""
+        )
+        parts.append(
+            f"assign{i} AS (SELECT vec_id, v, c_id AS cell FROM aff{i} WHERE crank = 1)"
+        )
+        parts.append(
+            f"""means{i} AS (
+      SELECT cell, d.d AS dim,
+             COUNT(*) AS n_members,
+             SUM(CAST(FLOOR(v[d.d + 1] * {KMEANS_MICRO}) AS BIGINT))::BIGINT AS sum_micro,
+             CAST(SUM(CAST(FLOOR(v[d.d + 1] * {KMEANS_MICRO}) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * {KMEANS_MICRO}.0) AS centroid
+      FROM assign{i}, LATERAL (SELECT unnest(range({DIM})) AS d) d
+      GROUP BY cell, dim
+    )"""
+        )
+        parts.append(
+            f"""cent{i} AS (
+      SELECT c.c_id, COALESCE(m.cv, c.cv) AS cv,
+             sqrt({_dot_duck("COALESCE(m.cv, c.cv)", "COALESCE(m.cv, c.cv)")}) AS cnrm
+      FROM {prev} c
+      LEFT JOIN (SELECT cell, list(centroid ORDER BY dim) AS cv
+                 FROM means{i} GROUP BY cell) m
+        ON m.cell = c.c_id
+    )"""
+        )
+        prev = f"cent{i}"
+    return ",\n    ".join(parts), f"means{iters}", prev
+
+
+def _kmeans_train_oracle() -> str:
+    body, last_means, _ = _kmeans_cte_chain(KMEANS_ITERS)
+    return f"""
+    WITH {body}
+    SELECT cell, dim, n_members, sum_micro, centroid FROM {last_means}
+    """
+
+
+@query("embedding_kmeans_train", oracle=_kmeans_train_oracle())
+def embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-means training for the IVF coarse quantizer:
+    KMEANS_ITERS (3) Lloyd steps from the first-K seed — the offline
+    loop ``embedding_kmeans_step``'s docstring promises, as one
+    operator. Output is the final step's per-(cell, dim) aggregate
+    (same schema as the single step, so step == train at ITERS=1).
+
+    The iteration count is FIXED, which is what keeps a driver-loop
+    algorithm SQL-expressible: the oracle unrolls the same three
+    assignment→mean rounds as CTEs and must land on bit-identical
+    centroids each round for the final hash compare to pass — so this
+    green row certifies the whole training trajectory, not just the
+    last step. Scale: per step, one broadcast(K) scan + one K·DIM-
+    group shuffle; driver traffic is K·DIM rows per step."""
+    e = persist_tracked(_normed(spark, sf_dir))
+    cents = _train_centroids(spark, e, KMEANS_ITERS - 1)
+    return _cell_dim_means(_assign_cells(e, _cent_df(spark, cents)))
+
+
+def _ivf_trained_oracle() -> str:
+    body, _, last_cent = _kmeans_cte_chain(KMEANS_ITERS)
+    return f"""
+    WITH {body},
+    aff AS (
+      SELECT e.vec_id, e.v, e.nrm, c.c_id,
+             {_dot_duck("e.v", "c.cv")} / (e.nrm * c.cnrm) AS ccos,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_dot_duck("e.v", "c.cv")} / (e.nrm * c.cnrm) DESC,
+                        c.c_id ASC
+             ) AS crank
+      FROM e CROSS JOIN {last_cent} c
+    ),
+    assign AS (SELECT vec_id, v, nrm, c_id AS cell FROM aff WHERE crank = 1),
+    qcells AS (
+      SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, c_id AS cell
+      FROM aff WHERE vec_id < {N_QUERIES} AND crank <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT q.q_id AS query_id, a.vec_id AS neighbor_id,
+             {_dot_duck("q.qv", "a.v")} / (q.qnrm * a.nrm) AS cosine
+      FROM qcells q JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(CAST(cosine AS DECIMAL(18,6)) AS DOUBLE) AS cosine, rnk
+    FROM ranked WHERE rnk <= {IVF_TOPK}
+    """
+
+
+@query("similarity_ann_ivf_trained", oracle=_ivf_trained_oracle())
+def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN over TRAINED centroids: the KMEANS_ITERS-step
+    Lloyd loop replaces ``similarity_ann_ivf``'s first-K seed, then
+    the identical nprobe-3 search runs — the production IVF shape
+    (train offline, broadcast the small trained codebook, search).
+    tests/test_ann_recall.py asserts trained centroids reach at least
+    the seed quantizer's recall at equal nprobe with bounded
+    candidate volume; the oracle replays training AND search, so the
+    green row certifies both."""
+    e = persist_tracked(_normed(spark, sf_dir))
+    cents = _train_centroids(spark, e, KMEANS_ITERS)
+    cent = _cent_df(spark, cents)
+    ccos = F.expr(_dot_spark("v", "cv")) / (F.col("nrm") * F.col("cnrm"))
+    wcell = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("c_id").asc()
+    )
+    aff = persist_tracked(
+        e.join(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("crank", F.row_number().over(wcell))
+    )
+    assign = aff.filter(F.col("crank") == 1).select(
+        "vec_id", "v", "nrm", F.col("c_id").alias("cell")
+    )
+    qcells = aff.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("c_id").alias("cell"),
+    )
+    qcos = F.expr(_dot_spark("qv", "v")) / (F.col("qnrm") * F.col("nrm"))
+    scored = (
+        F.broadcast(qcells)
+        .join(assign, (qcells.cell == assign.cell) & (assign.vec_id != qcells.q_id))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            qcos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= IVF_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cosine").cast("decimal(18,6)").cast("double").alias("cosine"),
+            "rnk",
+        )
+    )
