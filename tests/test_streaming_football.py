@@ -1,0 +1,102 @@
+"""Streaming landing-dir ingestion == batch transform equivalence.
+
+Stage fixture payloads into the reference landing layout, drain the
+file stream with availableNow, and the warehouse content must equal
+the batch ``run_transform`` on the same files — including the
+group-level dead-letter channel. A second staging pass then proves
+incrementality: only the NEW files are processed (checkpointed file
+tracking), and the combined warehouse equals batch-on-everything.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+
+from .fixtures_football import (
+    LEAGUE,
+    SEASON,
+    apifootball_standings,
+    apifootball_teams,
+    stage,
+)
+
+from football_etl_pipeline_spark.plans.pipeline import run_transform
+from football_etl_pipeline_spark.streaming.football_stream import (
+    run_streaming_transform,
+)
+
+API = "apifootball"
+
+
+def _warehouse_rows(spark, warehouse):
+    dirs = sorted(glob.glob(warehouse + "/batch_id=*"))
+    if not dirs:
+        return []
+    df = spark.read.parquet(*dirs).drop("update_timestamp")
+    return sorted(map(tuple, df.collect()))
+
+
+def _batch_rows(spark, files):
+    res = run_transform(spark, API, sorted(files))
+    return sorted(map(tuple, res.good.drop("update_timestamp").collect()))
+
+
+def test_streaming_landing_matches_batch_and_is_incremental(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    warehouse = str(tmp_path / "warehouse")
+    dead = str(tmp_path / "dead")
+    ck = str(tmp_path / "ck")
+
+    first = [
+        stage(landing, API, "teams", apifootball_teams()),
+        stage(landing, API, "standings", apifootball_standings()),
+    ]
+    q = run_streaming_transform(spark, API, landing, warehouse, dead, ck)
+    q.awaitTermination(300)
+    got1 = _warehouse_rows(spark, warehouse)
+    assert got1 == _batch_rows(spark, first)
+    assert len(got1) == 3  # the fixture league's three teams
+
+    # Second arrival: same payloads staged for ANOTHER league — only
+    # the new files may be processed (new batch_id dir, 3 new rows).
+    second = [
+        stage(landing, API, "teams", apifootball_teams(), league=LEAGUE + 1,
+              filename="run2_2024-01-02.json"),
+        stage(landing, API, "standings", apifootball_standings(),
+              league=LEAGUE + 1, filename="run2_2024-01-02.json"),
+    ]
+    n_dirs_before = len(glob.glob(warehouse + "/batch_id=*"))
+    q = run_streaming_transform(spark, API, landing, warehouse, dead, ck)
+    q.awaitTermination(300)
+    assert len(glob.glob(warehouse + "/batch_id=*")) == n_dirs_before + 1
+    assert _warehouse_rows(spark, warehouse) == _batch_rows(spark, first + second)
+
+
+def test_streaming_landing_dead_letters_malformed_group(spark, tmp_path):
+    """A malformed standings file dead-letters its whole group through
+    the streaming path, with the reference's record shape (PK, files,
+    error) — and the good group still lands."""
+    landing = str(tmp_path / "landing")
+    warehouse = str(tmp_path / "warehouse")
+    dead = str(tmp_path / "dead")
+    ck = str(tmp_path / "ck")
+
+    stage(landing, API, "teams", apifootball_teams())
+    stage(landing, API, "standings", apifootball_standings())
+    bad_season = SEASON + 1
+    stage(landing, API, "teams", apifootball_teams(), season=bad_season)
+    stage(landing, API, "standings", "{not valid json", season=bad_season)
+
+    q = run_streaming_transform(spark, API, landing, warehouse, dead, ck)
+    q.awaitTermination(300)
+
+    assert len(_warehouse_rows(spark, warehouse)) == 3  # good group only
+    records = []
+    for f in glob.glob(dead + "/batch_id=*/part-*.json"):
+        with open(f) as fh:
+            records += [json.loads(line) for line in fh if line.strip()]
+    assert len(records) == 1
+    assert records[0]["PK"] == f"{bad_season}-{LEAGUE}"
+    assert "malformed JSON" in records[0]["error"]
+    assert len(records[0]["files"]) == 2  # both files of the failed group

@@ -22,7 +22,10 @@ import glob
 import pytest
 
 from football_etl_pipeline_spark.streaming.events_stream import (
+    deduped_stream,
     read_events_stream,
+    sessionized,
+    sliding_counts,
     start_to_memory,
     stateful_user_totals,
     view_to_purchase_join,
@@ -154,4 +157,152 @@ def test_windowed_counts_match_duckdb_oracle(spark, events_json, tmp_path):
             """
         ).fetchall()
     }
+    assert got == want and len(got) > 0
+
+
+def test_sliding_counts_match_duckdb_oracle(spark, events_json, tmp_path):
+    """Sliding (10-min span / 5-min slide) watermarked aggregation ==
+    DuckDB over the same JSON with each event expanded into its TWO
+    containing windows (starts at bucket and bucket − 5 min), again
+    restricted to windows the final watermark closed."""
+    import duckdb
+
+    src, part = events_json
+    q = start_to_memory(
+        sliding_counts(read_events_stream(spark, src)),
+        "oracle_slide",
+        str(tmp_path / "ck4"),
+        "append",
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.window_start.isoformat(), r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM oracle_slide").collect()
+    }
+    want = {
+        (ws.isoformat(), et): int(n)
+        for ws, et, n in duckdb.sql(
+            f"""
+            WITH ev AS (
+              SELECT ts::TIMESTAMP AS ts, event_type
+              FROM read_json_auto('{part}')
+            ), x AS (
+              SELECT time_bucket(INTERVAL '5 minutes', ts) AS b, event_type
+              FROM ev
+            ), w AS (
+              SELECT b AS ws, event_type FROM x
+              UNION ALL
+              SELECT b - INTERVAL '5 minutes' AS ws, event_type FROM x
+            )
+            SELECT ws, event_type, COUNT(*) AS n
+            FROM w
+            GROUP BY 1, 2
+            HAVING ws + INTERVAL '10 minutes'
+                     <= (SELECT MAX(ts) FROM ev) - INTERVAL '10 minutes'
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_sessionized_matches_duckdb_oracle(spark, events_json, tmp_path):
+    """Built-in session_window (30-min gap) streamed over the real
+    corpus == DuckDB lag-gap sessionization on the same JSON.
+    Spark's session interval is [first, last + gap) with end-EXCLUSIVE
+    merging, so the oracle starts a new session when the gap is
+    >= 30 min (not >); emitted sessions are those whose end the final
+    watermark passed."""
+    import duckdb
+
+    src, part = events_json
+    q = start_to_memory(
+        sessionized(read_events_stream(spark, src)),
+        "oracle_sess",
+        str(tmp_path / "ck5"),
+        "append",
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (
+            r.user_id,
+            r.session_start.isoformat(),
+            r.session_end.isoformat(),
+            r.n_events,
+            r.first_ts.isoformat(),
+            r.last_ts.isoformat(),
+        )
+        for r in spark.sql("SELECT * FROM oracle_sess").collect()
+    )
+    want = sorted(
+        (int(u), ss.isoformat(), se.isoformat(), int(n), f.isoformat(), l.isoformat())
+        for u, ss, se, n, f, l in duckdb.sql(
+            f"""
+            WITH ev AS (
+              SELECT user_id, ts::TIMESTAMP AS ts FROM read_json_auto('{part}')
+            ), seq AS (
+              SELECT user_id, ts,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                            OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM seq
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS first_ts,
+                   MAX(ts) AS last_ts
+            FROM sess
+            GROUP BY user_id, sid
+            HAVING MAX(ts) + INTERVAL 30 MINUTE
+                     <= (SELECT MAX(ts) FROM ev) - INTERVAL 10 MINUTE
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_deduped_stream_matches_duckdb_oracle(spark, events_json, tmp_path):
+    """At-least-once redelivery on real data: the corpus JSON is
+    delivered TWICE (two copies in the landing dir, both inside one
+    micro-batch), and dropDuplicatesWithinWatermark must emit exactly
+    DuckDB's DISTINCT event_id set over the doubled input — every
+    event once, no redelivered copy surviving."""
+    import shutil
+
+    import duckdb
+
+    src, part = events_json
+    dup_dir = tmp_path / "dup_src"
+    dup_dir.mkdir()
+    shutil.copy(part, dup_dir / "a.json")
+    shutil.copy(part, dup_dir / "b.json")
+    q = start_to_memory(
+        deduped_stream(read_events_stream(spark, str(dup_dir))),
+        "oracle_dedup",
+        str(tmp_path / "ck6"),
+        "append",
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        r.event_id for r in spark.sql("SELECT event_id FROM oracle_dedup").collect()
+    )
+    n_in, n_distinct = duckdb.sql(
+        f"SELECT COUNT(*), COUNT(DISTINCT event_id) "
+        f"FROM read_json_auto(['{dup_dir}/a.json', '{dup_dir}/b.json'])"
+    ).fetchone()
+    want = sorted(
+        int(e)
+        for (e,) in duckdb.sql(
+            f"SELECT DISTINCT event_id "
+            f"FROM read_json_auto(['{dup_dir}/a.json', '{dup_dir}/b.json'])"
+        ).fetchall()
+    )
+    assert int(n_in) == 2 * int(n_distinct)  # the redelivery really happened
     assert got == want and len(got) > 0
