@@ -53,6 +53,15 @@ HEADLINE = [
     "events_multi_rollup",
     "window_range_frame_30d",
     "multimodal_decode_features",
+    # round-3 additions (per-query comparability with earlier rounds
+    # holds on the shared prefix; totals are comparable from r3 on)
+    "dedup_embedding_ivf",
+    "dedup_incremental",
+    "text_repetition_stats",
+    "text_distinctive_terms",
+    "embedding_kmeans_train",
+    "similarity_ann_ivf_trained",
+    "similarity_hard_negatives",
 ]
 
 

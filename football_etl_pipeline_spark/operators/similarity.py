@@ -852,3 +852,85 @@ def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---- hard-negative mining --------------------------------------------
+
+HARDNEG_K = 5
+
+
+@query(
+    "similarity_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_norm_duck("(embedding::DOUBLE[])")} AS nrm,
+             label
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT
+        q.vec_id AS query_id,
+        e.vec_id AS neighbor_id,
+        e.label AS neighbor_label,
+        {_dot_duck("q.v", "e.v")} / (q.nrm * e.nrm) AS cosine
+      FROM q JOIN e ON e.label <> q.label
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neighbor_label,
+           CAST(CAST(cosine AS DECIMAL(18,6)) AS DOUBLE) AS cosine, rnk
+    FROM ranked WHERE rnk <= {HARDNEG_K}
+    """,
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each standing
+    query vector, the HARDNEG_K most-similar vectors with a DIFFERENT
+    label — maximally confusable negatives, the selection step behind
+    every dense-retriever / embedding-model training pipeline.
+
+    Plan: identical to ``similarity_topk_bruteforce`` (broadcast query
+    side, one corpus scan, per-query top-k window) with the label
+    inequality folded into the broadcast join condition, so mismatched
+    labels are dropped before scoring. At scale the same predicate
+    rides any of the bucketed ANN variants — the blocking is
+    orthogonal to the label filter."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            "label",
+        )
+        .withColumn("nrm", F.expr(_norm_spark("v")))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    cos = F.expr(_dot_spark("q.v", "e.v")) / (F.col("q.nrm") * F.col("e.nrm"))
+    scored = (
+        F.broadcast(q.alias("q"))
+        .join(e.alias("e"), F.col("e.label") != F.col("q.label"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("e.vec_id").alias("neighbor_id"),
+            F.col("e.label").alias("neighbor_label"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HARDNEG_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.col("cosine").cast("decimal(18,6)").cast("double").alias("cosine"),
+            "rnk",
+        )
+    )

@@ -936,3 +936,192 @@ def text_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", F.col("q").cast("double").alias("quality"), "pr"
         )
     )
+
+
+# ---- repetition stats (gopher-style quality rules) -------------------
+
+REPET_N = 3            # n-gram width for the duplicate-gram rule
+REPET_GATE_MICRO = 200_000  # 20% in micro units — the flag threshold
+
+
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             {_ngrams_duck(REPET_N)} AS grams
+      FROM t
+    ), gs AS (
+      SELECT doc_id, n_tokens, len(grams) AS n_grams,
+             len(list_distinct(grams)) AS n_distinct_grams
+      FROM g
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      GROUP BY 1, 2
+    ), tt AS (
+      SELECT doc_id, MAX(cnt) AS top_cnt FROM tf GROUP BY doc_id
+    ), m AS (
+      SELECT gs.doc_id,
+             gs.n_tokens::BIGINT AS n_tokens,
+             gs.n_grams::BIGINT AS n_grams,
+             gs.n_distinct_grams::BIGINT AS n_distinct_grams,
+             tt.top_cnt::BIGINT AS top_token_cnt,
+             CAST(CASE WHEN gs.n_grams = 0 THEN 0
+                  ELSE ((gs.n_grams - gs.n_distinct_grams) * 1000000) // gs.n_grams
+                  END AS BIGINT) AS dup_micro,
+             CAST((tt.top_cnt * 1000000) // gs.n_tokens AS BIGINT) AS top_micro
+      FROM gs JOIN tt ON tt.doc_id = gs.doc_id
+    )
+    SELECT doc_id, n_tokens, n_grams, n_distinct_grams, top_token_cnt,
+           CAST(dup_micro AS DOUBLE) / 1000000.0 AS dup_gram_ratio,
+           CAST(top_micro AS DOUBLE) / 1000000.0 AS top_token_ratio,
+           dup_micro > {REPET_GATE_MICRO} OR top_micro > {REPET_GATE_MICRO}
+             AS is_repetitive
+    FROM m
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality rules (the Gopher-rules family): per doc, the
+    duplicate word-3-gram fraction and the most-frequent-token
+    fraction, with an ``is_repetitive`` flag at 20% on either — the
+    filter that catches boilerplate and looped text which length/
+    stopword heuristics miss.
+
+    Determinism: both ratios are floor'd integer micro-units
+    (``x·10⁶ div n``) before the double division, so there is no
+    decimal rounding-tie surface at any SF. Plan: the gram stats are a
+    pure projection (array_distinct inside codegen, no explode); only
+    the top-token rule needs the one explode + two-level aggregate;
+    one join on doc_id merges them — two shuffles total regardless of
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = docs.select("doc_id", F.expr(TOKENS_SPARK).alias("toks"))
+    gs = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.expr(_ngrams_spark(REPET_N)).alias("grams"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.size("grams").cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct("grams")).cast("bigint").alias("n_distinct_grams"),
+    )
+    tt = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_token_cnt"))
+    )
+    m = gs.join(tt, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_grams",
+        "n_distinct_grams",
+        "top_token_cnt",
+        F.expr(
+            "CAST(CASE WHEN n_grams = 0 THEN 0"
+            " ELSE ((n_grams - n_distinct_grams) * 1000000L) div n_grams"
+            " END AS BIGINT)"
+        ).alias("dup_micro"),
+        F.expr("CAST((top_token_cnt * 1000000L) div n_tokens AS BIGINT)").alias(
+            "top_micro"
+        ),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_grams",
+        "n_distinct_grams",
+        "top_token_cnt",
+        (F.col("dup_micro").cast("double") / 1000000.0).alias("dup_gram_ratio"),
+        (F.col("top_micro").cast("double") / 1000000.0).alias("top_token_ratio"),
+        (
+            (F.col("dup_micro") > REPET_GATE_MICRO)
+            | (F.col("top_micro") > REPET_GATE_MICRO)
+        ).alias("is_repetitive"),
+    )
+
+
+# ---- per-source distinctive terms ------------------------------------
+
+DISTINCTIVE_K = 10
+
+
+@query(
+    "text_distinctive_terms",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {TOKENS_DUCK} AS toks FROM documents
+    ), tf AS (
+      SELECT source, tok, COUNT(*) AS tf
+      FROM (SELECT source, unnest(toks) AS tok FROM t)
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), scored AS (
+      SELECT tf.source, tf.tok, tf.tf, df.df,
+             CAST((tf.tf * 1000000) // df.df AS BIGINT) AS score_micro
+      FROM tf JOIN df ON df.tok = tf.tok
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY score_micro DESC, tok ASC
+      ) AS rnk
+      FROM scored
+    )
+    SELECT source, tok, tf, df,
+           CAST(score_micro AS DOUBLE) / 1000000.0 AS score, rnk
+    FROM ranked WHERE rnk <= {DISTINCTIVE_K}
+    """,
+)
+def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary: rank each source's tokens by
+    ``tf / df`` (term frequency over cross-source document frequency —
+    the exact-rational cousin of tf-idf; ln() is avoided on purpose
+    because libm vs JVM log differ in final ulps and would poison the
+    oracle hash). The corpus-profiling step behind source-mix reports
+    and contamination triage.
+
+    Plan: one explode → (source, token) partial-agg; df is a second
+    tiny aggregate OVER THE TF FRAME (no second corpus scan); the
+    join back is on the token key and the final top-K is a
+    WindowGroupLimit-pruned rank — nothing in the plan holds more
+    than (sources × vocab) rows."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tf = (
+        docs.select("source", F.explode(F.expr(TOKENS_SPARK)).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "tok").select(
+        "source",
+        "tok",
+        "tf",
+        "df",
+        F.expr("CAST((tf * 1000000L) div df AS BIGINT)").alias("score_micro"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("score_micro").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= DISTINCTIVE_K)
+        .select(
+            "source",
+            "tok",
+            "tf",
+            "df",
+            (F.col("score_micro").cast("double") / 1000000.0).alias("score"),
+            "rnk",
+        )
+    )

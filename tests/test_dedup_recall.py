@@ -77,6 +77,74 @@ def test_simhash_two_level_banding_has_exact_recall(spark, sf_dir):
     assert truth, "ground truth empty — planted near-dups missing?"
 
 
+def test_embedding_ivf_dedup_recall_and_candidate_bound(spark):
+    """The IVF-blocked semantic dedup must keep ≥ 0.75 of the exact
+    anchor's pairs at sf0.1 (measured 0.81 at cells=32/nprobe=4 —
+    this corpus's pairs are all borderline ~60° apart, the worst
+    blocking regime) while generating at most half of the n²/2
+    candidate space, so the recall can't come from degenerating into
+    the cross join. Zero false pairs by construction (exact cosine
+    verify), asserted anyway."""
+    from pyspark.sql import Window
+
+    from football_etl_pipeline_spark.operators.dedup import (
+        EMB_DUP_CELLS,
+        EMB_DUP_NPROBE,
+        dedup_embedding_cosine,
+        dedup_embedding_ivf,
+    )
+    from football_etl_pipeline_spark.operators.similarity import (
+        _dot_spark,
+        _normed,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    exact = {
+        (r.a_id, r.b_id)
+        for r in dedup_embedding_cosine(spark, sf).select("a_id", "b_id").collect()
+    }
+    release_persists()
+    got = {
+        (r.a_id, r.b_id)
+        for r in dedup_embedding_ivf(spark, sf).select("a_id", "b_id").collect()
+    }
+    release_persists()
+    assert got <= exact  # exact verify ⇒ no false pairs
+    assert len(got & exact) / len(exact) >= 0.75, (len(got), len(exact))
+
+    e = _normed(spark, sf).persist()
+    n = e.count()
+    cent = e.filter(F.col("vec_id") < EMB_DUP_CELLS).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    ccos = F.expr(_dot_spark("v", "cv")) / (F.col("nrm") * F.col("cnrm"))
+    wcell = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("c_id").asc()
+    )
+    memb = (
+        e.join(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("crank", F.row_number().over(wcell))
+        .filter(F.col("crank") <= EMB_DUP_NPROBE)
+        .select("vec_id", F.col("c_id").alias("cell"))
+    )
+    n_cand = (
+        memb.alias("a")
+        .join(
+            memb.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select("a.vec_id", "b.vec_id")
+        .distinct()
+        .count()
+    )
+    e.unpersist()
+    assert n_cand <= 0.5 * n * (n - 1) / 2, (n_cand, n)
+
+
 def test_simhash_hot_path_is_exercised(spark):
     """At sf0.1 some buckets must exceed the cap, or the composite-key
     join is dead code and the recall test above proves nothing about
