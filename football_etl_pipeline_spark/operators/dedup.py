@@ -792,7 +792,7 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcell = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("c_id").asc()
     )
-    memb = (
+    memb = persist_tracked(  # both self-join sides read the assignment
         e.join(F.broadcast(cent))
         .withColumn("ccos", ccos)
         .withColumn("crank", F.row_number().over(wcell))
