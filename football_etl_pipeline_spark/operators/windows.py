@@ -162,9 +162,9 @@ def window_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
       l_linenumber,
       l_shipdate,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
-             OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
-      / COUNT(*) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      / COUNT(*) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         AS qty_ma7
     FROM lineitem
@@ -173,10 +173,20 @@ def window_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding frame (7-row moving average) per supplier, computed as
     exact decimal sum / count so the sliding-window accumulation order
-    can't drift."""
+    can't drift.
+
+    The sort carries l_quantity as the FINAL tiebreak because the
+    testdata's (l_orderkey, l_linenumber) is NOT unique — at sf0.1,
+    rows exist that share (suppkey, shipdate, orderkey, linenumber)
+    with different quantities, and a ROWS frame over an ambiguous
+    order put engine-dependent quantities in the 7-row window
+    (measured: two tied rows differing by 3 units → a 3/7 drift in
+    qty_ma7). With quantity in the key, the quantity SEQUENCE is
+    total even where row identity isn't, so the frame sums — and the
+    output multiset — are engine-independent."""
     li = load_table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"
     ).rowsBetween(-6, Window.currentRow)
     return li.select(
         "l_suppkey",
