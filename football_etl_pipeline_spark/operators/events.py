@@ -312,3 +312,79 @@ def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((bucket_hour, event_type), (bucket_day, event_type))
         """
     )
+
+
+# ---- hourly anomaly detection ----------------------------------------
+
+ANOMALY_Z = 3.0  # |z| threshold
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+             event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(c)::BIGINT AS s,
+             SUM(c * c)::BIGINT AS ssq
+      FROM hourly GROUP BY event_type
+    )
+    SELECT
+      h.hour,
+      h.event_type,
+      h.c AS n_events,
+      CASE WHEN st.n * st.ssq - st.s * st.s = 0 THEN 0.0
+           ELSE CAST(h.c * st.n - st.s AS DOUBLE)
+                / (st.n * sqrt(CAST(st.n * st.ssq - st.s * st.s AS DOUBLE)
+                               / (st.n * st.n)))
+      END AS zscore,
+      CASE WHEN st.n * st.ssq - st.s * st.s = 0 THEN FALSE
+           ELSE abs(CAST(h.c * st.n - st.s AS DOUBLE)
+                / (st.n * sqrt(CAST(st.n * st.ssq - st.s * st.s AS DOUBLE)
+                               / (st.n * st.n)))) > {ANOMALY_Z}
+      END AS is_anomaly
+    FROM hourly h JOIN stats st ON st.event_type = h.event_type
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomaly detection: each (event_type, hour) bucket
+    scored against its type's own distribution — the monitoring query
+    a streaming pipeline runs over its rollup table.
+
+    Exactness across engines: counts are integers, so n/Σc/Σc² are
+    exact BIGINTs and the z-score is ONE double expression evaluated
+    over exact inputs — written with the identical operation tree in
+    both dialects (population variance via n·Σc² − (Σc)², no
+    engine-specific stddev function whose accumulation order could
+    drift). Plan: the hourly rollup is one shuffle; the per-type stats
+    frame is tiny (5 rows) and AQE broadcasts it back onto the hourly
+    frame — no second pass over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+    )
+    j = hourly.join(stats, "event_type")
+    disc = F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+    z = (F.col("c") * F.col("n") - F.col("s")).cast("double") / (
+        F.col("n")
+        * F.sqrt(disc.cast("double") / (F.col("n") * F.col("n")))
+    )
+    zsafe = F.when(disc == 0, F.lit(0.0)).otherwise(z)
+    return j.select(
+        "hour",
+        "event_type",
+        F.col("c").alias("n_events"),
+        zsafe.alias("zscore"),
+        F.when(disc == 0, F.lit(False))
+        .otherwise(F.abs(z) > ANOMALY_Z)
+        .alias("is_anomaly"),
+    )

@@ -39,7 +39,7 @@ groupings are low-cardinality, so final aggregations are cheap.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum
@@ -526,4 +526,130 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(25)
+    )
+
+
+# ---- market-basket co-occurrence -------------------------------------
+
+BASKET_TOP_K = 25
+
+
+@query(
+    "market_basket_pairs",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS a_part, b.l_partkey AS b_part,
+             COUNT(*) AS n_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT a_part, b_part, n_orders
+    FROM pairs
+    ORDER BY n_orders DESC, a_part ASC, b_part ASC
+    LIMIT {BASKET_TOP_K}
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-25 part pairs most often
+    bought in the same order — the affinity-mining self-join every
+    retail warehouse runs.
+
+    Join-explosion control: baskets are first collapsed to DISTINCT
+    (order, part) — within-order duplicate lines never multiply — and
+    the self-join fan-out is bounded by lines-per-order² (≤ ~49 here;
+    the general guard for heavy-tailed baskets is a basket-size cap,
+    the DF_CAP idea from dedup). Both self-join sides are the same
+    deduplicated frame (one shuffle + exchange reuse); the final
+    top-25 is TakeOrderedAndProject, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("a_part"),
+            F.col("b.l_partkey").alias("b_part"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return pairs.orderBy(
+        F.col("n_orders").desc(), F.col("a_part").asc(), F.col("b_part").asc()
+    ).limit(BASKET_TOP_K)
+
+
+# ---- RFM customer segmentation ---------------------------------------
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH maxd AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    rfm AS (
+      SELECT o_custkey AS c_custkey,
+             date_diff('day', MAX(o_orderdate), (SELECT mx FROM maxd)) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           frequency,
+           monetary,
+           NTILE(4) OVER (ORDER BY recency_days ASC, c_custkey ASC) AS r_quartile,
+           NTILE(4) OVER (ORDER BY frequency DESC, c_custkey ASC) AS f_quartile,
+           NTILE(4) OVER (ORDER BY monetary DESC, c_custkey ASC) AS m_quartile
+    FROM rfm
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, days since last order (vs the
+    corpus max date), order count, and exact-decimal lifetime spend,
+    each bucketed into quartiles with NTILE — the canonical customer
+    scoring query.
+
+    Determinism: NTILE is purely positional, so with a unique total
+    order (metric + custkey tiebreak) both engines assign identical
+    buckets; monetary goes through the decimal-sum pattern. Plan: one
+    shuffle to the per-customer aggregate; the three NTILEs are
+    single-partition windows over the 1.5k-row aggregate — fine here,
+    but at 100 TB you'd swap them for the percentile-gate pattern
+    (per-partition PERCENT_RANK), which is why the quartile rule is
+    positional: both formulations agree on unique orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    from ..functions.numeric import dsum
+
+    mx = orders.agg(F.max("o_orderdate").alias("mx"))
+    rfm = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum(F.col("o_totalprice")).alias("monetary"),
+        )
+        .join(F.broadcast(mx))
+        .select(
+            "c_custkey",
+            F.datediff("mx", "last_order").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("c_custkey").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("c_custkey").asc())
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("c_custkey").asc())
+    return rfm.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
     )
