@@ -62,6 +62,9 @@ HEADLINE = [
     "embedding_kmeans_train",
     "similarity_ann_ivf_trained",
     "similarity_hard_negatives",
+    "events_anomaly_zscore",
+    "market_basket_pairs",
+    "customer_rfm_segments",
 ]
 
 
