@@ -65,6 +65,7 @@ HEADLINE = [
     "events_anomaly_zscore",
     "market_basket_pairs",
     "customer_rfm_segments",
+    "embedding_pq_encode",
 ]
 
 

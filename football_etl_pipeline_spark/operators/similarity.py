@@ -934,3 +934,111 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---- product quantization (PQ encode) --------------------------------
+
+PQ_SUBSPACES = 8   # 64 dims -> 8 subvectors of 8 dims
+PQ_SUBDIM = DIM // PQ_SUBSPACES
+PQ_K = 16          # sub-centroids per subspace (4-bit codes)
+
+
+def _subvec_spark(vec: str, m: str) -> str:
+    # slice() is 1-based; subspace m covers dims m*SUBDIM+1 .. +SUBDIM
+    return f"slice({vec}, {m} * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
+
+
+def _l2_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+
+
+def _l2_duck(a: str, b: str) -> str:
+    return (
+        f"list_sum([({a}[i+1] - {b}[i+1]) * ({a}[i+1] - {b}[i+1])"
+        f" for i in range({PQ_SUBDIM})])"
+    )
+
+
+@query(
+    "embedding_pq_encode",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), sub AS (
+      SELECT vec_id, m.m AS m, v[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}] AS sv
+      FROM e, LATERAL (SELECT unnest(range({PQ_SUBSPACES})) AS m) m
+    ), cb AS (
+      SELECT vec_id AS c_id, m, sv AS cv FROM sub WHERE vec_id < {PQ_K}
+    ), aff AS (
+      SELECT s.vec_id, s.m, c.c_id,
+             {_l2_duck("s.sv", "c.cv")} AS d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.vec_id, s.m
+               ORDER BY {_l2_duck("s.sv", "c.cv")} ASC, c.c_id ASC
+             ) AS rnk
+      FROM sub s JOIN cb c ON c.m = s.m
+    ), best AS (
+      SELECT vec_id, m, c_id, d2 FROM aff WHERE rnk = 1
+    )
+    SELECT
+      vec_id,
+      string_agg(CAST(c_id AS VARCHAR), '|' ORDER BY m) AS pq_code,
+      CAST(SUM(CAST(FLOOR(d2 * 1000000000) AS BIGINT)) AS BIGINT) AS err_nano,
+      CAST(COUNT(*) AS INT) AS n_subspaces
+    FROM best
+    GROUP BY vec_id
+    """,
+)
+def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (the IVF-PQ compression step):
+    every vector split into 8 contiguous 8-dim subvectors, each
+    assigned to its nearest of 16 sub-centroids by exact L2 — emitting
+    the 8×4-bit code word (serialized ``a|b|…``) plus the nano-unit
+    total reconstruction error. PQ is how a 100 TB vector corpus
+    serves from RAM: 64 doubles (512 B) become 8 nibbles (4 B), a
+    128× cut, with the codebook broadcast exactly like the IVF
+    centroids. Sub-codebooks here are seeded from the first PQ_K
+    corpus vectors (deterministic, like ``similarity_ann_ivf``); a
+    production encoder trains them with the per-subspace k-means loop
+    ``embedding_kmeans_train`` already demonstrates.
+
+    Plan: one posexplode to (vec, subspace) rows (×8, no shuffle) →
+    broadcast join against the 128-row codebook → per-(vec, subspace)
+    rank → one groupBy(vec) re-assembly; distances are exact-double
+    folds and the error sum is floor'd integer nano-units, so the
+    oracle compare is exact."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sub = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.expr(_subvec_spark("v", str(m))) for m in range(PQ_SUBSPACES)])
+        ).alias("m", "sv"),
+    )
+    cb = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("m").alias("cm"),
+        F.col("sv").alias("cv"),
+    )
+    d2 = F.expr(_l2_spark("sv", "cv"))
+    wbest = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("c_id").asc()
+    )
+    best = (
+        sub.join(F.broadcast(cb), F.col("cm") == F.col("m"))
+        .withColumn("d2", d2)
+        .withColumn("rnk", F.row_number().over(wbest))
+        .filter(F.col("rnk") == 1)
+    )
+    return best.groupBy("vec_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(m, c_id))),"
+            " s -> CAST(s.c_id AS STRING)), '|')"
+        ).alias("pq_code"),
+        F.sum(F.floor(F.col("d2") * 1_000_000_000).cast("bigint")).alias("err_nano"),
+        F.count(F.lit(1)).cast("int").alias("n_subspaces"),
+    )
