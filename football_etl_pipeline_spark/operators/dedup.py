@@ -879,3 +879,58 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("known_id").isNotNull().alias("is_known"),
         F.coalesce("known_id", F.lit(-1).cast("bigint")).alias("known_id"),
     )
+
+
+# ---- corpus dedup funnel ---------------------------------------------
+
+
+@query(
+    "dedup_funnel_report",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, source, md5({NORM_DUCK}) AS fp FROM documents
+    ), exact_canon AS (
+      SELECT fp, MIN(doc_id) AS keep_id FROM hashed GROUP BY fp
+    ), survivors AS (
+      SELECT h.doc_id, h.source FROM hashed h
+      JOIN exact_canon c ON c.fp = h.fp AND c.keep_id = h.doc_id
+    )
+    SELECT
+      source,
+      COUNT(*) AS n_docs,
+      COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM survivors s2
+                                        WHERE s2.source = hashed.source)) AS n_after_exact,
+      (SELECT COUNT(*) FROM hashed h2 WHERE h2.source = hashed.source)
+        - COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM survivors s3
+                                            WHERE s3.source = hashed.source))
+        AS n_exact_dropped
+    FROM hashed
+    GROUP BY source
+    """,
+)
+def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup funnel: corpus size, survivors after exact
+    content dedup (min-doc_id canonical), and rows dropped — the
+    shrinkage report a curation run publishes at each rung.
+
+    Plan: ONE hash pass computes fingerprints; the canonical set is a
+    fp-groupBy; the report is a per-source aggregate over a semi-join
+    flag — two shuffles total, both on uniform keys. (The near-dup
+    rungs publish their own pair counts — ``dedup_ngram_jaccard`` et
+    al.; this report covers the exact rung, which at 100 TB removes
+    the bulk of the volume before any banding runs.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = persist_tracked(
+        docs.select("doc_id", "source", F.expr(f"md5({NORM_SPARK})").alias("fp"))
+    )
+    canon = hashed.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    flagged = hashed.join(canon, "fp").withColumn(
+        "is_survivor", F.col("doc_id") == F.col("keep_id")
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("is_survivor")).alias("n_after_exact"),
+        (F.count(F.lit(1)) - F.count_if(F.col("is_survivor"))).alias(
+            "n_exact_dropped"
+        ),
+    )

@@ -388,3 +388,65 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(z) > ANOMALY_Z)
         .alias("is_anomaly"),
     )
+
+
+# ---- time-series gap filling -----------------------------------------
+
+
+@query(
+    "events_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS hi
+      FROM events
+    ), grid AS (
+      SELECT t.h AS hour, et.event_type
+      FROM bounds,
+           LATERAL (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h) t,
+           LATERAL (SELECT DISTINCT event_type FROM events) et
+    ), actual AS (
+      SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+             event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT
+      g.hour,
+      g.event_type,
+      COALESCE(a.c, 0) AS n_events,
+      a.c IS NULL AS is_gap
+    FROM grid g LEFT JOIN actual a
+      ON a.hour = g.hour AND a.event_type = g.event_type
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type: every (hour, type) cell of
+    the full time range materialized, zero-filled where no events
+    landed, with a gap flag — what rollup consumers need before
+    moving averages or anomaly scoring (a sparse series silently
+    skews both).
+
+    Plan: the grid is ``sequence()`` over the min/max hour (one tiny
+    2-column aggregate) cross-joined with the distinct type set —
+    both broadcast-sized at ANY corpus scale since the grid grows
+    with time span, not event volume; the left join fills from the
+    hourly rollup. All values are integers/timestamps — exact."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = F.broadcast(hours).crossJoin(F.broadcast(types))
+    actual = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return grid.join(actual, ["hour", "event_type"], "left").select(
+        "hour",
+        "event_type",
+        F.coalesce("c", F.lit(0)).alias("n_events"),
+        F.col("c").isNull().alias("is_gap"),
+    )
