@@ -299,3 +299,43 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.map_values(attrs), "|").alias("attr_vals"),
         F.size(F.map_concat(attrs, extra)).alias("n_merged"),
     )
+
+
+@query(
+    "scalar_regex_funcs",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, substr(text, 1, 200) AS s FROM documents
+    )
+    SELECT
+      doc_id,
+      regexp_matches(s, '[0-9]') AS has_digit,
+      CAST(len(regexp_extract_all(s, '[aeiou]+')) AS INT) AS n_vowel_runs,
+      CAST(len(regexp_extract_all(s, '[a-z]+')) AS INT) AS n_words,
+      regexp_extract(s, '([a-z]{7,})', 1) AS first_long_word,
+      regexp_replace(s, '[aeiou]', '*', 'g') AS devoweled
+    FROM t
+    """,
+)
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family: rlike, extract-all counting, first-match
+    extraction, and global replacement — restricted to vanilla
+    character-class/quantifier patterns, the subset where Java's regex
+    (Spark) and RE2 (DuckDB) agree match-for-match (the same contract
+    ``text_bpe_token_count`` relies on; lookarounds/backrefs would
+    not port). Evaluated over a 200-char prefix: a pure codegen
+    projection, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.substring("text", 1, 200).alias("s"))
+    return t.select(
+        "doc_id",
+        F.col("s").rlike("[0-9]").alias("has_digit"),
+        F.size(F.expr("regexp_extract_all(s, '[aeiou]+', 0)"))
+        .cast("int")
+        .alias("n_vowel_runs"),
+        F.size(F.expr("regexp_extract_all(s, '[a-z]+', 0)"))
+        .cast("int")
+        .alias("n_words"),
+        F.regexp_extract("s", "([a-z]{7,})", 1).alias("first_long_word"),
+        F.regexp_replace("s", "[aeiou]", "*").alias("devoweled"),
+    )

@@ -1,0 +1,92 @@
+"""Executed-plan shape assertions: the physical strategies the scale
+story depends on, machine-checked instead of only documented in
+PLANS.md. Each assertion names the property that would silently
+degrade at 100 TB if a refactor lost it."""
+
+from __future__ import annotations
+
+import pytest
+
+from football_etl_pipeline_spark.operators import QUERIES
+from football_etl_pipeline_spark.operators.registry import release_persists
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    # collect() (not count()) — count() executes a DERIVED plan, so
+    # THIS QueryExecution's AdaptiveSparkPlan would stay non-final and
+    # print without codegen/broadcast decisions.
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    release_persists()
+    return s
+
+
+def test_scan_filter_project_pushes_predicates(spark):
+    plan = _plan(spark, "scan_filter_project")
+    assert "PushedFilters: [" in plan
+    assert "PushedFilters: []" not in plan
+
+
+def test_q5_dimension_joins_broadcast(spark):
+    """The 5-dim star join must not shuffle-join the dimensions."""
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_market_basket_topk_never_sorts_globally(spark):
+    plan = _plan(spark, "market_basket_pairs")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_bruteforce_broadcasts_query_side(spark):
+    """The corpus side must never shuffle; the 5-row query side rides
+    a broadcast nested loop."""
+    plan = _plan(spark, "similarity_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_jaccard_self_join_reuses_exchange(spark):
+    """Both self-join sides are the SAME rare-filtered subtree — losing
+    ReusedExchange doubles the shingle shuffle."""
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert "ReusedExchange" in plan or "InMemoryTableScan" in plan
+
+
+def test_embedding_ivf_membership_is_persisted(spark):
+    """Both sides of the cell self-join must read the cached
+    membership frame, not recompute the assignment scan (the measured
+    4.5x regression if lost)."""
+    plan = _plan(spark, "dedup_embedding_ivf")
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_gap_fill_grid_is_broadcast(spark):
+    """The (hours x types) grid must stay broadcast-sized — a
+    shuffle-join here would scale with event volume, not time span."""
+    plan = _plan(spark, "events_gap_fill")
+    assert "SortMergeJoin" not in plan
+
+
+def test_multi_rollup_is_single_scan(spark):
+    """GROUPING SETS must expand in ONE pass: a single Expand node,
+    not one scan per resolution."""
+    plan = _plan(spark, "events_multi_rollup")
+    assert plan.count("Expand") == 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "text_stats", "embedding_quantize_int8"],
+)
+def test_hot_paths_stay_in_codegen(spark, name):
+    """Scan→project/agg pipelines must run inside WholeStageCodegen —
+    a Python/UDF leak here is the 10-100x slow path."""
+    plan = _plan(spark, name)
+    assert "WholeStageCodegen" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
