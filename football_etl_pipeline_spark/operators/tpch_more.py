@@ -586,6 +586,63 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- RFM customer segmentation ---------------------------------------
 
+RFM_RANGE_PARTS = 32  # width of the range exchange behind each rank
+
+
+def _ntile4_distributed(df: DataFrame, order_cols, out_col: str) -> DataFrame:
+    """Global NTILE(4) with NO single-partition window.
+
+    Range-partition on the sort key — partitions become contiguous,
+    globally ordered key ranges — then ``row_number`` *within each
+    physical partition* plus the partition's start offset gives the
+    exact global rank. The offsets come from the per-partition row
+    counts: a P-row collect (P = RFM_RANGE_PARTS, fixed by config,
+    corpus-independent — the same bounded-driver-traffic budget as
+    the k-means centroid pull in ``similarity.py``), prefix-summed in
+    Python and re-injected as a literal array indexed by partition id,
+    so the plan carries zero extra joins. The bucket applies NTILE's
+    positional rule to the global rank via three literal rank cutoffs:
+    with N rows the first N%4 buckets take ⌊N/4⌋+1 rows, the rest
+    ⌊N/4⌋ — identical to the oracle's NTILE(4) because the total
+    order is unique (metric + custkey tiebreak).
+
+    Scale: the wide frame moves through ONE range exchange per metric
+    (persisted so the count pass and the rank pass share it); every
+    window is partitioned; driver traffic is P rows. This replaces
+    the r3 formulation (three ``Window.orderBy`` globals that Spark
+    itself warned would move all data to a single partition)."""
+    part = persist_tracked(
+        df.repartitionByRange(RFM_RANGE_PARTS, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    cnt = {
+        r["_pid"]: r["n"]
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sizes = [cnt.get(p, 0) for p in range(RFM_RANGE_PARTS)]
+    offs, acc = [], 0
+    for s in sizes:
+        offs.append(acc)
+        acc += s
+    n = acc
+    base, rem = divmod(n, 4)
+    widths = [base + 1] * rem + [base] * (4 - rem)
+    k1 = widths[0]
+    k2 = k1 + widths[1]
+    k3 = k2 + widths[2]
+    wloc = Window.partitionBy("_pid").orderBy(*order_cols)
+    rank = F.array(*[F.lit(o) for o in offs])[F.col("_pid")] + F.row_number().over(
+        wloc
+    )
+    bucket = (
+        F.lit(1)
+        + (rank > k1).cast("int")
+        + (rank > k2).cast("int")
+        + (rank > k3).cast("int")
+    )
+    return part.withColumn(out_col, bucket).drop("_pid")
+
 
 @query(
     "customer_rfm_segments",
@@ -617,11 +674,11 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: NTILE is purely positional, so with a unique total
     order (metric + custkey tiebreak) both engines assign identical
     buckets; monetary goes through the decimal-sum pattern. Plan: one
-    shuffle to the per-customer aggregate; the three NTILEs are
-    single-partition windows over the 1.5k-row aggregate — fine here,
-    but at 100 TB you'd swap them for the percentile-gate pattern
-    (per-partition PERCENT_RANK), which is why the quartile rule is
-    positional: both formulations agree on unique orders."""
+    shuffle to the per-customer aggregate, then one range exchange per
+    metric through ``_ntile4_distributed`` — every window is
+    partitioned (the oracle keeps literal NTILE; both formulations
+    agree on unique total orders). ``tests/test_plan_shapes.py``
+    asserts no Window rides a SinglePartition exchange."""
     orders = load_table(spark, sf_dir, "orders")
     from ..functions.numeric import dsum
 
@@ -641,15 +698,27 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    wr = Window.orderBy(F.col("recency_days").asc(), F.col("c_custkey").asc())
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("c_custkey").asc())
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("c_custkey").asc())
-    return rfm.select(
+    r1 = _ntile4_distributed(
+        rfm,
+        [F.col("recency_days").asc(), F.col("c_custkey").asc()],
+        "r_quartile",
+    )
+    r2 = _ntile4_distributed(
+        r1,
+        [F.col("frequency").desc(), F.col("c_custkey").asc()],
+        "f_quartile",
+    )
+    r3 = _ntile4_distributed(
+        r2,
+        [F.col("monetary").desc(), F.col("c_custkey").asc()],
+        "m_quartile",
+    )
+    return r3.select(
         "c_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4).over(wr).alias("r_quartile"),
-        F.ntile(4).over(wf).alias("f_quartile"),
-        F.ntile(4).over(wm).alias("m_quartile"),
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
     )

@@ -24,6 +24,14 @@ def _plan(spark, name: str) -> str:
     return s
 
 
+def _final(plan: str) -> str:
+    # An executed AdaptiveSparkPlan prints "== Final Plan ==" followed by
+    # an "== Initial Plan ==" echo of the pre-AQE plan. Count-based
+    # assertions must look only at the final section or every node is
+    # double-counted.
+    return plan.split("== Initial Plan ==")[0]
+
+
 def test_scan_filter_project_pushes_predicates(spark):
     plan = _plan(spark, "scan_filter_project")
     assert "PushedFilters: [" in plan
@@ -76,7 +84,17 @@ def test_multi_rollup_is_single_scan(spark):
     """GROUPING SETS must expand in ONE pass: a single Expand node,
     not one scan per resolution."""
     plan = _plan(spark, "events_multi_rollup")
-    assert plan.count("Expand") == 1
+    assert _final(plan).count("Expand") == 1
+
+
+def test_rfm_windows_are_partitioned(spark):
+    """Every NTILE-style rank in customer_rfm_segments must run over a
+    partitioned window — a Window fed by a SinglePartition exchange
+    funnels the whole per-customer aggregate through one task."""
+    plan = _plan(spark, "customer_rfm_segments")
+    final = _final(plan)
+    assert "Window" in final  # the ranks are still window-computed
+    assert "SinglePartition" not in final
 
 
 @pytest.mark.parametrize(
@@ -87,6 +105,8 @@ def test_hot_paths_stay_in_codegen(spark, name):
     """Scan→project/agg pipelines must run inside WholeStageCodegen —
     a Python/UDF leak here is the 10-100x slow path."""
     plan = _plan(spark, name)
-    assert "WholeStageCodegen" in plan
+    # executedPlan().toString() renders whole-stage-codegen stages as
+    # "*(n)" node prefixes, never the literal word "WholeStageCodegen".
+    assert "*(" in _final(plan)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
