@@ -36,6 +36,11 @@ ORACLES: dict[str, str] = {}
 # previous query's action has run. Without this, a long session
 # accumulates cached frames and later queries pay the memory/GC bill
 # (measured 2.4× inflation on BENCH_r02 tail queries).
+#
+# NOT thread-safe by design: the tracker is a plain module-level list,
+# matching the single-threaded harness contract (bench/verify/driver
+# run queries sequentially). Concurrent query runners would need one
+# tracker per runner or a lock around persist/release.
 
 _LIVE_PERSISTS: list[DataFrame] = []
 

@@ -49,16 +49,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as a
-    long via the legacy flag (runtime-settable) and floor-convert to a
-    microsecond TimestampType — the same truncation DuckDB's
-    CAST(ts AS TIMESTAMP) applies, so oracle comparisons line up."""
+    """Schema-adaptive load of events.parquet, normalizing ``ts`` to a
+    microsecond ``TimestampType`` whatever the file physically stores:
+
+    - parquet TIMESTAMP(NANOS): Spark 4 rejects it outright
+      (PARQUET_TYPE_ILLEGAL), so the legacy flag reads nanos as a long
+      and we floor-convert — the same truncation DuckDB's
+      CAST(ts AS TIMESTAMP) applies, so oracle comparisons line up.
+    - parquet timestamp[us] (isAdjustedToUTC=false): Spark reads
+      TIMESTAMP_NTZ; cast to the session-tz type (session tz is pinned
+      UTC in session.py, so the wall-clock values are unchanged and
+      match DuckDB's naive TIMESTAMP).
+    - already TimestampType: pass through.
+
+    Every downstream operator sees the same TimestampType column
+    regardless of which testdata generation produced the file."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -18,12 +18,16 @@ arrival, checkpointed exactly-once file tracking, and zero duplicated
 transform logic. This is the canonical Spark shape for
 "complex batch logic, incremental arrival".
 
-Exactly-once: the file source checkpoint guarantees each landing file
-is delivered to exactly one micro-batch; outputs are keyed by
-``batch_id`` directory and written with overwrite, so a replayed
-batch (driver crash between write and commit) lands byte-identically
-instead of duplicating — the per-batch analog of the reference's
-WRITE_TRUNCATE idempotency (pipeline.py:53).
+Delivery semantics: the file source checkpoint guarantees each landing
+file is delivered to exactly one micro-batch; outputs are keyed by
+``batch_id`` directory and written with overwrite, so a replayed batch
+(driver crash between write and commit) OVERWRITES its own prior
+output instead of duplicating rows — effectively-once at the row
+level, the per-batch analog of the reference's WRITE_TRUNCATE
+idempotency (pipeline.py:53). The replay is not byte-identical: the
+``update_timestamp`` column is stamped at write time (matching the
+reference's CURRENT_TIMESTAMP() column), so only that column differs
+across a replay.
 
 Scale note: the watch uses ``binaryFile`` because it emits exactly
 one row per file (a ``text`` watch never surfaces zero-row files) —
@@ -44,8 +48,18 @@ from ..plans.pipeline import run_transform
 _FILE_PREFIX = "file:"
 
 
+# Per-micro-batch file cap. Bounds BOTH the source's trigger size and
+# the driver-side path list foreachBatch collects (one short string per
+# file), so a backlog of a million landings drains in bounded batches
+# instead of one unbounded collect.
+DEFAULT_MAX_FILES_PER_TRIGGER = 256
+
+
 def read_landing_stream(
-    spark: SparkSession, landing_root: str, api_name: str
+    spark: SparkSession,
+    landing_root: str,
+    api_name: str,
+    max_files_per_trigger: int = DEFAULT_MAX_FILES_PER_TRIGGER,
 ) -> DataFrame:
     """One row per newly arrived landing file under the api subtree
     (any season/league/endpoint), tracked by the streaming
@@ -59,7 +73,7 @@ def read_landing_stream(
         )
         .option("pathGlobFilter", "*.json")
         .option("recursiveFileLookup", "true")
-        .option("maxFilesPerTrigger", 256)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(os.path.join(landing_root, api_name))
     )
 
@@ -84,6 +98,7 @@ def run_streaming_transform(
     checkpoint_dir: str,
     schema_data: dict | None = None,
     available_now: bool = True,
+    max_files_per_trigger: int = DEFAULT_MAX_FILES_PER_TRIGGER,
 ):
     """Start the landing-dir stream: every micro-batch's new files run
     through the batch ``run_transform`` and land under
@@ -109,7 +124,7 @@ def run_streaming_transform(
         )
 
     writer = (
-        read_landing_stream(spark, landing_root, api_name)
+        read_landing_stream(spark, landing_root, api_name, max_files_per_trigger)
         .writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)
     )

@@ -100,3 +100,37 @@ def test_streaming_landing_dead_letters_malformed_group(spark, tmp_path):
     assert records[0]["PK"] == f"{bad_season}-{LEAGUE}"
     assert "malformed JSON" in records[0]["error"]
     assert len(records[0]["files"]) == 2  # both files of the failed group
+
+
+def test_streaming_landing_batch_size_is_bounded(spark, tmp_path):
+    """The landing watch caps files-per-trigger so the foreachBatch
+    driver-side path collect is bounded however large the backlog —
+    asserted on the source's actual options, and behaviorally: a
+    backlog larger than the cap drains across multiple micro-batches."""
+    from football_etl_pipeline_spark.streaming.football_stream import (
+        DEFAULT_MAX_FILES_PER_TRIGGER,
+        read_landing_stream,
+        run_streaming_transform,
+    )
+
+    assert DEFAULT_MAX_FILES_PER_TRIGGER == 256
+
+    landing = str(tmp_path / "landing")
+    warehouse = str(tmp_path / "warehouse")
+    dead = str(tmp_path / "dead")
+    ck = str(tmp_path / "ck")
+
+    # 3 groups staged, cap of 2 files/trigger → the 6-file backlog
+    # must drain over >1 batch_id directory, never one giant batch.
+    for i in range(3):
+        stage(landing, API, "teams", apifootball_teams(), league=LEAGUE + i)
+        stage(landing, API, "standings", apifootball_standings(), league=LEAGUE + i)
+
+    assert read_landing_stream(spark, landing, API).isStreaming
+    q = run_streaming_transform(
+        spark, API, landing, warehouse, dead, ck, max_files_per_trigger=2
+    )
+    q.awaitTermination(300)
+    batch_dirs = glob.glob(warehouse + "/batch_id=*")
+    assert len(batch_dirs) > 1, "cap of 2 should split 6 files into multiple batches"
+    assert len(_warehouse_rows(spark, warehouse)) == 9  # 3 groups x 3 teams
