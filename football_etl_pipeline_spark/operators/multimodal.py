@@ -66,23 +66,64 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_media_real(payload: bytes, mime: str):
-    """Real decoder — requires codec libraries absent from this
-    container. STUB: the deterministic byte-level decoder below is
-    what the queries run; swap this in when PIL/soundfile/av exist."""
+def decode_media_real(payload: bytes, mime: str) -> dict:
+    """Real decoder behind the codec seam. The decode logic is wired
+    up; only the codec libraries are missing from this container
+    (PIL / soundfile / av — installs prohibited per the environment
+    contract, verified absent 2026-08-13), so each branch raises
+    ``NotImplementedError`` at the import, not the logic. The moment
+    the libs exist, ``tests/test_multimodal.py``'s importorskip-gated
+    golden test exercises this path for real; until then the
+    deterministic byte-level decoder below is what the queries run.
+
+    Returns a flat metadata dict (matching the mapInPandas output
+    schema of ``multimodal_decode_features``): decoded dimensions for
+    images, sample counts for audio, stream/frame counts for video."""
+    import io
+
+    if mime.startswith("image/"):
+        try:
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                f"no image codec for {mime!r} in this environment; "
+                "deterministic byte-level decode is the supported path"
+            ) from exc
+        with Image.open(io.BytesIO(payload)) as img:
+            return {
+                "width": img.width,
+                "height": img.height,
+                "mode": img.mode,
+                "format": img.format,
+            }
+    if mime.startswith("audio/"):
+        try:
+            import soundfile
+        except ImportError as exc:
+            raise NotImplementedError(
+                f"no audio codec for {mime!r} in this environment; "
+                "deterministic byte-level decode is the supported path"
+            ) from exc
+        data, sample_rate = soundfile.read(io.BytesIO(payload))
+        return {
+            "n_samples": int(data.shape[0]),
+            "channels": int(data.shape[1]) if data.ndim > 1 else 1,
+            "sample_rate": int(sample_rate),
+        }
     try:
-        if mime.startswith("image/"):
-            from PIL import Image  # noqa: F401
-        elif mime.startswith("audio/"):
-            import soundfile  # noqa: F401
-        else:
-            import av  # noqa: F401
+        import av
     except ImportError as exc:
         raise NotImplementedError(
-            f"no codec for {mime!r} in this environment; "
+            f"no video codec for {mime!r} in this environment; "
             "deterministic byte-level decode is the supported path"
         ) from exc
-    raise NotImplementedError("real decode not wired up yet")
+    with av.open(io.BytesIO(payload)) as container:
+        vstreams = [s for s in container.streams if s.type == "video"]
+        return {
+            "n_streams": len(container.streams),
+            "n_video_streams": len(vstreams),
+            "n_frames": int(vstreams[0].frames) if vstreams else 0,
+        }
 
 
 @query(

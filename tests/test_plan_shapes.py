@@ -87,14 +87,53 @@ def test_multi_rollup_is_single_scan(spark):
     assert _final(plan).count("Expand") == 1
 
 
+def _windows_fed_by_single_partition(final: str) -> list[str]:
+    """Window operators whose input distribution is a SinglePartition
+    exchange (walking each such exchange's ancestor chain up to the
+    NEXT exchange — that's the span its partitioning governs). A
+    SinglePartition under a global scalar aggregate is legitimate
+    (a 1-row max is a one-task reduce by definition); under a Window
+    it funnels the whole frame through one task."""
+    lines = final.splitlines()
+
+    def depth(line: str) -> int:
+        for marker in ("+- ", ":- "):
+            i = line.find(marker)
+            if i >= 0:
+                return i
+        return -1  # root / non-tree line
+
+    offenders = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        d = depth(line)
+        for j in range(i - 1, -1, -1):
+            dj = depth(lines[j])
+            if dj >= d:
+                continue  # sibling subtree line, not an ancestor
+            if "Exchange" in lines[j]:
+                break  # repartitioned above: SinglePartition span ends
+            if "Window" in lines[j]:
+                offenders.append(lines[j].strip())
+                break
+            d = dj  # climb: next ancestor must be shallower still
+            if d <= 0:
+                break
+    return offenders
+
+
 def test_rfm_windows_are_partitioned(spark):
     """Every NTILE-style rank in customer_rfm_segments must run over a
     partitioned window — a Window fed by a SinglePartition exchange
-    funnels the whole per-customer aggregate through one task."""
+    funnels the whole per-customer aggregate through one task. (The
+    plan MAY contain SinglePartition for its 1-row global
+    max(o_orderdate) reference-date aggregate — that is a scalar
+    reduce, not a window funnel.)"""
     plan = _plan(spark, "customer_rfm_segments")
     final = _final(plan)
     assert "Window" in final  # the ranks are still window-computed
-    assert "SinglePartition" not in final
+    assert _windows_fed_by_single_partition(final) == []
 
 
 @pytest.mark.parametrize(
