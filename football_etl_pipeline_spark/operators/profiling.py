@@ -1,0 +1,291 @@
+"""Data-profiling / curation operators a large-scale training-data
+pipeline runs alongside dedup and quality scoring: PII redaction,
+source-mix resampling, numeric histograms, embedding-dimension
+profiles. (New surface — the reference is a fixed ETL with no
+profiling; these extend SURVEY §2's LLM-data inventory.)
+
+Cross-engine exactness follows the house rules: counts/lengths are
+integers, money-ish sums go through DECIMAL, ratios divide
+identically-computed numbers, dot products fold in fixed element
+order, and every final schema is scalar-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .registry import query
+from .textops import hash60_duck, hash60_spark
+
+# ---- PII redaction ---------------------------------------------------
+
+# The synthetic corpus is digit-free word salad, so the operator
+# INJECTS deterministic PII first (emails on doc_id % 7, phones on
+# doc_id % 11) and then redacts it — a round-trip that exercises the
+# real redaction path with non-zero, oracle-checkable counts. Patterns
+# are the RE2 ∩ Java-regex dialect both engines run identically.
+EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+PHONE_RE = "555-[0-9]{4}"
+
+def _inject(dialect: str) -> str:
+    # Spark spells the string type STRING, DuckDB VARCHAR; everything
+    # else (||, lpad, CASE) is shared syntax.
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return (
+        "text"
+        " || (CASE WHEN doc_id % 7 = 0"
+        f" THEN ' contact user' || CAST(doc_id AS {s}) || '@example.com now'"
+        " ELSE '' END)"
+        " || (CASE WHEN doc_id % 11 = 0"
+        f" THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS {s}), 4, '0')"
+        " ELSE '' END)"
+    )
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id, source, {_inject('duck')} AS txt FROM documents
+    ), redacted AS (
+      SELECT
+        source,
+        len(regexp_extract_all(txt, '{EMAIL_RE}')) AS n_email,
+        len(regexp_extract_all(txt, '{PHONE_RE}')) AS n_phone,
+        length(txt) - length(
+          regexp_replace(regexp_replace(txt, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                         '{PHONE_RE}', '<PHONE>', 'g')
+        ) AS chars_removed
+      FROM injected
+    )
+    SELECT
+      source,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+      CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+      CAST(SUM(chars_removed) AS BIGINT) AS chars_removed
+    FROM redacted
+    GROUP BY source
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction round-trip: inject deterministic emails/phones,
+    redact with the production regexes, report per-source counts and
+    byte shrinkage.
+
+    Plan: pure projection (inject + two regexp_replace + two
+    regexp_extract_all counts, all codegen'd JVM-side — regex never
+    leaves the executor) followed by one partial-agg'd groupBy on
+    ``source``; at 100 TB this is a map-heavy scan whose shuffle
+    carries 20 rows per partition. Spark's ``regexp_replace`` is
+    global by default; DuckDB needs the explicit ``'g'`` flag — the
+    oracle carries it so both engines redact every occurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select("source", F.expr(_inject("spark")).alias("txt"))
+    red = (
+        F.regexp_replace(
+            F.regexp_replace(F.col("txt"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        )
+    )
+    stats = injected.select(
+        "source",
+        F.size(F.expr(f"regexp_extract_all(txt, '{EMAIL_RE}', 0)")).alias("n_email"),
+        F.size(F.expr(f"regexp_extract_all(txt, '{PHONE_RE}', 0)")).alias("n_phone"),
+        (F.length("txt") - F.length(red)).alias("chars_removed"),
+    )
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("emails_redacted"),
+        F.sum("n_phone").alias("phones_redacted"),
+        F.sum("chars_removed").alias("chars_removed"),
+    )
+
+
+# ---- Source-mix resampling ------------------------------------------
+
+# Target sampling rate (percent) per source family — the "data
+# recipe": every 4th source is kept whole, the rest thinned. The keep
+# decision is a deterministic hash gate on (doc_id, source), so the
+# sample is reproducible run-to-run and engine-to-engine, survives
+# repartitioning, and needs no RNG state — the only resampling scheme
+# that works on an unordered 100 TB corpus.
+_TARGET_PCT = (
+    "CASE CAST(substr(source, 4) AS INTEGER) % 4"
+    " WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 25 ELSE 10 END"
+)
+
+
+def _keep_gate(dialect: str) -> str:
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    h = (hash60_spark if dialect == "spark" else hash60_duck)(
+        f"(CAST(doc_id AS {s}) || ':' || source)"
+    )
+    return f"(({h}) % 100 + 100) % 100 < {_TARGET_PCT}"
+
+
+@query(
+    "text_source_mixing",
+    oracle=f"""
+    SELECT
+      source,
+      {_TARGET_PCT} AS target_pct,
+      COUNT(*) AS n_total,
+      CAST(SUM(CASE WHEN {_keep_gate('duck')} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(CAST(SUM(CASE WHEN {_keep_gate('duck')} THEN 1 ELSE 0 END) AS DECIMAL(18,6))
+           / COUNT(*) AS DOUBLE) AS kept_frac
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mix resampling: thin each source to its
+    target share of the data recipe via an md5-hash keep gate, report
+    target vs achieved rates.
+
+    Plan: the gate is a per-row hash compare in the scan projection
+    (no shuffle, no RNG); the audit aggregate is one 20-group
+    partial-agg'd groupBy. Downstream pipelines reuse ``_keep_gate``
+    as a filter — sampling at scan time, before any shuffle pays for
+    rows that get dropped."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = F.when(F.expr(_keep_gate("spark")), 1).otherwise(0)
+    return (
+        docs.select(
+            "source",
+            F.expr(_TARGET_PCT).alias("target_pct"),
+            kept.alias("kept"),
+        )
+        .groupBy("source", "target_pct")
+        .agg(F.count(F.lit(1)).alias("n_total"), F.sum("kept").alias("n_kept"))
+        .select(
+            "source",
+            "target_pct",
+            "n_total",
+            "n_kept",
+            (F.col("n_kept").cast("decimal(18,6)") / F.col("n_total"))
+            .cast("double")
+            .alias("kept_frac"),
+        )
+    )
+
+
+# ---- Numeric histogram ----------------------------------------------
+
+HIST_WIDTH = 25.0
+HIST_MAX_BUCKET = 19  # values ≥ 500 clamp into the top bucket
+
+
+@query(
+    "events_value_histogram",
+    oracle=f"""
+    SELECT
+      event_type,
+      LEAST(CAST(FLOOR(value / {HIST_WIDTH}) AS INTEGER), {HIST_MAX_BUCKET}) AS bucket,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY event_type, bucket
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (20 buckets of 25,
+    top bucket clamps the tail) — the profiling primitive behind
+    distribution drift checks.
+
+    Plan: bucket id is scan-side arithmetic (``floor(value/width)``,
+    bit-identical across engines since the division is a single IEEE
+    op); one partial-agg'd groupBy over (type × bucket) ≈ 100 cells,
+    so the shuffle is constant-size at any corpus scale."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.floor(F.col("value") / HIST_WIDTH).cast("int"), F.lit(HIST_MAX_BUCKET)
+    )
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+        )
+    )
+
+
+# ---- Embedding dimension profile ------------------------------------
+
+# NOTE: the corpus vectors are UNIT-normalized (measured: every norm
+# is 1.0 ± 4e-8 float noise), so a norm-outlier screen is vacuous on
+# this data — the meaningful per-vector screen here is dimension-level:
+# a collapsed/dead dimension (std ≈ 0) or a runaway one (|mean| ≫ 0)
+# is how degenerate embedding batches actually show up.
+
+DIM = 64
+NANO = 1_000_000_000  # fixed-point unit for exact cross-engine sums
+
+
+@query(
+    "embedding_dim_stats",
+    oracle=f"""
+    WITH comps AS (
+      SELECT
+        u.dim,
+        CAST(FLOOR(u.x * {NANO}) AS BIGINT) AS nano
+      FROM embeddings e,
+        LATERAL (
+          SELECT generate_series AS dim,
+                 (e.embedding::DOUBLE[])[generate_series + 1] AS x
+          FROM generate_series(0, {DIM - 1})
+        ) u
+    )
+    SELECT
+      dim,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(nano AS DECIMAL(38,0))) AS DOUBLE) / {NANO} / COUNT(*) AS mean,
+      sqrt(
+        CAST(SUM(CAST(nano * nano AS DECIMAL(38,0))) AS DOUBLE)
+          / {NANO} / {NANO} / COUNT(*)
+        - (CAST(SUM(CAST(nano AS DECIMAL(38,0))) AS DOUBLE) / {NANO} / COUNT(*))
+          * (CAST(SUM(CAST(nano AS DECIMAL(38,0))) AS DOUBLE) / {NANO} / COUNT(*))
+      ) AS std,
+      CAST(MIN(nano) AS DOUBLE) / {NANO} AS min_val,
+      CAST(MAX(nano) AS DOUBLE) / {NANO} AS max_val
+    FROM comps
+    GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile: n/mean/std/min/max for each of
+    the 64 components — the screen that catches collapsed (std≈0) or
+    runaway dimensions before they poison ANN recall.
+
+    Exactness: components are floor'd to nano-unit BIGINTs in the scan
+    projection, summed as DECIMAL(38,0) (a trillion-row corpus of
+    |x|<1 components still fits with >15 digits to spare — plain
+    BIGINT would overflow the sum-of-squares at ~600 rows), and only
+    the final mean/std projection returns to double via the
+    character-identical division chain in both dialects.
+
+    Plan: posexplode is a 64× row expansion but NO shuffle — partial
+    aggregation collapses each partition to ≤64 rows before the single
+    64-group exchange. Min/max ride the same aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "dim", F.floor(F.col("x").cast("double") * NANO).cast("bigint").alias("nano")
+    )
+    sum_nano = F.sum(F.col("nano").cast("decimal(38,0)")).cast("double")
+    sumsq_nano = F.sum((F.col("nano") * F.col("nano")).cast("decimal(38,0)")).cast(
+        "double"
+    )
+    n = F.count(F.lit(1))
+    mean = sum_nano / NANO / n
+    return comps.groupBy("dim").agg(
+        n.alias("n"),
+        mean.alias("mean"),
+        F.sqrt(sumsq_nano / NANO / NANO / n - mean * mean).alias("std"),
+        (F.min("nano").cast("double") / NANO).alias("min_val"),
+        (F.max("nano").cast("double") / NANO).alias("max_val"),
+    )
