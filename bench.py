@@ -66,6 +66,12 @@ HEADLINE = [
     "market_basket_pairs",
     "customer_rfm_segments",
     "embedding_pq_encode",
+    # round-5 additions (same comparability rule: shared prefix
+    # comparable across rounds; totals comparable from r5 on)
+    "q9_profit_by_nation_year",
+    "q20_dominant_part_suppliers",
+    "text_pii_redact",
+    "embedding_dim_stats",
 ]
 
 
@@ -118,12 +124,22 @@ def main() -> None:
     # queries can't poison each other's tail (BENCH_r02 lesson — 14
     # accumulated persists inflated late queries ~2.4×), and the median
     # damps the ±40% machine noise a single local[32] run carries.
+    #
+    # A full JVM GC before each query's run set is part of the same
+    # protocol (BENCH_r05 lesson): ~100 prior sf0.1 executions leave
+    # shuffle/broadcast garbage that the async ContextCleaner hasn't
+    # collected, and multi-job driver-loop queries (kmeans_train:
+    # measured 12.2s dirty vs 3.8s after System.gc() → 204 vs 18 live
+    # shuffle files) pay that debt in EVERY job they launch. The GC
+    # makes each timing measure the query, not its predecessors'
+    # garbage — exactly what a per-query steady-state number means.
     N_RUNS = 3
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
+        spark.sparkContext._jvm.System.gc()
         runs = []
         n = 0
         for _ in range(N_RUNS):
