@@ -1,0 +1,177 @@
+"""Warehouse-maintenance operators: MERGE-style batch upsert and
+incremental aggregate maintenance — the daily-run surface of a large
+warehouse, expressed without any table-format ACID layer (the
+reference's only maintenance story is full-table WRITE_TRUNCATE
+overwrite, ``/root/reference/dataflow-flex/pipeline.py:53``; these are
+the scalable replacements).
+
+The "updates batch" is derived deterministically from ``orders`` so
+the operators are self-contained on the testdata: corrections are
+rows with ``o_orderkey % 10 = 0`` re-priced +10%, and inserts are
+fresh keys offset by 10^7 from rows with ``o_orderkey % 100 = 0``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .registry import query
+
+# Shared batch definitions (dialect-identical SQL fragments).
+_CORRECTIONS_W = "o_orderkey % 10 = 0"
+_INSERT_SRC_W = "o_orderkey % 100 = 0"
+_INSERT_OFFSET = 10_000_000
+# Re-price: exact in both engines (decimal multiply, back to double).
+_REPRICE_DUCK = "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1.1 AS DOUBLE)"
+_REPRICE_SPARK = "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1.1 AS DOUBLE)"
+
+_UPDATES_DUCK = f"""
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             {_REPRICE_DUCK} AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE {_CORRECTIONS_W}
+      UNION ALL
+      SELECT o_orderkey + {_INSERT_OFFSET}, o_custkey, 'N',
+             {_REPRICE_DUCK}, o_orderdate, o_orderpriority
+      FROM orders WHERE {_INSERT_SRC_W}
+"""
+
+
+def _updates_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    corrections = o.filter(F.expr(_CORRECTIONS_W)).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.expr(_REPRICE_SPARK).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    inserts = o.filter(F.expr(_INSERT_SRC_W)).select(
+        (F.col("o_orderkey") + _INSERT_OFFSET).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.expr(_REPRICE_SPARK).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    return corrections.unionByName(inserts)
+
+
+@query(
+    "merge_upsert_orders",
+    oracle=f"""
+    WITH updates AS ({_UPDATES_DUCK})
+    SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus,
+           b.o_totalprice, b.o_orderdate, b.o_orderpriority
+    FROM orders b
+    WHERE NOT EXISTS (SELECT 1 FROM updates u
+                      WHERE u.o_orderkey = b.o_orderkey)
+    UNION ALL
+    SELECT * FROM updates
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style latest-wins upsert: an updates batch (corrections +
+    inserts) applied to the standing ``orders`` table — matched keys
+    take the batch row, unmatched base rows survive, new keys append.
+
+    Plan: LEFT ANTI join of base against the batch's keys, then
+    ``unionByName`` with the batch — the canonical no-ACID upsert.
+    The anti join shuffles on o_orderkey (or broadcasts the key set
+    while it fits — AQE decides; no hint, since at 100 TB a daily
+    batch can be arbitrarily large). At warehouse scale the refinement
+    is partition-scoped rewrite: pre-filter base to the partitions the
+    batch touches (here the batch spans all dates, so the full-scan
+    shape IS the honest one). Cited contrast: the reference's
+    WRITE_TRUNCATE rewrites everything on every run regardless of
+    batch size."""
+    base = load_table(spark, sf_dir, "orders")
+    updates = _updates_batch(spark, sf_dir)
+    survivors = base.join(
+        updates.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    return survivors.unionByName(updates)
+
+
+@query(
+    "incremental_agg_merge",
+    oracle=f"""
+    WITH updates AS ({_UPDATES_DUCK}),
+    merged AS (
+      SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus,
+             b.o_totalprice, b.o_orderdate, b.o_orderpriority
+      FROM orders b
+      WHERE NOT EXISTS (SELECT 1 FROM updates u
+                        WHERE u.o_orderkey = b.o_orderkey)
+      UNION ALL
+      SELECT * FROM updates
+    )
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM merged
+    GROUP BY o_orderpriority
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: per-priority (count, exact
+    revenue) kept current under the upsert WITHOUT re-aggregating the
+    surviving base rows from scratch conceptually — the standing
+    aggregate is adjusted by SUBTRACTING the displaced rows' partials
+    and ADDING the batch's.
+
+    Plan: three small aggregates — standing-agg(base), agg(displaced =
+    base SEMI batch-keys), agg(batch) — merged by a coalescing
+    full-outer on the group key: ``n = n_base − n_displaced + n_batch``
+    (decimal sums make the adjustment exact, which the oracle PROVES
+    by computing the same numbers via a naive full re-aggregation of
+    the merged table). At 100 TB the standing aggregate is a stored
+    table and only the two delta aggregates run per batch — that is
+    the entire point of the associative decimal-sum form; group-key
+    cardinality (5 here) keeps the merge join broadcast-sized."""
+    base = load_table(spark, sf_dir, "orders")
+    updates = _updates_batch(spark, sf_dir)
+
+    def agg(df: DataFrame, n_col: str, rev_col: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias(n_col),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias(rev_col),
+        )
+
+    standing = agg(base, "n_base", "rev_base")
+    displaced = agg(
+        base.join(updates.select("o_orderkey"), "o_orderkey", "semi"),
+        "n_disp",
+        "rev_disp",
+    )
+    batch = agg(updates, "n_batch", "rev_batch")
+    merged = (
+        standing.join(displaced, "o_orderpriority", "full")
+        .join(batch, "o_orderpriority", "full")
+        .fillna(
+            0,
+            subset=["n_base", "n_disp", "n_batch"],
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return merged.select(
+        "o_orderpriority",
+        (F.col("n_base") - F.col("n_disp") + F.col("n_batch")).alias("n_orders"),
+        (
+            F.coalesce(F.col("rev_base"), zero)
+            - F.coalesce(F.col("rev_disp"), zero)
+            + F.coalesce(F.col("rev_batch"), zero)
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

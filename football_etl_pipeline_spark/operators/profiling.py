@@ -289,3 +289,89 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("nano").cast("double") / NANO).alias("min_val"),
         (F.max("nano").cast("double") / NANO).alias("max_val"),
     )
+
+
+# ---- Two-pass heavy hitters -----------------------------------------
+
+HH_TOPK = 25
+# Per-partition Misra-Gries capacity. Guarantee (pigeonhole over the
+# decrement rule): any token with GLOBAL count > N/C survives at least
+# one partition's sketch, so with the corpus vocabulary ≪ C the
+# candidate set is simply exact; at real scale the operator is exact
+# whenever the K-th heavy hitter's count exceeds N/C — the knob a 100
+# TB run sizes from its token budget (C=4096 → anything above 0.024%
+# of the corpus is guaranteed caught).
+HH_CAPACITY = 4096
+
+
+def _mg_candidates(it):
+    """Batched Misra-Gries over one partition's token stream: merge
+    each Arrow batch's value_counts into the counter dict, and when
+    the dict exceeds capacity apply the grouped decrement (subtract
+    the (size−C)-th smallest count from everyone, drop the ≤0) — the
+    standard SpaceSaving-style batch form with the same survival
+    guarantee as per-item MG. Memory is O(C) regardless of stream
+    length; nothing here depends on partition size."""
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in it:
+        for tok, cnt in pdf["tok"].value_counts().items():
+            counters[tok] = counters.get(tok, 0) + int(cnt)
+        excess = len(counters) - HH_CAPACITY
+        if excess > 0:
+            cut = sorted(counters.values())[excess - 1]
+            counters = {t: c - cut for t, c in counters.items() if c > cut}
+    yield pd.DataFrame({"tok": list(counters.keys())})
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    )
+    SELECT tok, COUNT(*) AS n
+    FROM toks
+    GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT {HH_TOPK}
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} corpus tokens via the TWO-PASS heavy-hitter pattern:
+    bounded-memory Misra-Gries candidates per partition (mapInPandas,
+    O(C) state however long the stream), then an EXACT recount of the
+    candidate set only, then top-K.
+
+    Why not one exact groupBy? Here vocabulary is tiny and a plain
+    aggregate wins — ``text_top_ngrams`` is that shape. This operator
+    is the pattern for web-scale vocabularies (trillions of distinct
+    tokens), where a full groupBy shuffles every distinct token and
+    the sketch pass shuffles ≤ C rows per partition; the recount pass
+    restores exactness for everything that matters (counts of emitted
+    rows are true counts, and the top-K is provably complete whenever
+    the K-th count exceeds N/C — documented at ``HH_CAPACITY``).
+
+    Plan: explode → mapInPandas (Arrow-batched, vectorized
+    value_counts — no per-row Python) → candidate distinct (≤ C·P
+    rows) → broadcast semi-join gate on the token stream → exact
+    partial-agg count → TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = docs.select(
+        F.explode(
+            F.expr(r"split(trim(lower(text)), '\\s+')")
+        ).alias("tok")
+    )
+    candidates = (
+        toks.mapInPandas(_mg_candidates, "tok string").distinct()
+    )
+    return (
+        toks.join(F.broadcast(candidates), "tok", "semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(HH_TOPK)
+    )
