@@ -149,3 +149,33 @@ def test_hot_paths_stay_in_codegen(spark, name):
     assert "*(" in _final(plan)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_q11_reuses_base_exchange(spark):
+    """Q11's per-part aggregate and its global total are two
+    aggregations of the SAME filtered base subtree — the plan must
+    reuse that work (ReusedExchange or a shared cached scan), and the
+    total must reach the filter as a broadcast, never a sort-merge."""
+    plan = _plan(spark, "q11_important_parts")
+    final = _final(plan)
+    assert "SortMergeJoin" not in final
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
+
+
+def test_heavy_hitters_candidate_gate_is_broadcast(spark):
+    """The candidate set (≤ capacity·partitions rows) must gate the
+    token stream via a broadcast semi-join — a shuffle here would
+    defeat the sketch's entire purpose — and the final top-K must be
+    TakeOrdered, not a global sort."""
+    plan = _plan(spark, "text_heavy_hitters")
+    final = _final(plan)
+    assert "SortMergeJoin" not in final
+    assert "TakeOrderedAndProject" in final
+
+
+def test_merge_upsert_has_no_cartesian(spark):
+    """The upsert anti-join must be key-based (broadcast or shuffled
+    hash), never a nested-loop over the base table."""
+    plan = _plan(spark, "merge_upsert_orders")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
