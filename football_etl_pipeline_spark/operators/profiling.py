@@ -375,3 +375,67 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("tok").asc())
         .limit(HH_TOPK)
     )
+
+
+# ---- Certified approximate quantiles --------------------------------
+
+# approx_percentile's contract is a RANK guarantee (result sits within
+# ±1/accuracy of the target rank), not a value guarantee — so the
+# certification recomputes each sketch result's TRUE rank fraction
+# exactly and checks the window. The booleans are stable even though
+# the sketch VALUE can jitter with partition merge order, which is
+# exactly why the value itself never appears in the output.
+AQ_ACCURACY = 10_000
+AQ_TOL = 0.01  # certification window ±1% of rank (≫ 1/accuracy)
+
+
+@query(
+    "events_approx_quantiles",
+    oracle=f"""
+    SELECT
+      event_type,
+      COUNT(*) AS n,
+      TRUE AS p50_rank_ok,
+      TRUE AS p95_rank_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95 of ``value`` per event type, CERTIFIED: the
+    sketch runs for real (approx_percentile, accuracy {AQ_ACCURACY}),
+    and a second exact pass verifies each estimate's true rank lands
+    within ±{AQ_TOL} of its target — the deterministic-boolean trick
+    that lets a DuckDB oracle hash-check a sketch it cannot run
+    (same pattern as ``events_approx_distinct``).
+
+    Plan: one groupBy carrying the two quantile sketches, broadcast of
+    the ≤|event types| results back onto the raw scan, one exact
+    conditional-count aggregate — two scans total, no join shuffle.
+    At 100 TB the sketch pass is the product; the certification pass
+    is the audit you run on samples."""
+    ev = load_table(spark, sf_dir, "events")
+    sketches = ev.groupBy("event_type").agg(
+        F.expr(f"approx_percentile(value, array(0.5, 0.95), {AQ_ACCURACY})").alias(
+            "aps"
+        )
+    )
+    certified = (
+        ev.join(F.broadcast(sketches), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") <= F.col("aps")[0]).cast("bigint")).alias("le50"),
+            F.sum((F.col("value") <= F.col("aps")[1]).cast("bigint")).alias("le95"),
+        )
+    )
+    def ok(le_col: str, target: float):
+        frac = F.col(le_col) / F.col("n")
+        return (frac >= target - AQ_TOL) & (frac <= target + AQ_TOL)
+
+    return certified.select(
+        "event_type",
+        "n",
+        ok("le50", 0.5).alias("p50_rank_ok"),
+        ok("le95", 0.95).alias("p95_rank_ok"),
+    )
