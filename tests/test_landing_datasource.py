@@ -1,0 +1,86 @@
+"""Custom Python Data Source tests: the ``football_landing`` reader
+must parse the landing layout into key columns, parallelize one
+partition per (api, season, league) group, prune by the ``api``
+option at discovery, and round-trip payload bytes exactly — including
+malformed JSON (a CONNECTOR never judges content; dead-lettering is
+the transform's job)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from football_etl_pipeline_spark.sources.landing_datasource import register
+from tests.fixtures_football import (
+    LEAGUE,
+    SEASON,
+    apifootball_standings,
+    apifootball_teams,
+    stage,
+)
+
+
+def _read(spark, root, **options):
+    register(spark)
+    r = spark.read.format("football_landing")
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(root)
+
+
+def test_layout_parsed_and_payload_roundtrips(spark, tmp_path):
+    root = str(tmp_path / "landing")
+    p = stage(root, "apifootball", "teams", apifootball_teams())
+    stage(root, "apifootball", "standings", apifootball_standings())
+
+    df = _read(spark, root)
+    rows = {r["endpoint"]: r for r in df.collect()}
+    assert set(rows) == {"teams", "standings"}
+    t = rows["teams"]
+    assert (t["api"], t["season"], t["league"]) == ("apifootball", SEASON, LEAGUE)
+    assert t["file_path"] == p
+    assert json.loads(t["payload"]) == apifootball_teams()
+
+
+def test_one_partition_per_group(spark, tmp_path):
+    root = str(tmp_path / "landing")
+    for league in (LEAGUE, LEAGUE + 1, LEAGUE + 2):
+        stage(root, "apifootball", "teams", apifootball_teams(), league=league)
+        stage(root, "apifootball", "standings", apifootball_standings(), league=league)
+    df = _read(spark, root)
+    # 3 groups -> 3 input partitions; 2 files each -> 6 rows
+    assert df.count() == 6
+    assert df.rdd.getNumPartitions() == 3
+    per_group = (
+        df.groupBy("league").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert {r["league"]: r["n"] for r in per_group} == {
+        LEAGUE: 2, LEAGUE + 1: 2, LEAGUE + 2: 2
+    }
+
+
+def test_api_option_prunes_at_discovery(spark, tmp_path):
+    root = str(tmp_path / "landing")
+    stage(root, "apifootball", "teams", apifootball_teams())
+    stage(root, "apisports", "teams", {"response": []})
+    df = _read(spark, root, api="apisports")
+    assert [r["api"] for r in df.collect()] == ["apisports"]
+
+
+def test_malformed_payload_passes_through(spark, tmp_path):
+    root = str(tmp_path / "landing")
+    stage(root, "apifootball", "standings", "{not valid json")
+    df = _read(spark, root)
+    assert df.collect()[0]["payload"] == "{not valid json"
+
+
+def test_missing_path_is_a_clean_error(spark):
+    import pytest
+
+    register(spark)
+    with pytest.raises(Exception, match="requires a path"):
+        # format without load path: reader construction must name the fix
+        spark.read.format("football_landing").schema(
+            "api string"
+        ).load().collect()
