@@ -243,12 +243,10 @@ NANO = 1_000_000_000  # fixed-point unit for exact cross-engine sums
       dim,
       COUNT(*) AS n,
       CAST(SUM(CAST(nano AS DECIMAL(38,0))) AS DOUBLE) / {NANO} / COUNT(*) AS mean,
-      sqrt(
-        CAST(SUM(CAST(nano * nano AS DECIMAL(38,0))) AS DOUBLE)
-          / {NANO} / {NANO} / COUNT(*)
-        - (CAST(SUM(CAST(nano AS DECIMAL(38,0))) AS DOUBLE) / {NANO} / COUNT(*))
-          * (CAST(SUM(CAST(nano AS DECIMAL(38,0))) AS DOUBLE) / {NANO} / COUNT(*))
-      ) AS std,
+      sqrt(CAST(
+        SUM(CAST(nano * nano AS DECIMAL(38,0))) * COUNT(*)
+        - SUM(CAST(nano AS DECIMAL(38,0))) * SUM(CAST(nano AS DECIMAL(38,0)))
+      AS DOUBLE)) / (COUNT(*) * {NANO}) AS std,
       CAST(MIN(nano) AS DOUBLE) / {NANO} AS min_val,
       CAST(MAX(nano) AS DOUBLE) / {NANO} AS max_val
     FROM comps
@@ -263,9 +261,12 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: components are floor'd to nano-unit BIGINTs in the scan
     projection, summed as DECIMAL(38,0) (a trillion-row corpus of
     |x|<1 components still fits with >15 digits to spare — plain
-    BIGINT would overflow the sum-of-squares at ~600 rows), and only
-    the final mean/std projection returns to double via the
-    character-identical division chain in both dialects.
+    BIGINT would overflow the sum-of-squares at ~600 rows). The std
+    keeps the whole variance NUMERATOR in exact integer decimal —
+    ``n·Σx² − (Σx)²`` — so the float path is exactly one cast, one
+    IEEE-exact sqrt, one division; a naive ``sumsq/n − mean²`` float
+    chain was measured to differ between engines by 1 ulp at sf0.1
+    (constant-folding reassociates the divisions differently).
 
     Plan: posexplode is a 64× row expansion but NO shuffle — partial
     aggregation collapses each partition to ≤64 rows before the single
@@ -276,16 +277,15 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "dim", F.floor(F.col("x").cast("double") * NANO).cast("bigint").alias("nano")
     )
-    sum_nano = F.sum(F.col("nano").cast("decimal(38,0)")).cast("double")
-    sumsq_nano = F.sum((F.col("nano") * F.col("nano")).cast("decimal(38,0)")).cast(
-        "double"
-    )
+    sum_dec = F.sum(F.col("nano").cast("decimal(38,0)"))
+    sumsq_dec = F.sum((F.col("nano") * F.col("nano")).cast("decimal(38,0)"))
     n = F.count(F.lit(1))
-    mean = sum_nano / NANO / n
+    mean = sum_dec.cast("double") / NANO / n
+    var_num = (sumsq_dec * n - sum_dec * sum_dec).cast("double")
     return comps.groupBy("dim").agg(
         n.alias("n"),
         mean.alias("mean"),
-        F.sqrt(sumsq_nano / NANO / NANO / n - mean * mean).alias("std"),
+        (F.sqrt(var_num) / (n * NANO)).alias("std"),
         (F.min("nano").cast("double") / NANO).alias("min_val"),
         (F.max("nano").cast("double") / NANO).alias("max_val"),
     )
