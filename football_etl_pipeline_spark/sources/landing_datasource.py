@@ -27,7 +27,12 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _LAYOUT_RE = re.compile(
     r"(?P<api>[^/]+)/season_(?P<season>\d+)/league_(?P<league>\d+)/(?P<endpoint>[^/]+)$"
@@ -84,6 +89,60 @@ class FootballLandingReader(DataSourceReader):
                 yield (api, season, league, endpoint, path, fh.read())
 
 
+class FootballLandingStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same landing zone: each micro-batch emits
+    the files that appeared since the last offset, exactly once.
+
+    Offset format: ``{"seen": [path, ...]}`` (sorted). A path list is
+    the HONEST offset for a directory with no ordering guarantees —
+    nothing monotone exists to watermark on (mtimes can go backwards
+    on copy). It grows with history; at real scale the landing layout
+    is date-partitioned and the offset holds only the open partitions'
+    listings, with closed days compacted to a count. Replay safety:
+    ``readBetweenOffsets`` reproduces any committed batch as a pure
+    set difference, which Spark uses to re-deliver a batch lost to a
+    crash between write and commit."""
+
+    def __init__(self, options: dict):
+        self._discover = FootballLandingReader(options)
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _listing(self) -> dict[str, tuple]:
+        return {
+            entry[4]: entry
+            for part in self._discover.partitions()
+            for entry in part.files
+        }
+
+    def read(self, start: dict):
+        listing = self._listing()
+        seen = set(start["seen"])
+        new_paths = sorted(p for p in listing if p not in seen)
+        end = {"seen": sorted(seen | set(new_paths))}
+        return (self._rows(listing, new_paths), end)
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        listing = self._listing()
+        paths = sorted(set(end["seen"]) - set(start["seen"]))
+        return self._rows(listing, paths)
+
+    @staticmethod
+    def _rows(listing: dict[str, tuple], paths: list[str]) -> list[tuple]:
+        # Materialized list, not a generator: the simple-reader harness
+        # caches each batch's iterator for replay (copy.copy fails on
+        # generators). Batch size = files since last trigger — bounded
+        # by arrival rate, and payloads are small raw JSON staged by
+        # ingest; a bulk-history backfill belongs on the BATCH reader.
+        rows = []
+        for p in paths:
+            api, season, league, endpoint, path = listing[p]
+            with open(path) as fh:
+                rows.append((api, season, league, endpoint, path, fh.read()))
+        return rows
+
+
 class FootballLandingDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -94,6 +153,9 @@ class FootballLandingDataSource(DataSource):
 
     def reader(self, schema):
         return FootballLandingReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return FootballLandingStreamReader(self.options)
 
 
 def register(spark) -> None:

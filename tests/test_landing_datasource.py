@@ -84,3 +84,41 @@ def test_missing_path_is_a_clean_error(spark):
         spark.read.format("football_landing").schema(
             "api string"
         ).load().collect()
+
+
+def _drain_to_parquet(spark, root, ck, out):
+    register(spark)
+    q = (
+        spark.readStream.format("football_landing")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def test_streaming_datasource_incremental_exactly_once(spark, tmp_path):
+    """readStream on the custom source: first drain delivers the
+    backlog, a restarted drain after new files delivers ONLY the new
+    files (the seen-paths offset survives in the checkpoint), and
+    nothing is ever delivered twice."""
+    root = str(tmp_path / "landing")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    stage(root, "apifootball", "teams", apifootball_teams())
+    stage(root, "apifootball", "standings", apifootball_standings())
+    _drain_to_parquet(spark, root, ck, out)
+    assert spark.read.parquet(out).count() == 2
+
+    stage(root, "apifootball", "teams", apifootball_teams(),
+          league=LEAGUE + 1, filename="run2.json")
+    _drain_to_parquet(spark, root, ck, out)
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # exactly the one new file appended
+    new = got.filter(F.col("league") == LEAGUE + 1).collect()
+    assert len(new) == 1
+    assert new[0]["endpoint"] == "teams"
