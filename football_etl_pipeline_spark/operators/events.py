@@ -450,3 +450,89 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c", F.lit(0)).alias("n_events"),
         F.col("c").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH ordered AS (
+      SELECT
+        event_type,
+        value,
+        epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+          OVER (PARTITION BY event_type ORDER BY ts, event_id) AS t_next
+      FROM events
+    ), weighted AS (
+      SELECT
+        event_type,
+        t_next - t AS dur,
+        CAST(CAST(value AS DECIMAL(18,6)) * (t_next - t) AS DECIMAL(38,6)) AS wval
+      FROM ordered WHERE t_next IS NOT NULL
+    )
+    SELECT
+      event_type,
+      COUNT(*) AS n_intervals,
+      CAST(SUM(dur) AS BIGINT) AS total_us,
+      CAST(CAST(CAST(SUM(wval) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE)
+           AS DECIMAL(18,9)) AS DOUBLE) AS twa
+    FROM weighted
+    GROUP BY event_type
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per event type under LOCF
+    (last-observation-carried-forward) semantics: each reading holds
+    until the next one, so its weight is the interval it covered —
+    the hypertable/monitoring-stack aggregate that plain AVG gets
+    wrong whenever sampling is irregular. The type's final reading has
+    no successor and carries no weight (standard half-open convention).
+
+    Exactness: interval durations are INTEGER epoch-MICROsecond
+    diffs (second-level epochs are a trap: Spark's unix_timestamp
+    FLOORS sub-second parts while DuckDB's epoch() ROUNDS — measured
+    ±1s drift), the weighted mass is a DECIMAL(38,6) sum of
+    value×micros, and the average is the double division quantized
+    through DECIMAL(18,9) — the 38-digit decimal→double cast itself
+    rounds differently across engines (DuckDB converts the hugeint
+    then divides by 10^scale, two roundings; Java rounds once), so
+    the quotient can carry a 1-ulp echo that the quantization
+    collapses (the µs unit cancels in the ratio). Ordering ties on
+    ts are broken by event_id, so LEAD is deterministic.
+
+    Plan: one shuffle on event_type feeding a sorted window (LEAD),
+    then a partial-agg'd groupBy on the same key — AQE reuses the
+    window's exchange for the aggregate, so the fact table moves ONCE.
+    At 100 TB the window partitions by (event_type) alone could skew
+    on a hot type; the production refinement partitions by (type, day)
+    and stitches boundary intervals, same arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    ordered = ev.select(
+        "event_type",
+        "value",
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    dur = F.col("t_next") - F.col("t")
+    return (
+        ordered.select(
+            "event_type",
+            dur.alias("dur"),
+            (F.col("value").cast("decimal(18,6)") * dur)
+            .cast("decimal(38,6)")
+            .alias("wval"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur").cast("bigint").alias("total_us"),
+            (
+                F.sum("wval").cast("double") / F.sum("dur").cast("double")
+            )
+            .cast("decimal(18,9)")
+            .cast("double")
+            .alias("twa"),
+        )
+    )
