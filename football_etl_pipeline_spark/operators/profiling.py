@@ -44,6 +44,29 @@ def _inject(dialect: str) -> str:
     )
 
 
+def pii_stats(df: DataFrame) -> DataFrame:
+    """Per-row PII stats over a ``(source, txt)`` frame: email/phone
+    match counts and the byte shrinkage of redacting both. Counting
+    and redaction MUST see the identical pattern, so both go through
+    the column API — embedding the pattern in a SQL string literal
+    (``F.expr``) would let the parser unescape ``\\.`` to a bare ``.``,
+    turning the email regex into a wildcard-dot match that disagrees
+    with the redaction path and the DuckDB oracle on any corpus with
+    ``@`` outside well-formed emails (regression-tested in
+    ``tests/test_profiling_pii.py``)."""
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("txt"), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        "source",
+        F.size(F.regexp_extract_all(F.col("txt"), F.lit(EMAIL_RE), F.lit(0))).alias("n_email"),
+        F.size(F.regexp_extract_all(F.col("txt"), F.lit(PHONE_RE), F.lit(0))).alias("n_phone"),
+        (F.length("txt") - F.length(red)).alias("chars_removed"),
+    )
+
+
 @query(
     "text_pii_redact",
     oracle=f"""
@@ -84,19 +107,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle carries it so both engines redact every occurrence."""
     docs = load_table(spark, sf_dir, "documents")
     injected = docs.select("source", F.expr(_inject("spark")).alias("txt"))
-    red = (
-        F.regexp_replace(
-            F.regexp_replace(F.col("txt"), EMAIL_RE, "<EMAIL>"),
-            PHONE_RE,
-            "<PHONE>",
-        )
-    )
-    stats = injected.select(
-        "source",
-        F.size(F.expr(f"regexp_extract_all(txt, '{EMAIL_RE}', 0)")).alias("n_email"),
-        F.size(F.expr(f"regexp_extract_all(txt, '{PHONE_RE}', 0)")).alias("n_phone"),
-        (F.length("txt") - F.length(red)).alias("chars_removed"),
-    )
+    stats = pii_stats(injected)
     return stats.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_email").alias("emails_redacted"),
@@ -404,10 +415,13 @@ AQ_TOL = 0.01  # certification window ±1% of rank (≫ 1/accuracy)
 def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p95 of ``value`` per event type, CERTIFIED: the
     sketch runs for real (approx_percentile, accuracy {AQ_ACCURACY}),
-    and a second exact pass verifies each estimate's true rank lands
-    within ±{AQ_TOL} of its target — the deterministic-boolean trick
-    that lets a DuckDB oracle hash-check a sketch it cannot run
-    (same pattern as ``events_approx_distinct``).
+    and a second exact pass verifies each estimate's attained rank
+    interval [count(<est), count(<=est)]/n overlaps the ±{AQ_TOL}
+    target window — the deterministic-boolean trick that lets a DuckDB
+    oracle hash-check a sketch it cannot run (same pattern as
+    ``events_approx_distinct``). The interval (not the <=-fraction
+    alone) makes the booleans robust to tie-heavy distributions where
+    mass concentrates at the returned value.
 
     Plan: one groupBy carrying the two quantile sketches, broadcast of
     the ≤|event types| results back onto the raw scan, one exact
@@ -420,22 +434,33 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aps"
         )
     )
+    # Tie-aware certification: the sketch's rank contract is satisfied
+    # iff SOME rank attained by the returned value lies in the target
+    # window — the attained ranks are the closed interval
+    # [count(value < est), count(value <= est)] / n. Certifying on the
+    # <=-fraction alone would flag legitimate answers on tie-heavy
+    # distributions (mass concentrated AT the returned value jumps the
+    # <=-fraction past target+tol even though the < -fraction is below
+    # target-tol, i.e. the value still covers the target rank).
     certified = (
         ev.join(F.broadcast(sketches), "event_type")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") < F.col("aps")[0]).cast("bigint")).alias("lt50"),
             F.sum((F.col("value") <= F.col("aps")[0]).cast("bigint")).alias("le50"),
+            F.sum((F.col("value") < F.col("aps")[1]).cast("bigint")).alias("lt95"),
             F.sum((F.col("value") <= F.col("aps")[1]).cast("bigint")).alias("le95"),
         )
     )
-    def ok(le_col: str, target: float):
-        frac = F.col(le_col) / F.col("n")
-        return (frac >= target - AQ_TOL) & (frac <= target + AQ_TOL)
+    def ok(lt_col: str, le_col: str, target: float):
+        lt_frac = F.col(lt_col) / F.col("n")
+        le_frac = F.col(le_col) / F.col("n")
+        return (lt_frac <= target + AQ_TOL) & (le_frac >= target - AQ_TOL)
 
     return certified.select(
         "event_type",
         "n",
-        ok("le50", 0.5).alias("p50_rank_ok"),
-        ok("le95", 0.95).alias("p95_rank_ok"),
+        ok("lt50", "le50", 0.5).alias("p50_rank_ok"),
+        ok("lt95", "le95", 0.95).alias("p95_rank_ok"),
     )

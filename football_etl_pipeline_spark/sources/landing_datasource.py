@@ -137,7 +137,19 @@ class FootballLandingStreamReader(SimpleDataSourceStreamReader):
         # ingest; a bulk-history backfill belongs on the BATCH reader.
         rows = []
         for p in paths:
-            api, season, league, endpoint, path = listing[p]
+            entry = listing.get(p)
+            if entry is None:
+                # Replay of a committed offset can reference a file
+                # deleted/moved since the original batch (retention
+                # sweep, manual cleanup). A bare KeyError here wedges
+                # the stream permanently at this batch; name the file
+                # and the recovery path instead.
+                raise FileNotFoundError(
+                    f"football_landing replay: committed file {p!r} is no "
+                    "longer in the landing listing. Restore the file, or "
+                    "start a fresh checkpoint to skip the lost batch."
+                )
+            api, season, league, endpoint, path = entry
             with open(path) as fh:
                 rows.append((api, season, league, endpoint, path, fh.read()))
         return rows

@@ -22,16 +22,63 @@ serializes batches)."""
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Marker file stored INSIDE the standing-table directory (Spark/parquet
+# readers skip files starting with '_'), so it swaps atomically WITH the
+# data it describes — a sidecar file next to the directory could not.
+_BATCH_MARKER = "_LAST_BATCH_ID"
+
+
+def _recover_interrupted_swap(state_path: str) -> None:
+    """Heal the two crash windows of the rename-swap in
+    ``merge_batch_into_standing``: (a) crash between
+    ``rename(state, old)`` and ``rename(tmp, state)`` leaves the
+    standing table absent but intact at ``._old`` — restore it rather
+    than silently cold-starting and dropping all history; (b) crash
+    after the new state landed but before cleanup leaves a stale
+    ``._old`` — delete it."""
+    old = state_path + "._old"
+    if os.path.exists(old):
+        if not os.path.exists(state_path):
+            os.rename(old, state_path)
+        else:
+            shutil.rmtree(old)
+
+
+def _read_last_batch_id(state_path: str) -> int | None:
+    marker = os.path.join(state_path, _BATCH_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return int(f.read().strip())
+    return None
+
 
 def merge_batch_into_standing(
-    spark: SparkSession, batch_df: DataFrame, state_path: str
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_path: str,
+    batch_id: int | None = None,
 ) -> None:
     """Merge one micro-batch's partial aggregates into the standing
-    (event_type, n, value_sum_dec) parquet table."""
+    (event_type, n, value_sum_dec) parquet table.
+
+    Replay-safe when ``batch_id`` is supplied: foreachBatch is
+    at-least-once (a crash after the merge but before the checkpoint
+    commit re-delivers the same batch on restart), and this merge is
+    NOT naturally idempotent — double-folding a batch double-counts it.
+    The last-applied batch id is persisted inside the standing table's
+    directory and replays with ``batch_id <= last`` are no-ops, the
+    same exactly-once recipe as ``football_stream``'s batch_id-keyed
+    overwrite, adapted to a read-modify-write merge."""
+    _recover_interrupted_swap(state_path)
+    if batch_id is not None:
+        last = _read_last_batch_id(state_path)
+        if last is not None and batch_id <= last:
+            return
     batch_agg = batch_df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_b"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_b"),
@@ -66,13 +113,14 @@ def merge_batch_into_standing(
     # a crash mid-write leaves the old standing table intact.
     tmp = state_path + "._staging"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        with open(os.path.join(tmp, _BATCH_MARKER), "w") as f:
+            f.write(str(batch_id))
     old = state_path + "._old"
     if os.path.exists(state_path):
         os.rename(state_path, old)
     os.rename(tmp, state_path)
     if os.path.exists(old):
-        import shutil
-
         shutil.rmtree(old)
 
 
@@ -87,7 +135,7 @@ def maintain_event_type_totals(
     availableNow drains the backlog then stops."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        merge_batch_into_standing(spark, batch_df, state_path)
+        merge_batch_into_standing(spark, batch_df, state_path, batch_id=batch_id)
 
     return (
         events_stream.writeStream.foreachBatch(_process)
@@ -100,6 +148,7 @@ def maintain_event_type_totals(
 def read_standing(spark: SparkSession, state_path: str) -> DataFrame:
     """The standing aggregate with the decimal column surfaced as
     double (the scalar-only output rule)."""
+    _recover_interrupted_swap(state_path)
     return spark.read.parquet(state_path).select(
         "event_type",
         "n",

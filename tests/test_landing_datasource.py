@@ -122,3 +122,27 @@ def test_streaming_datasource_incremental_exactly_once(spark, tmp_path):
     new = got.filter(F.col("league") == LEAGUE + 1).collect()
     assert len(new) == 1
     assert new[0]["endpoint"] == "teams"
+
+
+def test_replay_of_deleted_file_names_the_file(spark, tmp_path):
+    """A crash-recovery replay referencing a file that was deleted
+    since the original batch must fail with a targeted error naming
+    the file, not a bare KeyError that hides the cause."""
+    import os
+
+    import pytest
+
+    from football_etl_pipeline_spark.sources.landing_datasource import (
+        FootballLandingStreamReader,
+    )
+
+    root = str(tmp_path / "landing")
+    staged = stage(root, "apifootball", "teams", apifootball_teams())
+    reader = FootballLandingStreamReader({"path": root})
+    start = reader.initialOffset()
+    _rows, end = reader.read(start)
+    # file vanishes between commit and the crash-recovery replay
+    path = end["seen"][0]
+    os.remove(path)
+    with pytest.raises(FileNotFoundError, match="no longer in the landing"):
+        reader.readBetweenOffsets(start, end)

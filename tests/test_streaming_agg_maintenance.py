@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from football_etl_pipeline_spark.streaming.agg_maintenance import (
     maintain_event_type_totals,
+    merge_batch_into_standing,
     read_standing,
 )
 from football_etl_pipeline_spark.streaming.events_stream import read_events_stream
@@ -88,6 +89,47 @@ def test_standing_agg_tracks_arrivals_across_restarts(spark, tmp_path):
     }
     assert got == _expected(spark, src)
     assert got["click"][0] == 3  # both deliveries folded exactly once
+
+
+def _standing_dict(spark, state):
+    return {
+        r["event_type"]: (r["n"], r["value_sum"])
+        for r in read_standing(spark, state).collect()
+    }
+
+
+def test_replayed_batch_is_not_double_folded(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash after the merge but
+    before the checkpoint commit re-delivers the SAME batch_id on
+    restart. The merge must be a no-op on the replay."""
+    state = str(tmp_path / "standing.parquet")
+    batch = spark.createDataFrame(
+        [("click", 3.5), ("view", 2.25)], "event_type string, value double"
+    )
+    merge_batch_into_standing(spark, batch, state, batch_id=0)
+    before = _standing_dict(spark, state)
+    # simulated replay of the committed batch
+    merge_batch_into_standing(spark, batch, state, batch_id=0)
+    assert _standing_dict(spark, state) == before
+    # a genuinely new batch still folds
+    merge_batch_into_standing(spark, batch, state, batch_id=1)
+    assert _standing_dict(spark, state)["click"][0] == 2
+
+
+def test_interrupted_swap_is_recovered(spark, tmp_path):
+    """A crash between rename(state, old) and rename(tmp, state)
+    leaves the standing table only at '._old'; the next merge must
+    restore it, not cold-start and drop history."""
+    state = str(tmp_path / "standing.parquet")
+    b0 = spark.createDataFrame([("click", 3.5)], "event_type string, value double")
+    merge_batch_into_standing(spark, b0, state, batch_id=0)
+    # simulate the crash window: state moved aside, new state never landed
+    os.rename(state, state + "._old")
+    b1 = spark.createDataFrame([("click", 1.0)], "event_type string, value double")
+    merge_batch_into_standing(spark, b1, state, batch_id=1)
+    got = _standing_dict(spark, state)
+    assert got["click"] == (2, 4.5)  # history survived the interrupted swap
+    assert not os.path.exists(state + "._old")
 
 
 def test_standing_agg_survives_noop_restart(spark, tmp_path):
