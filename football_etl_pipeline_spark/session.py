@@ -43,6 +43,13 @@ def get_spark(
         # 128 MiB input splits: good balance for both local[32] at sf0.1
         # and wide parquet scans on a cluster.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Python-worker connect-back flake under shared-box contention:
+        # the timeout is HARD-CODED in PythonWorkerFactory in Spark
+        # 4.1.2 (no spark.python.* timeout key exists in the core
+        # config registry — verified against the jar), so the only
+        # levers are fewer simultaneous worker spawns (tests run
+        # cpus=8) and worker reuse, which is default-on and kept so.
+        .config("spark.python.worker.reuse", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

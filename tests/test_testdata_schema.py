@@ -114,8 +114,13 @@ def test_every_query_has_entry_and_most_have_oracles():
     """queries() and oracle_sql() stay consistent with the registry."""
     import __spark_entry__ as entry
 
+    from football_etl_pipeline_spark.operators.registry import QUERIES
+
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    assert len(qs) >= 112
+    # Exact match against the registry (not a stale floor): silent
+    # deregistration of any post-window query must fail loudly here.
+    assert set(qs) == set(QUERIES)
+    assert len(qs) >= 125
     unknown = set(oracles) - set(qs)
     assert not unknown, f"oracle_sql keys missing from queries(): {unknown}"
