@@ -72,81 +72,105 @@ def rows_to_multiset(rows, colnames):
     )
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2:]
+def check_one(spark, con, sf_dir: str, name: str, qs, oracles) -> dict:
+    """Run one query on both engines and compare. Returns a record
+    ``{"status": "ok"|"weak"|"fail", "secs": float, "rows": int|None,
+    "err": str|None}`` — the unit both the CLI and the round gate
+    (``tools/round_gate.py``) consume."""
+    t0 = time.time()
+    try:
+        sdf = qs[name](spark, sf_dir)
+        scols = sdf.columns
+        srows = sdf.collect()
+    except Exception as ex:
+        return {"status": "fail", "secs": round(time.time() - t0, 2),
+                "rows": None, "err": f"spark error: {ex}"}
+    if name not in oracles:
+        bad = non_canonical_types([tuple(r) for r in srows])
+        dt = round(time.time() - t0, 2)
+        if bad:
+            return {"status": "fail", "secs": dt, "rows": len(srows),
+                    "err": f"non-canonical cell types {sorted(bad)} in rows-only query"}
+        return {"status": "weak", "secs": dt, "rows": len(srows), "err": None}
+    try:
+        rel = con.execute(oracles[name])
+        ocols = [d[0] for d in rel.description]
+        orows = rel.fetchall()
+    except Exception as ex:
+        return {"status": "fail", "secs": round(time.time() - t0, 2),
+                "rows": len(srows), "err": f"duckdb error: {ex}"}
+    problems = []
+    for side, rws in (("spark", srows), ("oracle", orows)):
+        bad = non_canonical_types(rws)
+        if bad:
+            problems.append(
+                f"non-canonical {side} cell types {sorted(bad)} "
+                "(driver canonicalizer breaks on these)"
+            )
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"schema: spark={sorted(scols)} oracle={sorted(ocols)}")
+    if len(srows) != len(orows):
+        problems.append(f"rowcount: spark={len(srows)} oracle={len(orows)}")
+    if not problems:
+        sm = rows_to_multiset([tuple(r) for r in srows], scols)
+        om = rows_to_multiset(orows, ocols)
+        if sm != om:
+            diffs = [(a, b) for a, b in zip(sm, om) if a != b][:3]
+            problems.append(f"values: first diffs {diffs}")
+    dt = round(time.time() - t0, 2)
+    if problems:
+        return {"status": "fail", "secs": dt, "rows": len(srows),
+                "err": "; ".join(problems)}
+    return {"status": "ok", "secs": dt, "rows": len(srows), "err": None}
 
+
+def make_duck(sf_dir: str):
     import duckdb
 
-    import __spark_entry__ as e
-    from football_etl_pipeline_spark.session import get_spark
-
-    spark = get_spark("verify_oracle")
-    con = duckdb.connect()
     from football_etl_pipeline_spark.sources.testdata import TABLES
 
+    con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
+    return con
 
+
+def sweep(spark, sf_dir: str, name_filter=(), verbose: bool = True) -> dict:
+    """Run every registered query against its oracle at ``sf_dir``.
+    Returns ``{name: record}`` (see ``check_one``)."""
+    import __spark_entry__ as e
+
+    con = make_duck(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
     names = [n for n in qs if not name_filter or any(f in n for f in name_filter)]
-    n_pass = n_fail = n_weak = 0
+    results = {}
     for name in names:
-        t0 = time.time()
-        try:
-            sdf = qs[name](spark, sf_dir)
-            scols = sdf.columns
-            srows = sdf.collect()
-        except Exception as ex:
-            print(f"FAIL  {name}: spark error: {ex}")
-            n_fail += 1
-            continue
-        if name not in oracles:
-            bad = non_canonical_types([tuple(r) for r in srows])
-            if bad:
-                print(f"FAIL  {name}: non-canonical cell types {sorted(bad)} in rows-only query")
-                n_fail += 1
+        rec = check_one(spark, con, sf_dir, name, qs, oracles)
+        results[name] = rec
+        if verbose:
+            if rec["status"] == "fail":
+                print(f"FAIL  {name} ({rec['secs']}s): {rec['err']}")
+            elif rec["status"] == "weak":
+                print(f"weak  {name}: rows={rec['rows']} (no oracle; rows-only check)")
             else:
-                print(f"weak  {name}: rows={len(srows)} (no oracle; rows-only check)")
-                n_weak += 1
-            continue
-        try:
-            rel = con.execute(oracles[name])
-            ocols = [d[0] for d in rel.description]
-            orows = rel.fetchall()
-        except Exception as ex:
-            print(f"FAIL  {name}: duckdb error: {ex}")
-            n_fail += 1
-            continue
-        problems = []
-        for side, rws in (("spark", srows), ("oracle", orows)):
-            bad = non_canonical_types(rws)
-            if bad:
-                problems.append(
-                    f"non-canonical {side} cell types {sorted(bad)} "
-                    "(driver canonicalizer breaks on these)"
-                )
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"schema: spark={sorted(scols)} oracle={sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(f"rowcount: spark={len(srows)} oracle={len(orows)}")
-        if not problems:
-            sm = rows_to_multiset([tuple(r) for r in srows], scols)
-            om = rows_to_multiset(orows, ocols)
-            if sm != om:
-                diffs = [
-                    (a, b) for a, b in zip(sm, om) if a != b
-                ][:3]
-                problems.append(f"values: first diffs {diffs}")
-        dt = time.time() - t0
-        if problems:
-            print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(problems))
-            n_fail += 1
-        else:
-            print(f"ok    {name} ({dt:.1f}s, {len(srows)} rows)")
-            n_pass += 1
+                print(f"ok    {name} ({rec['secs']}s, {rec['rows']} rows)")
+    con.close()
+    return results
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2:]
+
+    from football_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("verify_oracle")
+    results = sweep(spark, sf_dir, name_filter)
+    n_pass = sum(1 for r in results.values() if r["status"] == "ok")
+    n_weak = sum(1 for r in results.values() if r["status"] == "weak")
+    n_fail = sum(1 for r in results.values() if r["status"] == "fail")
     print(f"\n{n_pass} ok, {n_weak} weak (rows-only), {n_fail} FAIL")
     return 1 if n_fail else 0
 
