@@ -4,10 +4,13 @@ extracted through Arrow-batched ``mapInPandas`` — the plumbing a
 multimodal training-data pipeline needs (new surface per
 BASELINE.json:6; the reference is text/JSON only).
 
-The container has no image/audio codecs, so the *real* decoder is a
+The container has no image/audio codec libraries, so the *real*
+decoder path is split: PNG header metadata (width/height/bit-depth/
+color-type) decodes for REAL with stdlib struct+zlib
+(``decode_png_header``); every pixel/sample-level branch is a
 clearly-marked stub (``decode_media_real`` raises NotImplementedError
-unless PIL/soundfile appear); the *deterministic* decoder used by the
-queries computes features from the raw bytes. Because the synthetic
+unless PIL/soundfile appear); and the *deterministic* decoder used by
+the queries computes features from the raw bytes. Because the synthetic
 corpus is pure ASCII, those byte-level features have exact DuckDB
 oracles via per-char codepoints — i.e. even the Pandas-UDF path is
 oracle-verified end to end, not just smoke-checked.
@@ -66,6 +69,68 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png_header(payload: bytes) -> dict:
+    """Stdlib-only PNG header decode — the image branch of the codec
+    seam made real without PIL. The PNG container puts everything a
+    metadata pipeline needs at fixed offsets: an 8-byte signature,
+    then the IHDR chunk (4-byte length == 13, 4-byte type, 13 data
+    bytes: width/height as big-endian u32, bit depth and color type as
+    single bytes) whose CRC-32 (over type+data, the spec's coverage)
+    is checked with stdlib ``zlib.crc32``. Anything malformed raises
+    ``ValueError`` naming the violation — truncated or corrupt media
+    must dead-letter, never half-decode."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    if len(payload) < 33:
+        raise ValueError("not a PNG: truncated before IHDR")
+    length, ctype = struct.unpack(">I4s", payload[8:16])
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("not a PNG: first chunk must be a 13-byte IHDR")
+    width, height, bit_depth, color_type = struct.unpack(">IIBB", payload[16:26])
+    (expected_crc,) = struct.unpack(">I", payload[29:33])
+    if zlib.crc32(payload[12:29]) != expected_crc:
+        raise ValueError("PNG IHDR CRC mismatch (corrupt header)")
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+    }
+
+
+def make_png(width: int, height: int, rgb: tuple = (200, 10, 10)) -> bytes:
+    """Write a tiny VALID solid-color 8-bit RGB PNG with stdlib only
+    (struct + zlib — encoding needs no codec library, which is what
+    makes the stdlib decode path testable in this container). Used by
+    fixtures; also the reference answer ``decode_png_header`` is
+    tested against."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + bytes(rgb) * width for _ in range(height))
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_media_real(payload: bytes, mime: str) -> dict:
     """Real decoder behind the codec seam. The decode logic is wired
     up; only the codec libraries are missing from this container
@@ -82,6 +147,18 @@ def decode_media_real(payload: bytes, mime: str) -> dict:
     import io
 
     if mime.startswith("image/"):
+        if payload[:8] == PNG_SIGNATURE:
+            # PNG header metadata is a stdlib struct parse — REAL in
+            # this container. PIL only adds pixel-level fields.
+            meta = decode_png_header(payload)
+            try:
+                from PIL import Image
+            except ImportError:
+                return meta
+            with Image.open(io.BytesIO(payload)) as img:
+                meta["mode"] = img.mode
+                meta["format"] = img.format
+            return meta
         try:
             from PIL import Image
         except ImportError as exc:

@@ -1,22 +1,28 @@
 """Codec-seam tests for the multimodal operators.
 
-The container ships no image/audio/video codecs (installs are
-prohibited), so the real-decode golden tests gate on importorskip and
-SKIP here — but they are real tests: in any environment with
-PIL/soundfile they exercise ``decode_media_real`` end to end. What
-always runs is the contract test: without the libs the seam must fail
-with a clean NotImplementedError naming the fallback, never an
-AttributeError or a silent wrong answer.
+The container ships no image/audio/video codec LIBRARIES (installs are
+prohibited), but PNG header metadata needs none — stdlib struct+zlib —
+so the image branch's width/height/bit-depth decode runs FOR REAL here
+(fixture PNGs are also written with stdlib only). Pixel/sample-level
+golden tests still gate on importorskip and SKIP in this container; in
+any environment with PIL/soundfile they exercise ``decode_media_real``
+end to end. The always-run contract test: without the libs, non-PNG
+media must fail with a clean NotImplementedError naming the fallback,
+never an AttributeError or a silent wrong answer.
 """
 
 from __future__ import annotations
 
 import pytest
 
+from football_etl_pipeline_spark.operators.multimodal import (
+    decode_media_real,
+    decode_png_header,
+    make_png,
+)
+
 
 def test_decode_media_real_raises_clean_not_implemented_without_codecs():
-    from football_etl_pipeline_spark.operators.multimodal import decode_media_real
-
     for mime in ("image/png", "audio/wav", "video/mp4"):
         try:
             decode_media_real(b"\x00" * 16, mime)
@@ -28,18 +34,38 @@ def test_decode_media_real_raises_clean_not_implemented_without_codecs():
             pytest.fail("16 zero bytes must never decode successfully")
 
 
+def test_png_header_decodes_with_stdlib_only():
+    """The stdlib PNG path is real in THIS container: a valid PNG's
+    width/height/bit-depth/color-type come back from the IHDR parse,
+    no codec library involved."""
+    payload = make_png(32, 16)
+    meta = decode_png_header(payload)
+    assert meta == {"width": 32, "height": 16, "bit_depth": 8, "color_type": 2}
+    # and through the seam entry point (PIL absent -> header-only dict;
+    # PIL present -> superset with mode/format)
+    meta2 = decode_media_real(payload, "image/png")
+    assert meta2["width"] == 32 and meta2["height"] == 16
+    assert meta2["bit_depth"] == 8
+
+
+def test_png_header_rejects_corruption():
+    payload = bytearray(make_png(8, 8))
+    payload[18] ^= 0xFF  # flip a width byte: CRC must catch it
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png_header(bytes(payload))
+    with pytest.raises(ValueError, match="bad signature"):
+        decode_png_header(b"\x00" * 40)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png_header(make_png(8, 8)[:20])
+
+
 def test_decode_media_real_image_golden():
     PIL = pytest.importorskip("PIL")  # noqa: F841 — absent in this container
-    import io
-
-    from PIL import Image
-
     from football_etl_pipeline_spark.operators.multimodal import decode_media_real
 
-    buf = io.BytesIO()
-    Image.new("RGB", (32, 16), color=(200, 10, 10)).save(buf, format="PNG")
-    meta = decode_media_real(buf.getvalue(), "image/png")
-    assert meta == {"width": 32, "height": 16, "mode": "RGB", "format": "PNG"}
+    meta = decode_media_real(make_png(32, 16), "image/png")
+    assert meta["width"] == 32 and meta["height"] == 16
+    assert meta["mode"] == "RGB" and meta["format"] == "PNG"
 
 
 def test_decode_media_real_audio_golden():
