@@ -153,3 +153,80 @@ def pandas_udf_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         topk, "event_type string, event_id long, value double, rnk long"
     )
+
+
+def _rms_price_udaf():
+    """GROUPED_AGG pandas UDAF (Series → scalar): root-mean-square
+    order price. Built lazily like the scalar UDF above.
+
+    Cross-engine exactness: prices are 2-decimal, so each is an exact
+    BIGINT of cents; squares are summed in arbitrary-precision Python
+    ints (object dtype — no int64 overflow at any corpus size; the
+    cents² sum passes int64 range around 4k rows per group). Both
+    engines then perform the IDENTICAL float tail — one
+    nearest-double cast of the exact integer, one division, one
+    IEEE-exact sqrt — so the doubles match bit-for-bit."""
+    import math
+
+    @pandas_udf("double")
+    def _rms_price(price: pd.Series) -> float:
+        cents = (price * 100).round().astype("int64").astype(object)
+        sumsq = int((cents * cents).sum())
+        return math.sqrt(float(sumsq) / len(cents)) / 100.0
+
+    return _rms_price
+
+
+def _count_udaf():
+    """Companion GROUPED_AGG count: Spark refuses to mix a pandas
+    aggregate with JVM aggregates in one ``agg``
+    (INVALID_PANDAS_UDF_PLACEMENT), so the count rides the same
+    Python pass."""
+
+    @pandas_udf("long")
+    def _n_rows(price: pd.Series) -> int:
+        return len(price)
+
+    return _n_rows
+
+
+@query(
+    "pandas_udaf_rms_by_segment",
+    oracle="""
+    WITH cents AS (
+      SELECT c.c_mktsegment,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cent
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT
+      c_mktsegment,
+      COUNT(*) AS n_orders,
+      sqrt(CAST(SUM(CAST(cent AS HUGEINT) * cent) AS DOUBLE) / COUNT(*)) / 100.0
+        AS rms_price
+    FROM cents
+    GROUP BY c_mktsegment
+    """,
+)
+def pandas_udaf_rms_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True vectorized pandas UDAF used as an aggregate EXPRESSION
+    (completes the UDF family: scalar pandas_udf, applyInPandas,
+    grouped top-k, and now GROUPED_AGG): RMS order price per customer
+    market segment, with a companion GROUPED_AGG count (Spark rejects
+    mixing pandas and JVM aggregates in one ``agg``).
+
+    Plan: shuffle join orders⋈customer on custkey (both sides large at
+    real scale — no broadcast assumption), then one hash aggregate
+    whose UDAF buffers ship per-group Arrow batches to a Python worker
+    (AggregateInPandas). The UDAF sees each group's full value Series —
+    the documented constraint (like ``applyInPandas``) is per-GROUP
+    size, bounded here by the 5 market segments' even split. The same
+    statistic is SQL-expressible (the oracle proves it) — the UDAF
+    exists to exercise and gate the GROUPED_AGG path itself, the
+    escape hatch for aggregates that genuinely aren't built-ins."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        _count_udaf()("o_totalprice").alias("n_orders"),
+        _rms_price_udaf()("o_totalprice").alias("rms_price"),
+    )
