@@ -542,11 +542,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b, e in enumerate(_simhash_bit_sums("spark"))
         ]
     )
-    # Persisted: simhash values feed the band explode and both sides
-    # of the hamming join — 3 subtrees over the tf+bitsum chain.
-    sh_val = persist_tracked(
+    return simhash_banded_pairs(
         bitsums.select("doc_id", F.expr(_simhash_value()).alias("simhash"))
     )
+
+
+def simhash_banded_pairs(sh_val_in: DataFrame) -> DataFrame:
+    """The banding rung of ``dedup_simhash``, factored over an
+    arbitrary ``(doc_id, simhash)`` frame so the adversarial-skew
+    stress test (``tests/test_dedup_recall.py``) can drive it with
+    synthesized signature distributions the natural corpus never
+    produces (e.g. one band value shared by 10% of docs). Semantics
+    and plan are exactly the in-query ones — this IS the query body.
+    """
+    # Persisted: simhash values feed the band explode and both sides
+    # of the hamming join — 3 subtrees over the input chain.
+    sh_val = persist_tracked(sh_val_in)
     bands = persist_tracked(  # occupancy count + both pairing joins
         sh_val.select(
             "doc_id",

@@ -145,6 +145,138 @@ def test_embedding_ivf_dedup_recall_and_candidate_bound(spark):
     assert n_cand <= 0.5 * n * (n - 1) / 2, (n_cand, n)
 
 
+def test_simhash_hot_bucket_survives_adversarial_skew(spark):
+    """Worst-case band skew — 10% of the corpus shares ONE band value
+    (the near-identical-boilerplate shape: think a crawl where every
+    page embeds the same footer) while the docs are NOT near-dups
+    (other bands far apart). The two-level rung must (a) keep the
+    candidate count far below the flat-banding count, which goes
+    quadratic in the hot bucket, and (b) still find every true
+    radius-2 pair, including pairs whose ONLY shared band is the hot
+    one.
+
+    Signatures are synthesized directly (the natural corpus can't be
+    coaxed into this distribution) and driven through the exact query
+    body via ``simhash_banded_pairs``."""
+    import random
+
+    from football_etl_pipeline_spark.operators.dedup import simhash_banded_pairs
+
+    rng = random.Random(0xBAD5EED)
+    n, hot_frac = 1000, 0.10
+    hot_bkey = 0x1234  # the shared band-0 value (low 15 bits)
+    rows = []
+    for i in range(n):
+        if i < n * hot_frac:
+            # hot-bucket member: band 0 fixed, bands 1-3 random — the
+            # docs share boilerplate but are mutually distant
+            high = rng.getrandbits(45)
+            rows.append((i, (high << 15) | hot_bkey))
+        else:
+            rows.append((i, rng.getrandbits(60)))
+    # plant true pairs whose ONLY clean shared band is the HOT one:
+    # flip one bit in band 1 and one in band 2 of a hot member — bands
+    # 1 and 2 both differ, band 3 differs randomly w.h.p., band 0 is
+    # the hot bucket. A lossy hot-cap would drop exactly these.
+    planted = []
+    for k in range(5):
+        base_id = k
+        twin_id = n + k
+        twin = rows[base_id][1] ^ (1 << 20) ^ (1 << 40)  # bands 1 and 2
+        rows.append((twin_id, twin))
+        planted.append((base_id, twin_id))
+    sh = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    out = {
+        (r.a_id, r.b_id)
+        for r in simhash_banded_pairs(sh).select("a_id", "b_id").collect()
+    }
+    release_persists()
+
+    # exact recall: banded == brute force, and the planted hot-only
+    # pairs are all present
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    truth = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= SIMHASH_RADIUS)
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .collect()
+    }
+    assert out == truth
+    assert set(planted) <= out
+
+    # candidate bound: recompute both schemes' candidate counts from
+    # the same band frame. Flat banding pairs every co-bucketed duo —
+    # the hot bucket alone contributes ~(0.1n)²/2; the two-level rung
+    # must stay below a quarter of that.
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * i)
+                        .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
+                        .alias("bkey"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "bd.band_id", "bd.bkey")
+    occ = bands.groupBy("band_id", "bkey").agg(F.count(F.lit(1)).alias("occ"))
+    flat = (
+        occ.select(F.sum(F.col("occ") * (F.col("occ") - 1) / 2))
+        .collect()[0][0]
+    )
+    bmem = bands.join(occ, ["band_id", "bkey"])
+    cold = bmem.filter(F.col("occ") <= SIMHASH_HOT_CAP)
+    n_cold = (
+        cold.alias("a")
+        .join(
+            cold.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .count()
+    )
+    hotm = bmem.filter(F.col("occ") > SIMHASH_HOT_CAP).select(
+        "doc_id", "band_id", "bkey"
+    )
+    hotx = hotm.alias("h").join(
+        bands.alias("b2"),
+        (F.col("b2.doc_id") == F.col("h.doc_id"))
+        & (F.col("b2.band_id") != F.col("h.band_id")),
+    ).select(
+        F.col("h.doc_id").alias("doc_id"),
+        F.col("h.band_id").alias("band_id"),
+        F.col("h.bkey").alias("bkey"),
+        F.col("b2.band_id").alias("j"),
+        F.col("b2.bkey").alias("jkey"),
+    )
+    n_hot = (
+        hotx.alias("a")
+        .join(
+            hotx.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.jkey") == F.col("b.jkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    hot_bucket_quadratic = (n * hot_frac) ** 2 / 2
+    assert flat >= hot_bucket_quadratic  # the adversarial shape is real
+    assert n_cold + n_hot <= 0.25 * flat, (n_cold, n_hot, flat)
+
+
 def test_simhash_hot_path_is_exercised(spark):
     """At sf0.1 some buckets must exceed the cap, or the composite-key
     join is dead code and the recall test above proves nothing about
