@@ -134,3 +134,70 @@ def test_streaming_landing_batch_size_is_bounded(spark, tmp_path):
     batch_dirs = glob.glob(warehouse + "/batch_id=*")
     assert len(batch_dirs) > 1, "cap of 2 should split 6 files into multiple batches"
     assert len(_warehouse_rows(spark, warehouse)) == 9  # 3 groups x 3 teams
+
+
+def test_group_split_across_batches_does_not_dead_letter(spark, tmp_path):
+    """maxFilesPerTrigger boundaries give NO group guarantee (file
+    order ties on same-millisecond mtimes break arbitrarily), so a
+    teams file and its standings sibling can land in different
+    micro-batches. The pending-state must hold the early half and
+    process the group intact when the sibling arrives — 3 complete
+    groups staged simultaneously with cap=2 must ALL land, none
+    dead-lettered."""
+    landing = str(tmp_path / "landing")
+    warehouse = str(tmp_path / "warehouse")
+    dead = str(tmp_path / "dead")
+    ck = str(tmp_path / "ck")
+
+    files = []
+    for i in range(3):
+        files.append(stage(landing, API, "teams", apifootball_teams(),
+                           league=LEAGUE + i))
+        files.append(stage(landing, API, "standings", apifootball_standings(),
+                           league=LEAGUE + i))
+    q = run_streaming_transform(
+        spark, API, landing, warehouse, dead, ck, max_files_per_trigger=2
+    )
+    q.awaitTermination(300)
+    assert _warehouse_rows(spark, warehouse) == _batch_rows(spark, files)
+    assert len(_warehouse_rows(spark, warehouse)) == 9
+    dead_records = []
+    for f in glob.glob(dead + "/batch_id=*/part-*.json"):
+        with open(f) as fh:
+            dead_records += [json.loads(l) for l in fh if l.strip()]
+    assert dead_records == []
+
+
+def test_orphan_group_flushes_after_pending_window(spark, tmp_path):
+    """A teams file whose standings sibling never arrives must not
+    pend forever: after pending_flush_batches further batches it
+    flushes to the transform and dead-letters as a REAL missing-
+    sibling group."""
+    landing = str(tmp_path / "landing")
+    warehouse = str(tmp_path / "warehouse")
+    dead = str(tmp_path / "dead")
+    ck = str(tmp_path / "ck")
+
+    # orphan: teams only, no standings
+    stage(landing, API, "teams", apifootball_teams(), league=LEAGUE + 9)
+    q = run_streaming_transform(
+        spark, API, landing, warehouse, dead, ck, pending_flush_batches=1
+    )
+    q.awaitTermination(300)
+    assert _warehouse_rows(spark, warehouse) == []  # held, not dead-lettered
+
+    # a later complete group triggers the next batch; the orphan is
+    # now overdue and flushes alongside it
+    stage(landing, API, "teams", apifootball_teams(), league=LEAGUE)
+    stage(landing, API, "standings", apifootball_standings(), league=LEAGUE)
+    q = run_streaming_transform(
+        spark, API, landing, warehouse, dead, ck, pending_flush_batches=1
+    )
+    q.awaitTermination(300)
+    assert len(_warehouse_rows(spark, warehouse)) == 3  # the complete group
+    dead_records = []
+    for f in glob.glob(dead + "/batch_id=*/part-*.json"):
+        with open(f) as fh:
+            dead_records += [json.loads(l) for l in fh if l.strip()]
+    assert len(dead_records) == 1  # the orphan, as a true missing-sibling group
+    assert dead_records[0]["PK"] == f"{SEASON}-{LEAGUE + 9}"
