@@ -246,6 +246,106 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Containment threshold: |A∩B| / min(|A|, |B|) — near-1 when one doc's
+# shingle set sits INSIDE the other's (quote-expansion, boilerplate
+# wrapping, truncation dups), which symmetric Jaccard misses whenever
+# the sizes differ a lot (A⊂B with |B|=4|A| has J=0.25 but C=1.0).
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform({SHINGLES_DUCK},
+                                                 s -> {hash60_duck('s')}))) AS h
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), rare AS (
+      SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= {DF_CAP}
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+      FROM sh a
+      JOIN rare r ON a.h = r.h
+      JOIN sh b ON b.h = a.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT
+      a_id,
+      b_id,
+      n_shared,
+      CAST(CAST(n_shared * 1.0 / LEAST(sa.n, sb.n) AS DECIMAL(18,6)) AS DOUBLE)
+        AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE n_shared * 1.0 / LEAST(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
+      AND n_shared * 1.0 / (sa.n + sb.n - n_shared) < {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment pairs: max-direction shingle
+    containment |A∩B|/min(|A|,|B|) ≥ {CONTAINMENT_THRESHOLD} for pairs
+    the Jaccard rung does NOT already flag (J < {JACCARD_THRESHOLD}) —
+    the quote-expansion / boilerplate-wrap / truncation duplicates
+    where one document's content sits inside a much larger one, so the
+    union in Jaccard's denominator buries the overlap.
+
+    Plan: identical candidate machinery to ``dedup_ngram_jaccard``
+    (hashed shingles persisted once, DF-capped rare-shingle gate, one
+    shuffle + ReusedExchange self-join) — only the scoring projection
+    differs, so the scale analysis there carries over verbatim. The
+    J-exclusion makes the rung COMPLEMENTARY: run both, union the
+    pairs, and each pair is reported by exactly one rung with the
+    score that explains it.
+
+    The natural synthetic corpus contains no containment-only dups
+    (0 rows here — its planted near-dups are symmetric), so the
+    behavioral evidence is ``tests/test_dedup_recall.py``'s planted
+    quote-expansion corpus driving ``containment_pairs`` directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs)
+
+
+def containment_pairs(docs: DataFrame) -> DataFrame:
+    """The ``dedup_containment`` query body over an arbitrary
+    ``(doc_id, text)`` frame (testability split, same pattern as
+    ``simhash_banded_pairs``)."""
+    sh = persist_tracked(_hashed_shingles(docs))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare = sh.groupBy("sh60").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= DF_CAP
+    ).select("sh60")
+    shr = sh.join(rare, "sh60")
+    pairs = (
+        shr.alias("a")
+        .join(
+            shr.alias("b"),
+            (F.col("a.sh60") == F.col("b.sh60"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    cont = F.col("n_shared") * 1.0 / F.least(F.col("sa.n"), F.col("sb.n"))
+    jac = F.col("n_shared") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
+    return (
+        pairs.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("a_id"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("b_id"))
+        .filter((cont >= CONTAINMENT_THRESHOLD) & (jac < JACCARD_THRESHOLD))
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared",
+            cont.cast("decimal(18,6)").cast("double").alias("containment"),
+        )
+    )
+
+
 # ---- MinHash + LSH ---------------------------------------------------
 
 # k universal-hash permutations h_i(x) = (a_i·x + b_i) mod P over the

@@ -302,6 +302,103 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- Label-noise screen: distance to class centroid -----------------
+
+OUTLIER_TOPK = 5
+
+
+def _centroid_exprs_duck() -> str:
+    """64-element DuckDB list literal of per-dimension class means,
+    each via the exact nano-unit DECIMAL(38,0) sum (the
+    ``embedding_dim_stats`` pattern, pivoted per label)."""
+    els = ", ".join(
+        f"CAST(SUM(CAST(FLOOR((embedding::DOUBLE[])[{d + 1}] * {NANO}) AS DECIMAL(38,0))) AS DOUBLE) / {NANO} / COUNT(*)"
+        for d in range(DIM)
+    )
+    return f"[{els}]"
+
+
+@query(
+    "embedding_label_outliers",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, {_centroid_exprs_duck()} AS c
+      FROM embeddings GROUP BY label
+    ), dists AS (
+      SELECT
+        e.label,
+        e.vec_id,
+        list_sum([((e.embedding::DOUBLE[])[i+1] - c.c[i+1])
+                  * ((e.embedding::DOUBLE[])[i+1] - c.c[i+1])
+                  for i in range({DIM})]) AS dist2
+      FROM embeddings e JOIN cent c ON c.label = e.label
+    ), ranked AS (
+      SELECT label, vec_id, dist2,
+             ROW_NUMBER() OVER (
+               PARTITION BY label ORDER BY dist2 DESC, vec_id ASC
+             ) AS rnk
+      FROM dists
+    )
+    SELECT label, vec_id, CAST(dist2 AS DOUBLE) AS dist2, rnk
+    FROM ranked WHERE rnk <= {OUTLIER_TOPK}
+    """,
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen: top-{OUTLIER_TOPK} embeddings farthest (L²)
+    from their own class centroid — how mislabeled or corrupt vectors
+    actually surface in a labeled training corpus before they poison
+    contrastive batches.
+
+    Exactness: centroids use the nano-unit DECIMAL(38,0) sum pattern
+    (``embedding_dim_stats``), so both engines derive bit-identical
+    means; the distance fold then runs in fixed dimension order
+    (``aggregate(zip_with(...))`` vs the index comprehension), the
+    same order-pinned float chain the similarity family's dot products
+    already verify bit-identical.
+
+    Plan: one 64-sum aggregate per label (map-side partial, ≤|labels|
+    rows out), centroids BROADCAST back onto the scan (no shuffle of
+    the corpus), distance in the scan projection, then one window
+    shuffle on label with WindowGroupLimit pruning to top-{OUTLIER_TOPK}
+    per class. Two corpus scans total; at 100 TB both are
+    embarrassingly parallel and the only exchange carries |labels|
+    partitions — salt the window key if one label dominates."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = F.count(F.lit(1))
+    cent = emb.groupBy("label").agg(
+        F.array(
+            *[
+                (
+                    F.sum(
+                        F.floor(F.col("embedding")[d].cast("double") * NANO).cast(
+                            "decimal(38,0)"
+                        )
+                    ).cast("double")
+                    / NANO
+                    / n
+                )
+                for d in range(DIM)
+            ]
+        ).alias("c")
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(cast(embedding as array<double>), c, "
+        "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist2").desc(), F.col("vec_id").asc()
+    )
+    return (
+        emb.join(F.broadcast(cent), "label")
+        .select("label", "vec_id", dist2.alias("dist2"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= OUTLIER_TOPK)
+        .select("label", "vec_id", F.col("dist2").cast("double").alias("dist2"), "rnk")
+    )
+
+
 # ---- Two-pass heavy hitters -----------------------------------------
 
 HH_TOPK = 25

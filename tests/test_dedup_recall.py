@@ -305,3 +305,41 @@ def test_simhash_hot_path_is_exercised(spark):
         .collect()[0][0]
     )
     assert max_occ > SIMHASH_HOT_CAP
+
+
+def test_containment_catches_quote_expansion_jaccard_misses(spark):
+    """A short doc fully quoted inside a 4x larger one has high
+    containment but low Jaccard — the containment rung must flag
+    exactly these (and must NOT re-report symmetric near-dups the
+    Jaccard rung already owns)."""
+    from football_etl_pipeline_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        JACCARD_THRESHOLD,
+        containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i} tok{i} item{i}" for i in range(12))
+    rows = [
+        (0, "src0", short),
+        # quote-expansion: the WHOLE short doc embedded in a much
+        # larger one -> containment 1.0, Jaccard well under 0.5
+        (1, "src0", filler + " " + short + " closing remarks follow here now"),
+        # symmetric near-dup pair: Jaccard-rung territory, must NOT
+        # appear in the containment output
+        (2, "src1", short + " iota kappa"),
+        (3, "src1", short + " iota lambda"),
+        # unrelated
+        (4, "src2", "completely different content about spark plans and shuffles"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r.a_id, r.b_id): r.containment
+        for r in containment_pairs(docs).collect()
+    }
+    release_persists()
+    assert (0, 1) in got and got[(0, 1)] >= CONTAINMENT_THRESHOLD
+    # the symmetric pair is excluded (it belongs to the Jaccard rung)
+    assert (2, 3) not in got
+    # and nothing unrelated is flagged
+    assert all(a in (0, 2) and b in (1, 3) for (a, b) in got)
