@@ -50,6 +50,7 @@ SHOWCASE = {
     "text_heavy_hitters": "Misra-Gries candidates via mapInPandas; broadcast semi gate; exact recount; TakeOrderedAndProject",
     "merge_upsert_orders": "key-based anti join + union — no nested loop, no full-table sort",
     "incremental_agg_merge": "three 5-group aggregates merged by coalescing full-outer broadcast joins; base scanned, never re-aggregated twice",
+    "pandas_udaf_rms_by_segment": "ArrowAggregatePython: both UDAFs ride ONE Python pass after the segment exchange; the shuffle carries raw rows (no partial agg for UDAFs — the documented GROUPED_AGG trade)",
 }
 
 
