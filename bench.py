@@ -72,6 +72,11 @@ HEADLINE = [
     "q20_dominant_part_suppliers",
     "text_pii_redact",
     "embedding_dim_stats",
+    # round-6 additions (same comparability rule: shared prefix
+    # comparable across rounds; totals comparable from r6 on)
+    "pandas_udaf_rms_by_segment",
+    "dedup_containment",
+    "embedding_label_outliers",
 ]
 
 
