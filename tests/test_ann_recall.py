@@ -195,3 +195,57 @@ def test_ann_scores_never_beat_exact(spark, exact_neighbors):
     for fn in (similarity_ann_lsh, similarity_ann_ivf):
         for r in fn(spark, SF_DIR).collect():
             assert float(r.cosine) <= exact_best[r.query_id] + 1e-12
+
+
+def test_pq_adc_recall_floor(spark):
+    """ADC over SEEDED (untrained) sub-codebooks is a coarse ranker:
+    measured recall@10 vs exact-L2 ground truth is 0.32 (sf0.01) /
+    0.24 (sf0.1) on this unit-normalized corpus — the floor pins the
+    plumbing (a broken LUT or code indexing collapses recall to ~0.05,
+    the random-ranking level for n=500). Production recall comes from
+    k-means-trained sub-codebooks (the ``embedding_kmeans_train`` loop
+    per subspace), exactly as ``similarity_ann_ivf_trained`` improves
+    on ``similarity_ann_ivf``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from football_etl_pipeline_spark.operators.similarity import (
+        N_QUERIES,
+        TOPK,
+        similarity_pq_adc_topk,
+    )
+    from football_etl_pipeline_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_pq_adc_topk(spark, sf).collect()
+    }
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    l2 = F.expr(
+        "aggregate(zip_with(q.v, e.v, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in (
+            F.broadcast(q.alias("q"))
+            .join(e.alias("e"), F.col("e.vec_id") != F.col("q.vec_id"))
+            .select(
+                F.col("q.vec_id").alias("query_id"),
+                F.col("e.vec_id").alias("neighbor_id"),
+                l2.alias("d2"),
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOPK)
+            .collect()
+        )
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.2, recall
