@@ -201,3 +201,32 @@ def test_orphan_group_flushes_after_pending_window(spark, tmp_path):
             dead_records += [json.loads(l) for l in fh if l.strip()]
     assert len(dead_records) == 1  # the orphan, as a true missing-sibling group
     assert dead_records[0]["PK"] == f"{SEASON}-{LEAGUE + 9}"
+
+
+def test_split_ready_unit():
+    """Pure-function coverage of the pending-state partition: complete
+    groups pass, incomplete pend, overdue flush, unparseable paths
+    pass straight through."""
+    from football_etl_pipeline_spark.streaming.football_stream import _split_ready
+
+    t = "/l/apifootball/season_2023/league_1/teams/a.json"
+    s = "/l/apifootball/season_2023/league_1/standings/a.json"
+    t2 = "/l/apifootball/season_2023/league_2/teams/a.json"
+    odd = "/l/apifootball/not_in_layout.json"
+
+    ready, pending = _split_ready([t, s, t2, odd], {}, batch_id=0)
+    assert ready == sorted([t, s, odd])  # complete group + unparseable
+    assert pending == {t2: 0}
+
+    # sibling arrives later: pending half rides the completing batch
+    ready, pending = _split_ready(
+        ["/l/apifootball/season_2023/league_2/standings/a.json"], {t2: 0}, batch_id=1
+    )
+    assert t2 in ready and not pending
+
+    # overdue orphan flushes even without its sibling
+    ready, pending = _split_ready([], {t2: 0}, batch_id=8, flush_after=8)
+    assert ready == [t2] and not pending
+    # ...but not before the window closes
+    ready, pending = _split_ready([], {t2: 0}, batch_id=7, flush_after=8)
+    assert ready == [] and pending == {t2: 0}
