@@ -179,3 +179,42 @@ def test_merge_upsert_has_no_cartesian(spark):
     plan = _plan(spark, "merge_upsert_orders")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_shares_the_persisted_shingle_subtree(spark):
+    """Both self-join sides (and the size frame) must read the ONE
+    persisted shingle frame — recomputing the tokenize+hash chain per
+    subtree is the regression this guards. (At sf0.01 AQE broadcasts
+    the self-join, so unlike the Jaccard rung at larger inputs there
+    is no exchange to reuse, and AQE prints the shared cache as ONE
+    TableCacheQueryStage — so the stable cross-size invariant is that
+    the shingle frame IS cached, not how many scans print.) No
+    cartesian anywhere."""
+    plan = _final(_plan(spark, "dedup_containment"))
+    assert "InMemoryRelation" in plan or "TableCacheQueryStage" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_label_outlier_centroids_are_broadcast(spark):
+    """The class centroids must ride a broadcast back onto the corpus
+    scan — a shuffle join here would re-shuffle the whole corpus
+    against a <=|labels|-row frame."""
+    plan = _plan(spark, "embedding_label_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_adc_lut_is_broadcast_and_codes_never_sort_merge(spark):
+    """ADC scoring must join the corpus codes against the broadcast
+    per-query LUT (5 rows); a sort-merge here means the corpus
+    shuffled against a constant-size side."""
+    plan = _plan(spark, "similarity_pq_adc_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pandas_udaf_is_single_python_aggregate(spark):
+    """Both UDAFs must ride ONE ArrowAggregatePython pass (two Python
+    stages would double the Arrow transfer of every group)."""
+    plan = _plan(spark, "pandas_udaf_rms_by_segment")
+    assert _final(plan).count("ArrowAggregatePython") == 1
