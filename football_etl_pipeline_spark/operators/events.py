@@ -536,3 +536,79 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("twa"),
         )
     )
+
+
+@query(
+    "events_status_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_type
+      FROM events
+    ), islands AS (
+      SELECT user_id, event_type,
+             COUNT(*) AS n_events,
+             MIN(ts) AS valid_from
+      FROM ordered
+      GROUP BY user_id, event_type, rn - rn_type
+    ), versioned AS (
+      SELECT user_id, event_type, n_events, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from) AS valid_to
+      FROM islands
+    )
+    SELECT user_id, event_type, n_events, valid_from, valid_to
+    FROM versioned
+    """,
+)
+def events_status_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands → SCD2 intervals: collapse each user's
+    CONSECUTIVE runs of the same event_type into one versioned row
+    (valid_from inclusive, valid_to = next island's start, NULL while
+    current) — the slowly-changing-dimension type-2 build every
+    warehouse runs over a change stream, and the one classic window
+    shape (islands via the rn − rn_type difference trick) the registry
+    didn't yet cover.
+
+    Determinism: island identity is defined by (ts, event_id) order —
+    the event_id tie-break makes same-timestamp runs unambiguous in
+    both engines; everything emitted is exact (counts, raw
+    timestamps).
+
+    Plan: two row_number windows share ONE shuffle+sort on user_id
+    (same partition key; the second differs only in partition columns
+    that subset the sort), then the island groupBy (map-side partial)
+    and the lead window re-shuffle on user_id. At 100 TB this is the
+    sessionize scale story — everything keys on user_id, skewed users
+    are AQE's problem, and no state ever leaves the executor."""
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.row_number().over(w_user).alias("rn"),
+        F.row_number().over(w_type).alias("rn_type"),
+    )
+    islands = (
+        ordered.groupBy(
+            "user_id", "event_type", (F.col("rn") - F.col("rn_type")).alias("isl")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("valid_from"),
+        )
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("valid_from")
+    return islands.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        "valid_from",
+        F.lead("valid_from").over(w_ver).alias("valid_to"),
+    )
