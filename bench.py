@@ -77,6 +77,8 @@ HEADLINE = [
     "pandas_udaf_rms_by_segment",
     "dedup_containment",
     "embedding_label_outliers",
+    "similarity_pq_adc_topk",
+    "events_status_intervals",
 ]
 
 
