@@ -198,10 +198,14 @@ def test_containment_shares_the_persisted_shingle_subtree(spark):
 def test_label_outlier_centroids_are_broadcast(spark):
     """The class centroids must ride a broadcast back onto the corpus
     scan — a shuffle join here would re-shuffle the whole corpus
-    against a <=|labels|-row frame."""
-    plan = _plan(spark, "embedding_label_outliers")
+    against a <=|labels|-row frame. And the top-k window partitions on
+    only ~|labels| keys, so the Partial WindowGroupLimit (map-side
+    top-5 per label BEFORE the exchange) is what keeps the few-key
+    shuffle from carrying the whole corpus at 100 TB."""
+    plan = _final(_plan(spark, "embedding_label_outliers"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
 
 
 def test_pq_adc_lut_is_broadcast_and_codes_never_sort_merge(spark):
