@@ -1125,3 +1125,98 @@ def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@query(
+    "text_token_entropy",
+    oracle=f"""
+    WITH tc AS (
+      SELECT doc_id, ANY_VALUE(source) AS source, tok, COUNT(*) AS c
+      FROM (
+        SELECT doc_id, source, unnest({TOKENS_DUCK}) AS tok
+        FROM documents
+      )
+      WHERE tok <> ''
+      GROUP BY doc_id, tok
+    ),
+    pd AS (
+      SELECT doc_id, ANY_VALUE(source) AS source,
+             SUM(c) AS n_tokens,
+             SUM(CAST(c * ln(c) AS DECIMAL(18,6))) AS s_clnc
+      FROM tc GROUP BY doc_id
+    ),
+    h AS (
+      SELECT doc_id, source,
+             CAST(ln(n_tokens) - CAST(s_clnc AS DOUBLE) / n_tokens
+                  AS DECIMAL(18,6)) AS entropy
+      FROM pd
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(CAST(CAST(SUM(entropy) AS DOUBLE) / COUNT(*)
+                AS DECIMAL(18,6)) AS DOUBLE) AS avg_entropy,
+           CAST(MIN(entropy) AS DOUBLE) AS min_entropy,
+           CAST(MAX(entropy) AS DOUBLE) AS max_entropy,
+           COUNT(*) FILTER (WHERE entropy < 3.0) AS n_low_entropy
+    FROM h
+    GROUP BY source
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram (token) Shannon entropy per document, rolled up per
+    source — the standard repetitive-junk screen a pretraining
+    pipeline runs alongside the quality score: near-zero entropy means
+    a document is one token stamped over and over (boilerplate, tag
+    soup, generator spam), which the length/stopword heuristics in
+    ``text_quality_by_source`` cannot see.
+
+    H(doc) = ln(N) − Σ c·ln(c)/N over per-token counts c — computed in
+    that algebraic form so the only float summation, Σ c·ln(c), can be
+    fixed to DECIMAL(18,6) per TERM before the aggregate (the repo's
+    order-insensitive cross-engine sum rule); everything after is
+    per-row double math on identical operands in both engines.
+
+    Scale (100 TB): one explode + one (doc_id, token) hash aggregate —
+    the canonical map-side-combinable shape, keyed on doc_id so the
+    per-doc reduce is co-partitioned and the second aggregate is
+    nearly shuffle-free; source rides along via first() (constant per
+    doc) so the documents table is scanned ONCE, no join back. Output
+    is |sources| rows. No Python in the row path.
+
+    New surface vs the reference (no text analytics; see module
+    docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.expr(TOKENS_SPARK)).alias("tok")
+    ).filter(F.col("tok") != "")
+    tc = tok.groupBy("doc_id", "tok").agg(
+        F.first("source").alias("source"), F.count(F.lit(1)).alias("c")
+    )
+    pd_ = tc.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        F.sum("c").alias("n_tokens"),
+        F.sum((F.col("c") * F.log(F.col("c"))).cast("decimal(18,6)")).alias(
+            "s_clnc"
+        ),
+    )
+    h = pd_.select(
+        "source",
+        (
+            F.log(F.col("n_tokens"))
+            - F.col("s_clnc").cast("double") / F.col("n_tokens")
+        )
+        .cast("decimal(18,6)")
+        .alias("entropy"),
+    )
+    return h.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("entropy").cast("double") / F.count(F.lit(1)))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("avg_entropy"),
+        F.min("entropy").cast("double").alias("min_entropy"),
+        F.max("entropy").cast("double").alias("max_entropy"),
+        F.sum(F.when(F.col("entropy") < 3.0, 1).otherwise(0)).alias(
+            "n_low_entropy"
+        ),
+    )

@@ -1,5 +1,5 @@
-"""TPC-H Q9/Q11/Q16/Q20 shape adaptations for the partsupp-less
-testdata.
+"""TPC-H Q2/Q9/Q11/Q16/Q20 shape adaptations for the partsupp-less
+testdata (Q2 closes the 22/22 sweep).
 
 ``tpch_more.py`` scoped these four out because the slimmed schema has
 no ``partsupp`` table. Their QUERY SHAPES are still the point — a
@@ -7,7 +7,8 @@ profit expression over a 5-way join (Q9), a group aggregate gated by a
 scalar-subquery fraction of the global total (Q11), a distinct-pair
 rollup with a blacklist anti-join (Q16), and a correlated-aggregate
 dominance test (Q20) — so each is re-expressed over the tables that
-exist, with the stand-ins documented per query:
+exist (plus Q2's correlated-MIN minimum-cost-supplier shape), with
+the stand-ins documented per query:
 
 - supply cost        → ``0.6 * p_retailprice`` (fixed margin proxy)
 - part-supplier pairs→ ``SELECT DISTINCT l_partkey, l_suppkey``
@@ -280,4 +281,95 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("n_dominated"))
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eu AS (
+      SELECT ps.l_partkey AS partkey, ps.l_suppkey AS suppkey,
+             ps.supplycost
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+                   AND r.r_name = 'EUROPE'
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           e.supplycost
+    FROM eu e
+    JOIN part p ON p.p_partkey = e.partkey
+              AND p.p_size IN (5, 15, 25, 35, 45)
+              AND p.p_type = 'STANDARD'
+    JOIN supplier s ON s.s_suppkey = e.suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE e.supplycost = (
+      SELECT MIN(e2.supplycost) FROM eu e2 WHERE e2.partkey = e.partkey
+    )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), the last of the five
+    partsupp queries, closing the 22/22 sweep. Supply cost is proxied
+    by the cheapest line price each supplier ever shipped a part at
+    (``MIN(l_extendedprice)`` per (partkey, suppkey) — an exact MIN,
+    no float summation, so the cross-engine equality gate is safe).
+
+    The reference has no query surface at all (its one join is the
+    ~20-row teams⋈standings broadcast,
+    ``dataflow-flex/football_pipeline/transforms.py:32``); this is the
+    classic correlated-MIN shape a general engine must run.
+
+    Plan (the 100 TB formulation): the derived supply relation is ONE
+    aggregate over the fact scan; the region gate rides
+    supplier⋈nation⋈broadcast(region) over the *aggregated* frame
+    (|parts|·|supps-per-part| rows, never a second fact pass). The
+    part-attr filter prunes partkeys BEFORE the per-part MIN window —
+    legal because the Q2 correlation is on partkey alone, so dropping
+    whole partkeys never changes a surviving part's minimum, and it
+    shrinks the window exchange from every part to the ~0.3% that
+    pass the size/type gate. The correlated subquery itself is the
+    window ``MIN() OVER (PARTITION BY partkey)`` + equality filter —
+    one exchange on a pre-shrunk frame, ties kept (Q2 keeps ties).
+    Final ORDER BY ... LIMIT 100 is a TakeOrdered, no global sort.
+    The ordering key (acctbal DESC, n_name, s_name, p_partkey) is a
+    total order because s_name is unique per supplier, so the LIMIT
+    boundary is deterministic for the oracle hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 15, 25, 35, 45)
+        & (F.col("p_type") == "STANDARD")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    eu = (
+        ps.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+    )
+    best = eu.withColumn(
+        "min_cost", F.min("supplycost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("supplycost") == F.col("min_cost"))
+    return (
+        best.select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
     )

@@ -12,8 +12,9 @@ Schema adaptations (the testdata is a slimmed TPC-H — no ``partsupp``
 table, no ``l_shipmode``/``l_commitdate``/``l_receiptdate``, no
 ``c_phone``/comments — see ``/root/repo/TESTDATA.md``):
 
-- Q2/Q9/Q11/Q16/Q20 need ``partsupp`` and are structurally out of
-  scope on this data.
+- Q2/Q9/Q11/Q16/Q20 need ``partsupp``; they are adapted (derived
+  supply relation from lineitem) in ``tpch_adapted.py``, completing
+  the 22/22 shape sweep.
 - Q21 keeps its double-correlation shape with lateness redefined as
   shipped >90 days after order date (no commit/receipt dates).
 - Q12 keeps its shape (fact-fact join + two conditional counts) with

@@ -222,3 +222,26 @@ def test_pandas_udaf_is_single_python_aggregate(spark):
     stages would double the Arrow transfer of every group)."""
     plan = _plan(spark, "pandas_udaf_rms_by_segment")
     assert _final(plan).count("ArrowAggregatePython") == 1
+
+
+def test_q2_window_min_not_self_join_and_region_broadcast(spark):
+    """Q2's correlated MIN must be the window-over-aggregated-frame
+    formulation: exactly ONE aggregate pass over lineitem (a second
+    HashAggregate on l_extendedprice would mean the subquery re-read
+    the fact), the 1-row region filter rides a broadcast, and the
+    LIMIT 100 is a TakeOrdered — never a global sort."""
+    plan = _final(_plan(spark, "q2_min_cost_supplier"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 6  # one scan per table, no re-read
+    assert "BroadcastHashJoin" in plan
+
+
+def test_token_entropy_stays_jvm_side(spark):
+    """The entropy screen is pure column math: no Python stage of any
+    kind may appear (the explode + two hash aggregates must run inside
+    whole-stage codegen), and output reduces to |sources| keys."""
+    plan = _plan(spark, "text_token_entropy")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "*(" in _final(plan)
