@@ -302,3 +302,56 @@ def write_dead_letter(dead: DataFrame, path: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static LEFT join: each arriving event picks up the
+    customer dimension row for its user (market segment here) — the
+    canonical streaming-enrichment pattern the reference's batch-only
+    teams⋈standings join (``transforms.py:32``) becomes on a stream.
+
+    Stream-static joins are STATELESS: the static side is re-planned
+    each micro-batch (so a dimension refresh is picked up on the next
+    batch) and nothing is held in state store — no watermark needed on
+    the join itself. No broadcast hint: per the house policy only
+    fixed-cardinality frames get hints, and customer grows with scale;
+    Spark's size estimate broadcasts it per-batch while it fits and
+    falls back to a shuffled join when it doesn't. LEFT join keeps
+    events from unknown users (segment NULL → 'unknown' downstream),
+    matching the dead-letter philosophy: enrichment failure is data,
+    not an error."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return events.join(dim, "user_id", "left")
+
+
+def enriched_segment_counts(
+    events: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Enrichment feeding a watermarked tumbling aggregate: per
+    (5-minute window, market segment) event counts and decimal-exact
+    value totals — the join column becomes a grouping key, proving the
+    stream-static join composes with stateful aggregation (the join
+    adds no state; only the window aggregate holds any)."""
+    enriched = enrich_with_customer(events, customer)
+    return (
+        enriched.withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.window("ts", WINDOW).alias("w"),
+            F.coalesce(F.col("segment"), F.lit("unknown")).alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )

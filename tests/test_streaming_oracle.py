@@ -306,3 +306,56 @@ def test_deduped_stream_matches_duckdb_oracle(spark, events_json, tmp_path):
     )
     assert int(n_in) == 2 * int(n_distinct)  # the redelivery really happened
     assert got == want and len(got) > 0
+
+
+def test_stream_static_enrichment_matches_duckdb_oracle(
+    spark, events_json, tmp_path, sf_dir
+):
+    """Stream-static LEFT join (events stream ⋈ customer dimension)
+    feeding the watermarked window aggregate == DuckDB's batch join +
+    time_bucket over the same JSON and the same customer parquet,
+    restricted to watermark-closed windows (append-mode contract).
+    Exactness story matches the other oracle tests: counts exact,
+    totals decimal-summed."""
+    import duckdb
+
+    from football_etl_pipeline_spark.sources.testdata import load_table
+    from football_etl_pipeline_spark.streaming.events_stream import (
+        enriched_segment_counts,
+    )
+
+    src, part = events_json
+    customer = load_table(spark, sf_dir, "customer")
+    q = start_to_memory(
+        enriched_segment_counts(read_events_stream(spark, src), customer),
+        "oracle_enrich",
+        str(tmp_path / "ck_enrich"),
+        "append",
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.window_start.isoformat(), r.segment): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM oracle_enrich").collect()
+    }
+    want = {
+        (ws.isoformat(), seg): (int(n), float(tv))
+        for ws, seg, n, tv in duckdb.sql(
+            f"""
+            WITH ev AS (
+              SELECT ts::TIMESTAMP AS ts, user_id, value
+              FROM read_json_auto('{part}')
+            )
+            SELECT time_bucket(INTERVAL '5 minutes', ev.ts) AS ws,
+                   COALESCE(c.c_mktsegment, 'unknown') AS segment,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(ev.value AS DECIMAL(18,6))) AS DOUBLE) AS tv
+            FROM ev
+            LEFT JOIN '{sf_dir}/customer.parquet' c
+              ON c.c_custkey = ev.user_id
+            GROUP BY 1, 2
+            HAVING ws + INTERVAL '5 minutes'
+                     <= (SELECT MAX(ts) FROM ev) - INTERVAL '10 minutes'
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
