@@ -175,3 +175,111 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# Production compaction target (the cluster default). The registry
+# entry passes 1 MiB so local sf dirs actually produce MULTIPLE output
+# files and the range-clustering property is observable/testable; on a
+# real deployment callers keep the 128 MiB default.
+COMPACT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _dir_bytes(path: str) -> int:
+    """Total on-disk bytes of a local table dir. Local-FS walk is the
+    right tool at local[N]; on a cluster this is one
+    ``FileSystem.getContentSummary`` call — same single metadata RPC,
+    never a data read."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_table(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    cluster_col: str,
+    target_bytes: int = COMPACT_TARGET_BYTES,
+) -> int:
+    """OPTIMIZE-style small-file compaction: rewrite a fragmented
+    table dir into ceil(bytes/target) size-targeted files, RANGE
+    CLUSTERED on ``cluster_col`` (repartitionByRange + sort within
+    partitions), so every output file owns a disjoint key range and
+    parquet min/max footer stats prune file-level reads of later
+    point/range queries — compaction and data-skipping layout in one
+    pass. Returns the output file count.
+
+    Scale notes: the small-files problem is a driver/namenode problem
+    before it is a read problem (a 100 TB table left in 10 MB
+    fragments is 10M file statuses per scan plan). The rewrite is one
+    range-exchange of the table — the same cost as any full-table
+    shuffle — and the range boundaries come from Spark's built-in
+    reservoir sampling, which handles skewed keys without a custom
+    partitioner."""
+    import math
+
+    src = spark.read.parquet(src_dir)
+    n = max(1, math.ceil(_dir_bytes(src_dir) / target_bytes))
+    (
+        src.repartitionByRange(n, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode("overwrite")
+        .parquet(dst_dir)
+    )
+    import os
+
+    return len(
+        [
+            f
+            for f in os.listdir(dst_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        ]
+    )
+
+
+@query(
+    "compact_small_files",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of ``compact_table``: fragment ``orders`` into 64
+    small files (the simulated streaming-ingest debris), compact them
+    with a 1 MiB local target, and return the compacted table read
+    back — the oracle is the ORIGINAL table, because the entire
+    correctness contract of compaction is content-losslessness (same
+    rows, nothing dropped, nothing duplicated, under a full rewrite +
+    reorder). File-count and range-disjointness properties are pinned
+    in tests/test_compaction.py; they are filesystem facts DuckDB
+    can't see.
+
+    The work dirs live under one stable temp root, overwritten per
+    invocation — repeated bench runs don't accumulate."""
+    import os
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_compact",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    frag, dst = os.path.join(root, "frag"), os.path.join(root, "compact")
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_table(spark, frag, dst, "o_orderkey", target_bytes=1024 * 1024)
+    return spark.read.parquet(dst).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
