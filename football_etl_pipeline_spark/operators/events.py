@@ -612,3 +612,126 @@ def events_status_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         F.lead("valid_from").over(w_ver).alias("valid_to"),
     )
+
+
+# Interval-join bucket grain: 15 minutes in microseconds. Chosen ~
+# the median session duration scale so a session explodes into O(1)
+# buckets while each bucket holds few enough sessions that the
+# equi-join candidate set stays within a small constant factor of the
+# true matches (measured sf0.1: ~1.6M candidates for 151k matches).
+# At other corpora tune to ~ (median interval length) × k.
+OVERLAP_GRAIN_US = 15 * 60 * 1_000_000
+
+_SESSIONS_IV_DUCK = """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), se AS (
+      SELECT user_id,
+             SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS session_id,
+             ts
+      FROM e
+    ), iv AS (
+      SELECT user_id, session_id,
+             epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+      FROM se GROUP BY 1, 2
+    )
+"""
+
+
+@query(
+    "events_interval_overlap_join",
+    oracle=_SESSIONS_IV_DUCK
+    + """
+    SELECT a.user_id AS user_a, a.session_id AS session_a,
+           b.user_id AS user_b, b.session_id AS session_b,
+           LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us)
+             AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id
+     AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+    """,
+)
+def events_interval_overlap_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval overlap join — which session pairs (across users) were
+    concurrently active — via BUCKETED equi-join, the scalable form of
+    a non-equi interval predicate (Spark would otherwise plan
+    ``a.s <= b.e AND b.s <= a.e`` as a broadcast-nested-loop: O(n²)
+    comparisons and a single-threaded build at 100 TB).
+
+    Recipe: (1) sessionize (the registry's gaps-and-islands build, one
+    window pass); (2) explode each interval onto the 15-min grid cells
+    it touches (O(duration/grain) rows each); (3) self-equi-join ON
+    THE CELL — Catalyst plans a plain shuffled hash join, partitioned
+    and parallel; (4) refine with the exact predicate; (5) emit each
+    pair EXACTLY ONCE with no distinct: a pair is kept only in the
+    cell containing the LATER interval start (that cell is inside both
+    intervals whenever they overlap, so existence is guaranteed and
+    uniqueness is free — the dedup-free counting trick that avoids a
+    second shuffle over the candidate set).
+
+    Timestamps compare in integer microseconds (unix_micros /
+    epoch_us) — bit-exact in both engines, no second-truncation.
+
+    Oracle = the quadratic non-equi join, affordable at test SF."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    iv = (
+        ev.withColumn(
+            "new_s",
+            F.when(
+                F.lag("ts").over(w).isNull() | (gap > SESSION_GAP_SEC), 1
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_s").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_us"),
+            F.max(F.unix_micros("ts")).alias("e_us"),
+        )
+    )
+    g = F.lit(OVERLAP_GRAIN_US)
+    cells = iv.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s_us") / g), F.floor(F.col("e_us") / g)
+            )
+        ),
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    ac, bc = (lambda c: F.col("a." + c)), (lambda c: F.col("b." + c))
+    return (
+        a.join(
+            b,
+            (ac("cell") == bc("cell"))
+            & (ac("user_id") < bc("user_id"))
+            & (ac("s_us") <= bc("e_us"))
+            & (bc("s_us") <= ac("e_us"))
+            & (
+                F.floor(F.greatest(ac("s_us"), bc("s_us")) / g)
+                == ac("cell")
+            ),
+        )
+        .select(
+            ac("user_id").alias("user_a"),
+            ac("session_id").alias("session_a"),
+            bc("user_id").alias("user_b"),
+            bc("session_id").alias("session_b"),
+            (
+                F.least(ac("e_us"), bc("e_us"))
+                - F.greatest(ac("s_us"), bc("s_us"))
+            ).alias("overlap_us"),
+        )
+    )

@@ -245,3 +245,15 @@ def test_token_entropy_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "*(" in _final(plan)
+
+
+def test_interval_overlap_join_is_equi_not_nested_loop(spark):
+    """The bucketed interval join exists to AVOID the
+    BroadcastNestedLoopJoin Spark plans for a raw non-equi interval
+    predicate — the cell key must make it a hash-partitionable
+    equi-join (broadcast-hash is fine at this SF; nested-loop or
+    cartesian means the bucketing regressed)."""
+    plan = _final(_plan(spark, "events_interval_overlap_join"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
