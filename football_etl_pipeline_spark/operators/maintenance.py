@@ -283,3 +283,89 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_orderpriority",
     )
+
+
+# CDC demo delete rule, applied to the NEW snapshot: independent of
+# the correction/insert rules on purpose — a key can be corrected AND
+# deleted (e.g. 100: %10=0 and %97=3); the diff must classify by the
+# snapshots alone, not by upstream batch provenance.
+_DELETE_W = "o_orderkey % 97 = 3"
+
+_MERGED_DUCK = f"""
+      SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus,
+             b.o_totalprice, b.o_orderdate, b.o_orderpriority
+      FROM orders b
+      WHERE NOT EXISTS (SELECT 1 FROM updates u
+                        WHERE u.o_orderkey = b.o_orderkey)
+      UNION ALL
+      SELECT * FROM updates
+"""
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH updates AS ({_UPDATES_DUCK}),
+    merged AS ({_MERGED_DUCK}),
+    new_snap AS (SELECT * FROM merged WHERE NOT ({_DELETE_W}))
+    SELECT
+      CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+           WHEN n.o_orderkey IS NULL THEN 'delete'
+           ELSE 'update' END AS change_type,
+      COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+      o.o_totalprice AS old_totalprice,
+      n.o_totalprice AS new_totalprice,
+      o.o_orderstatus AS old_status,
+      n.o_orderstatus AS new_status
+    FROM orders o
+    FULL JOIN new_snap n ON n.o_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture by snapshot diff: given two versions of a
+    table (here: ``orders`` and the post-merge snapshot minus a
+    delete rule), emit the exact change feed — insert / update /
+    delete rows with old+new values — the diff a warehouse publishes
+    downstream when the upstream gives it snapshots instead of a log
+    (and the inverse face of ``merge_upsert_orders``, which CONSUMES
+    such a feed).
+
+    Plan: ONE full-outer shuffle join on the key, classification and
+    change detection as null-safe column predicates
+    (``IS DISTINCT FROM`` — so NULL-valued columns diff correctly),
+    no window, no distinct. At 100 TB both snapshots shuffle once on
+    o_orderkey; if the table is bucketed/partition-clustered on the
+    key (see ``compact_table``) the exchange drops out entirely.
+    Unchanged rows die in the post-join filter, so the emitted feed is
+    O(changes), not O(table)."""
+    base = load_table(spark, sf_dir, "orders")
+    merged = merge_upsert_orders(spark, sf_dir)
+    new_snap = merged.filter(~F.expr(_DELETE_W))
+    o = base.alias("o")
+    n = new_snap.alias("n")
+    oc, nc = (lambda c: F.col("o." + c)), (lambda c: F.col("n." + c))
+    return (
+        o.join(n, oc("o_orderkey") == nc("o_orderkey"), "full")
+        .filter(
+            oc("o_orderkey").isNull()
+            | nc("o_orderkey").isNull()
+            | ~oc("o_totalprice").eqNullSafe(nc("o_totalprice"))
+            | ~oc("o_orderstatus").eqNullSafe(nc("o_orderstatus"))
+        )
+        .select(
+            F.when(oc("o_orderkey").isNull(), "insert")
+            .when(nc("o_orderkey").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            F.coalesce(oc("o_orderkey"), nc("o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            oc("o_totalprice").alias("old_totalprice"),
+            nc("o_totalprice").alias("new_totalprice"),
+            oc("o_orderstatus").alias("old_status"),
+            nc("o_orderstatus").alias("new_status"),
+        )
+    )
