@@ -131,6 +131,75 @@ def make_png(width: int, height: int, rgb: tuple = (200, 10, 10)) -> bytes:
     )
 
 
+def decode_wav_header(payload: bytes) -> dict:
+    """Stdlib-only WAV (RIFF) header decode — the audio twin of
+    ``decode_png_header``: everything a metadata pipeline needs
+    (sample rate, channels, bit depth, sample count, duration) lives
+    in the ``fmt `` and ``data`` chunk headers, no codec required.
+    Walks the chunk list (chunk order is NOT fixed by the spec beyond
+    fmt-before-data), honours the spec's word alignment (odd-sized
+    chunks pad one byte), and raises ``ValueError`` naming the
+    violation on anything malformed — corrupt media dead-letters,
+    never half-decodes."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE signature")
+    fmt = None
+    data_size = None
+    off = 12
+    while off + 8 <= len(payload):
+        ctype, size = struct.unpack("<4sI", payload[off : off + 8])
+        body = payload[off + 8 : off + 8 + size]
+        if ctype == b"fmt ":
+            if size < 16:
+                raise ValueError("WAV fmt chunk shorter than 16 bytes")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif ctype == b"data":
+            if off + 8 + size > len(payload):
+                raise ValueError("WAV data chunk overruns payload")
+            data_size = size
+        off += 8 + size + (size & 1)  # word-aligned chunks
+    if fmt is None or data_size is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, channels, sample_rate, _byte_rate, block_align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"only PCM WAV supported (format {audio_format})")
+    if block_align == 0 or block_align != channels * bits // 8:
+        raise ValueError("WAV block_align inconsistent with channels/bits")
+    n_samples = data_size // block_align
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bit_depth": bits,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // sample_rate,
+    }
+
+
+def make_wav(
+    n_samples: int, sample_rate: int = 16000, channels: int = 1
+) -> bytes:
+    """Write a tiny VALID 16-bit PCM WAV (silence) with stdlib only —
+    same rationale as ``make_png``: encoding needs no codec, which is
+    what makes the stdlib decode path testable in this container."""
+    import struct
+
+    bits = 16
+    block_align = channels * bits // 8
+    data = b"\x00" * (n_samples * block_align)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_media_real(payload: bytes, mime: str) -> dict:
     """Real decoder behind the codec seam. The decode logic is wired
     up; only the codec libraries are missing from this container
@@ -174,6 +243,18 @@ def decode_media_real(payload: bytes, mime: str) -> dict:
                 "format": img.format,
             }
     if mime.startswith("audio/"):
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            # WAV header metadata is a stdlib struct parse — REAL in
+            # this container. soundfile only adds sample-level data.
+            meta = decode_wav_header(payload)
+            try:
+                import soundfile
+            except ImportError:
+                return meta
+            data, sr = soundfile.read(io.BytesIO(payload))
+            meta["decoded_samples"] = int(data.shape[0])
+            assert sr == meta["sample_rate"]
+            return meta
         try:
             import soundfile
         except ImportError as exc:

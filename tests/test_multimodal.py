@@ -82,3 +82,48 @@ def test_decode_media_real_audio_golden():
     assert meta["n_samples"] == 1600
     assert meta["sample_rate"] == 16000
     assert meta["channels"] == 1
+
+
+def test_wav_header_decodes_with_stdlib_only():
+    """The stdlib WAV path is real in THIS container: sample rate /
+    channels / bit depth / sample count come back from the RIFF chunk
+    walk, no codec library involved."""
+    from football_etl_pipeline_spark.operators.multimodal import (
+        decode_wav_header,
+        make_wav,
+    )
+
+    payload = make_wav(1600, sample_rate=16000, channels=2)
+    meta = decode_wav_header(payload)
+    assert meta == {
+        "sample_rate": 16000,
+        "channels": 2,
+        "bit_depth": 16,
+        "n_samples": 1600,
+        "duration_ms": 100,
+    }
+    # Through the seam entry point (soundfile absent -> header-only
+    # dict; present -> superset with decoded_samples).
+    meta2 = decode_media_real(payload, "audio/wav")
+    assert meta2["n_samples"] == 1600 and meta2["sample_rate"] == 16000
+
+
+def test_wav_header_rejects_corruption():
+    from football_etl_pipeline_spark.operators.multimodal import (
+        decode_wav_header,
+        make_wav,
+    )
+
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        decode_wav_header(b"\x00" * 40)
+    # Truncate INSIDE the data chunk: its declared size overruns.
+    with pytest.raises(ValueError, match="overruns"):
+        decode_wav_header(make_wav(1600)[:100])
+    # Non-PCM format code must refuse, not misparse.
+    import struct
+
+    payload = bytearray(make_wav(16))
+    fmt_off = payload.index(b"fmt ") + 8
+    payload[fmt_off : fmt_off + 2] = struct.pack("<H", 3)  # IEEE float
+    with pytest.raises(ValueError, match="only PCM"):
+        decode_wav_header(bytes(payload))
