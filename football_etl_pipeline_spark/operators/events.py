@@ -622,6 +622,32 @@ def events_status_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # At other corpora tune to ~ (median interval length) × k.
 OVERLAP_GRAIN_US = 15 * 60 * 1_000_000
 
+def session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, session_id, s_us, e_us): every user session as a
+    microsecond interval — the gaps-and-islands build shared by the
+    interval-overlap join and the co-activity graph family. One window
+    pass + one aggregate, both partitioned on user_id (one shuffle
+    total; the aggregate reuses the window's partitioning)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn(
+            "new_s",
+            F.when(
+                F.lag("ts").over(w).isNull() | (gap > SESSION_GAP_SEC), 1
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_s").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_us"),
+            F.max(F.unix_micros("ts")).alias("e_us"),
+        )
+    )
+
+
 _SESSIONS_IV_DUCK = """
     WITH e AS (
       SELECT user_id, ts, event_id,
@@ -682,24 +708,7 @@ def events_interval_overlap_join(
     epoch_us) — bit-exact in both engines, no second-truncation.
 
     Oracle = the quadratic non-equi join, affordable at test SF."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    iv = (
-        ev.withColumn(
-            "new_s",
-            F.when(
-                F.lag("ts").over(w).isNull() | (gap > SESSION_GAP_SEC), 1
-            ).otherwise(0),
-        )
-        .withColumn("session_id", F.sum("new_s").over(wrun))
-        .groupBy("user_id", "session_id")
-        .agg(
-            F.min(F.unix_micros("ts")).alias("s_us"),
-            F.max(F.unix_micros("ts")).alias("e_us"),
-        )
-    )
+    iv = session_intervals(spark, sf_dir)
     g = F.lit(OVERLAP_GRAIN_US)
     cells = iv.withColumn(
         "cell",

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
 from .dedup import dedup_ngram_jaccard
-from .registry import query
+from .registry import persist_tracked, query
 
 MAX_ITERATIONS = 20  # diameter bound; components here are tiny
 
@@ -249,4 +249,159 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components_star(pairs)
     return comp.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
+_COACTIVITY_EDGES_DUCK = """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), se AS (
+      SELECT user_id,
+             SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS session_id,
+             ts
+      FROM e
+    ), iv AS (
+      SELECT user_id, session_id,
+             epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+      FROM se GROUP BY 1, 2
+    ), edges AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM iv a JOIN iv b
+        ON a.user_id < b.user_id
+       AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+    )
+"""
+
+
+@query(
+    "graph_triangle_count",
+    oracle=_COACTIVITY_EDGES_DUCK
+    + """
+    , deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    )
+    SELECT
+      (SELECT COUNT(*) FROM deg) AS n_nodes,
+      (SELECT COUNT(*) FROM edges) AS n_edges,
+      (SELECT COUNT(*) FROM edges e1
+         JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+         JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles,
+      (SELECT SUM(d * (d - 1) // 2) FROM deg) AS n_wedges,
+      CAST(CAST(
+        3.0 * (SELECT COUNT(*) FROM edges e1
+                 JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+                 JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v)
+        / (SELECT SUM(d * (d - 1) // 2) FROM deg)
+        AS DECIMAL(18,6)) AS DOUBLE) AS clustering_coefficient
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the user
+    co-activity graph (edge = two users with time-overlapping
+    sessions, the distinct-pair projection of
+    ``events_interval_overlap_join``) — the classic graph analytic
+    whose naive 3-way self-join explodes on skew.
+
+    Scale story — DEGREE-ORDERED orientation (the compact-forward
+    algorithm; same idea as Suri & Vassilvitskii, "Counting Triangles
+    and the Curse of the Last Reducer", WWW'11): direct every edge
+    from its (degree, id)-smaller endpoint to the larger, so each
+    triangle is counted exactly once (no /6, no distinct) and —
+    crucially — every node's OUT-degree is O(√m) no matter how skewed
+    its true degree: a celebrity node with 10M neighbors contributes
+    wedges only through neighbors that outrank it. The wedge join and
+    the closing edge check are then two plain equi-joins whose
+    intermediate is Σ outdeg² « Σ deg², the quantity that kills the
+    unordered formulation. Broadcast of the 2-col degree frame is left
+    to AQE (it grows with |V|).
+
+    The oracle (quadratic canonical u<v<w 3-way join) double-counts
+    nothing either, so counts, wedge totals, and the ratio all match
+    exactly; the coefficient divides two exact integers → DECIMAL."""
+    from .events import events_interval_overlap_join
+
+    # Edge list via the BUCKETED interval join (events.py) — the raw
+    # non-equi pair predicate would plan a nested loop; the cell-keyed
+    # equi-join is the scale path, and reusing the registered operator
+    # keeps one implementation of the overlap semantics.
+    pairs = events_interval_overlap_join(spark, sf_dir)
+    edges = (
+        pairs.select(
+            F.col("user_a").alias("u"), F.col("user_b").alias("v")
+        )
+        .distinct()
+    )
+    edges = persist_tracked(edges)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    deg = persist_tracked(deg)
+    # Orient each edge from (deg, id)-smaller to larger endpoint.
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ranked = edges.join(du, "u").join(dv, "v")
+    fwd = F.col("du") < F.col("dv")
+    tie = (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    # Carry the dst endpoint's rank key (degree, id) so wedges can be
+    # canonicalized by RANK — then the closing x—y edge has exactly one
+    # possible orientation (rank-smaller → rank-larger) and the closure
+    # join is a plain two-key EQUI join. (Canonicalizing by node id
+    # instead would need an OR-of-orientations close, which Catalyst
+    # can only plan as a nested loop.)
+    oriented = ranked.select(
+        F.when(fwd | tie, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd | tie, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd | tie, F.col("dv")).otherwise(F.col("du")).alias("dst_d"),
+    )
+    oriented = persist_tracked(oriented)
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    o3 = oriented.select("src", "dst").alias("o3")
+    rank_lt = (F.col("o1.dst_d") < F.col("o2.dst_d")) | (
+        (F.col("o1.dst_d") == F.col("o2.dst_d"))
+        & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    wedges = o1.join(
+        o2, (F.col("o1.src") == F.col("o2.src")) & rank_lt
+    ).select(
+        F.col("o1.dst").alias("x"),
+        F.col("o2.dst").alias("y"),
+    )
+    tri = wedges.join(
+        o3,
+        (F.col("o3.src") == F.col("x")) & (F.col("o3.dst") == F.col("y")),
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(
+            (F.col("d") * (F.col("d") - 1) / 2).cast("long")
+        ).alias("n_wedges")
+    )
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(n_tri)
+        .crossJoin(n_wedges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            (3.0 * F.col("n_triangles") / F.col("n_wedges"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("clustering_coefficient"),
+        )
     )

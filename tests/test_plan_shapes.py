@@ -257,3 +257,22 @@ def test_interval_overlap_join_is_equi_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_triangle_count_closure_is_equi_join(spark):
+    """The rank-canonicalized wedge closure must be a hash-partitionable
+    EQUI join on (src, dst) — an OR-of-orientations close would plan a
+    BroadcastNestedLoopJoin over Σ outdeg² wedge rows, the exact
+    explosion the degree orientation exists to avoid. The oriented
+    edge frame must also be persisted (three consumers)."""
+    plan = _final(_plan(spark, "graph_triangle_count"))
+    # The only nested-loop joins allowed are the final 1-row x 1-row
+    # scalar combiners, which print as explicit "Cross" builds.
+    bnlj = [
+        ln
+        for ln in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in ln and "Cross" not in ln
+    ]
+    assert not bnlj, bnlj
+    assert "CartesianProduct" not in plan
+    assert "InMemoryRelation" in plan or "TableCacheQueryStage" in plan
