@@ -405,3 +405,110 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_coefficient"),
         )
     )
+
+
+PR_SCALE = 10**12  # fixed-point unit for PageRank mass
+PR_ITERS = 3
+PR_DAMP = 0.85
+PR_TOPK = 25
+
+
+def _pr_iter_duck(prev: str, it: str) -> str:
+    return f"""
+    {it} AS (
+      SELECT s.dst AS node,
+             CAST(FLOOR((0.15 * {PR_SCALE} / p.n)
+                        + {PR_DAMP} * SUM(r.r // d.d)) AS BIGINT) AS r
+      FROM sym s
+      JOIN {prev} r ON r.node = s.src
+      JOIN deg d ON d.node = s.src
+      CROSS JOIN params p
+      GROUP BY s.dst, p.n
+    )"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=_COACTIVITY_EDGES_DUCK
+    + f"""
+    , sym AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY 1),
+    params AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (
+      SELECT node, CAST({PR_SCALE} // p.n AS BIGINT) AS r
+      FROM deg CROSS JOIN params p
+    ),{_pr_iter_duck("r0", "it1")},{_pr_iter_duck("it1", "it2")},{_pr_iter_duck("it2", "it3")}
+    SELECT node AS user_id, r AS rank_micro,
+           CAST(CAST(r / {PR_SCALE}.0 AS DECIMAL(18,12)) AS DOUBLE)
+             AS pagerank
+    FROM it3
+    ORDER BY r DESC, node
+    LIMIT {PR_TOPK}
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 damped iterations) over the undirected co-activity
+    graph — the canonical iterative graph analytic, EXACTLY oracled
+    despite being iterative, using the same fixed-point trick as the
+    k-means trajectory oracle (`similarity.py`): rank mass lives in
+    BIGINT trillionths end-to-end, per-edge contributions are INTEGER
+    division (r // deg — bit-exact in both engines), and the only
+    float math per step (damping) is FLOORed back to integers on
+    identical operands, so no cross-engine drift can ACCUMULATE across
+    iterations — each iteration's state is integer-identical.
+
+    Scale: each iteration is one equi-join of the symmetric edge list
+    against the |V|-row rank frame plus one groupBy(dst) — the
+    textbook Pregel step as two shuffles, with edges+degrees persisted
+    once across iterations and only the rank frame recomputed. The
+    driver loop is ITERATION-bounded (3), not data-bounded; nothing is
+    collected. Skewed hubs cost what any groupBy on their key costs —
+    AQE skew-split applies; no single-machine adjacency assumption
+    anywhere. Top-{PR_TOPK} by integer rank with node tie-break keeps
+    the output deterministic."""
+    from .events import events_interval_overlap_join
+
+    pairs = events_interval_overlap_join(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
+        .distinct()
+    )
+    sym = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).union(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    sym = persist_tracked(sym)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    deg = persist_tracked(deg)
+    n = deg.count()  # |V|: one scalar to the driver, iteration-invariant
+    base = 0.15 * PR_SCALE / n
+    r = deg.select("src", F.lit(PR_SCALE // n).cast("long").alias("r"))
+    withdeg = sym.join(deg, "src")
+    for _ in range(PR_ITERS):
+        contrib = withdeg.join(r, "src").select(
+            "dst", F.expr("r div d").alias("c")
+        )
+        r = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("src"),
+                F.floor(F.lit(base) + PR_DAMP * F.col("s"))
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return (
+        r.select(
+            F.col("src").alias("user_id"),
+            F.col("r").alias("rank_micro"),
+            (F.col("r") / F.lit(float(PR_SCALE)))
+            .cast("decimal(18,12)")
+            .cast("double")
+            .alias("pagerank"),
+        )
+        .orderBy(F.col("rank_micro").desc(), "user_id")
+        .limit(PR_TOPK)
+    )
