@@ -675,8 +675,8 @@ _SESSIONS_IV_DUCK = """
     "events_interval_overlap_join",
     oracle=_SESSIONS_IV_DUCK
     + """
-    SELECT a.user_id AS user_a, a.session_id AS session_a,
-           b.user_id AS user_b, b.session_id AS session_b,
+    SELECT a.user_id AS user_a, a.session_id::BIGINT AS session_a,
+           b.user_id AS user_b, b.session_id::BIGINT AS session_b,
            LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us)
              AS overlap_us
     FROM iv a JOIN iv b
@@ -743,4 +743,66 @@ def events_interval_overlap_join(
                 - F.greatest(ac("s_us"), bc("s_us"))
             ).alias("overlap_us"),
         )
+    )
+
+
+# ---- re-aggregatable sketch rollup (partial HLL merge) ---------------
+
+
+@query(
+    "events_sketch_rollup_merge",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT CAST(ts AS DATE))::BIGINT AS n_days,
+           COUNT(DISTINCT user_id)::BIGINT AS n_merged_exact,
+           TRUE AS merged_within_10pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-sketch rollup: build a DataSketches HLL sketch of
+    distinct users per (event_type, day), then MERGE the day sketches
+    up to event_type with ``hll_union_agg`` and estimate — the
+    re-aggregation pattern that makes 100 TB rollup tables possible
+    (store day-grain sketch BLOBs once; any coarser grain — week,
+    month, all-time — is a cheap union over sketches, never a rescan
+    of raw events; exact distincts cannot be rolled up this way since
+    they don't compose). ``approx_count_distinct`` elsewhere
+    (``events_approx_distinct``) is the one-shot estimate; THIS query
+    exercises the sketch-as-a-value lifecycle: agg → binary column →
+    re-agg.
+
+    Oracle-checkable like the other sketches: estimates are
+    engine-specific, so the query emits the exact merged distinct
+    (hash-compared) plus a boolean asserting the merged estimate
+    landed within 10% of it (HLL lgK=12 has σ≈1.6%; 10% is ~6σ and
+    the sketch is deterministic given the data, so the boolean is
+    stable).
+
+    Plan: one shuffle to (event_type, day) partials, a second tiny
+    shuffle of ONE sketch row per group to event_type, plus the
+    exact-distinct rider for certification (at 100 TB a user drops
+    the rider and keeps the sketch-only plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    day_sketches = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("event_type", "day")
+        .agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+    )
+    merged = day_sketches.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("_est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_merged_exact")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_merged_exact",
+        (
+            F.abs(F.col("_est") - F.col("n_merged_exact"))
+            <= F.col("n_merged_exact") * 0.10
+        ).alias("merged_within_10pct"),
     )
