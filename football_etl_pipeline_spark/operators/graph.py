@@ -295,7 +295,7 @@ _COACTIVITY_EDGES_DUCK = """
       (SELECT COUNT(*) FROM edges e1
          JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
          JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles,
-      (SELECT SUM(d * (d - 1) // 2) FROM deg) AS n_wedges,
+      (SELECT SUM(d * (d - 1) // 2) FROM deg)::BIGINT AS n_wedges,
       CAST(CAST(
         3.0 * (SELECT COUNT(*) FROM edges e1
                  JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
@@ -512,3 +512,101 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_micro").desc(), "user_id")
         .limit(PR_TOPK)
     )
+
+
+# ---- single-source BFS (k-hop shortest distance) ---------------------
+
+BFS_MAX_HOPS = 4
+
+
+@query(
+    "graph_khop_bfs",
+    oracle=_COACTIVITY_EDGES_DUCK
+    + f"""
+    , sym AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ), seed AS (
+      SELECT MIN(u) AS s FROM edges
+    ), reach AS (
+      WITH RECURSIVE r(node, dist) AS (
+        SELECT s, 0 FROM seed
+        UNION
+        SELECT e.dst, r.dist + 1
+        FROM r JOIN sym e ON e.src = r.node
+        WHERE r.dist < {BFS_MAX_HOPS}
+      )
+      SELECT * FROM r
+    )
+    SELECT node, MIN(dist)::BIGINT AS dist
+    FROM reach GROUP BY node
+    """,
+)
+def graph_khop_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS: shortest hop-distance (capped at
+    {BFS_MAX_HOPS}) from the smallest node id in the co-activity
+    graph to every reachable node — the "blast radius" / influence-
+    neighborhood primitive (who is within k hops of a flagged
+    account). Completes the iterative-graph family: connected
+    components (global min-label fixpoint), PageRank (damped mass
+    fixpoint), triangles (one-shot), and now frontier expansion.
+
+    Iterative-yet-exactly-oracled: hop distances are small integers —
+    no float accumulates — so DuckDB reproduces the identical fixpoint
+    with a recursive CTE (UNION-distinct recursion bounded by the hop
+    cap) and the value hash is exact.
+
+    Scale story (100 TB of events → a billion-edge graph): each of
+    the {BFS_MAX_HOPS} driver-bounded iterations is ONE equi-join of
+    the current label frame against the symmetric edge list plus one
+    min-aggregate on the destination key — the Pregel step as two
+    shuffles, identical skeleton to connected_components above (same
+    AQE skew handling, same localCheckpoint lineage cut). The label
+    frame never exceeds |V| rows; nothing collects to the driver —
+    the seed itself is a 1-row aggregate joined in, not a collected
+    constant. Hop-capping bounds work on high-diameter graphs, the
+    same reason Lee-style k-hop queries cap at small k in production
+    graph stores."""
+    from .events import events_interval_overlap_join
+
+    pairs = events_interval_overlap_join(spark, sf_dir)
+    # The overlap join is the expensive subtree — materialize the edge
+    # list ONCE; sym and the seed are cheap derivations of it.
+    edges = (
+        pairs.select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).union(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    sym = persist_tracked(sym)
+
+    seed = edges.agg(F.min("u").alias("node")).select(
+        "node", F.lit(0).cast("int").alias("dist")
+    )
+    frontier = seed.localCheckpoint()
+    labels = frontier
+    for hop in range(BFS_MAX_HOPS):
+        # Plain equi-join on the edge key: early frontiers are tiny
+        # (AQE runtime-broadcasts them), late frontiers can be O(|V|)
+        # — a static broadcast hint would be wrong at scale.
+        neighbor = sym.join(frontier, sym.src == frontier.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        # New best-known distance per node; nodes already labeled keep
+        # their (strictly smaller) old distance. ONE materialization
+        # per hop: the next frontier is exactly the rows first
+        # discovered this round (dist == hop + 1) — a free filter of
+        # the checkpointed frame, no anti-join, no second job.
+        merged = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        frontier = merged.filter(F.col("dist") == hop + 1)
+        labels = merged
+        if frontier.isEmpty():
+            break
+    return labels.select("node", F.col("dist").cast("long").alias("dist"))
