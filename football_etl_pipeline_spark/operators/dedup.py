@@ -1045,3 +1045,120 @@ def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact_dropped"
         ),
     )
+
+
+# ---- exact-substring dedup (repeated k-token spans) ------------------
+
+SPAN_K = 8  # tokens per span; "50-token" in the paper, scaled to corpus
+
+_SPAN_TXT_SPARK = "concat_ws(' ', slice(toks, i, %d))" % SPAN_K
+_SPAN_TXT_DUCK = "array_to_string(toks[i + 1 : i + %d], ' ')" % SPAN_K
+_SPAN_GRAM_SPARK = (
+    f"transform(sequence(1, size(toks) - {SPAN_K - 1}), "
+    f"i -> {hash60_spark(_SPAN_TXT_SPARK)})"
+)
+_SPAN_GRAM_DUCK = (
+    f"[{hash60_duck(_SPAN_TXT_DUCK)} "
+    f"for i in range(len(toks) - {SPAN_K - 1})]"
+)
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, unnest({_SPAN_GRAM_DUCK}) AS h
+      FROM t WHERE len(toks) >= {SPAN_K}
+    ), pd AS (
+      SELECT h, doc_id, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+    ), st AS (
+      SELECT h, SUM(cnt)::BIGINT AS n_occ, COUNT(*) AS n_docs
+      FROM pd GROUP BY h
+    ), agg AS (
+      SELECT pd.doc_id,
+             SUM(cnt)::BIGINT AS n_spans,
+             COUNT(*)::BIGINT AS n_distinct_spans,
+             SUM(CASE WHEN st.n_occ >= 2 THEN cnt ELSE 0 END)::BIGINT
+               AS n_dup_span_occ,
+             SUM(CASE WHEN st.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT
+               AS n_cross_dup_spans,
+             MAX(st.n_occ) AS max_span_occ
+      FROM pd JOIN st USING (h) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(n_spans, 0) AS n_spans,
+           COALESCE(n_distinct_spans, 0) AS n_distinct_spans,
+           COALESCE(n_dup_span_occ, 0) AS n_dup_span_occ,
+           COALESCE(n_cross_dup_spans, 0) AS n_cross_dup_spans,
+           COALESCE(max_span_occ, 0) AS max_span_occ
+    FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication report: for every document, how
+    many of its rolling {SPAN_K}-token spans are repeated — globally
+    (``n_dup_span_occ``: span occurrences whose gram appears >= 2
+    times anywhere) and across documents (``n_cross_dup_spans``:
+    distinct grams shared with at least one OTHER doc). This is the
+    Spark-shape of suffix-array exact-substring dedup (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models
+    Better"): the suffix array finds repeated spans by global sort;
+    a distributed engine finds the same spans by hashing every
+    rolling k-gram and reducing on the 60-bit gram key — no global
+    sort, no driver state.
+
+    Scale story (100 TB): the exploded span frame is ~n_tokens rows
+    per doc but is IMMEDIATELY reduced by the (gram, doc) partial
+    aggregate — the only wide frame never materializes beyond the
+    map side. Gram statistics are a second aggregate over the
+    already-reduced frame, and the stats join runs on the same
+    60-bit key the frame is already bucketed by. Boilerplate grams
+    (the head of the Zipf curve) produce ONE stats row each, however
+    many documents carry them — unlike pairwise dedup there is no
+    candidate-pair blowup, which is exactly why this is the first
+    screen to run before any banded pairing. The final per-doc
+    rollup shuffles on doc_id, uniform by construction.
+
+    Reference has no text analytics (engine charter surface,
+    BASELINE.json:6); the hash60 gram key is the same portable
+    md5-prefix used by the whole dedup family."""
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = spread.select(
+        "doc_id", F.expr(TOKENS_SPARK).alias("toks")
+    ).filter(F.size("toks") >= SPAN_K)
+    spans = toks.select(
+        "doc_id", F.explode(F.expr(_SPAN_GRAM_SPARK)).alias("h")
+    )
+    per_doc_gram = persist_tracked(
+        spans.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = per_doc_gram.groupBy("h").agg(
+        F.sum("cnt").alias("n_occ"), F.count(F.lit(1)).alias("n_docs")
+    )
+    agg = (
+        per_doc_gram.join(stats, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_spans"),
+            F.count(F.lit(1)).alias("n_distinct_spans"),
+            F.sum(
+                F.when(F.col("n_occ") >= 2, F.col("cnt")).otherwise(F.lit(0))
+            ).alias("n_dup_span_occ"),
+            F.sum(
+                F.when(F.col("n_docs") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_cross_dup_spans"),
+            F.max("n_occ").alias("max_span_occ"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", zero).alias("n_spans"),
+        F.coalesce("n_distinct_spans", zero).alias("n_distinct_spans"),
+        F.coalesce("n_dup_span_occ", zero).alias("n_dup_span_occ"),
+        F.coalesce("n_cross_dup_spans", zero).alias("n_cross_dup_spans"),
+        F.coalesce("max_span_occ", zero).alias("max_span_occ"),
+    )
