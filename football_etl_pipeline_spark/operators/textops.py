@@ -1220,3 +1220,98 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_low_entropy"
         ),
     )
+
+
+# ---- corpus unigram LM quality score ---------------------------------
+
+
+@query(
+    "text_unigram_lm_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), occ AS (
+      SELECT doc_id, unnest(toks) AS token FROM t
+    ), pd AS (
+      SELECT token, doc_id, COUNT(*) AS cnt FROM occ GROUP BY 1, 2
+    ), vocab AS (
+      SELECT token, SUM(cnt)::BIGINT AS n_tok FROM pd GROUP BY token
+    ), tot AS (
+      SELECT SUM(n_tok)::BIGINT AS total FROM vocab
+    )
+    SELECT pd.doc_id,
+           SUM(cnt)::BIGINT AS n_tokens,
+           COUNT(*)::BIGINT AS n_distinct_tokens,
+           SUM(CASE WHEN n_tok = 1 THEN cnt ELSE 0 END)::BIGINT
+             AS n_hapax_occ,
+           SUM(cnt * n_tok)::BIGINT AS sum_weighted_freq,
+           CAST(CAST(
+             SUM(cnt * n_tok)::BIGINT * 1.0
+               / (SUM(cnt)::BIGINT * ANY_VALUE(total))
+             AS DECIMAL(18,9)) AS DOUBLE) AS lm_score
+    FROM pd JOIN vocab USING (token) CROSS JOIN tot
+    GROUP BY pd.doc_id
+    """,
+)
+def text_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM quality score per document — the
+    two-pass "train a cheap LM on the corpus, score every doc with
+    it" screen (the unigram cousin of the KenLM-perplexity filters in
+    CCNet/Gopher-style curation). The score is the document's average
+    token probability under the corpus unigram distribution:
+    ``sum(cnt_d(t) * n(t)) / (|d| * T)`` — gibberish / rare-token
+    documents score near 1/T, boilerplate near the head-word mass.
+    ``n_hapax_occ`` counts occurrences of corpus-hapax tokens, the
+    classic OOV-ish noise signal. No logarithms on purpose: libm vs
+    JVM ``ln`` differ in final ulps and would poison the value hash;
+    the probability-space average is exact integer arithmetic until
+    one final double division (exactly rounded, bit-identical in both
+    engines) and one DECIMAL(18,9) rounding.
+
+    Scale story (100 TB): pass 1 (vocabulary) and pass 2 (scoring)
+    share ONE exploded token frame reduced immediately by the
+    (token, doc) partial aggregate; the vocabulary is a second
+    aggregate over that reduced frame, and the probability join runs
+    on the token key the frame already carries. The corpus total is a
+    1-row aggregate broadcast into the scoring plan — no driver
+    loop, no collect beyond Spark's own scalar plan. Head tokens
+    ("the") produce one vocab row each; the score rollup shuffles on
+    doc_id, uniform by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    occ = spread.select(
+        "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("token")
+    )
+    per_doc_tok = persist_tracked(
+        occ.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = per_doc_tok.groupBy("token").agg(F.sum("cnt").alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").alias("total"))
+    return (
+        per_doc_tok.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum(
+                F.when(F.col("n_tok") == 1, F.col("cnt")).otherwise(F.lit(0))
+            ).alias("n_hapax_occ"),
+            F.sum(F.col("cnt") * F.col("n_tok")).alias("sum_weighted_freq"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            "n_hapax_occ",
+            "sum_weighted_freq",
+            (
+                F.col("sum_weighted_freq")
+                * F.lit(1.0)
+                / (F.col("n_tokens") * F.col("total"))
+            )
+            .cast("decimal(18,9)")
+            .cast("double")
+            .alias("lm_score"),
+        )
+    )
