@@ -561,3 +561,76 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("lt50", "le50", 0.5).alias("p50_rank_ok"),
         ok("lt95", "le95", 0.95).alias("p95_rank_ok"),
     )
+
+
+# ---- one-pass multi-column table profile -----------------------------
+
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _profile_oracle() -> str:
+    branches = []
+    for c in PROFILE_COLS:
+        branches.append(
+            f"SELECT '{c}' AS col_name, COUNT(*)::BIGINT AS n_rows,\n"
+            f"  SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT"
+            f" AS n_null,\n"
+            f"  COUNT(DISTINCT {c})::BIGINT AS n_distinct,\n"
+            f"  MIN({c})::DOUBLE AS min_val, MAX({c})::DOUBLE AS max_val,\n"
+            f"  CAST(CAST(SUM({c}::DECIMAL(18,2)) AS DECIMAL(18,2))"
+            f" AS DOUBLE) AS sum_val\n"
+            f"FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+@query("profile_table_onepass", oracle=_profile_oracle())
+def profile_table_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile summary for the fact table's measure columns —
+    null count, exact distinct cardinality, min/max, exact
+    decimal-stable sum — computed in ONE aggregate pass and unpivoted
+    to a (col_name, metric...) long format. This is the data-quality
+    profile every warehouse load runs after ingest (the engine-side
+    generalization of the reference's per-row validation guards,
+    ``dataflow-flex/transforms.py:109-123``, which only null-check —
+    here the table-level distributional profile rides one scan).
+
+    Scale story (100 TB): a single hash aggregate computes all
+    4 columns × 5 metrics together — the scan is paid once, not per
+    column. The multi-column exact COUNT(DISTINCT) plans through
+    Catalyst's expand (4× the reduced row width, map-side partial
+    before the one shuffle); at petabyte scale a user swaps those
+    four expressions for approx_count_distinct and keeps the
+    identical plan shape minus the expand. The final unpivot is a
+    4-row driver-free stack over the 1-row aggregate — free. Sums go
+    through DECIMAL(18,2) so the value hash is aggregation-order
+    independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"{c}__n_null"
+            ),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            F.sum(F.col(c).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias(f"{c}__sum"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n_rows, {c}__n_null, {c}__n_distinct, "
+        f"{c}__min, {c}__max, {c}__sum"
+        for c in PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_rows, n_null, n_distinct, min_val, max_val,"
+            " sum_val)"
+        )
+    )
