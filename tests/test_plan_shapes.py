@@ -276,3 +276,51 @@ def test_triangle_count_closure_is_equi_join(spark):
     assert not bnlj, bnlj
     assert "CartesianProduct" not in plan
     assert "InMemoryRelation" in plan or "TableCacheQueryStage" in plan
+
+
+def test_exact_substring_reduces_before_stats_join(spark):
+    """dedup_exact_substring's scale story: the exploded span frame is
+    reduced by the (gram, doc) aggregate ONCE, persisted, and both the
+    gram-stats build and the per-doc rollup read the cached frame —
+    losing the persist recomputes the tokenize+explode subtree twice;
+    the stats join must stay a hash-partitionable equi-join."""
+    plan = _plan(spark, "dedup_exact_substring")
+    # full string (AQE's final section elides materialized stages)
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unigram_lm_total_rides_as_broadcast_scalar(spark):
+    """text_unigram_lm_quality: the (token, doc) reduced frame is
+    persisted (vocab build + scoring join both read it) and the 1-row
+    corpus total enters the scoring plan as a broadcast, never a
+    shuffle."""
+    plan = _plan(spark, "text_unigram_lm_quality")
+    assert plan.count("InMemoryTableScan") >= 2
+    # the only nested-loop join allowed is the 1-row total cross-ride
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in ln and "Cross" not in ln
+    ]
+    assert not bad, bad
+
+
+def test_profile_onepass_is_one_scan_with_expand(spark):
+    """profile_table_onepass: all 4 columns x 6 metrics from ONE scan
+    of lineitem (that is the point of the operator); exact
+    multi-column COUNT(DISTINCT) plans through Catalyst's Expand."""
+    plan = _final(_plan(spark, "profile_table_onepass"))
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert "Expand" in plan
+
+
+def test_sketch_rollup_merges_sketches_not_rows(spark):
+    """events_sketch_rollup_merge: the type-level estimate must come
+    from hll_union_agg over day-grain sketch partials (one row per
+    (type, day) crosses the second shuffle), not from re-aggregating
+    raw events; the exact-distinct rider is a separate subtree."""
+    lower = _plan(spark, "events_sketch_rollup_merge").lower()
+    assert "hll_sketch_agg" in lower
+    assert "hll_union_agg" in lower
