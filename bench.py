@@ -79,6 +79,11 @@ HEADLINE = [
     "embedding_label_outliers",
     "similarity_pq_adc_topk",
     "events_status_intervals",
+    "dedup_exact_substring",
+    "text_unigram_lm_quality",
+    "profile_table_onepass",
+    "events_sketch_rollup_merge",
+    "graph_khop_bfs",
 ]
 
 
