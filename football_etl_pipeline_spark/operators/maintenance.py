@@ -369,3 +369,113 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             nc("o_orderstatus").alias("new_status"),
         )
     )
+
+
+# ---- Z-order clustering (multi-dimensional data skipping) ------------
+
+ZORDER_BITS = 16
+
+
+def zorder_key(x: str, y: str) -> F.Column:
+    """Interleaved-bit Morton key over two ALREADY-NORMALIZED
+    {ZORDER_BITS}-bit integer columns — pure built-in expressions
+    (aggregate over bit positions), whole-stage-codegen'd, no UDF."""
+    return F.expr(
+        f"aggregate(sequence(0, {ZORDER_BITS - 1}), 0L, (acc, i) -> "
+        f"acc + shiftleft(({x} >> i) & 1, 2*i)"
+        f"    + shiftleft(({y} >> i) & 1, 2*i + 1))"
+    )
+
+
+def zorder_cluster_table(
+    spark: SparkSession,
+    df: DataFrame,
+    dst_dir: str,
+    col_x: str,
+    col_y: str,
+    n_files: int,
+) -> None:
+    """Rewrite ``df`` into ``n_files`` parquet files range-clustered on
+    the Z-order (Morton) interleave of two key columns. Linear range
+    clustering gives file-level min/max skipping on ONE column and
+    leaves the other's per-file range global; the Z-curve keeps BOTH
+    dimensions locally narrow, so parquet footer stats prune files for
+    point/box predicates on either column — the layout behind
+    Delta/Iceberg OPTIMIZE ZORDER, built from repartitionByRange +
+    sortWithinPartitions on a computed key.
+
+    Keys are normalized to the {ZORDER_BITS}-bit grid by min/max
+    scaling; the two scalar bounds ride in as a broadcast 1-row frame
+    (no collect — the plan stays fully distributed, the same pattern
+    as the unigram-LM corpus total)."""
+    bounds = df.agg(
+        F.min(col_x).alias("_xmin"),
+        F.max(col_x).alias("_xmax"),
+        F.min(col_y).alias("_ymin"),
+        F.max(col_y).alias("_ymax"),
+    )
+    top = (1 << ZORDER_BITS) - 1
+    norm = df.crossJoin(F.broadcast(bounds))
+    scale = (
+        lambda c, lo, hi: (
+            (F.col(c) - F.col(lo))
+            * top
+            / F.greatest(F.col(hi) - F.col(lo), F.lit(1))
+        ).cast("long")
+    )
+    keyed = norm.withColumn("_nx", scale(col_x, "_xmin", "_xmax")).withColumn(
+        "_ny", scale(col_y, "_ymin", "_ymax")
+    )
+    keyed = keyed.withColumn("_z", zorder_key("_nx", "_ny"))
+    (
+        keyed.repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_xmin", "_xmax", "_ymin", "_ymax", "_nx", "_ny", "_z")
+        .write.mode("overwrite")
+        .parquet(dst_dir)
+    )
+
+
+ZORDER_FILES = 16
+_ZORDER_COLS = (
+    "l_orderkey",
+    "l_linenumber",
+    "l_partkey",
+    "l_suppkey",
+    "l_extendedprice",
+)
+
+
+@query(
+    "compact_zorder",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           l_extendedprice
+    FROM lineitem
+    """,
+)
+def compact_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of ``zorder_cluster_table``: rewrite lineitem's
+    join-key projection Z-clustered on (l_partkey, l_suppkey) and read
+    it back. The oracle is the ORIGINAL projection — as with
+    ``compact_small_files``, the correctness contract of a layout
+    rewrite is content-losslessness under full reshuffle; the
+    multi-dimensional skipping property (per-file min/max narrow in
+    BOTH keys, box-predicate file pruning) is a filesystem fact pinned
+    by tests/test_compaction.py::test_zorder_skips_on_both_dimensions.
+
+    Scale: one range exchange on the computed Morton key — identical
+    shuffle cost to linear clustering; the curve computation itself is
+    a per-row codegen expression."""
+    import os
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(*_ZORDER_COLS)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_zorder",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    dst = os.path.join(root, "zorder")
+    zorder_cluster_table(spark, li, dst, "l_partkey", "l_suppkey", ZORDER_FILES)
+    return spark.read.parquet(dst).select(*_ZORDER_COLS)

@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from football_etl_pipeline_spark.operators.maintenance import (
     compact_table,
@@ -58,3 +59,70 @@ def test_compaction_reduces_files_and_range_clusters(spark, tmp_path):
     # Losslessness double-check at the row level (the oracle gate
     # asserts this cross-engine; keep a fast in-suite pin too).
     assert spark.read.parquet(dst).count() == orders.count()
+
+
+def test_zorder_skips_on_both_dimensions(spark, tmp_path):
+    """The point of the Z-curve layout: per-file parquet footer stats
+    must prune files for a range predicate on EITHER key. Linear range
+    clustering on l_partkey gives every file a near-global l_suppkey
+    range (a suppkey-only predicate prunes nothing); the Morton
+    interleave keeps both per-file extents local."""
+    from football_etl_pipeline_spark.operators.maintenance import (
+        zorder_cluster_table,
+    )
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    zdir = str(tmp_path / "z")
+    ldir = str(tmp_path / "linear")
+    zorder_cluster_table(spark, li, zdir, "l_partkey", "l_suppkey", 16)
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def file_bounds(d, col):
+        out = []
+        for f in _files(d):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            out.append((lo, hi))
+        return out
+
+    glo = li.agg(
+        F.min("l_suppkey"), F.max("l_suppkey"), F.min("l_partkey"), F.max("l_partkey")
+    ).collect()[0]
+    smin, smax, pmin, pmax = glo
+
+    def frac_hit(bounds, q_lo, q_hi):
+        hit = sum(1 for lo, hi in bounds if not (hi < q_lo or lo > q_hi))
+        return hit / len(bounds)
+
+    # suppkey-only box: the middle 1/8 of the suppkey range
+    w = (smax - smin) // 8
+    mid = (smax + smin) // 2
+    z_supp = frac_hit(file_bounds(zdir, "l_suppkey"), mid, mid + w)
+    lin_supp = frac_hit(file_bounds(ldir, "l_suppkey"), mid, mid + w)
+    # partkey-only box under z-order must also prune
+    wp = (pmax - pmin) // 8
+    midp = (pmax + pmin) // 2
+    z_part = frac_hit(file_bounds(zdir, "l_partkey"), midp, midp + wp)
+
+    # The Z trade: linear clustering prunes superbly on its one key
+    # and NOT AT ALL on the other; the Morton layout prunes on BOTH
+    # (measured ~0.4-0.65 hit fraction each at 16 equal-count files —
+    # file z-intervals aren't bit-aligned, so per-file boxes are wider
+    # than the textbook quadrant; 0.7 is the asserted ceiling).
+    assert lin_supp >= 0.9, lin_supp   # linear layout can't skip on suppkey
+    assert z_supp <= 0.7, z_supp       # z-order skips on suppkey
+    assert z_part <= 0.7, z_part       # ... and still skips on partkey
