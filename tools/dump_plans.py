@@ -51,6 +51,10 @@ SHOWCASE = {
     "merge_upsert_orders": "key-based anti join + union — no nested loop, no full-table sort",
     "incremental_agg_merge": "three 5-group aggregates merged by coalescing full-outer broadcast joins; base scanned, never re-aggregated twice",
     "pandas_udaf_rms_by_segment": "ArrowAggregatePython: both UDAFs ride ONE Python pass after the segment exchange; the shuffle carries raw rows (no partial agg for UDAFs — the documented GROUPED_AGG trade)",
+    "dedup_exact_substring": "span explode collapsed by the (gram, doc) partial agg before its one exchange; gram stats join reads the persisted reduction — no second tokenize",
+    "text_unigram_lm_quality": "persisted (token, doc) reduction feeds vocab and scoring; 1-row corpus total rides a broadcast Cross — the only nested loop",
+    "profile_table_onepass": "ONE lineitem scan; 4-column exact multi-distinct through a single Expand; stack unpivot over the 1-row aggregate",
+    "events_sketch_rollup_merge": "hll_sketch_agg partials at (type, day); ONE sketch row per group crosses the second exchange into hll_union_agg",
 }
 
 
