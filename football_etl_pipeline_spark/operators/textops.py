@@ -1315,3 +1315,158 @@ def text_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lm_score"),
         )
     )
+
+
+# ---- BPE merge training (distributed byte-pair encoding) -------------
+
+N_BPE_MERGES = 4
+
+# Greedy left-to-right BPE merge of ONE pair inside a space-joined
+# symbol string, as a single-pass fold with a string-encoded
+# accumulator: "done-prefix || chr(1) || pending-symbol". Exactly the
+# reference Sennrich merge (runs of identical symbols pair from the
+# left: a a a -> aa a) — a plain replace() would skip alternate
+# occurrences because the match consumes the shared separator.
+_BPE_PEND = "(substring(acc, instr(acc, chr(1)) + 1))"
+_BPE_DONE = "(substring(acc, 1, instr(acc, chr(1)) - 1))"
+_BPE_FOLD_SPARK = (
+    "aggregate(split(w, ' '), chr(1), (acc, x) -> CASE "
+    f"WHEN {_BPE_PEND} = ma AND x = mb "
+    f"THEN {_BPE_DONE} || ' ' || ma || mb || chr(1) "
+    f"ELSE {_BPE_DONE} "
+    f"|| CASE WHEN {_BPE_PEND} = '' THEN '' ELSE ' ' || {_BPE_PEND} END "
+    "|| chr(1) || x END, "
+    f"acc -> trim({_BPE_DONE} || ' ' || {_BPE_PEND}))"
+)
+
+
+def _bpe_oracle() -> str:
+    pend = (
+        "(CASE WHEN strpos(acc, chr(1)) > 0 "
+        "THEN substr(acc, strpos(acc, chr(1)) + 1) ELSE acc END)"
+    )
+    done = (
+        "(CASE WHEN strpos(acc, chr(1)) > 0 "
+        "THEN substr(acc, 1, strpos(acc, chr(1)) - 1) ELSE '' END)"
+    )
+    fold = (
+        "list_reduce(string_split(w, ' '), (acc, x) -> ("
+        f"CASE WHEN {pend} = ma AND x = mb "
+        f"THEN {done} || ' ' || ma || mb || chr(1) "
+        f"ELSE {done} "
+        f"|| CASE WHEN {pend} = '' THEN '' ELSE ' ' || {pend} END "
+        "|| chr(1) || x END))"
+    )
+    final = (
+        "trim(replace(CASE WHEN strpos(r, chr(1)) > 0 "
+        "THEN substr(r, 1, strpos(r, chr(1)) - 1) || ' ' "
+        "|| substr(r, strpos(r, chr(1)) + 1) ELSE r END, chr(1), ''))"
+    )
+    parts = [
+        f"""
+    w0 AS (
+      SELECT unnest({TOKENS_DUCK}) AS word FROM documents
+    ), wf AS (
+      SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS w,
+             COUNT(*)::BIGINT AS freq
+      FROM w0 WHERE length(word) > 0 GROUP BY 1
+    ), r0 AS (SELECT w, freq FROM wf)"""
+    ]
+    for r in range(1, N_BPE_MERGES + 1):
+        parts.append(f"""
+    p{r} AS (
+      SELECT pr[1] AS ma, pr[2] AS mb, SUM(freq)::BIGINT AS cnt
+      FROM (SELECT unnest([[toks[i+1], toks[i+2]]
+                           for i in range(len(toks)-1)]) AS pr, freq
+            FROM (SELECT string_split(w, ' ') AS toks, freq FROM r{r-1}))
+      GROUP BY 1, 2
+    ), b{r} AS (
+      SELECT ma, mb, cnt FROM p{r} ORDER BY cnt DESC, ma ASC, mb ASC LIMIT 1
+    ), r{r} AS (
+      SELECT {final} AS w, freq FROM (
+        SELECT {fold} AS r, freq FROM r{r-1} CROSS JOIN b{r})
+    )""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, ma AS merge_a, mb AS merge_b, "
+        f"cnt AS pair_count FROM b{r}"
+        for r in range(1, N_BPE_MERGES + 1)
+    )
+    return "WITH" + ",".join(parts) + "\n" + sel
+
+
+@query("text_bpe_train_merges", oracle=_bpe_oracle())
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction: learn the first
+    N_BPE_MERGES byte-pair merges from the corpus — per round, count
+    adjacent symbol pairs weighted by word frequency, pick the global
+    argmax (ties broken lexicographically), and apply the merge to
+    every word with the exact Sennrich greedy left-to-right semantics
+    (runs of identical symbols pair from the left). The output is the
+    learned merge table (round, pair, count) — the artifact a
+    tokenizer trainer ships.
+
+    Iterative yet EXACTLY oracled (the kmeans-trajectory pattern):
+    every quantity is integer or string, so DuckDB replays the
+    identical fixpoint with unrolled CTEs; the greedy merge itself is
+    a single-pass fold with a string-encoded accumulator
+    (done-prefix + chr(1) + pending) — expressible as a JVM-side
+    ``aggregate`` HOF in Spark and ``list_reduce`` in DuckDB, no
+    Python in the row path.
+
+    Scale story (100 TB corpus): the state that iterates is the
+    DISTINCT-WORD frame (Heaps' law: ~1M rows where the corpus is
+    billions of tokens), built by one token reduce; each round is one
+    pair-count shuffle over that frame plus a 1-row argmax that rides
+    back in as a BROADCAST — no driver collect, no full-corpus rescan
+    after round 0. Pair counting explodes |word|-1 pairs per distinct
+    word, reduced map-side. This mirrors how production BPE trainers
+    work from a word-frequency table, not raw text. Rounds persist
+    the (small) word frame so round r does not recompute rounds
+    1..r-1."""
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    words = (
+        spread.select(F.explode(F.expr(TOKENS_SPARK)).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("w"),
+            "freq",
+        )
+    )
+    words = persist_tracked(words)
+    rounds = []
+    for r in range(1, N_BPE_MERGES + 1):
+        toks = words.select(F.expr("split(w, ' ')").alias("toks"), "freq")
+        pairs = toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("ma"), b.alias("mb")),
+                )
+            ).alias("pr"),
+            "freq",
+        ).select("pr.ma", "pr.mb", "freq")
+        counts = pairs.groupBy("ma", "mb").agg(F.sum("freq").alias("cnt"))
+        best = counts.orderBy(
+            F.col("cnt").desc(), F.col("ma").asc(), F.col("mb").asc()
+        ).limit(1)
+        rounds.append(
+            best.select(
+                F.lit(r).cast("int").alias("round"),
+                F.col("ma").alias("merge_a"),
+                F.col("mb").alias("merge_b"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        words = persist_tracked(
+            words.crossJoin(F.broadcast(best)).select(
+                F.expr(_BPE_FOLD_SPARK).alias("w"), "freq"
+            )
+        )
+    out = rounds[0]
+    for fr in rounds[1:]:
+        out = out.unionByName(fr)
+    return out

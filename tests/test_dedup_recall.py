@@ -343,3 +343,40 @@ def test_containment_catches_quote_expansion_jaccard_misses(spark):
     assert (2, 3) not in got
     # and nothing unrelated is flagged
     assert all(a in (0, 2) and b in (1, 3) for (a, b) in got)
+
+
+def test_bpe_merge_fold_matches_reference_greedy(spark):
+    """The HOF merge fold must implement the reference Sennrich
+    greedy left-to-right merge — including runs of identical symbols
+    (a a a -> aa a), the case a naive separator-consuming replace()
+    gets wrong (it skips alternate occurrences)."""
+    from pyspark.sql import functions as F
+
+    from football_etl_pipeline_spark.operators.textops import (
+        _BPE_FOLD_SPARK,
+    )
+
+    def ref_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return " ".join(out)
+
+    cases = [
+        (["a", "a", "a", "a", "a", "a"], "a", "a"),
+        (["a", "a", "a"], "a", "a"),
+        (["b", "a", "a", "b", "a", "a"], "a", "a"),
+        (["h", "e", "l", "l", "o"], "l", "l"),
+        (["x"], "x", "x"),
+        (["er", "r", "er", "r"], "er", "r"),
+    ]
+    rows = [(" ".join(s), a, b) for s, a, b in cases]
+    df = spark.createDataFrame(rows, ["w", "ma", "mb"])
+    got = [r["m"] for r in df.select(F.expr(_BPE_FOLD_SPARK).alias("m")).collect()]
+    want = [ref_merge(s, a, b) for s, a, b in cases]
+    assert got == want, list(zip(got, want))
