@@ -84,6 +84,9 @@ HEADLINE = [
     "profile_table_onepass",
     "events_sketch_rollup_merge",
     "graph_khop_bfs",
+    "compact_zorder",
+    "text_bpe_train_merges",
+    "text_bpe_segment_stats",
 ]
 
 

@@ -1470,3 +1470,118 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in rounds[1:]:
         out = out.unionByName(fr)
     return out
+
+
+def _bpe_segment_oracle() -> str:
+    """Reuses the BPE training CTEs (rounds 1..N) and then scores the
+    corpus with the final merge table: per document, symbols-per-token
+    after the learned merges — the encode-side compression report."""
+    # keep only the WITH chain (drop the UNION ALL merge-table select)
+    with_part = _bpe_oracle().split("\nSELECT 1 AS round")[0]
+    n = N_BPE_MERGES
+    return (
+        with_part
+        + f""",
+    word_syms AS (
+      -- r{n} carries the merged symbol string per DISTINCT word, in
+      -- the same order-free key space: rebuild the word by stripping
+      -- spaces from the symbol string (merges only concatenate).
+      SELECT replace(w, ' ', '') AS word,
+             len(string_split(w, ' '))::BIGINT AS n_syms
+      FROM r{n}
+    ),
+    occ AS (
+      SELECT doc_id, unnest({TOKENS_DUCK}) AS word FROM documents
+    )
+    SELECT o.doc_id,
+           COUNT(*)::BIGINT AS n_words,
+           SUM(length(o.word))::BIGINT AS n_chars,
+           SUM(ws.n_syms)::BIGINT AS n_symbols,
+           CAST(CAST(SUM(ws.n_syms) * 1.0 / SUM(length(o.word))
+                AS DECIMAL(18,6)) AS DOUBLE) AS symbols_per_char
+    FROM occ o JOIN word_syms ws ON ws.word = o.word
+    WHERE length(o.word) > 0
+    GROUP BY o.doc_id
+    """
+    )
+
+
+@query("text_bpe_segment_stats", oracle=_bpe_segment_oracle())
+def text_bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode side of the BPE pair: apply the N_BPE_MERGES learned
+    merges to every word and report per-document tokenization stats —
+    symbol count after merging vs character count (the compression the
+    vocabulary buys). The word->symbol-count map is the BPE training
+    state itself (merges only concatenate, so stripping spaces from
+    the merged symbol string recovers the word key — no second
+    trained-state channel needed).
+
+    Scale: training state iterates over the distinct-word frame; the
+    scoring join hits the corpus ONCE, on the word key, with the
+    merged vocabulary as the (Heaps-law small) build side."""
+    # Reuse the training fixpoint: rebuild the merged word frame by
+    # running the training operator's internal loop (cheap at the
+    # distinct-word frame; shares code via the registry callable's
+    # building blocks).
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    words = (
+        spread.select(F.explode(F.expr(TOKENS_SPARK)).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("w"),
+            "freq",
+        )
+    )
+    words = persist_tracked(words)
+    for _ in range(N_BPE_MERGES):
+        toks = words.select(F.expr("split(w, ' ')").alias("toks"), "freq")
+        pairs = toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("ma"), b.alias("mb")),
+                )
+            ).alias("pr"),
+            "freq",
+        ).select("pr.ma", "pr.mb", "freq")
+        best = (
+            pairs.groupBy("ma", "mb")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("ma").asc(), F.col("mb").asc())
+            .limit(1)
+        )
+        words = persist_tracked(
+            words.crossJoin(F.broadcast(best)).select(
+                F.expr(_BPE_FOLD_SPARK).alias("w"), "freq"
+            )
+        )
+    word_syms = words.select(
+        F.expr("replace(w, ' ', '')").alias("word"),
+        F.size(F.expr("split(w, ' ')")).cast("long").alias("n_syms"),
+    )
+    occ = spread.select(
+        "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("word")
+    ).filter(F.length("word") > 0)
+    return (
+        occ.join(F.broadcast(word_syms), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_syms").alias("n_symbols"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_symbols",
+            (F.col("n_symbols") * F.lit(1.0) / F.col("n_chars"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("symbols_per_char"),
+        )
+    )

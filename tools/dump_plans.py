@@ -55,6 +55,8 @@ SHOWCASE = {
     "text_unigram_lm_quality": "persisted (token, doc) reduction feeds vocab and scoring; 1-row corpus total rides a broadcast Cross — the only nested loop",
     "profile_table_onepass": "ONE lineitem scan; 4-column exact multi-distinct through a single Expand; stack unpivot over the 1-row aggregate",
     "events_sketch_rollup_merge": "hll_sketch_agg partials at (type, day); ONE sketch row per group crosses the second exchange into hll_union_agg",
+    "text_bpe_train_merges": "BPE training: per round one pair-count shuffle over the persisted distinct-word frame; 1-row argmax broadcast back; merge fold is a codegen aggregate HOF",
+    "text_bpe_segment_stats": "encode side: merged vocabulary (Heaps-small) broadcast to the single corpus scan; per-doc rollup is the only fact shuffle",
 }
 
 
