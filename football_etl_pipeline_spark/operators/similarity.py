@@ -1179,3 +1179,160 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PQ_ADC_TOPK)
         .select("query_id", "neighbor_id", F.col("adc_d2").cast("double").alias("adc_d2"), "rnk")
     )
+
+
+# ---- MMR diversity selection -----------------------------------------
+
+MMR_POOL = 16   # candidate pool: exact top-16 by relevance
+MMR_K = 5       # picks
+MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    cos_cs = (
+        f"{_dot_duck('c.v', 's.v')} / (c.nrm * s.nrm)"
+    )
+    parts = [f"""
+    e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_norm_duck('(embedding::DOUBLE[])')} AS nrm
+      FROM embeddings
+    ), q AS (SELECT v, nrm FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT c.vec_id, c.v, c.nrm,
+             {_dot_duck('c.v', 'q.v')} / (c.nrm * q.nrm) AS rel
+      FROM e c CROSS JOIN q
+      WHERE c.vec_id <> 0
+      ORDER BY rel DESC, c.vec_id ASC
+      LIMIT {MMR_POOL}
+    ),
+    s1 AS (
+      SELECT 1 AS pick_rank, vec_id, v, nrm, rel,
+             {MMR_LAMBDA} * rel AS mmr
+      FROM cand ORDER BY {MMR_LAMBDA} * rel DESC, vec_id ASC LIMIT 1
+    )"""]
+    for r in range(2, MMR_K + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT pick_rank, vec_id, v, nrm FROM s{i}" for i in range(1, r)
+        )
+        parts.append(f"""
+    m{r} AS (
+      SELECT c.vec_id, c.v, c.nrm, c.rel, MAX({cos_cs}) AS ms
+      FROM cand c CROSS JOIN ({sel}) s
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM ({sel}) x)
+      GROUP BY c.vec_id, c.v, c.nrm, c.rel
+    ),
+    s{r} AS (
+      SELECT {r} AS pick_rank, vec_id, v, nrm, rel,
+             {MMR_LAMBDA} * rel - {1.0 - MMR_LAMBDA} * ms AS mmr
+      FROM m{r}
+      ORDER BY {MMR_LAMBDA} * rel - {1.0 - MMR_LAMBDA} * ms DESC,
+               vec_id ASC
+      LIMIT 1
+    )""")
+    final = " UNION ALL ".join(
+        f"SELECT pick_rank, vec_id, CAST(CAST(rel AS DECIMAL(18,6)) AS DOUBLE)"
+        f" AS relevance, CAST(CAST(mmr AS DECIMAL(18,6)) AS DOUBLE)"
+        f" AS mmr_score FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return "WITH" + ",".join(parts) + "\n" + final
+
+
+@query("similarity_mmr_select", oracle=_mmr_oracle())
+def similarity_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein
+    1998): greedily pick {MMR_K} vectors from the exact top-{MMR_POOL}
+    relevance pool, each step maximizing
+    λ·rel(c) − (1−λ)·max_{{s∈selected}} cos(c, s) — the diversity
+    sampling primitive for retrieval reranking and training-data
+    subset selection (pick informative AND non-redundant examples).
+
+    Iterative yet EXACTLY oracled: cosine folds run in identical
+    element order in both engines (bit-identical doubles — the house
+    similarity-family contract), MAX over them is order-insensitive,
+    and each argmax tie-breaks on vec_id, so DuckDB replays the
+    greedy trajectory with unrolled CTEs.
+
+    Scale story: at 100 TB the pool build is the ANN top-C query
+    (here the exact baseline — the ANN siblings swap in above this
+    SF); the greedy loop itself touches only the C-row pool and the
+    ≤K selected vectors — K·C cosine evaluations TOTAL, driver-loop
+    bounded by K, every per-step argmax a 1-row frame. Selection
+    state stays in DataFrames end-to-end; nothing wide ever shuffles."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", F.expr(_norm_spark("v")))
+    )
+    q = e.filter(F.col("vec_id") == 0)
+    rel = F.expr(_dot_spark("c.v", "q.v")) / (F.col("c.nrm") * F.col("q.nrm"))
+    cand = persist_tracked(
+        e.alias("c")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q.alias("q")))
+        .select(
+            F.col("c.vec_id").alias("vec_id"),
+            F.col("c.v").alias("v"),
+            F.col("c.nrm").alias("nrm"),
+            rel.alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(MMR_POOL)
+    )
+    lam = F.lit(MMR_LAMBDA)
+    one_m = F.lit(1.0 - MMR_LAMBDA)
+    sel = (
+        cand.select(
+            F.lit(1).cast("int").alias("pick_rank"),
+            "vec_id",
+            "v",
+            "nrm",
+            "rel",
+            (lam * F.col("rel")).alias("mmr"),
+        )
+        .orderBy(F.col("mmr").desc(), F.col("vec_id").asc())
+        .limit(1)
+    )
+    for r in range(2, MMR_K + 1):
+        sel = persist_tracked(sel)
+        cos_cs = F.expr(_dot_spark("c.v", "s.v")) / (
+            F.col("c.nrm") * F.col("s.nrm")
+        )
+        remaining = cand.alias("c").join(
+            sel.select(F.col("vec_id").alias("sid")),
+            F.col("c.vec_id") == F.col("sid"),
+            "left_anti",
+        )
+        scored = (
+            remaining.alias("c")
+            .crossJoin(F.broadcast(sel.select("v", "nrm").alias("s")))
+            .groupBy(
+                F.col("c.vec_id").alias("vec_id"),
+                F.col("c.v").alias("v"),
+                F.col("c.nrm").alias("nrm"),
+                F.col("c.rel").alias("rel"),
+            )
+            .agg(F.max(cos_cs).alias("ms"))
+        )
+        best = (
+            scored.select(
+                F.lit(r).cast("int").alias("pick_rank"),
+                "vec_id",
+                "v",
+                "nrm",
+                "rel",
+                (lam * F.col("rel") - one_m * F.col("ms")).alias("mmr"),
+            )
+            .orderBy(F.col("mmr").desc(), F.col("vec_id").asc())
+            .limit(1)
+        )
+        sel = sel.unionByName(best)
+    return sel.select(
+        "pick_rank",
+        "vec_id",
+        F.col("rel").cast("decimal(18,6)").cast("double").alias("relevance"),
+        F.col("mmr").cast("decimal(18,6)").cast("double").alias("mmr_score"),
+    )
