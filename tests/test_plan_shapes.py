@@ -324,3 +324,47 @@ def test_sketch_rollup_merges_sketches_not_rows(spark):
     lower = _plan(spark, "events_sketch_rollup_merge").lower()
     assert "hll_sketch_agg" in lower
     assert "hll_union_agg" in lower
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The 100 TB skew story leans on AQE's runtime skew-join split
+    (session.py enables it); prove it actually fires: a 90%-one-key
+    sort-merge join must show skew=true in the final adaptive plan
+    once the skew thresholds are scaled to the synthetic data size.
+    Salting (skew_salted_join) is the manual fallback; this pins the
+    automatic path."""
+    import pyspark.sql.functions as F2
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(300_000).select(
+            F2.when(F2.col("id") % 10 < 9, 0)
+            .otherwise(F2.col("id") % 101)
+            .alias("k"),
+            F2.col("id").alias("payload"),
+        )
+        right = spark.range(101).select(
+            F2.col("id").alias("k"), (F2.col("id") * 2).alias("dim")
+        )
+        joined = left.join(right, "k")
+        # collect(), not count() — count() executes a derived plan and
+        # THIS QueryExecution's adaptive plan would stay non-final
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "skew=true" in final, final[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
