@@ -806,3 +806,125 @@ def events_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n_merged_exact") * 0.10
         ).alias("merged_within_10pct"),
     )
+
+
+# ---- native time-window table functions (batch form) -----------------
+
+
+@query(
+    "events_session_window_native",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+             -- strict > in exact microseconds: Spark's session_window
+             -- MERGES touching windows (next event AT prev_end joins
+             -- the session; half-open ends, merge on start <= end)
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(CAST(ts AS TIMESTAMP))
+                       - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER w)
+                       > {SESSION_GAP_SEC} * 1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, value, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM seq
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {SESSION_GAP_SEC} SECONDS AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session_window_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark's NATIVE ``session_window`` table function in batch mode —
+    the same dynamic-gap sessionization ``events_sessionize`` builds
+    manually with lag + running sum, but expressed as the engine
+    primitive (one groupBy, merging session state inside the
+    aggregate). The oracle is the manual gaps-and-islands build, so
+    this query pins the semantic equivalence of the two forms —
+    including the boundary convention (a next event at EXACTLY
+    prev_event + gap MERGES into the session — Spark merges touching
+    half-open windows; session_end = last event + gap).
+
+    Scale: identical profile to any keyed aggregate — one shuffle on
+    user_id; Spark merges overlapping session candidates inside the
+    agg, no window-function sort pass needed. The same expression is
+    the streaming sessionizer (streaming/events_stream.py) — batch
+    and stream share the operator, which is the point of the table
+    function."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", f"{SESSION_GAP_SEC} seconds")
+    return ev.groupBy("user_id", sw).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("total_value"),
+    ).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+HOP_WIDTH_MIN = 60
+HOP_SLIDE_MIN = 30
+HOP_SLIDE_US = HOP_SLIDE_MIN * 60 * 1_000_000
+
+
+@query(
+    "events_hopping_window",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts,
+             unnest([
+               make_timestamp(
+                 (epoch_us(CAST(ts AS TIMESTAMP))
+                  // {HOP_SLIDE_US} - i) * {HOP_SLIDE_US})
+               for i in range({HOP_WIDTH_MIN // HOP_SLIDE_MIN})
+             ]) AS win_start
+      FROM events
+    )
+    SELECT win_start::TIMESTAMP AS win_start,
+           (win_start + INTERVAL {HOP_WIDTH_MIN} MINUTES)::TIMESTAMP
+             AS win_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM g
+    WHERE ts >= win_start
+      AND ts < win_start + INTERVAL {HOP_WIDTH_MIN} MINUTES
+    GROUP BY win_start, event_type
+    """,
+)
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native hopping ``window`` table function in batch mode:
+    1-hour windows sliding every 30 minutes — each event contributes
+    to width/slide = 2 overlapping windows. The oracle replays the
+    assignment rule by hand (explode each event onto the slide-grid
+    starts covering it), pinning Spark's window-start alignment
+    (floor to the slide grid) and end-exclusive membership.
+
+    Scale: the expand is width/slide rows per event BEFORE the
+    partial aggregate — the same map-side-reduced explode pattern as
+    the rollup family; the shuffle carries (window, type) partials
+    only."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", f"{HOP_WIDTH_MIN} minutes", f"{HOP_SLIDE_MIN} minutes")
+    return ev.groupBy(w, "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("total_value"),
+    ).select(
+        F.col("window.start").alias("win_start"),
+        F.col("window.end").alias("win_end"),
+        "event_type",
+        "n",
+        "total_value",
+    )
