@@ -263,6 +263,51 @@ def view_to_purchase_join(events: DataFrame) -> DataFrame:
     ).select("p_user", "purchase_id", "view_id", "view_ts", "purchase_ts", "amount")
 
 
+def view_to_purchase_join_outer(events: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream attribution: every view emits — with
+    its purchase when one lands in the 30-minute window, with NULLs
+    otherwise. The subtle semantic this pins: the null row for an
+    unmatched view CANNOT emit until the purchase-side watermark
+    passes view_ts + 30 min (only then is "no match" final), so
+    outer results trail the watermark by the window width — views
+    near the head of the stream are WITHHELD, not lost, until later
+    events advance the watermark. State cost is identical to the
+    inner join (the time bound expires both sides); only emission
+    timing differs. The classic use: conversion-rate tables where
+    unconverted impressions must appear as facts, not be dropped."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", WATERMARK)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+        ),
+        "leftOuter",
+    ).select(
+        "v_user", "view_id", "view_ts", "purchase_id", "purchase_ts", "amount"
+    )
+
+
 def write_foreach_batch(
     df: DataFrame, path: str, checkpoint_dir: str, fmt: str = "parquet"
 ):

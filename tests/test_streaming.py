@@ -340,3 +340,63 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     rows = spark.sql("SELECT * FROM dedup_stream").collect()
     ids = sorted(r.event_id for r in rows)
     assert ids == [0, 1, 2, 3, 4, 9]  # 5 originals + the new id 9, no dupes
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: unmatched views emit with NULL
+    purchase once the purchase watermark passes view_ts + 30 min;
+    views still inside the join horizon at end-of-stream are WITHHELD
+    (not emitted with premature nulls, not dropped)."""
+    from football_etl_pipeline_spark.streaming.events_stream import (
+        view_to_purchase_join_outer,
+    )
+
+    first = [
+        _ev(0, "2024-01-01T00:00:00", user=1, etype="view"),
+        _ev(1, "2024-01-01T00:20:00", user=1, etype="purchase", value=9.0),
+        _ev(2, "2024-01-01T00:05:00", user=2, etype="view"),   # never converts
+        _ev(3, "2024-01-01T00:15:00", user=4, etype="view"),   # never converts
+    ]
+    # sentinels delivered in a SECOND batch: the GLOBAL watermark is
+    # min(view-side, purchase-side), so BOTH sides need a late event
+    # (a view-only sentinel leaves the purchase watermark at 00:10 and
+    # no null ever finalizes — the multi-watermark policy gotcha this
+    # test documents). user 8/9 have no counterpart, so neither
+    # sentinel matches anything.
+    second = [
+        _ev(4, "2024-01-01T05:00:00", user=9, etype="view"),
+        _ev(6, "2024-01-01T05:00:00", user=8, etype="purchase", value=1.0),
+    ]
+    src = str(tmp_path / "src")
+    _write_events(src, first)
+    q = start_to_memory(
+        view_to_purchase_join_outer(read_events_stream(spark, src)),
+        "ss_outer",
+        str(tmp_path / "ck"),
+        "append",
+        available_now=False,
+    )
+    try:
+        q.processAllAvailable()
+        _write_events(src, second, "b2.json")
+        q.processAllAvailable()
+        # outer rows emit in the batch AFTER the watermark advances —
+        # a third delivery triggers that batch deterministically
+        _write_events(
+            src,
+            [
+                _ev(5, "2024-01-01T05:01:00", user=9, etype="view"),
+                _ev(7, "2024-01-01T05:01:00", user=8, etype="purchase", value=1.0),
+            ],
+            "b3.json",
+        )
+        q.processAllAvailable()
+        got = sorted(
+            (r.view_id, r.purchase_id)
+            for r in spark.sql("SELECT * FROM ss_outer").collect()
+        )
+    finally:
+        q.stop()
+    # view 0 matched; views 2 and 3 emit null rows; the sentinel views
+    # 4/5 are withheld — their no-match verdicts are not final yet
+    assert got == [(0, 1), (2, None), (3, None)], got
