@@ -230,3 +230,66 @@ def pandas_udaf_rms_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         _count_udaf()("o_totalprice").alias("n_orders"),
         _rms_price_udaf()("o_totalprice").alias("rms_price"),
     )
+
+
+# ---- Python UDTF (table function) surface ----------------------------
+
+CHUNK_TOKENS = 20
+CHUNK_STRIDE = 10
+
+
+@query(
+    "udtf_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           (c.i // {CHUNK_STRIDE})::INT AS chunk_id,
+           least({CHUNK_TOKENS}, len(toks) - c.i)::INT AS n_tokens,
+           array_to_string(toks[c.i + 1 : c.i + {CHUNK_TOKENS}], ' ')
+             AS chunk_text
+    FROM t, LATERAL (
+      SELECT unnest(range(0, len(toks), {CHUNK_STRIDE})) AS i
+    ) c
+    """,
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking via a Python USER-DEFINED TABLE FUNCTION —
+    overlapping {CHUNK_TOKENS}-token windows every {CHUNK_STRIDE}
+    tokens, the chunking step feeding embedding/RAG indexes and
+    pretraining context packing. Completes the Python-function
+    surface: pandas scalar, grouped map (applyInPandas), grouped agg
+    (UDAF), mapInPandas, and now a table function (one input row →
+    many output rows) driven through a LATERAL join.
+
+    Surface-coverage note: UDTFs are row-path Python (each eval() is
+    a generator call) — this op exists to cover the API; the
+    pure-SQL twin is the oracle itself, and the packed-sequence form
+    (``text_pack_sequences``) is the scale path. The LATERAL shape
+    still parallelizes per-partition like any projection; no shuffle
+    is introduced."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, n_tokens int, chunk_text string")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = text.strip().lower().split()
+            for i in range(0, len(toks), CHUNK_STRIDE):
+                yield (
+                    i // CHUNK_STRIDE,
+                    min(CHUNK_TOKENS, len(toks) - i),
+                    " ".join(toks[i : i + CHUNK_TOKENS]),
+                )
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    docs.createOrReplaceTempView("_udtf_chunk_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_id, c.n_tokens, c.chunk_text "
+        "FROM _udtf_chunk_docs d, LATERAL chunk_doc(d.text) c"
+    )
