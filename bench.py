@@ -84,9 +84,15 @@ HEADLINE = [
     "profile_table_onepass",
     "events_sketch_rollup_merge",
     "graph_khop_bfs",
-    "compact_zorder",
+    # compact_zorder / compact_small_files: full-table rewrite jobs —
+    # gate-checked for losslessness, excluded from the query bench
     "text_bpe_train_merges",
     "text_bpe_segment_stats",
+    "similarity_mmr_select",
+    "events_session_window_native",
+    "events_hopping_window",
+    "events_variant_extract",
+    "udtf_chunk_documents",
 ]
 
 

@@ -340,49 +340,3 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("s", "[aeiou]", "*").alias("devoweled"),
     )
 
-
-# ---- VARIANT semi-structured path (Spark 4) --------------------------
-
-
-@query(
-    "events_variant_extract",
-    oracle="""
-    SELECT event_type,
-           COUNT(*) AS n,
-           SUM((props::JSON ->> 'k')::BIGINT)::BIGINT AS sum_k,
-           MIN((props::JSON ->> 'k')::BIGINT) AS min_k,
-           MAX((props::JSON ->> 'k')::BIGINT) AS max_k,
-           COUNT(CASE WHEN json_extract(props::JSON, '$.missing')
-                      IS NULL THEN 1 END) AS n_missing
-    FROM events
-    GROUP BY event_type
-    """,
-)
-def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured extraction through Spark 4's VARIANT type:
-    ``parse_json`` once into a variant column, then typed
-    ``variant_get`` paths feed a plain aggregate. At 100 TB this is
-    the difference between parsing the JSON string once into a
-    shredded binary encoding (variant) vs re-tokenizing it per
-    extracted path (``get_json_object``, exercised by
-    ``scalar_json_funcs``) — the modern engine answer to schemaless
-    event payloads. ``try_variant_get`` on an absent path returns
-    NULL, counted as the missing-field audit column.
-
-    Plan: parse in the scan projection, one hash aggregate — the
-    variant column never shuffles (only the extracted BIGINTs do)."""
-    ev = load_table(spark, sf_dir, "events")
-    v = ev.select(
-        "event_type", F.parse_json("props").alias("vp")
-    ).select(
-        "event_type",
-        F.expr("variant_get(vp, '$.k', 'bigint')").alias("k"),
-        F.expr("try_variant_get(vp, '$.missing', 'string')").alias("miss"),
-    )
-    return v.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("k").alias("sum_k"),
-        F.min("k").alias("min_k"),
-        F.max("k").alias("max_k"),
-        F.count(F.when(F.col("miss").isNull(), 1)).alias("n_missing"),
-    )

@@ -57,6 +57,8 @@ SHOWCASE = {
     "events_sketch_rollup_merge": "hll_sketch_agg partials at (type, day); ONE sketch row per group crosses the second exchange into hll_union_agg",
     "text_bpe_train_merges": "BPE training: per round one pair-count shuffle over the persisted distinct-word frame; 1-row argmax broadcast back; merge fold is a codegen aggregate HOF",
     "text_bpe_segment_stats": "encode side: merged vocabulary (Heaps-small) broadcast to the single corpus scan; per-doc rollup is the only fact shuffle",
+    "events_session_window_native": "native session_window: ONE shuffle on user_id; session merge happens inside the aggregate (UpdatingSessionsExec), no window-sort pass",
+    "events_variant_extract": "parse_json once in the scan projection; typed variant_get paths feed one hash aggregate — the variant never shuffles",
 }
 
 
@@ -90,6 +92,13 @@ def main() -> None:
         plan = re.sub(r"plan_id=\d+", "plan_id=*", plan)
         plan = re.sub(r"\[id=#\d+\]", "", plan)
         lines = [ln.rstrip()[:160] for ln in plan.splitlines()]
+        # Iterative queries (BPE, MMR) print every unrolled round — the
+        # shape evidence is in the first rounds; cap the dump.
+        if len(lines) > 150:
+            lines = lines[:150] + [
+                f"... ({len(lines) - 150} more lines — iterative plan, "
+                "rounds repeat the same shape)"
+            ]
         out += [f"## {name}", "", f"*{why}*", "", "```"] + lines + ["```", ""]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
