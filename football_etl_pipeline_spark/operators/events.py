@@ -975,3 +975,75 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.count(F.when(F.col("miss").isNull(), 1)).alias("n_missing"),
     )
+
+
+
+# Registered here (not joins.py): joins.py loads inside the frozen
+# 50-query driver window; new queries must register after it.
+@query(
+    "join_asof_next_purchase",
+    oracle="""
+    SELECT
+      event_id,
+      user_id,
+      ts,
+      next_purchase_ts,
+      CASE WHEN next_purchase_ts IS NOT NULL
+           THEN (epoch_us(next_purchase_ts) - epoch_us(ts)) // 1000000
+      END AS secs_to_purchase
+    FROM (
+      SELECT
+        event_id,
+        user_id,
+        CAST(ts AS TIMESTAMP) AS ts,
+        event_type,
+        FIRST_VALUE(CASE WHEN event_type = 'purchase'
+                         THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+          AS next_purchase_ts
+      FROM events
+    )
+    WHERE event_type = 'click'
+    """,
+)
+def join_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — for every click, the next STRICTLY-LATER
+    purchase by the same user plus the time-to-conversion in seconds
+    (exact integer µs arithmetic). The mirror of
+    ``join_asof_last_purchase``: a first-ignore-nulls window over a
+    FOLLOWING frame, same single shuffle on user_id, same
+    no-pairwise-blowup scale story. Together the pair covers both
+    as-of directions (backward attribution, forward conversion lag)
+    without a range self-join."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.first(
+        F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("next_purchase_ts", nxt)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "next_purchase_ts",
+            F.when(
+                F.col("next_purchase_ts").isNotNull(),
+                (
+                    F.unix_micros("next_purchase_ts") - F.unix_micros("ts")
+                )
+                / F.lit(1_000_000),
+            )
+            .cast("long")
+            .alias("secs_to_purchase"),
+        )
+    )
