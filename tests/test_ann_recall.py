@@ -249,3 +249,58 @@ def test_pq_adc_recall_floor(spark):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.2, recall
+
+
+def test_mmr_trades_relevance_for_diversity(spark):
+    """The point of MMR: vs plain top-k by relevance, the selected set
+    must be strictly more diverse (lower max pairwise cosine) while
+    staying inside the relevance pool. Pins the operator DOES
+    something — a broken argmax that degenerated to top-k would pass
+    the oracle trivially if the oracle had the same bug."""
+    import itertools
+
+    import numpy as np
+
+    from football_etl_pipeline_spark.operators.registry import (
+        QUERIES,
+        release_persists,
+    )
+    from football_etl_pipeline_spark.operators.similarity import MMR_K
+    from football_etl_pipeline_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.01"
+    picks = {r["vec_id"] for r in QUERIES["similarity_mmr_select"](spark, sf).collect()}
+    release_persists()
+    assert len(picks) == MMR_K
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+    q = emb[0] / np.linalg.norm(emb[0])
+
+    def rel(i):
+        v = emb[i]
+        return float(v @ q / np.linalg.norm(v))
+
+    pool = sorted(
+        (i for i in emb if i != 0), key=lambda i: (-rel(i), i)
+    )[:16]
+    topk = pool[:MMR_K]
+    assert picks <= set(pool)  # MMR picks come from the relevance pool
+
+    def pair_cos(ids):
+        return [
+            float(
+                emb[a]
+                @ emb[b]
+                / (np.linalg.norm(emb[a]) * np.linalg.norm(emb[b]))
+            )
+            for a, b in itertools.combinations(sorted(ids), 2)
+        ]
+
+    assert picks != set(topk)  # diversity term changed the selection
+    # strictly more diverse on average; never worse at the max (the
+    # worst pair can be shared between both sets and tie)
+    assert np.mean(pair_cos(picks)) < np.mean(pair_cos(topk))
+    assert max(pair_cos(picks)) <= max(pair_cos(topk))

@@ -126,3 +126,54 @@ def test_zorder_skips_on_both_dimensions(spark, tmp_path):
     assert lin_supp >= 0.9, lin_supp   # linear layout can't skip on suppkey
     assert z_supp <= 0.7, z_supp       # z-order skips on suppkey
     assert z_part <= 0.7, z_part       # ... and still skips on partkey
+
+
+def test_zorder_key_properties():
+    """The Morton interleave must be a bijection on the 16-bit grid
+    (no key collisions -> clustering is well-defined) and preserve
+    quadrant locality (top bits of x and y become the top bits of z).
+    Pure expression check via a local session-free truth table."""
+    def morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    import random
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(500)]
+    zs = [morton(x, y) for x, y in pts]
+    assert len(set(zs)) == len(set(pts))  # injective on the grid
+    for (x, y), z in zip(pts, zs):
+        # top 2 bits of each coordinate occupy the top 4 bits of z
+        assert (z >> 30) & 1 == (x >> 15) & 1
+        assert (z >> 31) & 1 == (y >> 15) & 1
+
+
+def test_zorder_key_matches_spark_expression(spark):
+    """The python reference above and the codegen expression in
+    zorder_key must agree — the clustering property tests lean on the
+    expression actually computing a Morton code."""
+    from pyspark.sql import functions as F2
+
+    from football_etl_pipeline_spark.operators.maintenance import zorder_key
+
+    def morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(64)]
+    df = spark.createDataFrame(rows, ["_nx", "_ny"]).withColumn(
+        "z", zorder_key("_nx", "_ny")
+    )
+    got = [(r["_nx"], r["_ny"], r["z"]) for r in df.collect()]
+    for x, y, z in got:
+        assert z == morton(x, y), (x, y, z)
