@@ -1047,3 +1047,57 @@ def join_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("secs_to_purchase"),
         )
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), c AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT prev_type, SUM(n)::BIGINT AS row_total FROM c GROUP BY 1
+    )
+    SELECT c.prev_type, c.next_type, c.n,
+           CAST(CAST(c.n * 1.0 / t.row_total AS DECIMAL(18,6)) AS DOUBLE)
+             AS p_transition
+    FROM c JOIN tot t USING (prev_type)
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    (previous event type -> next event type) pair, the count and the
+    row-normalized transition probability — the behavioral model
+    behind next-action prediction and anomaly scoring on event
+    streams.
+
+    Plan: ONE window pass (lag over the user timeline — the same
+    partitioned sort sessionization uses) feeds a tiny |types|² hash
+    aggregate; row totals come from a second aggregate OVER THE
+    REDUCED frame (25 rows), never a second scan. The probability is
+    an exact BIGINT ratio pushed through the DECIMAL(18,6) compare
+    rule."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return c.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n") * F.lit(1.0) / F.col("row_total"))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("p_transition"),
+    )

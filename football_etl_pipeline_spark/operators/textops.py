@@ -20,7 +20,7 @@ MinHash family in ``dedup.py``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
@@ -1584,4 +1584,139 @@ def text_bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("symbols_per_char"),
         )
+    )
+
+
+# ---- RAKE keyword extraction -----------------------------------------
+
+RAKE_TOPK = 25
+
+
+def _rake_oracle() -> str:
+    stop = _sql_list(STOPWORDS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS w,
+             unnest(range(1, len(toks) + 1)) AS pos
+      FROM t
+    ), nonstop AS (
+      SELECT doc_id, w, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM tok WHERE w NOT IN ({stop}) AND length(w) > 0
+    ), phr AS (
+      SELECT doc_id, grp,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS plen
+      FROM nonstop GROUP BY doc_id, grp
+    ), wstat AS (
+      SELECT n.w, COUNT(*)::BIGINT AS freq, SUM(p.plen)::BIGINT AS degree
+      FROM nonstop n JOIN phr p USING (doc_id, grp)
+      GROUP BY n.w
+    ), pscore AS (
+      SELECT p.phrase, p.doc_id, p.grp,
+             SUM(ws.degree)::BIGINT AS s_deg,
+             SUM(ws.freq)::BIGINT AS s_freq
+      FROM phr p
+      JOIN nonstop n USING (doc_id, grp)
+      JOIN wstat ws ON ws.w = n.w
+      WHERE p.plen >= 2
+      GROUP BY 1, 2, 3
+    )
+    SELECT phrase,
+           COUNT(*)::BIGINT AS n_occurrences,
+           MAX(s_deg) AS sum_degree,
+           MAX(s_freq) AS sum_freq,
+           CAST(CAST(MAX(s_deg) * 1.0 / MAX(s_freq)
+                AS DECIMAL(18,6)) AS DOUBLE) AS rake_score
+    FROM pscore
+    GROUP BY phrase
+    ORDER BY rake_score DESC, phrase ASC
+    LIMIT {RAKE_TOPK}
+    """
+
+
+@query("text_rake_keywords", oracle=_rake_oracle())
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; every word accumulates
+    corpus-wide frequency and degree (sum of containing-phrase
+    lengths); multi-word phrases rank by the degree-to-frequency
+    ratio of their words (phrase-level integer sums, ONE division —
+    the order-free variant of RAKE's per-word ratio sum, chosen so
+    the score is bit-deterministic across engines). The classic
+    unsupervised keyword miner for corpus exploration and tagging.
+
+    Plan: posexplode with positions -> the gaps-and-islands trick
+    (pos − row_number) turns stopword-delimited runs into groupable
+    phrase ids with ONE window pass — no iterative splitting. The
+    phrase build sorts each (doc, grp) bucket's handful of tokens
+    inside the aggregate (array_sort of position structs — order
+    guaranteed, unlike bare collect_list). Word stats and phrase
+    scores reuse the SAME persisted nonstop frame (three consumers);
+    top-{RAKE_TOPK} runs as TakeOrderedAndProject. At 100 TB every
+    join key here (doc/grp, word) is bounded-cardinality or
+    Zipf-bounded — no pairwise blowup anywhere."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(TOKENS_SPARK)).alias("pos0", "w"),
+    ).select("doc_id", "w", (F.col("pos0") + 1).alias("pos"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    nonstop = persist_tracked(
+        tok.filter(
+            (~F.col("w").isin(*STOPWORDS)) & (F.length("w") > 0)
+        ).withColumn("grp", F.col("pos") - F.row_number().over(win))
+    )
+    phr = persist_tracked(
+        nonstop.groupBy("doc_id", "grp").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+    )
+    wstat = (
+        nonstop.join(phr, ["doc_id", "grp"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("degree"),
+        )
+    )
+    pscore = (
+        phr.filter(F.col("plen") >= 2)
+        .join(nonstop, ["doc_id", "grp"])
+        .join(wstat, "w")
+        .groupBy("phrase", "doc_id", "grp")
+        .agg(
+            F.sum("degree").alias("s_deg"),
+            F.sum("freq").alias("s_freq"),
+        )
+    )
+    score = (
+        (F.max("s_deg") * F.lit(1.0) / F.max("s_freq"))
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+    return (
+        pscore.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("s_deg").alias("sum_degree"),
+            F.max("s_freq").alias("sum_freq"),
+            score.alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), F.col("phrase").asc())
+        .limit(RAKE_TOPK)
     )
