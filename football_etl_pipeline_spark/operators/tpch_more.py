@@ -723,3 +723,132 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_quartile",
         "m_quartile",
     )
+
+
+# ---- customer cohort revenue triangle --------------------------------
+
+
+@query(
+    "orders_cohort_revenue",
+    oracle="""
+    WITH first_m AS (
+      SELECT o_custkey,
+             MIN(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)))
+               AS cohort_m
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(f.cohort_m AS TIMESTAMP) AS cohort_month,
+           date_diff('month', f.cohort_m,
+                     date_trunc('month', CAST(o.o_orderdate AS TIMESTAMP)))
+             ::INT AS months_since,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o.o_custkey) AS n_active_customers,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN first_m f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort revenue triangle: customers grouped by first-order month,
+    revenue tracked by months-since-acquisition — the LTV/retention
+    finance staple (the revenue-weighted sibling of
+    ``events_daily_retention``).
+
+    Plan: the cohort frame is one groupBy over orders (|customers|
+    rows) joined back on the customer key — at 100 TB this is the
+    textbook large-dim join AQE sizes itself; the triangle aggregate
+    reduces to (months × cohorts) cells with map-side partials.
+    Revenue through DECIMAL(18,2) for order-insensitive hashing."""
+    orders = load_table(spark, sf_dir, "orders")
+    first_m = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort_m")
+    )
+    j = orders.join(first_m, "o_custkey")
+    months_since = (
+        (F.year("o_orderdate") - F.year("cohort_m")) * 12
+        + (F.month("o_orderdate") - F.month("cohort_m"))
+    ).cast("int")
+    return j.groupBy(
+        F.col("cohort_m").alias("cohort_month"),
+        months_since.alias("months_since"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_active_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# ---- ABC (Pareto) classification -------------------------------------
+
+
+@query(
+    "lineitem_abc_classification",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             SUM(rev) OVER () AS total_rev
+      FROM per_part
+    ), classed AS (
+      SELECT CASE WHEN cum_rev * 10 <= total_rev * 8 THEN 'A'
+                  WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev
+      FROM ranked
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(rev) AS DOUBLE) AS class_revenue
+    FROM classed
+    GROUP BY abc_class
+    """,
+)
+def lineitem_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, classed A
+    while the running share is within 80% of total, B to 95%, else C
+    — the inventory-analytics staple. Classification thresholds
+    compare EXACT DECIMAL cumulative sums by cross-multiplication
+    (cum*10 <= total*8), so no float share ever exists and the class
+    boundaries are bit-deterministic.
+
+    Scale note: the cumulative window is a GLOBAL ordered sum over
+    the per-part aggregate — |parts| rows, not |lineitem|, which is
+    what makes a single range-partitioned window acceptable here (the
+    same de-scale-kill logic as customer_rfm_segments: never run a
+    global window over the raw fact table; run it over the reduced
+    frame)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    ranked = per_part.select(
+        "rev",
+        F.sum("rev").over(w).alias("cum_rev"),
+        F.sum("rev").over(wt).alias("total_rev"),
+    )
+    classed = ranked.select(
+        "rev",
+        F.when(
+            F.col("cum_rev") * 10 <= F.col("total_rev") * 8, "A"
+        )
+        .when(F.col("cum_rev") * 100 <= F.col("total_rev") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").cast("double").alias("class_revenue"),
+    )
