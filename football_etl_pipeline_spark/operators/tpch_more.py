@@ -852,3 +852,79 @@ def lineitem_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("rev").cast("double").alias("class_revenue"),
     )
+
+
+# ---- exact distributed OLS -------------------------------------------
+
+
+@query(
+    "lineitem_ols_price_quantity",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag,
+             COUNT(*)::HUGEINT AS n,
+             SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+             SUM(x*y)::HUGEINT AS sxy, SUM(x*x)::HUGEINT AS sxx
+      FROM b GROUP BY 1
+    )
+    SELECT l_returnflag,
+           n::BIGINT AS n_rows,
+           CAST(CAST((n*sxy - sx*sy) * 1.0 / (n*sxx - sx*sx) / 100
+                AS DECIMAL(18,6)) AS DOUBLE) AS slope,
+           CAST(CAST(sx * 1.0 / n AS DECIMAL(18,6)) AS DOUBLE)
+             AS mean_qty,
+           CAST(CAST(sy * 1.0 / n / 100 AS DECIMAL(18,6)) AS DOUBLE)
+             AS mean_price
+    FROM s
+    """,
+)
+def lineitem_ols_price_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact distributed OLS: the price~quantity regression slope per
+    return flag, computed from the normal equations over INTEGER
+    moment sums — x in whole units, y in cents, so Σx/Σy/Σxy/Σx² are
+    exact BIGINTs (one map-side-combined aggregate, the same
+    one-pass-moments shape as ``embedding_dim_stats``) and the
+    slope's numerator/denominator are exact 128-bit products
+    (DECIMAL(38,0) in Spark, HUGEINT in DuckDB) before ONE
+    final double division. The pattern behind any
+    sufficient-statistics model fit at 100 TB: ship five numbers per
+    group, not rows; no sketch, no sampling, bit-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    s = b.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = d("n") * d("sxx") - d("sx") * d("sx")
+    return s.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        (num.cast("double") / den.cast("double") / 100)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("slope"),
+        (F.col("sx") * F.lit(1.0) / F.col("n"))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("mean_qty"),
+        (F.col("sy") * F.lit(1.0) / F.col("n") / 100)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("mean_price"),
+    )
