@@ -93,6 +93,11 @@ HEADLINE = [
     "events_hopping_window",
     "events_variant_extract",
     "udtf_chunk_documents",
+    "text_rake_keywords",
+    "events_transition_matrix",
+    "orders_cohort_revenue",
+    "lineitem_abc_classification",
+    "lineitem_ols_price_quantity",
 ]
 
 

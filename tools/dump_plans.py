@@ -59,6 +59,8 @@ SHOWCASE = {
     "text_bpe_segment_stats": "encode side: merged vocabulary (Heaps-small) broadcast to the single corpus scan; per-doc rollup is the only fact shuffle",
     "events_session_window_native": "native session_window: ONE shuffle on user_id; session merge happens inside the aggregate (UpdatingSessionsExec), no window-sort pass",
     "events_variant_extract": "parse_json once in the scan projection; typed variant_get paths feed one hash aggregate — the variant never shuffles",
+    "text_rake_keywords": "gaps-and-islands phrase runs in ONE window pass; word stats and phrase scores reuse the persisted nonstop frame; top-25 via TakeOrderedAndProject",
+    "lineitem_ols_price_quantity": "five integer moments in one map-side-combined aggregate; 128-bit products driver-free; 3-row output",
 }
 
 
