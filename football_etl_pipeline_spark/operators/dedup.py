@@ -1162,3 +1162,115 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_cross_dup_spans", zero).alias("n_cross_dup_spans"),
         F.coalesce("max_span_occ", zero).alias("max_span_occ"),
     )
+
+
+@query(
+    "dedup_boilerplate_removal",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, i + 1 AS start_pos,
+             {hash60_duck(f"array_to_string(toks[i+1:i+{SPAN_K}], ' ')")} AS h
+      FROM t, LATERAL (SELECT unnest(range(len(toks) - {SPAN_K - 1})) AS i) s
+      WHERE len(toks) >= {SPAN_K}
+    ), shared AS (
+      SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cover AS (
+      SELECT DISTINCT g.doc_id, p.pos
+      FROM g JOIN shared USING (h),
+           LATERAL (SELECT unnest(range(g.start_pos, g.start_pos + {SPAN_K}))
+                    AS pos) p
+    ), kept AS (
+      SELECT t.doc_id, tk.w, tk.pos
+      FROM t, LATERAL (SELECT unnest(toks) AS w,
+                              unnest(range(1, len(toks) + 1)) AS pos) tk
+      WHERE NOT EXISTS (SELECT 1 FROM cover c
+                        WHERE c.doc_id = t.doc_id AND c.pos = tk.pos)
+    )
+    SELECT d.doc_id,
+           len({TOKENS_DUCK.replace('text', 'd.text')}) AS n_tokens_before,
+           COALESCE(k.n_after, 0) AS n_tokens_after,
+           COALESCE(k.cleaned, '') AS cleaned_text
+    FROM documents d
+    LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_after,
+             string_agg(w, ' ' ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id
+    ) k ON k.doc_id = d.doc_id
+    """,
+)
+def dedup_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE half of exact-substring dedup
+    (``dedup_exact_substring`` is the report): REMOVE every token
+    covered by a cross-document repeated {SPAN_K}-gram and emit the
+    cleaned text — the boilerplate-stripping transform (headers,
+    footers, navigation chrome) that runs between exact dedup and the
+    near-dup ladder in a training-data pipeline. Overlapping flagged
+    spans union naturally at the covered-position level (no interval
+    merge pass needed: positions are the merged intervals).
+
+    Plan: the gram frame is built once and reused for the shared-gram
+    reduce and the coverage explode (persisted); coverage is at most
+    n_tokens rows per doc (DISTINCT on (doc, pos) caps overlap
+    inflation); the kept-token rebuild is one anti-join on (doc, pos)
+    followed by a per-doc ordered reassembly (array_sort of position
+    structs — deterministic, unlike bare collect_list). Every join
+    key is (doc, pos) or the 60-bit gram hash — uniform, bounded, no
+    pair blowup. At 100 TB the shared-gram list is Zipf-small and
+    could broadcast; the plan leaves that to AQE."""
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = spread.select("doc_id", F.expr(TOKENS_SPARK).alias("toks"))
+    grams = persist_tracked(
+        toks.filter(F.size("toks") >= SPAN_K).select(
+            "doc_id",
+            F.posexplode(F.expr(_SPAN_GRAM_SPARK)).alias("pos0", "h"),
+        ).select("doc_id", (F.col("pos0") + 1).alias("start_pos"), "h")
+    )
+    shared = (
+        grams.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    cover = (
+        grams.join(shared, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("start_pos"), F.col("start_pos") + (SPAN_K - 1)
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tok_pos = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    kept = tok_pos.join(cover, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        docs.select("doc_id", F.expr(TOKENS_SPARK).alias("_t"))
+        .select("doc_id", F.size("_t").cast("long").alias("n_tokens_before"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens_before",
+            F.coalesce("n_after", zero).alias("n_tokens_after"),
+            F.coalesce("cleaned", F.lit("")).alias("cleaned_text"),
+        )
+    )

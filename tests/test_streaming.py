@@ -400,3 +400,51 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
     # view 0 matched; views 2 and 3 emit null rows; the sentinel views
     # 4/5 are withheld — their no-match verdicts are not final yet
     assert got == [(0, 1), (2, None), (3, None)], got
+
+
+def test_session_window_boundary_semantics(spark):
+    """Pin the convention events_session_window_native's oracle
+    encodes: Spark's session_window MERGES an event arriving at
+    exactly prev_event + gap (touching half-open windows), and splits
+    strictly after. Driven over adversarial gap sequences (0, ±1s
+    around the timeout, exact timeout) against a Python reference of
+    the merge-on-touch rule."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F2
+
+    GAP = 1800
+    cases = [
+        [0, 1800, 1800, 1800],          # chain of exact-timeout touches
+        [0, 1799, 1801, 1800, 3600],    # just-under, just-over, exact
+        [0, 0, 0],                      # simultaneous events
+        [0, 1801, 1801],                # all splits
+        [0, 1, 2, 5400, 5401],          # cluster, jump, cluster
+    ]
+    base = dt.datetime(2024, 1, 1)
+    for offsets in cases:
+        ts = [base + dt.timedelta(seconds=o) for o in offsets]
+        df = spark.createDataFrame([(1, t) for t in ts], ["user_id", "ts"])
+        got = sorted(
+            (r["w"]["start"], r["w"]["end"], r["n"])
+            for r in df.groupBy(
+                "user_id",
+                F2.session_window("ts", f"{GAP} seconds").alias("w"),
+            )
+            .agg(F2.count(F2.lit(1)).alias("n"))
+            .collect()
+        )
+        # python reference: merge while delta <= GAP
+        want, cur = [], None
+        for t in sorted(ts):
+            if cur is None or (t - cur[1]).total_seconds() > GAP:
+                if cur:
+                    want.append(cur)
+                cur = [t, t, 1]
+            else:
+                cur[1], cur[2] = t, cur[2] + 1
+        want.append(cur)
+        want = sorted(
+            (s, e + dt.timedelta(seconds=GAP), n) for s, e, n in want
+        )
+        assert got == want, (offsets, got, want)
