@@ -98,6 +98,8 @@ HEADLINE = [
     "orders_cohort_revenue",
     "lineitem_abc_classification",
     "lineitem_ols_price_quantity",
+    "dedup_boilerplate_removal",
+    "multimodal_dedup_checksum",
 ]
 
 

@@ -484,3 +484,42 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-level resample equals the DuckDB char-level resample."""
     media = media_table(spark, sf_dir).select("media_id", "payload")
     return media.mapInPandas(_resize_payloads, schema=_RESIZE_SCHEMA)
+
+
+@query(
+    "multimodal_dedup_checksum",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             {_MIME_CASE} AS mime,
+             md5(text) AS checksum  -- md5 of the utf-8 bytes == Spark's md5(payload)
+      FROM documents
+    )
+    SELECT mime,
+           COUNT(*) AS n_media,
+           COUNT(DISTINCT checksum) AS n_distinct_payloads,
+           (COUNT(*) - COUNT(DISTINCT checksum))::BIGINT AS n_exact_dupes
+    FROM m
+    GROUP BY mime
+    """,
+)
+def multimodal_dedup_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by payload checksum — the first screen of any
+    media lakehouse (identical bytes re-crawled under different ids),
+    tying the multimodal staging table into the dedup family. The
+    payload column itself never leaves the scan: only the md5 (already
+    a column of ``media_table``) reaches the aggregate, which is the
+    point at 100 TB — dedup a petabyte of video by shuffling 16-byte
+    digests, not bytes.
+
+    Plan: one hash aggregate over (mime, checksum) partials; exact
+    distinct via the same expand-free two-level reduce as the text
+    exact rung."""
+    m = media_table(spark, sf_dir)
+    return m.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.countDistinct("checksum").alias("n_distinct_payloads"),
+        (F.count(F.lit(1)) - F.countDistinct("checksum")).alias(
+            "n_exact_dupes"
+        ),
+    )
