@@ -1101,3 +1101,154 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("p_transition"),
     )
+
+
+FUNNEL_STEP_US = 30 * 60 * 1_000_000  # max delay per funnel step
+
+
+@query(
+    "events_funnel_strict_windowed",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND epoch_us(CAST(e.ts AS TIMESTAMP)) > epoch_us(v.t_view)
+        AND epoch_us(CAST(e.ts AS TIMESTAMP))
+            <= epoch_us(v.t_view) + {FUNNEL_STEP_US}
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(CAST(e.ts AS TIMESTAMP)) > epoch_us(c.t_click)
+        AND epoch_us(CAST(e.ts AS TIMESTAMP))
+            <= epoch_us(c.t_click) + {FUNNEL_STEP_US}
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_in_window,
+           (SELECT COUNT(*) FROM p) AS n_converted_in_window,
+           (SELECT COALESCE(SUM(epoch_us(c.t_click) - epoch_us(v.t_view)), 0)
+            FROM c JOIN v USING (user_id))::BIGINT AS sum_view_to_click_us
+    """,
+)
+def events_funnel_strict_windowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STRICT windowed funnel: view -> click within 30 min of the
+    first view -> purchase within 30 min of that click, earliest-chain
+    semantics (each stage anchors on the previous stage's FIRST
+    qualifying event). The loose funnel (``events_windowed_funnel``)
+    only orders stage minima; this one enforces per-step deadlines —
+    the conversion-attribution shape marketing analytics actually
+    runs. Deadlines compare in exact integer microseconds.
+
+    Plan: three keyed aggregates chained by equi-joins on user_id —
+    each stage reduces to |users| rows before the next join, so the
+    fact table is scanned once per stage and nothing quadratic ever
+    forms; the final counts are 1-row combines of the reduced
+    frames."""
+    ev = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c))
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (us("ts") > us("t_view"))
+            & (us("ts") <= us("t_view") + FUNNEL_STEP_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (us("ts") > us("t_click"))
+            & (us("ts") <= us("t_click") + FUNNEL_STEP_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    delays = c.join(v, "user_id").agg(
+        F.coalesce(
+            F.sum(F.unix_micros("t_click") - F.unix_micros("t_view")),
+            F.lit(0),
+        ).alias("sum_view_to_click_us")
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_in_window")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_converted_in_window")))
+        .crossJoin(delays)
+        .select(
+            "n_viewed",
+            "n_clicked_in_window",
+            "n_converted_in_window",
+            "sum_view_to_click_us",
+        )
+    )
+
+
+_TRY_ADD_LIT = 9_223_372_036_854_775_000  # BIGINT max minus ~800
+_TRY_MUL_LIT = 4_611_686_018_427_387_904  # 2^62
+
+
+@query(
+    "scalar_try_arithmetic",
+    oracle=f"""
+    WITH b AS (
+      SELECT
+        CASE WHEN l_discount = 0 THEN NULL
+             ELSE l_extendedprice / l_discount END AS td,
+        CASE WHEN l_orderkey > 9223372036854775807 - {_TRY_ADD_LIT}
+             THEN NULL ELSE l_orderkey + {_TRY_ADD_LIT} END AS ta,
+        CASE WHEN l_orderkey >= 2 THEN NULL
+             ELSE l_orderkey * {_TRY_MUL_LIT} END AS tm
+      FROM lineitem
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN td IS NULL THEN 1 END) AS n_div_null,
+           COUNT(CASE WHEN ta IS NULL THEN 1 END) AS n_add_overflow,
+           COUNT(CASE WHEN tm IS NULL THEN 1 END) AS n_mul_overflow,
+           CAST(CAST(MIN(td) AS DECIMAL(18,6)) AS DOUBLE) AS min_ratio,
+           CAST(CAST(MAX(td) AS DECIMAL(18,6)) AS DOUBLE) AS max_ratio
+    FROM b
+    """,
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: ``try_divide`` /
+    ``try_add`` / ``try_multiply`` return NULL instead of raising on
+    zero-division and BIGINT overflow — the semantics that let a
+    100 TB pipeline run strict ANSI mode without one poisoned row
+    killing a stage. The add/multiply literals are chosen so a known
+    subset of keys overflows; the oracle replays the same boundaries
+    with explicit CASE guards (DuckDB's checked arithmetic would
+    RAISE — the guard IS the cross-engine contract of what try_*
+    suppresses).
+
+    Plan: pure projection + one aggregate; everything stays in
+    whole-stage codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.expr("try_divide(l_extendedprice, l_discount)").alias("td"),
+        F.expr(f"try_add(l_orderkey, {_TRY_ADD_LIT}L)").alias("ta"),
+        F.expr(f"try_multiply(l_orderkey, {_TRY_MUL_LIT}L)").alias("tm"),
+    )
+    return b.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("td").isNull(), 1)).alias("n_div_null"),
+        F.count(F.when(F.col("ta").isNull(), 1)).alias("n_add_overflow"),
+        F.count(F.when(F.col("tm").isNull(), 1)).alias("n_mul_overflow"),
+        F.min("td").cast("decimal(18,6)").cast("double").alias("min_ratio"),
+        F.max("td").cast("decimal(18,6)").cast("double").alias("max_ratio"),
+    )
