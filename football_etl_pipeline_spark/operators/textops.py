@@ -1720,3 +1720,106 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rake_score").desc(), F.col("phrase").asc())
         .limit(RAKE_TOPK)
     )
+
+
+# ---- bigram LM novelty -----------------------------------------------
+
+
+@query(
+    "text_bigram_lm_novelty",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest([toks[i+1] || ' ' || toks[i+2]
+                     for i in range(len(toks)-1)]) AS bigram,
+             unnest([toks[i+1] for i in range(len(toks)-1)]) AS w1
+      FROM t
+    ), pd AS (
+      SELECT bigram, w1, doc_id, COUNT(*) AS cnt FROM bg GROUP BY 1, 2, 3
+    ), bstat AS (
+      SELECT bigram, SUM(cnt)::BIGINT AS n_bg FROM pd GROUP BY bigram
+    ), ustat AS (
+      SELECT w1, SUM(cnt)::BIGINT AS n_u
+      FROM pd GROUP BY w1
+    )
+    SELECT pd.doc_id,
+           SUM(cnt)::BIGINT AS n_bigrams,
+           SUM(CASE WHEN n_bg = 1 THEN cnt ELSE 0 END)::BIGINT
+             AS n_novel_bigrams,
+           SUM(cnt * n_bg)::BIGINT AS sum_bigram_freq,
+           SUM(cnt * n_u)::BIGINT AS sum_context_freq,
+           CAST(CAST(SUM(cnt * n_bg)::BIGINT * 1.0
+                     / SUM(cnt * n_u)::BIGINT
+                AS DECIMAL(18,9)) AS DOUBLE) AS cond_score
+    FROM pd JOIN bstat USING (bigram) JOIN ustat USING (w1)
+    GROUP BY pd.doc_id
+    """,
+)
+def text_bigram_lm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM novelty score — the conditional-probability
+    extension of ``text_unigram_lm_quality``: per document, the
+    occurrence-weighted ratio of corpus bigram mass to its
+    left-context unigram mass (an exact-arithmetic stand-in for mean
+    P(w2|w1); gibberish and shuffled text score low because its
+    transitions are corpus-novel), plus the corpus-hapax transition
+    count — the strongest cheap signal for machine-garbled text,
+    since word salads have plausible unigrams but novel bigrams.
+
+    Same scale skeleton as the unigram pass: ONE bigram explode
+    reduced immediately by the (bigram, w1, doc) partial aggregate;
+    bigram and context statistics are second aggregates over the
+    reduced frame, joined back on keys the frame already carries; all
+    arithmetic is exact BIGINT until one final double division."""
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = spread.select("doc_id", F.expr(TOKENS_SPARK).alias("toks"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.struct(
+                    F.concat(a, F.lit(" "), b).alias("bigram"),
+                    a.alias("w1"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.bigram", "p.w1")
+    pd_ = persist_tracked(
+        bg.groupBy("bigram", "w1", "doc_id").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    )
+    bstat = pd_.groupBy("bigram").agg(F.sum("cnt").alias("n_bg"))
+    ustat = pd_.groupBy("w1").agg(F.sum("cnt").alias("n_u"))
+    return (
+        pd_.join(bstat, "bigram")
+        .join(ustat, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("n_bg") == 1, F.col("cnt")).otherwise(0)
+            ).alias("n_novel_bigrams"),
+            F.sum(F.col("cnt") * F.col("n_bg")).alias("sum_bigram_freq"),
+            F.sum(F.col("cnt") * F.col("n_u")).alias("sum_context_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_novel_bigrams",
+            "sum_bigram_freq",
+            "sum_context_freq",
+            (
+                F.col("sum_bigram_freq")
+                * F.lit(1.0)
+                / F.col("sum_context_freq")
+            )
+            .cast("decimal(18,9)")
+            .cast("double")
+            .alias("cond_score"),
+        )
+    )

@@ -121,6 +121,6 @@ def test_every_query_has_entry_and_most_have_oracles():
     # Exact match against the registry (not a stale floor): silent
     # deregistration of any post-window query must fail loudly here.
     assert set(qs) == set(QUERIES)
-    assert len(qs) >= 160
+    assert len(qs) >= 161
     unknown = set(oracles) - set(qs)
     assert not unknown, f"oracle_sql keys missing from queries(): {unknown}"
