@@ -378,15 +378,18 @@ def _band_key(band: int, dialect: str) -> str:
     return " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_ctes(src: str = "documents") -> str:
+    """The shared DuckDB CTE chain (toks → … → pairs of verified
+    Jaccard ≥ threshold) over ``src`` — used by the standalone
+    ``dedup_minhash_lsh`` oracle and, with the exact-survivor frame as
+    ``src``, by the ``dedup_pipeline_e2e`` oracle."""
     mins = ",\n             ".join(_minhash_min_exprs())
     band_rows = "\n      UNION ALL\n".join(
         f"      SELECT doc_id, {b} AS band_id, {_band_key(b, 'duck')} AS bkey FROM sig"
         for b in range(MINHASH_BANDS)
     )
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    return f"""toks AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM {src}
     ), sh AS (
       SELECT doc_id,
              unnest(list_distinct(list_transform({SHINGLES_DUCK},
@@ -412,16 +415,24 @@ def _minhash_oracle() -> str:
       JOIN sh x ON x.doc_id = c.a_id
       JOIN sh y ON y.doc_id = c.b_id AND y.sh60 = x.sh60
       GROUP BY 1, 2
+    ), mh_pairs AS (
+      SELECT
+        v.a_id,
+        v.b_id,
+        CAST(CAST(v.n_shared * 1.0 / (sa.n + sb.n - v.n_shared) AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
+      FROM verified v
+      JOIN sizes sa ON sa.doc_id = v.a_id
+      JOIN sizes sb ON sb.doc_id = v.b_id
+      WHERE v.n_shared * 1.0 / (sa.n + sb.n - v.n_shared) >= {JACCARD_THRESHOLD}
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return (
+        "WITH "
+        + _minhash_pairs_ctes()
+        + "\n    SELECT a_id, b_id, jaccard FROM mh_pairs"
     )
-    SELECT
-      v.a_id,
-      v.b_id,
-      CAST(CAST(v.n_shared * 1.0 / (sa.n + sb.n - v.n_shared) AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
-    FROM verified v
-    JOIN sizes sa ON sa.doc_id = v.a_id
-    JOIN sizes sb ON sb.doc_id = v.b_id
-    WHERE v.n_shared * 1.0 / (sa.n + sb.n - v.n_shared) >= {JACCARD_THRESHOLD}
-    """
 
 
 @query("dedup_minhash_lsh", oracle=_minhash_oracle())

@@ -965,7 +965,13 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.parse_json("props").alias("vp")
     ).select(
         "event_type",
-        F.expr("variant_get(vp, '$.k', 'bigint')").alias("k"),
+        # try_variant_get, not variant_get: a malformed / non-numeric
+        # 'k' in any payload yields NULL instead of killing the query —
+        # matching the oracle's ->> '::BIGINT' null-on-failure shape and
+        # the module's poisoned-row-tolerance posture
+        # (scalar_try_arithmetic); the events table enforces no contract
+        # on props.
+        F.expr("try_variant_get(vp, '$.k', 'bigint')").alias("k"),
         F.expr("try_variant_get(vp, '$.missing', 'string')").alias("miss"),
     )
     return v.groupBy("event_type").agg(

@@ -27,6 +27,43 @@ _INSERT_OFFSET = 10_000_000
 _REPRICE_DUCK = "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1.1 AS DOUBLE)"
 _REPRICE_SPARK = "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1.1 AS DOUBLE)"
 
+def _run_scratch_dir(kind: str, sf_dir: str) -> str:
+    """Per-invocation scratch root for rewrite operators.
+
+    Unique per call (pid + uuid4) so concurrent runs — e.g. a gate
+    sweep and a bench on the same machine — never race on a shared
+    directory mid-rewrite, and registered for atexit removal (the
+    returned DataFrame reads the directory LAZILY, so cleanup cannot
+    happen before the caller's action; process exit is the earliest
+    safe point). Stale siblings from crashed runs (>1 h old) are
+    swept best-effort on each call so the temp root doesn't
+    accumulate."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_scratch")
+    os.makedirs(base, exist_ok=True)
+    now = time.time()
+    for entry in os.listdir(base):
+        p = os.path.join(base, entry)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    root = os.path.join(
+        base,
+        f"{kind}-{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{os.getpid()}-{uuid.uuid4().hex[:8]}",
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
 _UPDATES_DUCK = f"""
       SELECT o_orderkey, o_custkey, o_orderstatus,
              {_REPRICE_DUCK} AS o_totalprice, o_orderdate, o_orderpriority
@@ -261,17 +298,12 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_compaction.py; they are filesystem facts DuckDB
     can't see.
 
-    The work dirs live under one stable temp root, overwritten per
-    invocation — repeated bench runs don't accumulate."""
+    Work dirs are per-invocation unique (``_run_scratch_dir``) —
+    concurrent gate + bench runs can't race, stale dirs are swept."""
     import os
-    import tempfile
 
     orders = load_table(spark, sf_dir, "orders")
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_compact",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
+    root = _run_scratch_dir("compact", sf_dir)
     frag, dst = os.path.join(root, "frag"), os.path.join(root, "compact")
     orders.repartition(64).write.mode("overwrite").parquet(frag)
     compact_table(spark, frag, dst, "o_orderkey", target_bytes=1024 * 1024)
@@ -468,14 +500,8 @@ def compact_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle cost to linear clustering; the curve computation itself is
     a per-row codegen expression."""
     import os
-    import tempfile
 
     li = load_table(spark, sf_dir, "lineitem").select(*_ZORDER_COLS)
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_zorder",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    dst = os.path.join(root, "zorder")
+    dst = os.path.join(_run_scratch_dir("zorder", sf_dir), "zorder")
     zorder_cluster_table(spark, li, dst, "l_partkey", "l_suppkey", ZORDER_FILES)
     return spark.read.parquet(dst).select(*_ZORDER_COLS)

@@ -273,10 +273,21 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     is introduced."""
     from pyspark.sql.functions import udtf
 
+    import re as _re
+
     @udtf(returnType="chunk_id int, n_tokens int, chunk_text string")
     class ChunkDoc:
         def eval(self, text: str):
-            toks = text.strip().lower().split()
+            # House tokenizer parity (TOKENS_* contract and the oracle's
+            # regexp_split_to_array): split on \s+ so an empty /
+            # whitespace-only doc yields [''] — ONE empty-token chunk
+            # row, matching the oracle, not zero rows as str.split()
+            # would produce. Unicode whitespace also matches \s on both
+            # sides.
+            # re.ASCII pins \s to [ \t\n\r\f\v] — the same ASCII class
+            # Java/RE2 regex engines use — instead of Python's wider
+            # Unicode-whitespace default.
+            toks = _re.split(r"\s+", text.strip().lower(), flags=_re.ASCII)
             for i in range(0, len(toks), CHUNK_STRIDE):
                 yield (
                     i // CHUNK_STRIDE,

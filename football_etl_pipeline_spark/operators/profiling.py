@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
+from .events import HLL_REL_ERR
 from .registry import query
 from .textops import hash60_duck, hash60_spark
 
@@ -596,7 +597,7 @@ def profile_table_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
     here the table-level distributional profile rides one scan).
 
     Scale story (100 TB): a single hash aggregate computes all
-    4 columns × 5 metrics together — the scan is paid once, not per
+    4 columns × 6 metrics together — the scan is paid once, not per
     column. The multi-column exact COUNT(DISTINCT) plans through
     Catalyst's expand (4× the reduced row width, map-side partial
     before the one shuffle); at petabyte scale a user swaps those
@@ -633,4 +634,94 @@ def profile_table_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(col_name, n_rows, n_null, n_distinct, min_val, max_val,"
             " sum_val)"
         )
+    )
+
+
+def _profile_approx_oracle() -> str:
+    branches = []
+    for c in PROFILE_COLS:
+        branches.append(
+            f"SELECT '{c}' AS col_name, COUNT(*)::BIGINT AS n_rows,\n"
+            f"  SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT"
+            f" AS n_null,\n"
+            f"  COUNT(DISTINCT {c})::BIGINT AS n_distinct,\n"
+            f"  TRUE AS hll_within_10pct,\n"
+            f"  MIN({c})::DOUBLE AS min_val, MAX({c})::DOUBLE AS max_val,\n"
+            f"  CAST(CAST(SUM({c}::DECIMAL(18,2)) AS DECIMAL(18,2))"
+            f" AS DOUBLE) AS sum_val\n"
+            f"FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+@query("profile_table_approx", oracle=_profile_approx_oracle())
+def profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB twin of ``profile_table_onepass``: the SAME one-pass
+    multi-column profile with the exact multi-distinct (the plan's
+    Expand ×4 soft spot at petabyte scale) replaced by
+    ``approx_count_distinct`` (HyperLogLog++) — the production
+    aggregate is ONE scan, ONE hash aggregate, NO Expand (pinned by
+    tests/test_plan_shapes.py).
+
+    Certified the ``events_approx_distinct`` way so it stays exactly
+    hash-checkable in DuckDB: the sketch estimate is engine-specific,
+    so the output carries the EXACT distinct count (hash-compared)
+    plus a per-column boolean asserting the sketch landed within
+    ±{HLL_REL_ERR:.0%} of it (oracle emits TRUE). The exact counts
+    come from a separate certification frame of four SINGLE-distinct
+    aggregations (one pruned single-column scan each — single
+    distinct plans as two-phase hash agg, never Expand) unioned and
+    broadcast-joined onto the unpivoted sketch row. At 100 TB a user
+    drops the certification join and ships the no-Expand production
+    aggregate alone; the registered query keeps it because a sketch
+    without a measured error bound is not a verifiable operator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"{c}__n_null"
+            ),
+            F.approx_count_distinct(c).alias(f"{c}__hll"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            F.sum(F.col(c).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias(f"{c}__sum"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n_rows, {c}__n_null, {c}__hll, "
+        f"{c}__min, {c}__max, {c}__sum"
+        for c in PROFILE_COLS
+    )
+    prod = wide.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_rows, n_null, hll, min_val, max_val, sum_val)"
+        )
+    )
+    # Certification frame: per-column exact distinct via four
+    # single-distinct aggregates (column-pruned scans, no Expand).
+    exact = None
+    for c in PROFILE_COLS:
+        fr = li.select(F.col(c)).agg(
+            F.lit(c).alias("col_name"),
+            F.countDistinct(c).alias("n_distinct"),
+        )
+        exact = fr if exact is None else exact.unionByName(fr)
+    return prod.join(F.broadcast(exact), "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        (
+            F.abs(F.col("hll") - F.col("n_distinct"))
+            <= F.col("n_distinct") * HLL_REL_ERR
+        ).alias("hll_within_10pct"),
+        "min_val",
+        "max_val",
+        "sum_val",
     )

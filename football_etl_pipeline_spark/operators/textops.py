@@ -1340,6 +1340,80 @@ _BPE_FOLD_SPARK = (
 )
 
 
+def _bpe_word_frame(spark: SparkSession, sf_dir: str):
+    """Distinct-word frequency frame with characters space-separated —
+    round 0 of BPE training. Shared by train and encode faces."""
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    words = (
+        spread.select(F.explode(F.expr(TOKENS_SPARK)).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("w"),
+            "freq",
+        )
+    )
+    return spread, persist_tracked(words)
+
+
+def _bpe_round_best(words) -> DataFrame:
+    """One BPE round's argmax: adjacent-pair counts over the current
+    symbolized word frame, best (cnt DESC, ma ASC, mb ASC) — the
+    1-row frame that rides back in as a broadcast."""
+    toks = words.select(F.expr("split(w, ' ')").alias("toks"), "freq")
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("ma"), b.alias("mb")),
+            )
+        ).alias("pr"),
+        "freq",
+    ).select("pr.ma", "pr.mb", "freq")
+    return (
+        pairs.groupBy("ma", "mb")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ma").asc(), F.col("mb").asc())
+        .limit(1)
+    )
+
+
+def _bpe_apply_merge(words, best) -> DataFrame:
+    """Apply the broadcast 1-row merge to every word (greedy
+    left-to-right Sennrich fold) and persist the next round's frame."""
+    return persist_tracked(
+        words.crossJoin(F.broadcast(best)).select(
+            F.expr(_BPE_FOLD_SPARK).alias("w"), "freq"
+        )
+    )
+
+
+def _bpe_trained_words(spark: SparkSession, sf_dir: str, collect_rounds=None):
+    """Run the full N_BPE_MERGES training loop over the distinct-word
+    frame; returns (spread_docs, merged_words). If ``collect_rounds``
+    is a list, each round's best-merge 1-row frame (with the round
+    number attached) is appended — the train face's output; the
+    encode face ignores it. ONE implementation of the loop so the two
+    faces cannot silently diverge (ADVICE r6)."""
+    spread, words = _bpe_word_frame(spark, sf_dir)
+    for r in range(1, N_BPE_MERGES + 1):
+        best = _bpe_round_best(words)
+        if collect_rounds is not None:
+            collect_rounds.append(
+                best.select(
+                    F.lit(r).cast("int").alias("round"),
+                    F.col("ma").alias("merge_a"),
+                    F.col("mb").alias("merge_b"),
+                    F.col("cnt").alias("pair_count"),
+                )
+            )
+        words = _bpe_apply_merge(words, best)
+    return spread, words
+
+
 def _bpe_oracle() -> str:
     pend = (
         "(CASE WHEN strpos(acc, chr(1)) > 0 "
@@ -1423,49 +1497,8 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     work from a word-frequency table, not raw text. Rounds persist
     the (small) word frame so round r does not recompute rounds
     1..r-1."""
-    docs = load_table(spark, sf_dir, "documents")
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    words = (
-        spread.select(F.explode(F.expr(TOKENS_SPARK)).alias("word"))
-        .filter(F.length("word") > 0)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select(
-            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("w"),
-            "freq",
-        )
-    )
-    words = persist_tracked(words)
-    rounds = []
-    for r in range(1, N_BPE_MERGES + 1):
-        toks = words.select(F.expr("split(w, ' ')").alias("toks"), "freq")
-        pairs = toks.select(
-            F.explode(
-                F.zip_with(
-                    F.slice("toks", 1, F.size("toks") - 1),
-                    F.slice("toks", 2, F.size("toks") - 1),
-                    lambda a, b: F.struct(a.alias("ma"), b.alias("mb")),
-                )
-            ).alias("pr"),
-            "freq",
-        ).select("pr.ma", "pr.mb", "freq")
-        counts = pairs.groupBy("ma", "mb").agg(F.sum("freq").alias("cnt"))
-        best = counts.orderBy(
-            F.col("cnt").desc(), F.col("ma").asc(), F.col("mb").asc()
-        ).limit(1)
-        rounds.append(
-            best.select(
-                F.lit(r).cast("int").alias("round"),
-                F.col("ma").alias("merge_a"),
-                F.col("mb").alias("merge_b"),
-                F.col("cnt").alias("pair_count"),
-            )
-        )
-        words = persist_tracked(
-            words.crossJoin(F.broadcast(best)).select(
-                F.expr(_BPE_FOLD_SPARK).alias("w"), "freq"
-            )
-        )
+    rounds: list[DataFrame] = []
+    _bpe_trained_words(spark, sf_dir, collect_rounds=rounds)
     out = rounds[0]
     for fr in rounds[1:]:
         out = out.unionByName(fr)
@@ -1519,46 +1552,9 @@ def text_bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: training state iterates over the distinct-word frame; the
     scoring join hits the corpus ONCE, on the word key, with the
     merged vocabulary as the (Heaps-law small) build side."""
-    # Reuse the training fixpoint: rebuild the merged word frame by
-    # running the training operator's internal loop (cheap at the
-    # distinct-word frame; shares code via the registry callable's
-    # building blocks).
-    docs = load_table(spark, sf_dir, "documents")
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    words = (
-        spread.select(F.explode(F.expr(TOKENS_SPARK)).alias("word"))
-        .filter(F.length("word") > 0)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select(
-            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("w"),
-            "freq",
-        )
-    )
-    words = persist_tracked(words)
-    for _ in range(N_BPE_MERGES):
-        toks = words.select(F.expr("split(w, ' ')").alias("toks"), "freq")
-        pairs = toks.select(
-            F.explode(
-                F.zip_with(
-                    F.slice("toks", 1, F.size("toks") - 1),
-                    F.slice("toks", 2, F.size("toks") - 1),
-                    lambda a, b: F.struct(a.alias("ma"), b.alias("mb")),
-                )
-            ).alias("pr"),
-            "freq",
-        ).select("pr.ma", "pr.mb", "freq")
-        best = (
-            pairs.groupBy("ma", "mb")
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), F.col("ma").asc(), F.col("mb").asc())
-            .limit(1)
-        )
-        words = persist_tracked(
-            words.crossJoin(F.broadcast(best)).select(
-                F.expr(_BPE_FOLD_SPARK).alias("w"), "freq"
-            )
-        )
+    # ONE training loop (`_bpe_trained_words`) shared with
+    # text_bpe_train_merges — the two faces can't diverge (ADVICE r6).
+    spread, words = _bpe_trained_words(spark, sf_dir)
     word_syms = words.select(
         F.expr("replace(w, ' ', '')").alias("word"),
         F.size(F.expr("split(w, ' ')")).cast("long").alias("n_syms"),

@@ -316,6 +316,18 @@ def test_profile_onepass_is_one_scan_with_expand(spark):
     assert "Expand" in plan
 
 
+def test_profile_approx_has_no_expand(spark):
+    """profile_table_approx: the 100-TB twin swaps the exact
+    multi-distinct for approx_count_distinct — the plan must contain
+    NO Expand node anywhere (the production aggregate is one scan +
+    one hash agg; the certification exact-distincts are four
+    SINGLE-distinct aggregates, which plan as two-phase hash agg,
+    never Expand). The certification join must also stay broadcast."""
+    plan = _final(_plan(spark, "profile_table_approx"))
+    assert "Expand" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_sketch_rollup_merges_sketches_not_rows(spark):
     """events_sketch_rollup_merge: the type-level estimate must come
     from hll_union_agg over day-grain sketch partials (one row per
