@@ -106,6 +106,10 @@ HEADLINE = [
     "lineitem_ols_price_quantity",
     "dedup_boilerplate_removal",
     "multimodal_dedup_checksum",
+    # round-7 additions (same comparability rule: shared prefix
+    # comparable across rounds; totals comparable from r7 on)
+    "profile_table_approx",
+    "dedup_pipeline_e2e",
 ]
 
 

@@ -435,21 +435,12 @@ def _minhash_oracle() -> str:
     )
 
 
-@query("dedup_minhash_lsh", oracle=_minhash_oracle())
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs: 16-permutation signatures over word
-    3-gram shingles, 4×4 banding for candidates, exact-Jaccard verify
-    at ≥ 0.5.
-
-    Plan: shingle explode → ONE groupBy computing all 16 minhashes
-    (partial+final agg) → band explode (no shuffle, array unnest) →
-    equality self-join on (band, key) → verify join back to shingles.
-    Subquadratic: pairs only materialize on band collisions. At 100 TB
-    the band join is the only shuffle that grows superlinearly, and
-    its keys are 4-minhash tuples — collision lists stay tiny unless
-    the docs really are near-dups.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash+LSH verified near-dup pairs over any ``documents``-shaped
+    frame — the shared engine of ``dedup_minhash_lsh`` (whole corpus)
+    and ``dedup_pipeline_e2e`` (exact-dedup survivors). One
+    implementation so the standalone rung and the composed pipeline
+    cannot diverge."""
     # Persisted: the hashed shingle set (8-byte keys, md5 computed
     # once) feeds the signature aggregate, the per-doc sizes, and both
     # sides of the verify join (4 subtrees).
@@ -503,6 +494,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("a_id", "b_id", jac.cast("decimal(18,6)").cast("double").alias("jaccard"))
     )
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: 16-permutation signatures over word
+    3-gram shingles, 4×4 banding for candidates, exact-Jaccard verify
+    at ≥ 0.5.
+
+    Plan: shingle explode → ONE groupBy computing all 16 minhashes
+    (partial+final agg) → band explode (no shuffle, array unnest) →
+    equality self-join on (band, key) → verify join back to shingles.
+    Subquadratic: pairs only materialize on band collisions. At 100 TB
+    the band join is the only shuffle that grows superlinearly, and
+    its keys are 4-minhash tuples — collision lists stay tiny unless
+    the docs really are near-dups.
+    """
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
 # ---- SimHash ---------------------------------------------------------
@@ -1283,5 +1291,125 @@ def dedup_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens_before",
             F.coalesce("n_after", zero).alias("n_tokens_after"),
             F.coalesce("cleaned", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+# ---- Composed production dedup pipeline ------------------------------
+
+
+def _pipeline_e2e_oracle() -> str:
+    # Exact-survivor frame (min doc_id per normalized-content hash),
+    # then the SHARED MinHash CTE chain over those survivors, then the
+    # recursive min-label fixpoint, then the per-source shrinkage
+    # report. WITH RECURSIVE hosts the whole chain (non-recursive CTEs
+    # are legal members).
+    return f"""
+    WITH RECURSIVE surv AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents GROUP BY md5({NORM_DUCK})
+    ), sdocs AS (
+      SELECT d.* FROM documents d JOIN surv s USING (doc_id)
+    ), {_minhash_pairs_ctes('sdocs')}, edges AS (
+      SELECT a_id AS u, b_id AS v FROM mh_pairs
+      UNION SELECT b_id, a_id FROM mh_pairs
+    ), reach AS (
+      SELECT u AS node, u AS label FROM edges
+      UNION
+      SELECT e.u AS node, r.label
+      FROM edges e JOIN reach r ON r.node = e.v
+    ), comp AS (
+      SELECT node, MIN(label) AS label FROM reach GROUP BY node
+    ), kept AS (
+      SELECT s.doc_id FROM surv s
+      LEFT JOIN comp c ON c.node = s.doc_id
+      WHERE c.node IS NULL OR c.label = s.doc_id
+    ), base AS (
+      SELECT source, COUNT(*)::BIGINT AS n_docs
+      FROM documents GROUP BY source
+    ), after_exact AS (
+      SELECT d.source, COUNT(*)::BIGINT AS n
+      FROM documents d JOIN surv s USING (doc_id) GROUP BY d.source
+    ), after_near AS (
+      SELECT d.source, COUNT(*)::BIGINT AS n
+      FROM documents d JOIN kept k USING (doc_id) GROUP BY d.source
+    )
+    SELECT b.source,
+           b.n_docs,
+           COALESCE(e.n, 0)::BIGINT AS n_after_exact,
+           COALESCE(nr.n, 0)::BIGINT AS n_after_neardup
+    FROM base b
+    LEFT JOIN after_exact e ON e.source = b.source
+    LEFT JOIN after_near nr ON nr.source = b.source
+    """
+
+
+@query("dedup_pipeline_e2e", oracle=_pipeline_e2e_oracle())
+def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup recipe composed into ONE job — what a
+    training-data pipeline actually runs nightly, not rung-by-rung:
+
+      1. exact dedup (normalized-content hash, min-doc_id survivor),
+      2. MinHash-LSH near-dup candidate pairs over the SURVIVORS only
+         (running LSH after exact dedup is the composition's point —
+         exact copies never reach the shingle stage),
+      3. connected components over the verified Jaccard≥{JACCARD_THRESHOLD}
+         pair graph (large-star/small-star, the O(log n)-round scale
+         path),
+      4. canonical keep-list (component-min survivor, plus every
+         unclustered survivor),
+      5. per-source shrinkage report (docs → after-exact →
+         after-near-dup), the artifact a curation run ships to its
+         dashboard.
+
+    Every stage reuses the verified standalone rung's implementation:
+    ``minhash_lsh_pairs`` (shared with ``dedup_minhash_lsh``) and
+    ``connected_components_star`` (shared with
+    ``dedup_components_star``) — the pipeline cannot drift from the
+    rungs it composes. The hashed-shingle frame is computed ONCE
+    (persisted inside ``minhash_lsh_pairs``) and feeds the signature
+    aggregate, per-doc sizes, and both verify-join sides; the plan
+    test pins the single InMemoryTableScan source.
+
+    Scale (100 TB): stage 1 is one window shuffle on a uniform
+    128-bit key; stage 2 is the banded subquadratic join over the
+    (already exact-deduped) survivor corpus; stage 3 iterates over
+    the near-dup EDGE LIST (tiny relative to the corpus); the report
+    is three partial-agg scans joined broadcast on the handful of
+    sources. No stage rescans raw text after shingling."""
+    from .graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    sdocs = persist_tracked(
+        docs.withColumn("fp", F.expr(f"md5({NORM_SPARK})"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .drop("fp", "canonical_id")
+    )
+    pairs = minhash_lsh_pairs(sdocs).select("a_id", "b_id")
+    comp = connected_components_star(pairs)
+    dropped = comp.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = sdocs.join(dropped, "doc_id", "left_anti")
+    base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    after_exact = sdocs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_exact")
+    )
+    after_near = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_neardup")
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        base.join(after_exact, "source", "left")
+        .join(after_near, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_after_exact", zero).alias("n_after_exact"),
+            F.coalesce("n_after_neardup", zero).alias("n_after_neardup"),
         )
     )

@@ -32,6 +32,33 @@ def _final(plan: str) -> str:
     return plan.split("== Initial Plan ==")[0]
 
 
+def _outer_final(plan: str) -> str:
+    """The OUTER final-plan region only. ``_final``'s naive split breaks
+    when the plan embeds an InMemoryRelation: the cached frame's own
+    AdaptiveSparkPlan echo prints a nested "== Initial Plan ==" that
+    truncates the outer region early. This walks lines, drops each
+    InMemoryRelation's inner build-plan echo (everything indented
+    deeper than the relation line), and stops at the outer initial-plan
+    marker (column 0)."""
+
+    def ind(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-"))
+
+    out: list[str] = []
+    skip_below: int | None = None
+    for line in plan.split("\n"):
+        if skip_below is not None:
+            if not line.strip() or ind(line) > skip_below:
+                continue
+            skip_below = None
+        if line.startswith("+- == Initial Plan =="):
+            break
+        out.append(line)
+        if "InMemoryRelation" in line:
+            skip_below = ind(line)
+    return "\n".join(out)
+
+
 def test_scan_filter_project_pushes_predicates(spark):
     plan = _plan(spark, "scan_filter_project")
     assert "PushedFilters: [" in plan
@@ -380,3 +407,31 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dedup_pipeline_e2e_scans_docs_once_and_reuses_cache(spark):
+    """dedup_pipeline_e2e: the final report plan must read raw
+    documents from parquet exactly ONCE (the per-source base count);
+    every other stage consumes the persisted exact-survivor frame
+    (InMemoryTableScan) or the checkpointed component labels — a
+    second parquet scan means the pipeline re-shingled or re-hashed
+    raw text. Report joins are broadcast over the handful of sources,
+    so any SortMergeJoin outside the one doc_id-keyed LeftAnti
+    (survivors minus dropped — NOT broadcast by design: the dropped
+    list scales with near-dup volume, so it is not a
+    fixed-cardinality frame and AQE owns the strategy) is a
+    regression. No cartesian/nested-loop anywhere."""
+    plan = _outer_final(_plan(spark, "dedup_pipeline_e2e"))
+    assert plan.count("Scan parquet") == 1, plan
+    assert (
+        plan.count("InMemoryTableScan") + plan.count("TableCacheQueryStage")
+        >= 2
+    ), plan
+    bad_smj = [
+        ln
+        for ln in plan.splitlines()
+        if "SortMergeJoin" in ln and "LeftAnti" not in ln
+    ]
+    assert not bad_smj, bad_smj
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
