@@ -5,12 +5,15 @@ multimodal training-data pipeline needs (new surface per
 BASELINE.json:6; the reference is text/JSON only).
 
 The container has no image/audio codec libraries, so the *real*
-decoder path is split: PNG header metadata (width/height/bit-depth/
-color-type) decodes for REAL with stdlib struct+zlib
-(``decode_png_header``); every pixel/sample-level branch is a
-clearly-marked stub (``decode_media_real`` raises NotImplementedError
-unless PIL/soundfile appear); and the *deterministic* decoder used by
-the queries computes features from the raw bytes. Because the synthetic
+decoder path is split: PNG, JPEG and GIF header metadata
+(width/height/bit-depth/colors) and WAV format metadata decode for
+REAL with stdlib struct+zlib (``decode_png_header``,
+``decode_jpeg_header``, ``decode_gif_header``, ``decode_wav_header``);
+only pixel/sample-level decode and the video branch are
+clearly-marked stubs (``decode_media_real`` raises
+NotImplementedError unless PIL/soundfile/av appear); and the
+*deterministic* decoder used by the queries computes features from
+the raw bytes. Because the synthetic
 corpus is pure ASCII, those byte-level features have exact DuckDB
 oracles via per-char codepoints — i.e. even the Pandas-UDF path is
 oracle-verified end to end, not just smoke-checked.
@@ -43,10 +46,13 @@ from .registry import query
 FRAME_STRIDE = 64  # sample one "frame" byte every 64 payload bytes
 
 # mime assignment: deterministic from the numeric suffix of ``source``
-# (srcN → N % 3), simulating a mixed image/audio/video corpus.
+# (srcN → N % 5), simulating a mixed image/audio/video corpus across
+# all three stdlib-decodable image containers (PNG/JPEG/GIF) plus WAV
+# and the one remaining stub mime (video).
 _MIME_CASE = (
-    "CASE CAST(substr(source, 4) AS INTEGER) % 3"
-    " WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'"
+    "CASE CAST(substr(source, 4) AS INTEGER) % 5"
+    " WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'"
+    " WHEN 2 THEN 'image/gif' WHEN 3 THEN 'audio/wav'"
     " ELSE 'video/mp4' END"
 )
 
@@ -129,6 +135,135 @@ def make_png(width: int, height: int, rgb: tuple = (200, 10, 10)) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+JPEG_SOI = b"\xff\xd8"
+# SOF markers carry the frame header (dims). C4=DHT, C8=JPG (reserved),
+# CC=DAC are in the C0-CF range but are NOT frame headers.
+_JPEG_NON_SOF = {0xC4, 0xC8, 0xCC}
+
+
+def decode_jpeg_header(payload: bytes) -> dict:
+    """Stdlib-only JPEG (JFIF/EXIF) header decode — dimensions live in
+    the SOFn frame-header segment, found by walking the marker list
+    (each non-RBG marker segment is ``FF xx`` + big-endian u16 length
+    covering the length field itself). Baseline (SOF0), progressive
+    (SOF2) and every other SOFn except DHT/JPG/DAC carry the same
+    precision/height/width/components layout. The walk stops at SOS
+    (entropy-coded data follows, where ``FF`` bytes are stuffed) —
+    a JPEG with no SOF before SOS is corrupt. Raises ``ValueError``
+    naming the violation, same dead-letter contract as the PNG/WAV
+    decoders."""
+    import struct
+
+    if payload[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG: bad SOI marker")
+    off = 2
+    while off + 4 <= len(payload):
+        if payload[off] != 0xFF:
+            raise ValueError(f"JPEG marker sync lost at offset {off}")
+        marker = payload[off + 1]
+        if marker == 0xFF:  # fill byte
+            off += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            off += 2  # standalone markers: no length field
+            continue
+        if marker == 0xD9:
+            break  # EOI before any SOF
+        (seg_len,) = struct.unpack(">H", payload[off + 2 : off + 4])
+        if seg_len < 2:
+            raise ValueError("JPEG segment length < 2")
+        if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+            if off + 4 + 6 > len(payload) or seg_len < 8:
+                raise ValueError("JPEG SOF segment truncated")
+            precision, height, width, n_comp = struct.unpack(
+                ">BHHB", payload[off + 4 : off + 10]
+            )
+            if width == 0:
+                raise ValueError("JPEG SOF width is 0")
+            return {
+                "width": width,
+                "height": height,
+                "bit_depth": precision,
+                "n_components": n_comp,
+                "progressive": marker == 0xC2,
+            }
+        if marker == 0xDA:  # SOS — entropy data next; SOF must precede
+            raise ValueError("JPEG has no SOF frame header before SOS")
+        off += 2 + seg_len
+    raise ValueError("JPEG truncated before SOF frame header")
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    """Write a structurally valid baseline JPEG header chain with
+    stdlib only: SOI → APP0(JFIF 1.1) → SOF0 (8-bit, 3 components) →
+    SOS → 2 entropy bytes → EOI. The entropy data is filler (no DQT/
+    DHT tables), so pixel decoders would reject the scan — but every
+    marker segment is spec-shaped, which is exactly the surface the
+    header decode path (and any metadata pipeline) consumes. Same
+    rationale as ``make_png``/``make_wav``."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"  # 3 component specs
+    )
+    sos = b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+    return (
+        JPEG_SOI
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof0)) + sof0
+        + b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        + b"\x00\x00"
+        + b"\xff\xd9"
+    )
+
+
+GIF_VERSIONS = (b"GIF87a", b"GIF89a")
+
+
+def decode_gif_header(payload: bytes) -> dict:
+    """Stdlib-only GIF header decode: 6-byte version signature, then
+    the fixed 7-byte Logical Screen Descriptor — width/height as
+    little-endian u16, a packed byte whose top bit flags a global
+    color table of 2^(1 + low-3-bits) entries. Everything a metadata
+    pipeline needs at fixed offsets; raises ``ValueError`` on
+    anything malformed (dead-letter contract)."""
+    import struct
+
+    if len(payload) < 13:
+        raise ValueError("not a GIF: truncated before screen descriptor")
+    if payload[:6] not in GIF_VERSIONS:
+        raise ValueError("not a GIF: bad signature")
+    width, height, packed, _bg, _aspect = struct.unpack(
+        "<HHBBB", payload[6:13]
+    )
+    if width == 0 or height == 0:
+        raise ValueError("GIF screen dimensions are 0")
+    has_gct = bool(packed & 0x80)
+    return {
+        "width": width,
+        "height": height,
+        "version": payload[3:6].decode("ascii"),
+        "n_colors": (2 << (packed & 0x07)) if has_gct else 0,
+    }
+
+
+def make_gif(width: int, height: int) -> bytes:
+    """Write a structurally valid GIF89a with stdlib only: signature,
+    Logical Screen Descriptor (with a 2-entry global color table),
+    image descriptor, a minimal LZW-coded sub-block (clear+EOI codes —
+    pixel-complete only for tiny images, which is fine: the header
+    surface is what the decode path consumes), trailer."""
+    import struct
+
+    lsd = struct.pack("<HHBBB", width, height, 0x80, 0, 0)
+    gct = b"\x00\x00\x00\xff\xff\xff"
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    lzw = b"\x02\x02\x44\x01\x00"  # min-code-size 2, one sub-block, end
+    return b"GIF89a" + lsd + gct + img_desc + lzw + b"\x3b"
 
 
 def decode_wav_header(payload: bytes) -> dict:
@@ -216,10 +351,17 @@ def decode_media_real(payload: bytes, mime: str) -> dict:
     import io
 
     if mime.startswith("image/"):
+        header_decoder = None
         if payload[:8] == PNG_SIGNATURE:
-            # PNG header metadata is a stdlib struct parse — REAL in
-            # this container. PIL only adds pixel-level fields.
-            meta = decode_png_header(payload)
+            header_decoder = decode_png_header
+        elif payload[:2] == JPEG_SOI:
+            header_decoder = decode_jpeg_header
+        elif payload[:6] in GIF_VERSIONS:
+            header_decoder = decode_gif_header
+        if header_decoder is not None:
+            # PNG/JPEG/GIF header metadata are stdlib struct parses —
+            # REAL in this container. PIL only adds pixel-level fields.
+            meta = header_decoder(payload)
             try:
                 from PIL import Image
             except ImportError:

@@ -127,3 +127,76 @@ def test_wav_header_rejects_corruption():
     payload[fmt_off : fmt_off + 2] = struct.pack("<H", 3)  # IEEE float
     with pytest.raises(ValueError, match="only PCM"):
         decode_wav_header(bytes(payload))
+
+
+def test_jpeg_header_decodes_with_stdlib_only():
+    """The stdlib JPEG path is real in THIS container: SOF0 dims come
+    back from the marker walk, no codec library involved."""
+    from football_etl_pipeline_spark.operators.multimodal import (
+        decode_jpeg_header,
+        make_jpeg,
+    )
+
+    meta = decode_jpeg_header(make_jpeg(640, 480))
+    assert meta["width"] == 640
+    assert meta["height"] == 480
+    assert meta["bit_depth"] == 8
+    assert meta["n_components"] == 3
+    assert meta["progressive"] is False
+    # via the seam too (PIL absent → header metadata IS the answer)
+    seam = decode_media_real(make_jpeg(33, 7), "image/jpeg")
+    assert (seam["width"], seam["height"]) == (33, 7)
+
+
+def test_jpeg_header_rejects_corruption():
+    from football_etl_pipeline_spark.operators.multimodal import (
+        decode_jpeg_header,
+        make_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_header(b"\x89PNG\r\n\x1a\n")
+    good = make_jpeg(8, 8)
+    with pytest.raises(ValueError, match="truncated|sync|SOF"):
+        decode_jpeg_header(good[:6])  # cut before SOF
+    # SOS with no preceding SOF (strip the SOF segment): SOI+APP0+SOS…
+    import struct
+
+    app0_len = struct.unpack(">H", good[4:6])[0]
+    sof_start = 2 + 2 + app0_len
+    sof_len = struct.unpack(">H", good[sof_start + 2 : sof_start + 4])[0]
+    no_sof = good[:sof_start] + good[sof_start + 2 + sof_len :]
+    with pytest.raises(ValueError, match="no SOF"):
+        decode_jpeg_header(no_sof)
+
+
+def test_gif_header_decodes_with_stdlib_only():
+    from football_etl_pipeline_spark.operators.multimodal import (
+        decode_gif_header,
+        make_gif,
+    )
+
+    meta = decode_gif_header(make_gif(320, 200))
+    assert meta["width"] == 320
+    assert meta["height"] == 200
+    assert meta["version"] == "89a"
+    assert meta["n_colors"] == 2
+    seam = decode_media_real(make_gif(5, 9), "image/gif")
+    assert (seam["width"], seam["height"]) == (5, 9)
+
+
+def test_gif_header_rejects_corruption():
+    from football_etl_pipeline_spark.operators.multimodal import (
+        decode_gif_header,
+        make_gif,
+    )
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif_header(b"JIF89a" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif_header(make_gif(4, 4)[:10])
+    import struct
+
+    zero_w = b"GIF89a" + struct.pack("<HHBBB", 0, 4, 0, 0, 0) + b"\x3b"
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_gif_header(zero_w)
