@@ -112,3 +112,40 @@ def test_replayed_batch_is_noop_for_index_and_matches(spark, tmp_path):
     check_and_index_batch(spark, b1, index, matches, batch_id=1)
     assert read_index(spark, index).count() == n_index + len(SECOND)
     assert (0, 6, 1.0) in _pairs_set(read_matches(spark, matches))
+
+
+def _index_rows(spark, index):
+    df = read_index(spark, index)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_interrupted_swap_is_recovered_for_index(spark, tmp_path):
+    """Crash window between rename(index, '._old') and rename(tmp,
+    index): the MinHash signature index exists only at '._old' when
+    batch 1 is re-delivered. check_and_index_batch must restore the
+    standing index (batch 0's signatures survive), fold the replayed
+    batch exactly once, and leave index + matches identical to an
+    uninterrupted twin run with no '._old' residue — completing the
+    three-face replay proof (counts/sums, sketches, dedup index)."""
+    crashed_ix = str(tmp_path / "ix_crashed")
+    crashed_m = str(tmp_path / "m_crashed")
+    b0 = spark.createDataFrame([tuple(d.values()) for d in FIRST], DOCS_SCHEMA)
+    b1 = spark.createDataFrame([tuple(d.values()) for d in SECOND], DOCS_SCHEMA)
+    check_and_index_batch(spark, b0, crashed_ix, crashed_m, batch_id=0)
+    os.rename(crashed_ix, crashed_ix + "._old")
+    check_and_index_batch(spark, b1, crashed_ix, crashed_m, batch_id=1)
+
+    clean_ix = str(tmp_path / "ix_clean")
+    clean_m = str(tmp_path / "m_clean")
+    check_and_index_batch(spark, b0, clean_ix, clean_m, batch_id=0)
+    check_and_index_batch(spark, b1, clean_ix, clean_m, batch_id=1)
+
+    assert _index_rows(spark, crashed_ix) == _index_rows(spark, clean_ix)
+    assert _pairs_set(read_matches(spark, crashed_m)) == _pairs_set(
+        read_matches(spark, clean_m)
+    )
+    assert not os.path.exists(crashed_ix + "._old")
+    # gated replay after recovery stays a no-op
+    before = _index_rows(spark, crashed_ix)
+    check_and_index_batch(spark, b1, crashed_ix, crashed_m, batch_id=1)
+    assert _index_rows(spark, crashed_ix) == before

@@ -121,3 +121,36 @@ def test_gated_replay_is_a_noop_entirely(spark, tmp_path):
     before = _estimates(spark, state)
     merge_batch_sketches(spark, batch, state, batch_id=0)  # same id: gated
     assert _estimates(spark, state) == before
+
+
+def test_interrupted_swap_is_recovered_for_sketches(spark, tmp_path):
+    """Crash window between rename(state, '._old') and rename(tmp,
+    state): the standing sketch table exists only at '._old' when the
+    replayed batch arrives. The merge must restore it and fold the
+    replayed batch exactly once — the resulting estimates must equal
+    an uninterrupted twin run, and no '._old' may remain. Same replay
+    proof as the count/sum face (test_streaming_agg_maintenance)."""
+    src = str(tmp_path / "src")
+    _write_events(src, FIRST, "a.jsonl")
+    _write_events(src, SECOND, "b.jsonl")
+    b0 = spark.read.json(os.path.join(src, "a.jsonl"))
+    b1 = spark.read.json(os.path.join(src, "b.jsonl"))
+
+    crashed = str(tmp_path / "state_crashed")
+    merge_batch_sketches(spark, b0, crashed, batch_id=0)
+    # simulate the crash: batch 1's swap moved the table aside, the
+    # new table never landed, and the checkpoint never committed —
+    # foreachBatch re-delivers batch_id=1 on restart
+    os.rename(crashed, crashed + "._old")
+    merge_batch_sketches(spark, b1, crashed, batch_id=1)
+
+    clean = str(tmp_path / "state_clean")
+    merge_batch_sketches(spark, b0, clean, batch_id=0)
+    merge_batch_sketches(spark, b1, clean, batch_id=1)
+
+    assert _estimates(spark, crashed) == _estimates(spark, clean)
+    assert not os.path.exists(crashed + "._old")
+    # a later replay of the recovered batch is still gated
+    before = _estimates(spark, crashed)
+    merge_batch_sketches(spark, b1, crashed, batch_id=1)
+    assert _estimates(spark, crashed) == before
