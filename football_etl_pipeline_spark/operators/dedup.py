@@ -200,9 +200,13 @@ def _hashed_shingles(docs: DataFrame) -> DataFrame:
     WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= {JACCARD_THRESHOLD}
     """,
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, candidates_only: bool = False
+) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard ≥ 0.5, candidates from a
     shared-shingle equi-join with a document-frequency cap.
+    ``candidates_only`` returns the pre-verify candidate pair frame —
+    the quantity ``tools/scale_probe.py`` tracks across corpus sizes.
 
     Plan: shingles are reduced to their 60-bit content hash INSIDE the
     explode (8-byte join keys instead of ~20-char strings — less than
@@ -232,6 +236,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    if candidates_only:
+        return pairs.select("a_id", "b_id")
     jac = F.col("n_shared") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
     return (
         pairs.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("a_id"))
@@ -435,7 +441,9 @@ def _minhash_oracle() -> str:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame, candidates_only: bool = False
+) -> DataFrame:
     """MinHash+LSH verified near-dup pairs over any ``documents``-shaped
     frame — the shared engine of ``dedup_minhash_lsh`` (whole corpus)
     and ``dedup_pipeline_e2e`` (exact-dedup survivors). One
@@ -477,6 +485,8 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
+    if candidates_only:
+        return cand
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     verified = (
         cand.join(sh.alias("x"), F.col("x.doc_id") == F.col("a_id"))
@@ -646,9 +656,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     best shared band holds 158 docs, so capping would drop them — the
     rung adds a join key instead.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return simhash_banded_pairs(
+        simhash_values(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def simhash_values(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): the frequency-weighted 60-bit signature
+    frame — factored so the scale probe can feed the banding rung
+    directly."""
     # spread the compute-bound tokenize+hash stage across all cores
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     tf = (
         docs.select("doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -661,12 +679,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b, e in enumerate(_simhash_bit_sums("spark"))
         ]
     )
-    return simhash_banded_pairs(
-        bitsums.select("doc_id", F.expr(_simhash_value()).alias("simhash"))
-    )
+    return bitsums.select("doc_id", F.expr(_simhash_value()).alias("simhash"))
 
 
-def simhash_banded_pairs(sh_val_in: DataFrame) -> DataFrame:
+def simhash_banded_pairs(
+    sh_val_in: DataFrame, candidates_only: bool = False
+) -> DataFrame:
     """The banding rung of ``dedup_simhash``, factored over an
     arbitrary ``(doc_id, simhash)`` frame so the adversarial-skew
     stress test (``tests/test_dedup_recall.py``) can drive it with
@@ -743,6 +761,8 @@ def simhash_banded_pairs(sh_val_in: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
     )
     pairs = cold_pairs.union(hot_pairs).distinct()
+    if candidates_only:
+        return pairs
     ham = F.bit_count(
         F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
     )
@@ -889,7 +909,9 @@ def _emb_ivf_dedup_oracle() -> str:
 
 
 @query("dedup_embedding_ivf", oracle=_emb_ivf_dedup_oracle())
-def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_ivf(
+    spark: SparkSession, sf_dir: str, candidates_only: bool = False
+) -> DataFrame:
     """Subquadratic semantic near-dup pairs (the SemDeDup shape —
     cluster, then dedup within clusters) — the scale path whose
     absence kept ``dedup_embedding_cosine`` an O(n²) anchor: vectors
@@ -939,6 +961,8 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
         .distinct()
     )
+    if candidates_only:
+        return cand
     cos = F.expr(_dot_spark("x.v", "y.v")) / (F.col("x.nrm") * F.col("y.nrm"))
     return (
         cand.join(e.alias("x"), F.col("x.vec_id") == F.col("a_id"))

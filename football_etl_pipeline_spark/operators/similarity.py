@@ -259,7 +259,9 @@ def _tables_duck() -> str:
     FROM ranked WHERE rnk <= {ANN_TOPK}
     """,
 )
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ann_lsh(
+    spark: SparkSession, sf_dir: str, candidates_only: bool = False
+) -> DataFrame:
     """Approximate top-5 neighbors via MULTI-TABLE random-hyperplane
     LSH: ANN_TABLES independent ANN_PLANES-plane signatures per
     vector; candidates = union of same-bucket vectors over all tables.
@@ -310,6 +312,8 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    if candidates_only:
+        return cand
     cos = F.expr(_dot_spark("qe.v", "ne.v")) / (F.col("qe.nrm") * F.col("ne.nrm"))
     scored = (
         cand.join(e.alias("qe"), F.col("qe.vec_id") == F.col("query_id"))

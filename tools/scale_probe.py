@@ -1,0 +1,216 @@
+"""Scale rehearsal for the subquadratic-candidate claims.
+
+The 100-TB story of the dedup/ANN ladder rests on candidate-volume
+bounds measured at sf0.1. This probe synthesizes a 10x corpus — a
+union of key-shifted, CONTENT-DISJOINT copies of the sf0.1 tables —
+and records candidate-pair counts and wall time for each banded/
+bucketed rung at 1x vs 10x. A sound rung's candidate volume grows
+~linearly (each copy contributes its own collisions, none across
+copies); superlinear growth means a banding key went hot.
+
+Content disjointness matters: a naive 10x union of IDENTICAL copies
+makes every doc a true near-dup of its 9 siblings, so TRUE pairs grow
+45x and candidate growth is unreadable. Instead copy k prefixes every
+token with ``c<k>`` (documents) / rolls the embedding vector by k
+positions (embeddings — intra-copy cosines are permutation-invariant,
+cross-copy cosines drop to background), so each copy reproduces the
+1x pair structure exactly and the linear-growth yardstick is honest.
+
+IVF note: ``dedup_embedding_ivf``'s candidate volume is
+~n^2 * nprobe^2 / CELLS by construction — at FIXED cells a 10x corpus
+must grow candidates ~100x/10 = 10x-per-doc. The production dial is
+CELLS ~ n (the operator's docstring names the 65k-cell codebook at
+100 TB), so the probe measures it BOTH ways: fixed 32 cells (expect
+superlinear, documenting the failure mode) and cells x10 (expect
+~linear, demonstrating the dial).
+
+Writes SCALE.md at the repo root and prints the same table. Synthetic
+data lands under spark-warehouse/scale_probe/ (never touches the
+read-only testdata).
+
+Usage: python tools/scale_probe.py [--copies 10]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE_SF = "/root/testdata/sf0.1"
+OFFSET = 10_000_000
+
+
+def build_synthetic(spark, copies: int) -> str:
+    """Union of key-shifted content-disjoint copies of documents +
+    embeddings, written once under spark-warehouse/scale_probe/."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(REPO, "spark-warehouse", "scale_probe", f"x{copies}")
+    marker = os.path.join(out, "_PROBE_COPIES")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+    parts = []
+    for k in range(copies):
+        c = docs.select(
+            (F.col("doc_id") + F.lit(k * OFFSET)).alias("doc_id"),
+            (
+                F.col("text")
+                if k == 0
+                else F.regexp_replace("text", r"(\S+)", f"c{k}$1")
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        parts.append(c)
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    union.coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    dim = len(emb.limit(1).collect()[0]["embedding"])
+    parts = []
+    for k in range(copies):
+        roll = k % dim
+        if roll == 0:
+            v = F.col("embedding")
+        else:
+            v = F.expr(
+                f"concat(slice(embedding, {roll + 1}, {dim - roll}),"
+                f" slice(embedding, 1, {roll}))"
+            )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * OFFSET)).alias("vec_id"),
+                v.cast("array<float>").alias("embedding"),
+                "label",
+            )
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    union.coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    with open(marker, "w") as f:
+        f.write(str(copies))
+    return out
+
+
+def main() -> None:
+    copies = 10
+    if "--copies" in sys.argv:
+        copies = int(sys.argv[sys.argv.index("--copies") + 1])
+
+    from football_etl_pipeline_spark.operators import dedup, similarity
+    from football_etl_pipeline_spark.operators.registry import (
+        release_persists,
+    )
+    from football_etl_pipeline_spark.session import get_spark
+    from football_etl_pipeline_spark.sources.testdata import load_table
+
+    spark = get_spark("scale_probe")
+    big = build_synthetic(spark, copies)
+
+    def docs_of(d):
+        return load_table(spark, d, "documents")
+
+    PROBES = {
+        "dedup_ngram_jaccard": lambda d: dedup.dedup_ngram_jaccard(
+            spark, d, candidates_only=True
+        ),
+        "dedup_minhash_lsh": lambda d: dedup.minhash_lsh_pairs(
+            docs_of(d), candidates_only=True
+        ),
+        "dedup_simhash": lambda d: dedup.simhash_banded_pairs(
+            dedup.simhash_values(docs_of(d)), candidates_only=True
+        ),
+        "similarity_ann_lsh": lambda d: similarity.similarity_ann_lsh(
+            spark, d, candidates_only=True
+        ),
+        "dedup_embedding_ivf": lambda d: dedup.dedup_embedding_ivf(
+            spark, d, candidates_only=True
+        ),
+    }
+
+    def measure(fn, d):
+        t0 = time.time()
+        n = fn(d).count()
+        wall = time.time() - t0
+        release_persists()
+        return n, round(wall, 2)
+
+    rows = []
+    for name, fn in PROBES.items():
+        # warmup the codegen path at the smallest SF
+        fn("/root/testdata/sf0.001").count()
+        release_persists()
+        n1, w1 = measure(fn, BASE_SF)
+        nN, wN = measure(fn, big)
+        growth = nN / n1 / copies if n1 else float("nan")
+        rows.append((name, n1, nN, round(growth, 2), w1, wN))
+        print(f"# {name}: 1x={n1} {copies}x={nN} growth/linear={growth:.2f}")
+
+    # the IVF dial: cells scaled with the corpus
+    saved = dedup.EMB_DUP_CELLS
+    try:
+        dedup.EMB_DUP_CELLS = saved * copies
+        fn = PROBES["dedup_embedding_ivf"]
+        nN, wN = measure(fn, big)
+        n1 = rows[-1][1]
+        growth = nN / n1 / copies if n1 else float("nan")
+        rows.append(
+            (f"dedup_embedding_ivf (cells x{copies})", n1, nN,
+             round(growth, 2), rows[-1][4], wN)
+        )
+        print(f"# ivf cells-scaled: {copies}x={nN} growth/linear={growth:.2f}")
+    finally:
+        dedup.EMB_DUP_CELLS = saved
+
+    lines = [
+        "# SCALE — candidate-volume rehearsal (1x vs "
+        f"{copies}x synthetic corpus)",
+        "",
+        "Generated by `tools/scale_probe.py`. Corpus: sf0.1 "
+        f"documents/embeddings x{copies}, key-shifted and "
+        "content-disjoint (token-prefixed copies / dimension-rolled "
+        "embeddings), so each copy reproduces the 1x pair structure "
+        "and NO true pairs cross copies — linear candidate growth is "
+        "the soundness bar for every banded/bucketed rung.",
+        "",
+        "| rung | candidates 1x | candidates "
+        f"{copies}x | growth / linear | wall 1x (s) | wall "
+        f"{copies}x (s) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, n1, nN, g, w1, wN in rows:
+        lines.append(f"| {name} | {n1} | {nN} | {g} | {w1} | {wN} |")
+    lines += [
+        "",
+        "`growth / linear` = candidates_Nx / candidates_1x / N: "
+        "1.0 = perfectly linear, <1 = sublinear (banding keys spread "
+        "thinner in the bigger key space), >1 = superlinear (a "
+        "banding key went hot).",
+        "",
+        "**IVF**: candidate volume is ~n^2 * nprobe^2 / CELLS by "
+        "construction, so at FIXED 32 cells the 10x row is expected "
+        "superlinear — that row documents the failure mode, and the "
+        "`cells x10` row demonstrates the production dial (CELLS ~ n, "
+        "the trained large-codebook path named in the operator's "
+        "docstring) restoring ~linear growth.",
+    ]
+    with open(os.path.join(REPO, "SCALE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
