@@ -1258,3 +1258,74 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("td").cast("decimal(18,6)").cast("double").alias("min_ratio"),
         F.max("td").cast("decimal(18,6)").cast("double").alias("max_ratio"),
     )
+
+
+MAD_K = 3.0  # the classic 3-sigma-equivalent robust fence
+
+
+@query(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med,
+             quantile_cont(abs(e.value - m.med), 0.5)
+               OVER (PARTITION BY e.event_type) AS mad
+      FROM events e JOIN med m USING (event_type)
+    )
+    SELECT event_type,
+           CAST(CAST(MIN(med) AS DECIMAL(18,6)) AS DOUBLE) AS med,
+           CAST(CAST(MIN(mad) AS DECIMAL(18,6)) AS DOUBLE) AS mad,
+           COUNT(*) AS n,
+           SUM(CASE WHEN abs(value - med) > {MAD_K} * mad
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           (SUM(CASE WHEN abs(value - med) > {MAD_K} * mad
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*))::BIGINT
+             AS outlier_rate_micro
+    FROM dev
+    GROUP BY event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly screen: median / median-absolute-deviation
+    fences per event type — the heavy-tail-safe twin of
+    ``events_anomaly_zscore`` (mean/stddev fences move with the very
+    outliers they hunt; median/MAD have a 50% breakdown point, which
+    is why monitoring pipelines prefer them for skewed value
+    streams).
+
+    Plan: exact median per type (ONE grouped sort-agg over bounded
+    groups), broadcast back (|event types| rows), second grouped
+    median over the absolute deviations, then one counting aggregate
+    with the 3-MAD fence — three key-partitioned passes, no global
+    sort, no window funnel. Both engines share the type-7
+    interpolation (the ``agg_exact_percentiles`` anchor), so med/MAD
+    and every fence comparison are bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5D)").alias("mad"),
+        F.min("med").alias("med_v"),
+    )
+    fenced = ev.join(F.broadcast(mad), "event_type")
+    return fenced.groupBy("event_type").agg(
+        F.min("med_v").cast("decimal(18,6)").cast("double").alias("med"),
+        F.min("mad").cast("decimal(18,6)").cast("double").alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("med_v"))
+                > F.lit(MAD_K) * F.col("mad"),
+                1,
+            ).otherwise(0)
+        ).alias("n_outliers"),
+        F.expr(
+            f"sum(CASE WHEN abs(value - med_v) > {MAD_K} * mad THEN 1 ELSE 0 END)"
+            " * 1000000 div count(1)"
+        ).alias("outlier_rate_micro"),
+    )

@@ -1340,3 +1340,68 @@ def similarity_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rel").cast("decimal(18,6)").cast("double").alias("relevance"),
         F.col("mmr").cast("decimal(18,6)").cast("double").alias("mmr_score"),
     )
+
+
+# ---- ANN recall report (index quality as a query) ---------------------
+
+
+def _recall_report_oracle() -> str:
+    from .registry import ORACLES
+
+    return f"""
+    WITH ex AS (
+      SELECT query_id, neighbor_id
+      FROM ({ORACLES["similarity_topk_bruteforce"]})
+      WHERE rnk <= {ANN_TOPK}
+    ), ann AS (
+      SELECT query_id, neighbor_id
+      FROM ({ORACLES["similarity_ann_lsh"]})
+    )
+    SELECT ex.query_id,
+           {ANN_TOPK} AS k,
+           COUNT(ann.neighbor_id)::BIGINT AS n_hits,
+           (COUNT(ann.neighbor_id) * 1000000 // {ANN_TOPK})::BIGINT
+             AS recall_micro
+    FROM ex
+    LEFT JOIN ann ON ann.query_id = ex.query_id
+                 AND ann.neighbor_id = ex.neighbor_id
+    GROUP BY ex.query_id
+    """
+
+
+@query("similarity_ann_recall_report", oracle=_recall_report_oracle())
+def similarity_ann_recall_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index-quality report: per-query recall@{ANN_TOPK} of the
+    multi-table LSH index against the exact brute-force ground truth —
+    the continuous-monitoring artifact an ANN deployment ships
+    alongside the index (tests pin a recall floor once;
+    this keeps measuring it as data drifts).
+
+    Composes the two verified operators directly (and the oracle
+    composes THEIR oracle strings — zero re-implementation on either
+    side): exact top-{ANN_TOPK} from ``similarity_topk_bruteforce``,
+    candidates from ``similarity_ann_lsh``, one left join + grouped
+    count. Scale: ground truth is the expensive side (brute force is
+    queries×corpus); production samples the query set, which this
+    report's shape already assumes (N_QUERIES standing queries)."""
+    ex = similarity_topk_bruteforce(spark, sf_dir).filter(
+        F.col("rnk") <= ANN_TOPK
+    )
+    ann = similarity_ann_lsh(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor")
+    )
+    joined = ex.join(
+        ann,
+        (ex["query_id"] == ann["query_id"])
+        & (ex["neighbor_id"] == ann["ann_neighbor"]),
+        "left",
+    )
+    return joined.groupBy(ex["query_id"].alias("query_id")).agg(
+        F.lit(ANN_TOPK).cast("int").alias("k"),
+        F.count("ann_neighbor").alias("n_hits"),
+        F.expr(f"count(ann_neighbor) * 1000000 div {ANN_TOPK}").alias(
+            "recall_micro"
+        ),
+    )

@@ -1819,3 +1819,207 @@ def text_bigram_lm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cond_score"),
         )
     )
+
+
+# ---- vocabulary coverage curve ----------------------------------------
+
+VOCAB_COVERAGE_KS = (100, 1000, 10000)
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({TOKENS_DUCK}) AS w FROM documents
+    ), vocab AS (
+      SELECT w, COUNT(*)::BIGINT AS freq
+      FROM tok WHERE length(w) > 0 GROUP BY w
+    ), ranked AS (
+      SELECT freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, w ASC) AS rn
+      FROM vocab
+    ), tot AS (
+      SELECT SUM(freq)::BIGINT AS total_occ, COUNT(*)::BIGINT AS vocab_size
+      FROM vocab
+    )
+    SELECT k,
+           SUM(CASE WHEN rn <= k THEN freq ELSE 0 END)::BIGINT
+             AS top_k_occurrences,
+           MIN(total_occ) AS total_occurrences,
+           MIN(vocab_size) AS vocab_size,
+           (SUM(CASE WHEN rn <= k THEN freq ELSE 0 END) * 1000000
+              // MIN(total_occ))::BIGINT AS coverage_micro
+    FROM ranked CROSS JOIN tot
+    CROSS JOIN (SELECT unnest([{", ".join(str(k) for k in VOCAB_COVERAGE_KS)}]) AS k)
+    GROUP BY k
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — what fraction of all token
+    occurrences the top-K most frequent words cover, for K in
+    {VOCAB_COVERAGE_KS}. The artifact every tokenizer/vocab-size
+    decision starts from (Zipf in practice: a few thousand types
+    cover most of the stream).
+
+    Scale plan: ONE token-count aggregate builds the (Heaps-small)
+    vocab frame, persisted; each K is then a distributed
+    TakeOrdered(K) over the vocab — NO single-partition global-rank
+    window anywhere (the oracle uses ROW_NUMBER because DuckDB is
+    single-node; the Spark plan must not) — followed by a scalar
+    aggregate. Tie-break (freq DESC, word ASC) is part of the
+    contract so both engines pick identical top-K sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    vocab = persist_tracked(
+        spread.select(F.explode(F.expr(TOKENS_SPARK)).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    tot = vocab.agg(
+        F.sum("freq").alias("total_occurrences"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    parts = []
+    for k in VOCAB_COVERAGE_KS:
+        topk = (
+            vocab.orderBy(F.col("freq").desc(), F.col("w").asc())
+            .limit(k)
+            .agg(F.sum("freq").alias("top_k_occurrences"))
+            .select(F.lit(k).cast("int").alias("k"), "top_k_occurrences")
+        )
+        parts.append(topk)
+    cover = parts[0]
+    for p in parts[1:]:
+        cover = cover.unionByName(p)
+    return cover.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "top_k_occurrences",
+        "total_occurrences",
+        "vocab_size",
+        F.expr("top_k_occurrences * 1000000 div total_occurrences").alias(
+            "coverage_micro"
+        ),
+    )
+
+
+# ---- tokenizer fairness (trained-BPE fertility per language) ----------
+
+
+def _fairness_oracle() -> str:
+    n = N_BPE_MERGES
+    with_part = _bpe_oracle().split("\nSELECT 1 AS round")[0]
+    return (
+        with_part
+        + f""",
+    word_syms AS (
+      SELECT replace(w, ' ', '') AS word,
+             len(string_split(w, ' '))::BIGINT AS n_syms
+      FROM r{n}
+    ),
+    occ AS (
+      SELECT lang, unnest({TOKENS_DUCK}) AS word FROM documents
+    )
+    SELECT o.lang,
+           COUNT(*)::BIGINT AS n_words,
+           SUM(length(o.word))::BIGINT AS n_chars,
+           SUM(ws.n_syms)::BIGINT AS n_symbols,
+           (SUM(ws.n_syms) * 1000000 // COUNT(*))::BIGINT
+             AS symbols_per_word_micro,
+           (SUM(ws.n_syms) * 1000000 // SUM(length(o.word)))::BIGINT
+             AS symbols_per_char_micro
+    FROM occ o JOIN word_syms ws ON ws.word = o.word
+    WHERE length(o.word) > 0
+    GROUP BY o.lang
+    """
+    )
+
+
+@query("text_tokenizer_fairness", oracle=_fairness_oracle())
+def text_tokenizer_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fairness report: fertility of the TRAINED BPE merges
+    per language — symbols-per-word and symbols-per-char by the
+    ground-truth ``lang`` column. The multilingual-pipeline artifact
+    that catches a vocabulary trained on one language taxing the
+    others (higher fertility = more sequence positions per word =
+    higher effective cost for that language).
+
+    Reuses the ONE training loop (``_bpe_trained_words``) and scores
+    the corpus exactly like ``text_bpe_segment_stats``, grouped by
+    language instead of document — training state iterates over the
+    Heaps-small distinct-word frame; the scoring join touches the
+    corpus once with the merged vocabulary broadcast."""
+    spread, words = _bpe_trained_words(spark, sf_dir)
+    word_syms = words.select(
+        F.expr("replace(w, ' ', '')").alias("word"),
+        F.size(F.expr("split(w, ' ')")).cast("long").alias("n_syms"),
+    )
+    occ = spread.select(
+        "lang", F.explode(F.expr(TOKENS_SPARK)).alias("word")
+    ).filter(F.length("word") > 0)
+    return (
+        occ.join(F.broadcast(word_syms), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_syms").alias("n_symbols"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_chars",
+            "n_symbols",
+            F.expr("n_symbols * 1000000 div n_words").alias(
+                "symbols_per_word_micro"
+            ),
+            F.expr("n_symbols * 1000000 div n_chars").alias(
+                "symbols_per_char_micro"
+            ),
+        )
+    )
+
+
+# ---- deterministic uniform sample -------------------------------------
+
+UNIFORM_SAMPLE_K = 200
+
+
+@query(
+    "text_uniform_sample",
+    oracle=f"""
+    SELECT doc_id, source, h
+    FROM (
+      SELECT doc_id, source,
+             {hash60_duck("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    )
+    ORDER BY h ASC, doc_id ASC
+    LIMIT {UNIFORM_SAMPLE_K}
+    """,
+)
+def text_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform {UNIFORM_SAMPLE_K}-doc sample without
+    replacement: rank every doc by a content-independent 60-bit hash
+    of its id and keep the K smallest — the distributed, REPRODUCIBLE
+    equivalent of reservoir sampling (same sample on every run, every
+    partitioning, every engine; adding documents only perturbs the
+    sample by the new docs' hash positions, the property eval-set
+    builders rely on).
+
+    Plan: per-row hash projection → TakeOrderedAndProject(K) — the
+    distributed top-K that never global-sorts (each partition keeps
+    its own K, the driver merges P·K rows). At 100 TB: one scan, no
+    shuffle, K·P driver rows. Contrast with ``text_stratified_sample``
+    (per-stratum window rank): this one is the unconditioned corpus
+    sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(hash60_spark("CAST(doc_id AS STRING)")).alias("h"),
+        )
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .limit(UNIFORM_SAMPLE_K)
+    )
