@@ -110,6 +110,13 @@ HEADLINE = [
     # comparable across rounds; totals comparable from r7 on)
     "profile_table_approx",
     "dedup_pipeline_e2e",
+    "text_vocab_coverage",
+    "text_tokenizer_fairness",
+    "text_uniform_sample",
+    "events_anomaly_mad",
+    "similarity_ann_recall_report",
+    "dedup_method_agreement",
+    "profile_key_skew",
 ]
 
 

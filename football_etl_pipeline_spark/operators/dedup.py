@@ -1437,3 +1437,69 @@ def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_after_neardup", zero).alias("n_after_neardup"),
         )
     )
+
+
+# ---- lexical-ladder agreement report ----------------------------------
+
+
+def _method_agreement_oracle() -> str:
+    from .registry import ORACLES
+
+    return f"""
+    WITH j AS (
+      SELECT a_id, b_id FROM ({ORACLES["dedup_ngram_jaccard"]})
+    ), m AS (
+      SELECT a_id, b_id FROM ({ORACLES["dedup_minhash_lsh"]})
+    ), u AS (
+      SELECT COALESCE(j.a_id, m.a_id) AS a_id,
+             COALESCE(j.b_id, m.b_id) AS b_id,
+             (j.a_id IS NOT NULL)::INT AS in_j,
+             (m.a_id IS NOT NULL)::INT AS in_m
+      FROM j FULL OUTER JOIN m ON j.a_id = m.a_id AND j.b_id = m.b_id
+    )
+    SELECT
+      SUM(in_j)::BIGINT AS n_jaccard,
+      SUM(in_m)::BIGINT AS n_minhash,
+      SUM(in_j * in_m)::BIGINT AS n_both,
+      SUM(in_j * (1 - in_m))::BIGINT AS n_jaccard_only,
+      SUM((1 - in_j) * in_m)::BIGINT AS n_minhash_only,
+      (SUM(in_j * in_m) * 1000000 // COUNT(*))::BIGINT AS agreement_micro
+    FROM u
+    """
+
+
+@query("dedup_method_agreement", oracle=_method_agreement_oracle())
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble view of the lexical near-dup ladder: how much the
+    exact-Jaccard rung and the MinHash-LSH rung agree on this corpus —
+    pair counts per method, the intersection, each side's exclusive
+    finds, and set-level agreement (|∩|/|∪|) in micro-units. The
+    recall-calibration artifact a curation team reads before choosing
+    which rung a 100 TB sweep runs (LSH misses are the banding's
+    false-negative rate made visible; Jaccard-only pairs bound it).
+
+    Composes the two verified operators and their ORACLE STRINGS
+    directly — zero re-implementation. Plan: both pair frames are
+    subquadratic products of the shared shingle machinery; the
+    full-outer join runs over near-dup pair lists (tiny vs corpus),
+    then one scalar aggregate."""
+    j = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    m = minhash_lsh_pairs(load_table(spark, sf_dir, "documents")).select(
+        F.col("a_id").alias("ma"), F.col("b_id").alias("mb")
+    )
+    u = j.join(
+        m, (F.col("a_id") == F.col("ma")) & (F.col("b_id") == F.col("mb")), "full"
+    ).select(
+        F.col("a_id").isNotNull().cast("int").alias("in_j"),
+        F.col("ma").isNotNull().cast("int").alias("in_m"),
+    )
+    return u.agg(
+        F.sum("in_j").alias("n_jaccard"),
+        F.sum("in_m").alias("n_minhash"),
+        F.sum(F.col("in_j") * F.col("in_m")).alias("n_both"),
+        F.sum(F.col("in_j") * (1 - F.col("in_m"))).alias("n_jaccard_only"),
+        F.sum((1 - F.col("in_j")) * F.col("in_m")).alias("n_minhash_only"),
+        F.expr("sum(in_j * in_m) * 1000000 div count(1)").alias(
+            "agreement_micro"
+        ),
+    )

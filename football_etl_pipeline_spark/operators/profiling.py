@@ -725,3 +725,72 @@ def profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_val",
         "sum_val",
     )
+
+
+# ---- join-key skew diagnostics ----------------------------------------
+
+SKEW_TOPN = 5
+# (report label, table, column) — the three hottest join keys of the
+# star schema; the diagnostic a 100 TB planner reads BEFORE picking
+# salting factors / AQE skew thresholds.
+SKEW_KEYS = (
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+)
+
+
+def _key_skew_oracle() -> str:
+    branches = []
+    for label, table, col in SKEW_KEYS:
+        branches.append(f"""
+    SELECT * FROM (
+      SELECT '{label}' AS key_name,
+             {col}::BIGINT AS key_value,
+             COUNT(*)::BIGINT AS cnt,
+             (SELECT COUNT(*) FROM {table})::BIGINT AS table_rows,
+             (COUNT(*) * 1000000 // (SELECT COUNT(*) FROM {table}))::BIGINT
+               AS share_micro
+      FROM {table} GROUP BY {col}
+      ORDER BY cnt DESC, key_value ASC LIMIT {SKEW_TOPN}
+    )""")
+        # parenthesized so each branch's ORDER/LIMIT binds locally
+    return "\nUNION ALL\n".join(branches)
+
+
+@query("profile_key_skew", oracle=_key_skew_oracle())
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the {SKEW_TOPN} heaviest values of
+    each hot join key with their row share — the profile that decides
+    whether a key needs salting (``skew_salted_join``) or can rely on
+    AQE's skew-join split at 100 TB. A key whose top value holds >1%
+    of a petabyte fact table is a straggler in waiting; this query is
+    how you find it BEFORE the job hangs.
+
+    Plan per key: partial+final count aggregate on the key, then a
+    distributed TakeOrdered({SKEW_TOPN}) — never a global sort; the
+    per-table total rides in as a 1-row broadcast. Tie-break
+    (cnt DESC, key ASC) is part of the contract."""
+    parts = []
+    for label, table, col in SKEW_KEYS:
+        t = load_table(spark, sf_dir, table)
+        tot = t.agg(F.count(F.lit(1)).alias("table_rows"))
+        top = (
+            t.groupBy(F.col(col).cast("bigint").alias("key_value"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("key_value").asc())
+            .limit(SKEW_TOPN)
+        )
+        parts.append(
+            top.crossJoin(F.broadcast(tot)).select(
+                F.lit(label).alias("key_name"),
+                "key_value",
+                "cnt",
+                "table_rows",
+                F.expr("cnt * 1000000 div table_rows").alias("share_micro"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
