@@ -794,3 +794,102 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---- PCA power-iteration step (distributed exact mat-vec) -------------
+
+# Deterministic non-uniform start vector in micro-units: breaks the
+# all-ones symmetry so the mat-vec is a real linear combination.
+PCA_V0_MICRO = tuple(1_000_000 + 1_000 * d for d in range(DIM))
+
+
+def _pca_oracle() -> str:
+    v0 = "1000000 + 1000 * u.dim"
+    return f"""
+    WITH comps AS (
+      SELECT e.vec_id, u.dim,
+             CAST(FLOOR(u.x * {NANO}) AS BIGINT) AS nano
+      FROM embeddings e,
+        LATERAL (
+          SELECT generate_series AS dim,
+                 (e.embedding::DOUBLE[])[generate_series + 1] AS x
+          FROM generate_series(0, {DIM - 1})
+        ) u
+    ), s AS (
+      SELECT vec_id, SUM(nano * ({v0}))::BIGINT AS s
+      FROM comps u GROUP BY vec_id
+    ), w AS (
+      SELECT c.dim,
+             SUM(CAST(c.nano AS DECIMAL(19,0)) * CAST(s.s AS DECIMAL(19,0)))
+               AS w_dec
+      FROM comps c JOIN s ON s.vec_id = c.vec_id
+      GROUP BY c.dim
+    ), rq AS (
+      SELECT SUM(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)))
+               AS num
+      FROM s
+    )
+    SELECT w.dim,
+           CAST(w.w_dec AS DOUBLE) AS w,
+           CAST(rq.num AS DOUBLE) AS rayleigh_num
+    FROM w CROSS JOIN rq
+    """
+
+
+@query("embedding_pca_power_step", oracle=_pca_oracle())
+def embedding_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact power-iteration step toward the embedding matrix's
+    top principal direction: w = Xᵀ(X·v₀) — the distributed mat-vec
+    that PCA/whitening/spectral methods run at scale WITHOUT ever
+    materializing the D×D Gram matrix (the production shape: two
+    linear passes per iteration; the only state that iterates is the
+    D-vector, the k-means-centroid pattern).
+
+    Exactness: components floor to nano-unit BIGINTs in the scan
+    projection; the row dot-product X·v₀ folds in fixed element order
+    as a codegen ``aggregate`` HOF over BIGINTs (|term| ≤ 1e9·1.07e6,
+    64 terms — no overflow); the dimension accumulation Xᵀs promotes
+    to DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) (≤ 1.4e29 at this
+    corpus, 9 digits of headroom; a longer corpus rescales s between
+    the two passes). The Rayleigh numerator v₀ᵀGv₀ = Σs² rides along —
+    num/|v₀|² is the eigenvalue estimate, and |v₀|² is a compile-time
+    literal. Output casts the exact decimals to DOUBLE (one
+    round-to-nearest, identical in both engines).
+
+    Plan: pass 1 is a no-shuffle projection (per-row HOF dot) + the
+    persisted s frame; pass 2 posexplodes (64× expansion, partial agg
+    collapses each partition to ≤64 rows) into a single 64-group
+    exchange. No driver state beyond the D-vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v0 = "array(" + ", ".join(str(v) for v in PCA_V0_MICRO) + ")"
+    xn = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * {NANO}) AS BIGINT))"
+        ).alias("xn"),
+    )
+    s = xn.select(
+        "vec_id",
+        "xn",
+        F.expr(
+            f"aggregate(zip_with(xn, {v0}, (a, b) -> a * b), 0L, (acc, t) -> acc + t)"
+        ).alias("s"),
+    )
+    comps = s.select(
+        "vec_id", "s", F.posexplode("xn").alias("dim", "nano")
+    )
+    w = comps.groupBy("dim").agg(
+        F.sum(
+            F.col("nano").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
+        ).alias("w_dec")
+    )
+    rq = s.agg(
+        F.sum(
+            F.col("s").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
+        ).alias("num")
+    )
+    return w.crossJoin(F.broadcast(rq)).select(
+        "dim",
+        F.col("w_dec").cast("double").alias("w"),
+        F.col("num").cast("double").alias("rayleigh_num"),
+    )
