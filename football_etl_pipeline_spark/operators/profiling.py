@@ -893,3 +893,131 @@ def embedding_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w_dec").cast("double").alias("w"),
         F.col("num").cast("double").alias("rayleigh_num"),
     )
+
+
+# ---- PCA power-iteration training loop ---------------------------------
+
+PCA_ITERS = 3
+PCA_RESCALE = 1_000_000  # rescale target: |v|, |s'| stay ~1e6
+
+
+def _pca_train_oracle() -> str:
+    v0 = "(1000000 + 1000 * c.dim)"
+    parts = [
+        f"""comps AS (
+      SELECT e.vec_id, u.dim,
+             CAST(FLOOR(u.x * {NANO}) AS BIGINT) AS nano
+      FROM embeddings e,
+        LATERAL (
+          SELECT generate_series AS dim,
+                 (e.embedding::DOUBLE[])[generate_series + 1] AS x
+          FROM generate_series(0, {DIM - 1})
+        ) u
+    )"""
+    ]
+    prev_v = None
+    for t in range(1, PCA_ITERS + 1):
+        dot = (
+            f"c.nano * {v0}"
+            if prev_v is None
+            else f"c.nano * v.v"
+        )
+        join = "" if prev_v is None else f" JOIN {prev_v} v ON v.dim = c.dim"
+        parts.append(f"""s{t} AS (
+      SELECT c.vec_id, CAST(SUM({dot}) AS BIGINT) AS s
+      FROM comps c{join} GROUP BY c.vec_id
+    ), sd{t} AS (
+      SELECT GREATEST(1, CAST(MAX(ABS(s)) AS BIGINT) // {PCA_RESCALE}) AS d
+      FROM s{t}
+    ), w{t} AS (
+      SELECT c.dim, CAST(SUM(c.nano * (s.s // sd.d)) AS BIGINT) AS w
+      FROM comps c JOIN s{t} s ON s.vec_id = c.vec_id CROSS JOIN sd{t} sd
+      GROUP BY c.dim
+    ), wd{t} AS (
+      SELECT GREATEST(1, CAST(MAX(ABS(w)) AS BIGINT) // {PCA_RESCALE}) AS d
+      FROM w{t}
+    ), v{t} AS (
+      SELECT dim, w // wd.d AS v FROM w{t} CROSS JOIN wd{t} wd
+    )""")
+        prev_v = f"v{t}"
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {t} AS iteration, dim, v AS v_micro FROM v{t}"
+        for t in range(1, PCA_ITERS + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n" + sel
+
+
+@query("embedding_pca_power_train", oracle=_pca_train_oracle())
+def embedding_pca_power_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{PCA_ITERS}-iteration power-iteration TRAINING loop toward the
+    top principal direction — the full iterative twin of
+    ``embedding_pca_power_step``, trajectory-oracled via unrolled CTEs
+    (the ``embedding_kmeans_train`` pattern). Each iteration is the
+    two-pass mat-vec w = Xᵀ(X·v) with BOTH rescales done in the
+    engine-portable BIGINT truncating-division domain: Spark ``div``
+    and DuckDB ``//`` truncate toward zero identically (verified
+    including negatives), so every intermediate integer — s, the
+    s-divisor, w, the w-divisor, v — is bit-identical across engines
+    and the whole fixpoint replays exactly.
+
+    Fixed-point bounds (documented, the 100-TB dial): |x|≤1 →
+    |nano|≤1e9; |v|≤~2e6 after rescale → per-term |nano·v|≤2e15 and
+    the 64-term row dot ≤1.3e17 (BIGINT-safe); the s-rescale pins
+    |s'|≤~2e6 so the dimension sum is ≤ n·2e15 — BIGINT-safe to
+    n≈4500 rows; a larger corpus raises PCA_RESCALE's s-divisor
+    (trading precision digits for headroom) or promotes the dim sum
+    to DECIMAL(38,0) exactly as ``embedding_pca_power_step`` does.
+
+    Plan per iteration: one no-shuffle HOF dot projection, one scalar
+    max-aggregate (1 collected value), one posexplode + 64-group
+    aggregate (64 collected values) — driver traffic is 65 scalars per
+    iteration, the bounded-state pattern shared with k-means; the data
+    is never collected."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xs = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * {NANO}) AS BIGINT))"
+        ).alias("xn"),
+    ).persist()
+    xs.count()
+
+    def tdiv(a: int, b: int) -> int:
+        # truncating division toward zero — Spark div / DuckDB // on
+        # BIGINT (Python // floors, so negatives need the sign split)
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    v = [1_000_000 + 1_000 * d for d in range(DIM)]
+    trajectory = []
+    for t in range(1, PCA_ITERS + 1):
+        v_lit = "array(" + ", ".join(str(x) + "L" for x in v) + ")"
+        s = xs.select(
+            "vec_id",
+            "xn",
+            F.expr(
+                f"aggregate(zip_with(xn, {v_lit}, (a, b) -> a * b), 0L,"
+                " (acc, x) -> acc + x)"
+            ).alias("s"),
+        )
+        s = s.persist()
+        sd = max(
+            1, s.agg(F.max(F.abs(F.col("s")))).collect()[0][0] // PCA_RESCALE
+        )
+        w_rows = (
+            s.select(F.expr(f"s div {sd}L").alias("sp"), F.posexplode("xn").alias("dim", "nano"))
+            .groupBy("dim")
+            .agg(F.sum(F.col("nano") * F.col("sp")).alias("w"))
+            .collect()
+        )
+        s.unpersist()
+        w = [0] * DIM
+        for r in w_rows:
+            w[r["dim"]] = r["w"]
+        wd = max(1, max(abs(x) for x in w) // PCA_RESCALE)
+        v = [tdiv(x, wd) for x in w]
+        trajectory += [(t, d, v[d]) for d in range(DIM)]
+    xs.unpersist()
+    return spark.createDataFrame(
+        trajectory, "iteration int, dim int, v_micro long"
+    )
