@@ -117,6 +117,8 @@ HEADLINE = [
     "similarity_ann_recall_report",
     "dedup_method_agreement",
     "profile_key_skew",
+    "embedding_pca_power_step",
+    "embedding_pca_power_train",
 ]
 
 
