@@ -1,6 +1,8 @@
 """Custom Python Data Source (Spark 4 ``pyspark.sql.datasource`` API)
 for the football landing zone: ``spark.read.format("football_landing")``
-yields one row per staged raw JSON file, with the landing-path key
+yields one row per staged raw JSON file (and
+``df.write.format("football_landing")`` publishes rows back into the
+layout through a two-phase staged commit), with the landing-path key
 columns (api/season/league/endpoint) already parsed — the connector
 face of the reference's file-list + regex-key extraction stages
 (``/root/reference/dataflow-flex/football_pipeline/pipeline.py:30-37``,
@@ -26,12 +28,15 @@ from __future__ import annotations
 
 import os
 import re
+import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 _LAYOUT_RE = re.compile(
@@ -155,6 +160,95 @@ class FootballLandingStreamReader(SimpleDataSourceStreamReader):
         return rows
 
 
+class LandingCommit(WriterCommitMessage):
+    """Per-task commit message: [(staged_abs_path, final_rel_path)]."""
+
+    def __init__(self, moves: list[tuple]):
+        self.moves = moves
+
+
+class FootballLandingWriter(DataSourceWriter):
+    """Write side of the landing connector:
+    ``df.write.format("football_landing").save(root)`` publishes rows
+    back into the ``{api}/season_{s}/league_{l}/{endpoint}/`` layout,
+    one JSON file per row (the layout's unit IS the staged response
+    file — the batch reader's payload contract round-trips).
+
+    Two-phase commit, the file-sink recipe: every task writes only
+    under ``<root>/_staging/<uuid>/`` and returns the intended final
+    locations as its commit message; the DRIVER publishes all staged
+    files with renames in ``commit()`` (and clears them in
+    ``abort()``), so readers never see a partial job — a crashed task
+    leaves nothing but unreferenced staging files. ``overwrite``
+    clears each TARGETED endpoint directory at commit time (the
+    narrow dynamic-partition-overwrite semantics, not truncate-root).
+
+    Input columns: api, season, league, endpoint, payload (the
+    reader's ``file_path`` is output-generated and ignored on input).
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        root = options.get("path")
+        if not root:
+            raise ValueError(
+                "football_landing requires a path: df.write"
+                '.format("football_landing").save("<landing root>")'
+            )
+        self.root = root
+        self.overwrite = overwrite
+        self.staging = os.path.join(root, "_staging", uuid.uuid4().hex)
+
+    def write(self, iterator):
+        os.makedirs(self.staging, exist_ok=True)
+        moves: list[tuple] = []
+        for seq, row in enumerate(iterator):
+            rel_dir = (
+                f"{row['api']}/season_{int(row['season'])}"
+                f"/league_{int(row['league'])}/{row['endpoint']}"
+            )
+            fname = f"part-{uuid.uuid4().hex[:12]}-{seq}.json"
+            staged = os.path.join(
+                self.staging, f"{len(moves)}-{fname}"
+            )
+            with open(staged, "w") as fh:
+                fh.write(row["payload"])
+            moves.append((staged, f"{rel_dir}/{fname}"))
+        return LandingCommit(moves)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        moves = [m for msg in messages if msg for m in msg.moves]
+        if self.overwrite:
+            for rel_dir in {os.path.dirname(rel) for _, rel in moves}:
+                target = os.path.join(self.root, rel_dir)
+                if os.path.isdir(target):
+                    for f in os.listdir(target):
+                        if f.endswith(".json"):
+                            os.remove(os.path.join(target, f))
+        for staged, rel in moves:
+            final = os.path.join(self.root, rel)
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            os.rename(staged, final)
+        self._clean_staging(shutil)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        self._clean_staging(shutil)
+
+    def _clean_staging(self, shutil) -> None:
+        # remove only THIS job's staging dir — a concurrent write to
+        # the same root owns a sibling under _staging/ and must not be
+        # swept; drop the shared parent only once it is empty
+        shutil.rmtree(self.staging, ignore_errors=True)
+        parent = os.path.join(self.root, "_staging")
+        try:
+            os.rmdir(parent)
+        except OSError:
+            pass
+
+
 class FootballLandingDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -168,6 +262,9 @@ class FootballLandingDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return FootballLandingStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return FootballLandingWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

@@ -146,3 +146,61 @@ def test_replay_of_deleted_file_names_the_file(spark, tmp_path):
     os.remove(path)
     with pytest.raises(FileNotFoundError, match="no longer in the landing"):
         reader.readBetweenOffsets(start, end)
+
+
+def test_writer_roundtrips_through_reader(spark, tmp_path):
+    """df.write.format('football_landing') publishes one JSON file per
+    row into the layout; reading the root back yields identical
+    (api, season, league, endpoint, payload) rows — and no _staging
+    residue survives the commit."""
+    import os
+
+    from football_etl_pipeline_spark.sources.landing_datasource import (
+        register,
+    )
+
+    register(spark)
+    root = str(tmp_path / "landing_w")
+    rows = [
+        ("apifootball", 2023, 39, "standings", '{"a": 1}'),
+        ("apifootball", 2023, 39, "teams", '{"b": 2}'),
+        ("apisports", 2024, 140, "standings", '{"c": 3}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "api string, season int, league int, endpoint string, payload string"
+    )
+    df.write.format("football_landing").mode("append").save(root)
+    back = (
+        spark.read.format("football_landing")
+        .load(root)
+        .select("api", "season", "league", "endpoint", "payload")
+        .collect()
+    )
+    assert sorted(tuple(r) for r in back) == sorted(rows)
+    assert not os.path.exists(os.path.join(root, "_staging"))
+
+
+def test_writer_overwrite_clears_only_targeted_endpoint_dirs(spark, tmp_path):
+    from football_etl_pipeline_spark.sources.landing_datasource import (
+        register,
+    )
+
+    register(spark)
+    root = str(tmp_path / "landing_ow")
+    base = [
+        ("apifootball", 2023, 39, "standings", '{"old": true}'),
+        ("apifootball", 2023, 39, "teams", '{"keep": true}'),
+    ]
+    spark.createDataFrame(
+        base, "api string, season int, league int, endpoint string, payload string"
+    ).write.format("football_landing").mode("append").save(root)
+    # overwrite ONLY the standings endpoint dir
+    spark.createDataFrame(
+        [("apifootball", 2023, 39, "standings", '{"new": true}')],
+        "api string, season int, league int, endpoint string, payload string",
+    ).write.format("football_landing").mode("overwrite").save(root)
+    back = {
+        (r.endpoint, r.payload)
+        for r in spark.read.format("football_landing").load(root).collect()
+    }
+    assert back == {("standings", '{"new": true}'), ("teams", '{"keep": true}')}
