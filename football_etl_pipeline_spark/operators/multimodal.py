@@ -4,16 +4,16 @@ extracted through Arrow-batched ``mapInPandas`` — the plumbing a
 multimodal training-data pipeline needs (new surface per
 BASELINE.json:6; the reference is text/JSON only).
 
-The container has no image/audio codec libraries, so the *real*
-decoder path is split: PNG, JPEG and GIF header metadata
-(width/height/bit-depth/colors) and WAV format metadata decode for
-REAL with stdlib struct+zlib (``decode_png_header``,
-``decode_jpeg_header``, ``decode_gif_header``, ``decode_wav_header``);
-only pixel/sample-level decode and the video branch are
-clearly-marked stubs (``decode_media_real`` raises
-NotImplementedError unless PIL/soundfile/av appear); and the
-*deterministic* decoder used by the queries computes features from
-the raw bytes. Because the synthetic
+The container has no image/audio/video codec libraries, so the *real*
+decoder path is split: ALL FIVE container formats' header metadata
+decodes for REAL with stdlib struct+zlib — PNG, JPEG, GIF
+(width/height/depth/colors), WAV (rate/channels/bits/duration), and
+MP4 (box walk: duration/timescale/tracks/display dims) — via
+``decode_{png,jpeg,gif,wav,mp4}_header``; only PIXEL/SAMPLE-level
+decode remains a clearly-marked stub (``decode_media_real`` raises
+NotImplementedError for signature-less payloads unless
+PIL/soundfile/av appear); and the *deterministic* decoder used by the
+queries computes features from the raw bytes. Because the synthetic
 corpus is pure ASCII, those byte-level features have exact DuckDB
 oracles via per-char codepoints — i.e. even the Pandas-UDF path is
 oracle-verified end to end, not just smoke-checked.
@@ -266,6 +266,113 @@ def make_gif(width: int, height: int) -> bytes:
     return b"GIF89a" + lsd + gct + img_desc + lzw + b"\x3b"
 
 
+def decode_mp4_header(payload: bytes) -> dict:
+    """Stdlib-only MP4/ISO-BMFF header decode: the container is a tree
+    of length-prefixed boxes (u32 size BE + 4-char type); everything a
+    metadata pipeline needs sits in ``moov``'s children — ``mvhd``
+    carries timescale + duration, each ``trak/tkhd`` carries track id
+    and (for video tracks) display width/height as 16.16 fixed-point.
+    Codec libraries only add SAMPLE decode; the box walk is a struct
+    parse. Raises ``ValueError`` on malformed boxes (dead-letter
+    contract, like the PNG/JPEG/GIF/WAV decoders)."""
+    import struct
+
+    def walk(buf: bytes, start: int, end: int):
+        off = start
+        while off + 8 <= end:
+            size, btype = struct.unpack(">I4s", buf[off : off + 8])
+            if size == 1:  # 64-bit largesize
+                if off + 16 > end:
+                    raise ValueError("MP4 truncated largesize box header")
+                (size,) = struct.unpack(">Q", buf[off + 8 : off + 16])
+            elif size == 0:  # spec: box extends to end of container
+                size = end - off
+            if size < 8 or off + size > end:
+                raise ValueError(f"MP4 box {btype!r} overruns container")
+            yield btype, off + 8, off + size
+            off += size
+
+    if len(payload) < 8:
+        raise ValueError("not an MP4: shorter than one box header")
+    top = dict()
+    for btype, body, bend in walk(payload, 0, len(payload)):
+        top.setdefault(btype, (body, bend))
+    if b"ftyp" not in top:
+        raise ValueError("not an MP4: no ftyp box")
+    if b"moov" not in top:
+        raise ValueError("MP4 missing moov box (unfragmented header)")
+    timescale = duration = None
+    n_tracks = 0
+    width = height = 0
+    moov_body, moov_end = top[b"moov"]
+    for btype, body, bend in walk(payload, moov_body, moov_end):
+        if btype == b"mvhd":
+            version = payload[body]
+            if version == 1:
+                timescale, duration = struct.unpack(
+                    ">IQ", payload[body + 20 : body + 32]
+                )
+            else:
+                timescale, duration = struct.unpack(
+                    ">II", payload[body + 12 : body + 20]
+                )
+        elif btype == b"trak":
+            n_tracks += 1
+            for t2, b2, e2 in walk(payload, body, bend):
+                if t2 == b"tkhd":
+                    # v0 tkhd: width/height are the LAST 8 bytes,
+                    # 16.16 fixed (same position relative to box end
+                    # for v1)
+                    w_fx, h_fx = struct.unpack(">II", payload[e2 - 8 : e2])
+                    if w_fx and h_fx:
+                        width, height = w_fx >> 16, h_fx >> 16
+    if timescale is None or timescale == 0:
+        raise ValueError("MP4 moov has no valid mvhd timescale")
+    return {
+        "duration_ms": duration * 1000 // timescale,
+        "timescale": timescale,
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+    }
+
+
+def make_mp4(
+    width: int, height: int, duration_ms: int = 2000, timescale: int = 1000
+) -> bytes:
+    """Write a structurally valid MP4 header chain with stdlib only:
+    ftyp + moov(mvhd + trak(tkhd)) + an empty mdat. No sample data —
+    exactly the surface ``decode_mp4_header`` (and any metadata
+    pipeline) consumes; same rationale as ``make_png``/``make_jpeg``."""
+    import struct
+
+    def box(btype: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(data)) + btype + data
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    duration = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, timescale, duration)
+        + struct.pack(">IH2x", 0x00010000, 0x0100)
+        + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">B3xIIII", 0, 0, 0, 1, 0)
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov + box(b"mdat", b"")
+
+
 def decode_wav_header(payload: bytes) -> dict:
     """Stdlib-only WAV (RIFF) header decode — the audio twin of
     ``decode_png_header``: everything a metadata pipeline needs
@@ -410,6 +517,19 @@ def decode_media_real(payload: bytes, mime: str) -> dict:
             "channels": int(data.shape[1]) if data.ndim > 1 else 1,
             "sample_rate": int(sample_rate),
         }
+    if payload[4:8] == b"ftyp":
+        # MP4 container metadata is a stdlib box walk — REAL in this
+        # container. av only adds frame/sample-level decode.
+        meta = decode_mp4_header(payload)
+        try:
+            import av
+        except ImportError:
+            return meta
+        with av.open(io.BytesIO(payload)) as container:
+            vstreams = [s for s in container.streams if s.type == "video"]
+            meta["n_streams"] = len(container.streams)
+            meta["n_frames"] = int(vstreams[0].frames) if vstreams else 0
+        return meta
     try:
         import av
     except ImportError as exc:

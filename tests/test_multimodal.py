@@ -200,3 +200,45 @@ def test_gif_header_rejects_corruption():
     zero_w = b"GIF89a" + struct.pack("<HHBBB", 0, 4, 0, 0, 0) + b"\x3b"
     with pytest.raises(ValueError, match="dimensions"):
         decode_gif_header(zero_w)
+
+
+def test_mp4_header_decodes_with_stdlib_only():
+    from football_etl_pipeline_spark.operators.multimodal import (
+        decode_mp4_header,
+        make_mp4,
+    )
+
+    meta = decode_mp4_header(make_mp4(1280, 720, duration_ms=3500))
+    assert meta["width"] == 1280
+    assert meta["height"] == 720
+    assert meta["duration_ms"] == 3500
+    assert meta["n_tracks"] == 1
+    seam = decode_media_real(make_mp4(320, 240), "video/mp4")
+    assert (seam["width"], seam["height"]) == (320, 240)
+    assert seam["duration_ms"] == 2000
+
+
+def test_mp4_header_rejects_corruption():
+    import struct
+
+    from football_etl_pipeline_spark.operators.multimodal import (
+        decode_mp4_header,
+        make_mp4,
+    )
+
+    # first box claims 4 GiB (size field 0xFF...) -> overrun, and a
+    # well-formed but ftyp-less tree is rejected by name
+    with pytest.raises(ValueError, match="overruns"):
+        decode_mp4_header(b"\xff\xff\xff\xff free" + b"\x00" * 24)
+    with pytest.raises(ValueError, match="ftyp"):
+        decode_mp4_header(
+            struct.pack(">I4s", 16, b"free") + b"\x00" * 8 + b""
+        )
+    good = make_mp4(4, 4)
+    # truncate inside moov: the moov box overruns the container
+    with pytest.raises(ValueError, match="overruns|moov"):
+        decode_mp4_header(good[: len(good) - 20])
+    # box with size < 8 is malformed
+    bad = struct.pack(">I4s", 3, b"ftyp") + b"\x00" * 16
+    with pytest.raises(ValueError, match="overruns"):
+        decode_mp4_header(bad)
