@@ -61,6 +61,13 @@ SHOWCASE = {
     "events_variant_extract": "parse_json once in the scan projection; typed variant_get paths feed one hash aggregate — the variant never shuffles",
     "text_rake_keywords": "gaps-and-islands phrase runs in ONE window pass; word stats and phrase scores reuse the persisted nonstop frame; top-25 via TakeOrderedAndProject",
     "lineitem_ols_price_quantity": "five integer moments in one map-side-combined aggregate; 128-bit products driver-free; 3-row output",
+    "profile_table_approx": "the no-Expand twin: 4 HLL sketches ride ONE scan+aggregate; exact-distinct certification via four single-distinct pruned scans broadcast-joined on col_name",
+    "dedup_pipeline_e2e": "composed recipe: report job reads parquet ONCE (source counts); survivors + shingles come from caches; components arrive checkpointed; only the doc_id LeftAnti shuffles",
+    "text_vocab_coverage": "persisted vocab frame; each K a distributed TakeOrdered — no single-partition rank window",
+    "events_anomaly_mad": "three key-partitioned aggregate passes; medians broadcast back between them; no global sort",
+    "profile_key_skew": "per key: partial+final count agg then TakeOrdered(5); per-table total as a 1-row broadcast",
+    "embedding_pca_power_step": "no-shuffle HOF dot projection; posexplode collapsed by partial agg into the single 64-group exchange",
+    "similarity_ann_recall_report": "composes the brute-force and LSH frames; recall join is over 25 exact rows vs 25 ANN rows",
 }
 
 
