@@ -119,6 +119,7 @@ HEADLINE = [
     "profile_key_skew",
     "embedding_pca_power_step",
     "embedding_pca_power_train",
+    "multimodal_header_roundtrip",
 ]
 
 

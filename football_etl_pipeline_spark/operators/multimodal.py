@@ -785,3 +785,99 @@ def multimodal_dedup_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact_dupes"
         ),
     )
+
+
+# ---- header-decode round-trip (all five containers, driver-checked) ---
+
+# Deterministic synthetic media dimensions per doc — pure arithmetic,
+# so the DuckDB oracle predicts every decoded field without ever
+# touching a byte.
+_RT_W = "16 + doc_id % 64"
+_RT_H = "16 + doc_id % 48"
+_RT_WAV_SAMPLES = "1600 + (doc_id % 100) * 16"
+_RT_MP4_MS = "1000 + doc_id % 1000"
+_RT_SCHEMA = (
+    "media_id long, mime string, n_bytes long, width long, height long,"
+    " duration_ms long"
+)
+
+
+def _roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """ENCODE a real container per row (stdlib make_*), then DECODE it
+    back through the production seam (``decode_media_real``) — the
+    full Arrow-batched media path with zero fake decode."""
+    for pdf in batches:
+        out = {k: [] for k in (
+            "media_id", "mime", "n_bytes", "width", "height", "duration_ms"
+        )}
+        for media_id, mime in zip(pdf["media_id"], pdf["mime"]):
+            doc_id = int(media_id)
+            w, h = 16 + doc_id % 64, 16 + doc_id % 48
+            if mime == "image/png":
+                payload = make_png(w, h)
+            elif mime == "image/jpeg":
+                payload = make_jpeg(w, h)
+            elif mime == "image/gif":
+                payload = make_gif(w, h)
+            elif mime == "audio/wav":
+                payload = make_wav(1600 + (doc_id % 100) * 16, 16000)
+            else:
+                payload = make_mp4(w, h, duration_ms=1000 + doc_id % 1000)
+            meta = decode_media_real(payload, mime)
+            out["media_id"].append(doc_id)
+            out["mime"].append(mime)
+            out["n_bytes"].append(len(payload))
+            out["width"].append(meta.get("width"))
+            out["height"].append(meta.get("height"))
+            out["duration_ms"].append(meta.get("duration_ms"))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_header_roundtrip",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, {_MIME_CASE} AS mime FROM documents
+    )
+    SELECT
+      doc_id AS media_id,
+      mime,
+      NULL::BIGINT AS n_bytes_ignored,
+      CASE WHEN mime LIKE 'image/%' OR mime = 'video/mp4'
+           THEN ({_RT_W})::BIGINT END AS width,
+      CASE WHEN mime LIKE 'image/%' OR mime = 'video/mp4'
+           THEN ({_RT_H})::BIGINT END AS height,
+      CASE WHEN mime = 'audio/wav'
+             THEN (({_RT_WAV_SAMPLES}) * 1000 // 16000)::BIGINT
+           WHEN mime = 'video/mp4' THEN ({_RT_MP4_MS})::BIGINT
+      END AS duration_ms
+    FROM m
+    """,
+)
+def multimodal_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The codec seam promoted to a DRIVER-CHECKED query: every row
+    synthesizes a REAL container of its mime (stdlib encoders — valid
+    PNG/JPEG/GIF/WAV/MP4 headers) sized by pure doc_id arithmetic,
+    then decodes it back through ``decode_media_real`` inside the
+    Arrow-batched ``mapInPandas`` production path. The oracle predicts
+    every decoded field from the same arithmetic WITHOUT touching a
+    byte — so a regression in any of the five header decoders (or in
+    the encoders, or in the seam's dispatch) breaks the value hash.
+
+    ``n_bytes`` is emitted by the Spark side for observability but
+    nulled in the compare (encoder framing detail, not a decode
+    contract), via the identical alias trick both sides share.
+
+    Scale: one mapInPandas pass, no shuffle — encode+decode are
+    per-row CPU inside the Arrow batch, the exact shape a real
+    thumbnail/transcode sweep has."""
+    m = media_table(spark, sf_dir).select("media_id", "mime")
+    rt = m.mapInPandas(_roundtrip_batches, schema=_RT_SCHEMA)
+    return rt.select(
+        "media_id",
+        "mime",
+        F.lit(None).cast("long").alias("n_bytes_ignored"),
+        "width",
+        "height",
+        "duration_ms",
+    )
