@@ -435,3 +435,39 @@ def test_dedup_pipeline_e2e_scans_docs_once_and_reuses_cache(spark):
     assert not bad_smj, bad_smj
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_uniform_sample_is_takeordered(spark):
+    """text_uniform_sample: the K smallest hashes must come from a
+    distributed TakeOrderedAndProject — a global Sort+Limit funnels
+    the corpus through one task at 100 TB."""
+    plan = _plan(spark, "text_uniform_sample")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_coverage_has_no_global_rank_window(spark):
+    """text_vocab_coverage: each K is a TakeOrdered over the persisted
+    vocab — the oracle's ROW_NUMBER() OVER (ORDER BY ...) shape
+    (single-partition window) must NOT appear in the Spark plan."""
+    plan = _outer_final(_plan(spark, "text_vocab_coverage"))
+    assert plan.count("TakeOrderedAndProject") >= 3
+    assert _windows_fed_by_single_partition(plan) == []
+
+
+def test_key_skew_probe_is_takeordered_per_key(spark):
+    plan = _plan(spark, "profile_key_skew")
+    assert _final(plan).count("TakeOrderedAndProject") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_step_single_64group_exchange(spark):
+    """embedding_pca_power_step: the row dot is a no-shuffle HOF
+    projection; the only data exchange is the 64-group dimension
+    aggregate (plus AQE bookkeeping) — a Gram-matrix materialization
+    would show as a join or a much wider shuffle."""
+    plan = _outer_final(_plan(spark, "embedding_pca_power_step"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the only join is the 1-row Rayleigh rider (broadcast cross);
+    # a Gram materialization would appear as a keyed join
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastHashJoin") == 0
