@@ -120,6 +120,8 @@ HEADLINE = [
     "embedding_pca_power_step",
     "embedding_pca_power_train",
     "multimodal_header_roundtrip",
+    "cogroup_order_reconciliation",
+    "maparrow_token_stats",
 ]
 
 

@@ -304,3 +304,139 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, c.chunk_id, c.n_tokens, c.chunk_text "
         "FROM _udtf_chunk_docs d, LATERAL chunk_doc(d.text) c"
     )
+
+
+# ---- cogrouped applyInPandas (two-frame grouped map) -------------------
+
+
+@query(
+    "cogroup_order_reconciliation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             COUNT(*)::BIGINT AS n_lines,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                  AS DECIMAL(18,6)) AS line_total
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey AS orderkey,
+           COALESCE(li.n_lines, 0)::BIGINT AS n_lines,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,6)) AS DOUBLE)
+             AS header_total,
+           CAST(COALESCE(li.line_total, 0) AS DOUBLE) AS line_total,
+           (li.l_orderkey IS NULL)::BOOLEAN AS missing_lines
+    FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 100 < 10
+    """,
+)
+def cogroup_order_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-frame grouped map through ``groupby().cogroup().
+    applyInPandas`` — the API for per-key reconciliation of two
+    tables when the merge logic is imperative (here: order headers vs
+    their line items, flagging headerless-line / lineless-header
+    keys). Completes the Python-function surface next to the
+    single-frame grouped map.
+
+    Both sides shuffle ONCE on the key and arrive as per-key pandas
+    frames in the same task — the cogroup is the two-sided exact
+    analog of a sort-merge join with arbitrary Python in the middle.
+    The 10% orderkey filter keeps the reconciled slice
+    driver-comparable; it pushes to both parquet scans. Sums ride
+    DECIMAL via string round-trip (pandas object cells) so the
+    value-hash is engine-stable."""
+    from decimal import Decimal
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.expr("o_orderkey % 100 < 10"))
+        .select("o_orderkey", "o_totalprice")
+    )
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.expr("l_orderkey % 100 < 10"))
+        .select("l_orderkey", "l_extendedprice")
+    )
+
+    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame):
+        if odf.empty:
+            return pd.DataFrame(
+                columns=[
+                    "orderkey", "n_lines", "header_total", "line_total",
+                    "missing_lines",
+                ]
+            )
+        total = sum(
+            (Decimal(repr(float(x))) for x in ldf["l_extendedprice"]),
+            Decimal(0),
+        ).quantize(Decimal("0.000001"))
+        return pd.DataFrame(
+            {
+                "orderkey": [int(key[0])],
+                "n_lines": [len(ldf)],
+                "header_total": [float(odf["o_totalprice"].iloc[0])],
+                "line_total": [float(total)],
+                "missing_lines": [len(ldf) == 0],
+            }
+        )
+
+    return (
+        orders.groupby("o_orderkey")
+        .cogroup(lines.groupby("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "orderkey long, n_lines long, header_total double,"
+            " line_total double, missing_lines boolean",
+        )
+    )
+
+
+# ---- mapInArrow (raw RecordBatch path) ---------------------------------
+
+
+@query(
+    "maparrow_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(lower(text)), '\\s+'))::BIGINT
+             AS n_tokens,
+           length(text)::BIGINT AS n_chars
+    FROM documents
+    """,
+)
+def maparrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char counts through ``mapInArrow`` — the RAW Arrow
+    RecordBatch path (no pandas materialization at all): pyarrow
+    compute kernels run columnar on each batch, the fastest Python
+    lane Spark offers when the logic fits Arrow kernels. Counts match
+    the house TOKENS contract exactly (trim+lower, split on ASCII
+    \\s+, empty doc → one empty token).
+
+    Plan: one ArrowEvalPython-free mapInArrow pass, no shuffle — the
+    pattern for columnar Python feature extraction at 100 TB (payload
+    crosses the language boundary once per batch, already columnar)."""
+    import pyarrow as pa
+
+    def stats(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            t = pc.utf8_lower(
+                pc.utf8_trim_whitespace(batch.column("text"))
+            )
+            toks = pc.split_pattern_regex(t, r"[ \t\n\r\f\v]+")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.list_value_length(toks), pa.int64()),
+                    pc.cast(
+                        pc.utf8_length(batch.column("text")), pa.int64()
+                    ),
+                ],
+                names=["doc_id", "n_tokens", "n_chars"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return docs.mapInArrow(stats, "doc_id long, n_tokens long, n_chars long")
