@@ -57,8 +57,8 @@ def _run_transform(spark, api: str, files: list[str], out: str, dead: str | None
     from .plans.pipeline import run_transform, write_dead_letter, write_unified
 
     res = run_transform(spark, api, files)
-    write_unified(res.good, out)
-    n_good = spark.read.parquet(out).count()
+    metrics = write_unified(res.good, out)
+    n_good = metrics["n_rows"]  # observed during the write — no re-scan
     n_dead = res.dead_letter.count()
     if dead:
         write_dead_letter(res.dead_letter, dead)

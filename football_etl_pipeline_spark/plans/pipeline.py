@@ -165,16 +165,31 @@ def run_transform(
     return TransformResult(good=good, dead_letter=dead_letter, dropped=norm.dropped)
 
 
-def write_unified(df: DataFrame, out_path: str) -> None:
+def write_unified(df: DataFrame, out_path: str) -> dict:
     """T13 parity: full overwrite per run (WRITE_TRUNCATE idempotency,
     pipeline.py:53). update_timestamp is stamped honestly at load time
     (the reference declared a CURRENT_TIMESTAMP() default it never
-    applied — SURVEY §1)."""
-    (
-        df.withColumn("update_timestamp", F.current_timestamp())
-        .write.mode("overwrite")
-        .parquet(out_path)
+    applied — SURVEY §1).
+
+    Returns load metrics via Spark's Observation API: row count and
+    null-pk count are accumulated DURING the write pass itself — no
+    second action, no second scan (the reference has no load metrics
+    at all; a ``df.count()`` before the write would double the job).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("write_unified")
+    observed = df.withColumn(
+        "update_timestamp", F.current_timestamp()
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0)).alias(
+            "n_null_pk"
+        ),
     )
+    observed.write.mode("overwrite").parquet(out_path)
+    return obs.get
 
 
 def write_dead_letter(df: DataFrame, out_path: str) -> None:

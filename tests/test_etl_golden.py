@@ -305,9 +305,12 @@ class TestIngestion:
         ]
         res = run_transform(spark, "apifootball", files)
         out = str(tmp_path / output_table_name("apifootball"))
-        write_unified(res.good, out)
+        metrics = write_unified(res.good, out)
         back = spark.read.parquet(out)
         assert back.count() == 3
+        # Observation metrics accumulated during the write pass itself
+        assert metrics["n_rows"] == 3
+        assert metrics["n_null_pk"] == 0
         # update_timestamp stamped at write time (unlike the reference,
         # which declared a default it never applied)
         assert back.filter("update_timestamp IS NULL").count() == 0
