@@ -122,6 +122,7 @@ HEADLINE = [
     "multimodal_header_roundtrip",
     "cogroup_order_reconciliation",
     "maparrow_token_stats",
+    "orders_stable_row_ids",
 ]
 
 

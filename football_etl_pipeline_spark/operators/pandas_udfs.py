@@ -440,3 +440,71 @@ def maparrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.mapInArrow(stats, "doc_id long, n_tokens long, n_chars long")
+
+
+# ---- stable contiguous row ids (no global-window funnel) ----------------
+
+
+@query(
+    "orders_stable_row_ids",
+    oracle="""
+    SELECT (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1)::BIGINT AS rid,
+           o_orderkey
+    FROM orders
+    """,
+)
+def orders_stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0..N-1 row ids in key order WITHOUT the
+    single-partition global window (`ROW_NUMBER() OVER (ORDER BY …)`
+    funnels 100 TB through one task — the oracle uses it because
+    DuckDB is single-node; the Spark plan must not). The classic
+    two-pass recipe every large exporter/tokenizer-sharder uses:
+
+      1. range-repartition + sort within partitions on the key
+         (one range exchange — the same cost a global sort pays),
+      2. count rows per partition (tiny job: P integers to the
+         driver), prefix-sum them into per-partition OFFSETS,
+      3. one mapInPandas pass enumerates locally and adds the
+         partition's offset (TaskContext.partitionId() keys the
+         broadcast offset table).
+
+    Correct for ANY sampled range boundaries: ranges are contiguous
+    in the key, so offset + local rank == global rank regardless of
+    where the sampler cut. (`monotonically_increasing_id` gives
+    neither contiguity nor key order — this is the primitive you
+    need when ids must be dense and stable.)"""
+    n_parts = spark.sparkContext.defaultParallelism
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    from .registry import persist_tracked
+
+    rp = persist_tracked(
+        orders.repartitionByRange(n_parts, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        )
+    )
+    counts = {
+        r["pid"]: r["n"]
+        for r in rp.groupBy(
+            F.spark_partition_id().alias("pid")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    def assign(batches):
+        from pyspark import TaskContext
+
+        base = offsets.get(TaskContext.get().partitionId(), 0)
+        seen = 0
+        for pdf in batches:
+            rids = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pd.DataFrame(
+                {"rid": list(rids), "o_orderkey": pdf["o_orderkey"]}
+            )
+
+    out = rp.mapInPandas(assign, "rid long, o_orderkey long")
+    return out
