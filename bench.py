@@ -123,6 +123,8 @@ HEADLINE = [
     "cogroup_order_reconciliation",
     "maparrow_token_stats",
     "orders_stable_row_ids",
+    "events_cumulative_distinct_users",
+    "events_sketch_overlap_estimate",
 ]
 
 

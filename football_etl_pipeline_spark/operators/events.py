@@ -1329,3 +1329,127 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div count(1)"
         ).alias("outlier_rate_micro"),
     )
+
+
+@query(
+    "events_cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+               AS first_day
+      FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT first_day AS day, COUNT(*)::BIGINT AS n_new
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT day, n_new,
+           SUM(n_new) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)::BIGINT AS cum_users
+    FROM per_day
+    """,
+)
+def events_cumulative_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily cumulative unique users — the growth-curve query every
+    product dashboard runs. The scalable formulation: cumulative
+    DISTINCT decomposes into first-seen-day per user (one hash
+    aggregate over the corpus) + a running sum over the DAY-grain
+    frame. The global-ordered window runs over ~#days rows — the
+    ONLY single-partition step is over data that is already tiny by
+    construction, which is the difference between this plan and a
+    naive `COUNT(DISTINCT) OVER (ORDER BY day)` that would re-scan
+    users per day."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("first_day")
+    )
+    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day", "n_new", F.sum("n_new").over(w).alias("cum_users")
+    )
+
+
+@query(
+    "events_sketch_overlap_estimate",
+    oracle="""
+    WITH viewers AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    ), buyers AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT
+      (SELECT COUNT(*) FROM viewers)::BIGINT AS n_viewers,
+      (SELECT COUNT(*) FROM buyers)::BIGINT AS n_buyers,
+      (SELECT COUNT(*) FROM viewers JOIN buyers USING (user_id))::BIGINT
+        AS n_overlap_exact,
+      TRUE AS estimate_within_bound
+    """,
+)
+def events_sketch_overlap_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audience-overlap estimation by HLL INCLUSION-EXCLUSION:
+    |A∩B| ≈ |A| + |B| − |A∪B|, with the union estimated by MERGING
+    the two sets' sketches (``hll_union``) — no re-scan of raw data
+    for the union, the property that makes sketch overlap viable on
+    100 TB where the exact distinct-join is a full shuffle. HLL has
+    no native intersection; inclusion-exclusion is the standard
+    recipe and its error grows with |A∪B|/|A∩B| — which is exactly
+    why the query CERTIFIES the estimate against the exact overlap
+    (both engines emit the exact counts, hash-compared; the
+    within-bound boolean uses 3× the union's rsd-derived bound,
+    oracle emits TRUE).
+
+    Plan: one scan builds both sketches + both exact distinct counts
+    (partial-agg'd); the exact overlap is a distinct self-join kept
+    as the certification anchor."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.expr(
+            "hll_sketch_agg(CASE WHEN event_type = 'view' THEN user_id END)"
+        ).alias("sk_view"),
+        F.expr(
+            "hll_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END)"
+        ).alias("sk_buy"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("n_viewers"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_buyers"),
+    ).select(
+        "n_viewers",
+        "n_buyers",
+        F.expr("hll_sketch_estimate(sk_view)").alias("est_a"),
+        F.expr("hll_sketch_estimate(sk_buy)").alias("est_b"),
+        F.expr(
+            "hll_sketch_estimate(hll_union(sk_view, sk_buy))"
+        ).alias("est_union"),
+    )
+    viewers = ev.filter("event_type = 'view'").select("user_id").distinct()
+    buyers = ev.filter("event_type = 'purchase'").select("user_id").distinct()
+    exact = viewers.join(buyers, "user_id").agg(
+        F.count(F.lit(1)).alias("n_overlap_exact")
+    )
+    est_overlap = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    # lgConfigK 12 default → rsd ~1.04/sqrt(2^12) ≈ 1.6%; the
+    # inclusion-exclusion error compounds over three estimates on the
+    # UNION's scale — certify at 3 × 2% × est_union + a small absolute
+    # floor for tiny sets.
+    bound = F.lit(0.06) * F.col("est_union") + F.lit(8.0)
+    return sk.crossJoin(F.broadcast(exact)).select(
+        "n_viewers",
+        "n_buyers",
+        "n_overlap_exact",
+        (
+            F.abs(est_overlap - F.col("n_overlap_exact")) <= bound
+        ).alias("estimate_within_bound"),
+    )
