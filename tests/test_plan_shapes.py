@@ -471,3 +471,15 @@ def test_pca_step_single_64group_exchange(spark):
     # a Gram materialization would appear as a keyed join
     assert plan.count("SortMergeJoin") == 0
     assert plan.count("BroadcastHashJoin") == 0
+
+
+def test_stable_row_ids_has_no_global_window(spark):
+    """orders_stable_row_ids: ids come from range exchange + local
+    enumeration — a Window (the oracle's single-node formulation) or a
+    SinglePartition funnel over the data is the regression."""
+    full = _plan(spark, "orders_stable_row_ids")
+    # the range exchange lives in the persisted frame's build plan
+    assert "rangepartitioning" in full
+    outer = _outer_final(full)
+    assert "Window" not in outer
+    assert "Exchange SinglePartition" not in outer
