@@ -125,6 +125,7 @@ HEADLINE = [
     "orders_stable_row_ids",
     "events_cumulative_distinct_users",
     "events_sketch_overlap_estimate",
+    "text_source_drift_tvd",
 ]
 
 

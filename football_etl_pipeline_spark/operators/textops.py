@@ -2023,3 +2023,110 @@ def text_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("h").asc(), F.col("doc_id").asc())
         .limit(UNIFORM_SAMPLE_K)
     )
+
+
+# ---- source drift screen (total-variation distance) --------------------
+
+
+@query(
+    "text_source_drift_tvd",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({TOKENS_DUCK}) AS w FROM documents
+    ), tok_nz AS (
+      SELECT source, w FROM tok WHERE length(w) > 0
+    ), sc AS (
+      SELECT source, w, COUNT(*)::BIGINT AS c_s FROM tok_nz GROUP BY 1, 2
+    ), gc AS (
+      SELECT w, COUNT(*)::BIGINT AS c FROM tok_nz GROUP BY w
+    ), ns AS (
+      SELECT source, SUM(c_s)::BIGINT AS n_s FROM sc GROUP BY source
+    ), n AS (
+      SELECT SUM(c)::BIGINT AS n FROM gc
+    ), terms AS (
+      SELECT sc.source,
+             SUM(ABS(CAST(sc.c_s AS DECIMAL(38,0)) * n.n
+                     - CAST(gc.c AS DECIMAL(38,0)) * ns.n_s)) AS a_num,
+             SUM(CAST(gc.c AS DECIMAL(38,0)) * ns.n_s) AS q_present
+      FROM sc
+      JOIN gc ON gc.w = sc.w
+      JOIN ns ON ns.source = sc.source
+      CROSS JOIN n
+      GROUP BY sc.source
+    )
+    SELECT t.source,
+           ns.n_s AS n_tokens,
+           CAST(CAST(
+             CAST(t.a_num
+                  + (CAST(ns.n_s AS DECIMAL(38,0)) * n.n - t.q_present)
+               AS DOUBLE)
+             / (2e0 * CAST(CAST(ns.n_s AS DECIMAL(38,0)) * n.n AS DOUBLE))
+             AS DECIMAL(18,9)) AS DOUBLE) AS tvd
+    FROM terms t
+    JOIN ns ON ns.source = t.source
+    CROSS JOIN n
+    """,
+)
+def text_source_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift screen: total-variation distance between
+    each source's token distribution and the corpus distribution —
+    the mixture-shift detector a curation pipeline runs when a
+    crawler or upstream source changes behavior (TVD is the metric
+    with an exact finite-sample form; KL/JS need logs and smoothing).
+
+    Exactness: with p=c_s/N_s and q=c/N, the per-token |p−q| terms
+    share the constant denominator N_s·N, so the whole sum reduces to
+    exact DECIMAL(38,0) integer arithmetic — Σ|c_s·N − c·N_s| over
+    the source's tokens plus the absent-token mass N_s·N − Σc·N_s —
+    and the only float op is ONE final division of identical exact
+    integers (then the house decimal-cast). Both engines agree
+    bit-for-bit.
+
+    Plan: two token-count aggregates (per-source and global) joined
+    on the token key (Heaps-small frames), per-source reduction, the
+    1-row corpus total rides a broadcast. At 100 TB: the token
+    explode dominates and is map-side combined; nothing scales worse
+    than the vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    tok = spread.select(
+        "source", F.explode(F.expr(TOKENS_SPARK)).alias("w")
+    ).filter(F.length("w") > 0)
+    sc = persist_tracked(
+        tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_s"))
+    )
+    gc = sc.groupBy("w").agg(F.sum("c_s").alias("c"))
+    ns = sc.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    n = gc.agg(F.sum("c").alias("n"))
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    terms = (
+        sc.join(gc, "w")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source")
+        .agg(
+            F.sum(F.abs(dec("c_s") * F.col("n") - dec("c") * F.col("n_s"))).alias(
+                "a_num"
+            ),
+            F.sum(dec("c") * F.col("n_s")).alias("q_present"),
+        )
+    )
+    out = (
+        terms.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            (
+                (
+                    F.col("a_num")
+                    + (dec("n_s") * F.col("n") - F.col("q_present"))
+                ).cast("double")
+                / (F.lit(2e0) * (dec("n_s") * F.col("n")).cast("double"))
+            )
+            .cast("decimal(18,9)")
+            .cast("double")
+            .alias("tvd"),
+        )
+    )
+    return out
