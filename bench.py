@@ -126,6 +126,7 @@ HEADLINE = [
     "events_cumulative_distinct_users",
     "events_sketch_overlap_estimate",
     "text_source_drift_tvd",
+    "events_count_min_heavyhitters",
 ]
 
 

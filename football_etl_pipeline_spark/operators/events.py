@@ -1453,3 +1453,83 @@ def events_sketch_overlap_estimate(
             F.abs(est_overlap - F.col("n_overlap_exact")) <= bound
         ).alias("estimate_within_bound"),
     )
+
+
+CMS_EPS = 0.001  # width ~ e/eps ≈ 2719 counters per row
+CMS_CONF = 0.99  # depth ~ ln(1/(1-conf)) ≈ 5 rows
+CMS_SEED = 42
+CMS_TOPK = 10
+
+
+@query(
+    "events_count_min_heavyhitters",
+    oracle=f"""
+    WITH counts AS (
+      SELECT CAST(user_id AS VARCHAR) AS uid, COUNT(*)::BIGINT AS n_exact
+      FROM events GROUP BY user_id
+    ), total AS (SELECT COUNT(*)::BIGINT AS n FROM events)
+    SELECT uid,
+           n_exact,
+           TRUE AS cms_never_undercounts,
+           TRUE AS cms_within_eps
+    FROM (
+      SELECT uid, n_exact FROM counts
+      ORDER BY n_exact DESC, uid ASC LIMIT {CMS_TOPK}
+    )
+    """,
+)
+def events_count_min_heavyhitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-Min-Sketch frequency estimation — the last Spark-native
+    sketch after HLL (distinct) and approx_percentile (quantiles):
+    one mergeable ``count_min_sketch`` aggregate summarizes per-key
+    frequencies in eps·conf-bounded space; the driver deserializes
+    the ~{int(2.719/CMS_EPS)}-counter sketch (a few KB — bounded
+    state, never data) and queries the exact top-{CMS_TOPK} users.
+    CERTIFIED the sketch-contract way: CMS never undercounts, and
+    overcounts by at most ε·N with prob ≥ {CMS_CONF} — both
+    booleans hash-compared against the oracle's TRUE (the exact
+    counts and the top-K selection are exact on both engines; the
+    sketch is deterministic at a fixed seed).
+
+    At 100 TB the pattern is: sketches built per partition, merged
+    map-side (CMS is a counter matrix — merge is +), ONE small binary
+    to the driver or the serving layer; the exact recount here is the
+    certification anchor, same as ``text_heavy_hitters``'s two-pass
+    Misra-Gries."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    row = ev.agg(
+        F.expr(
+            f"count_min_sketch(uid, {CMS_EPS}d, {CMS_CONF}d, {CMS_SEED})"
+        ).alias("sk"),
+        F.count(F.lit(1)).alias("n_total"),
+    ).collect()[0]
+    jvm = spark.sparkContext._jvm
+    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(row["sk"]))
+    )
+    eps_bound = CMS_EPS * row["n_total"]
+    top = (
+        ev.groupBy("uid")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("uid").asc())
+        .limit(CMS_TOPK)
+        .collect()
+    )
+    out = [
+        (
+            r["uid"],
+            r["n_exact"],
+            sk.estimateCount(r["uid"]) >= r["n_exact"],
+            sk.estimateCount(r["uid"]) <= r["n_exact"] + eps_bound,
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        out,
+        "uid string, n_exact long, cms_never_undercounts boolean,"
+        " cms_within_eps boolean",
+    )
