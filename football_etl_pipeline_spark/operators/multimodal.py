@@ -881,3 +881,84 @@ def multimodal_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "duration_ms",
     )
+
+
+# ---- corrupt-media quarantine (dead-letter path, driver-checked) -------
+
+_QUARANTINE_MOD = 13  # doc_id % 13 == 0 → payload corrupted
+
+
+def _quarantine_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Synthesize a real container per row, CORRUPT a deterministic
+    subset (truncate to 10 bytes — breaks every format's header), and
+    route each payload through the decode seam's try/except — the
+    dead-letter branch every bulk media job needs."""
+    for pdf in batches:
+        out = {"media_id": [], "mime": [], "decode_ok": [], "error_kind": []}
+        for media_id, mime in zip(pdf["media_id"], pdf["mime"]):
+            doc_id = int(media_id)
+            w, h = 16 + doc_id % 64, 16 + doc_id % 48
+            if mime == "image/png":
+                payload = make_png(w, h)
+            elif mime == "image/jpeg":
+                payload = make_jpeg(w, h)
+            elif mime == "image/gif":
+                payload = make_gif(w, h)
+            elif mime == "audio/wav":
+                payload = make_wav(1600, 16000)
+            else:
+                payload = make_mp4(w, h)
+            if doc_id % _QUARANTINE_MOD == 0:
+                payload = payload[:10]  # truncation corruption
+            try:
+                decode_media_real(payload, mime)
+                ok, kind = True, None
+            except ValueError:
+                ok, kind = False, "malformed"
+            except NotImplementedError:
+                ok, kind = False, "no_codec"
+            out["media_id"].append(doc_id)
+            out["mime"].append(mime)
+            out["decode_ok"].append(ok)
+            out["error_kind"].append(kind)
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_quarantine_report",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, {_MIME_CASE} AS mime FROM documents
+    )
+    SELECT mime,
+           COUNT(*)::BIGINT AS n_media,
+           SUM(CASE WHEN doc_id % {_QUARANTINE_MOD} = 0
+                    THEN 1 ELSE 0 END)::BIGINT AS n_quarantined,
+           SUM(CASE WHEN doc_id % {_QUARANTINE_MOD} = 0
+                    THEN 0 ELSE 1 END)::BIGINT AS n_ok
+    FROM m GROUP BY mime
+    """,
+)
+def multimodal_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decoders' DEAD-LETTER contract as a driver-checked query:
+    a deterministic subset of synthesized containers is truncated to
+    10 bytes (unambiguously corrupt for all five formats), every
+    payload runs through ``decode_media_real``'s real try/except
+    routing inside mapInPandas, and the per-mime quarantine counts
+    must equal the oracle's pure doc_id arithmetic. A decoder that
+    half-decodes corrupt input (or rejects valid input) flips a
+    count. Complements ``multimodal_header_roundtrip`` (the happy
+    path) — together they pin both branches of every header decoder
+    from the driver's gate."""
+    m = media_table(spark, sf_dir).select("media_id", "mime")
+    rep = m.mapInPandas(
+        _quarantine_batches,
+        "media_id long, mime string, decode_ok boolean, error_kind string",
+    )
+    return rep.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.when(~F.col("decode_ok"), 1).otherwise(0)).alias(
+            "n_quarantined"
+        ),
+        F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("n_ok"),
+    )
