@@ -50,7 +50,7 @@ from .textops import (
 # ---- exact dedup -----------------------------------------------------
 
 NORM_SPARK = r"regexp_replace(trim(lower(text)), '\\s+', ' ')"
-NORM_DUCK = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+NORM_DUCK = r"regexp_replace(trim(lower(text), ' '), '[\s\v]+', ' ', 'g')"
 
 
 @query(

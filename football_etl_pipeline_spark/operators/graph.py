@@ -182,7 +182,7 @@ _COMPONENTS_ORACLE = """
       -- same candidate pairs as dedup_ngram_jaccard's oracle
       SELECT * FROM (
         WITH toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+          SELECT doc_id, regexp_split_to_array(trim(lower(text), ' '), '[\\s\\v]+') AS toks
           FROM documents
         ), sh AS (
           SELECT doc_id,

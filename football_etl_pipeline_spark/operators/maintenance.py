@@ -35,9 +35,14 @@ def _run_scratch_dir(kind: str, sf_dir: str) -> str:
     directory mid-rewrite, and registered for atexit removal (the
     returned DataFrame reads the directory LAZILY, so cleanup cannot
     happen before the caller's action; process exit is the earliest
-    safe point). Stale siblings from crashed runs (>1 h old) are
-    swept best-effort on each call so the temp root doesn't
-    accumulate."""
+    safe point). Stale siblings from CRASHED runs are swept
+    best-effort on each call so the temp root doesn't accumulate —
+    but only dirs whose embedded owner pid is dead: a dir's mtime is
+    set at creation, and a long gate sweep (>1 h) plus a late-started
+    bench would otherwise let the bench delete the live sweep's
+    scratch before its lazy DataFrame is re-read. The age threshold
+    is a second gate for dirs from a rebooted machine where the pid
+    was recycled."""
     import atexit
     import os
     import shutil
@@ -48,8 +53,23 @@ def _run_scratch_dir(kind: str, sf_dir: str) -> str:
     base = os.path.join(tempfile.gettempdir(), "spark_graft_scratch")
     os.makedirs(base, exist_ok=True)
     now = time.time()
+    me = os.getpid()
     for entry in os.listdir(base):
         p = os.path.join(base, entry)
+        # layout: <kind>-<sf>-<pid>-<uuid8>; sweep only if the owning
+        # process is gone (or the name predates the pid scheme)
+        parts = entry.rsplit("-", 2)
+        owner = int(parts[1]) if len(parts) == 3 and parts[1].isdigit() else None
+        if owner is not None:
+            if owner == me:
+                continue
+            try:
+                os.kill(owner, 0)
+                continue  # owner alive — never touch its scratch
+            except ProcessLookupError:
+                pass  # owner dead — eligible
+            except PermissionError:
+                continue  # alive, other user
         try:
             if now - os.path.getmtime(p) > 3600:
                 shutil.rmtree(p, ignore_errors=True)

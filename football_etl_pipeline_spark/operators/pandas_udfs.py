@@ -243,7 +243,7 @@ CHUNK_STRIDE = 10
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+             regexp_split_to_array(trim(lower(text), ' '), '[\\s\\v]+') AS toks
       FROM documents
     )
     SELECT doc_id,
@@ -282,12 +282,14 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             # regexp_split_to_array): split on \s+ so an empty /
             # whitespace-only doc yields [''] — ONE empty-token chunk
             # row, matching the oracle, not zero rows as str.split()
-            # would produce. Unicode whitespace also matches \s on both
-            # sides.
+            # would produce.
             # re.ASCII pins \s to [ \t\n\r\f\v] — the same ASCII class
             # Java/RE2 regex engines use — instead of Python's wider
             # Unicode-whitespace default.
-            toks = _re.split(r"\s+", text.strip().lower(), flags=_re.ASCII)
+            # strip(' ') not strip(): SQL trim() removes only spaces,
+            # so a leading tab/newline must survive the trim (it then
+            # yields a leading empty token on BOTH engines).
+            toks = _re.split(r"\s+", text.strip(" ").lower(), flags=_re.ASCII)
             for i in range(0, len(toks), CHUNK_STRIDE):
                 yield (
                     i // CHUNK_STRIDE,
@@ -399,7 +401,7 @@ def cogroup_order_reconciliation(
     "maparrow_token_stats",
     oracle="""
     SELECT doc_id,
-           len(regexp_split_to_array(trim(lower(text)), '\\s+'))::BIGINT
+           len(regexp_split_to_array(trim(lower(text), ' '), '[\\s\\v]+'))::BIGINT
              AS n_tokens,
            length(text)::BIGINT AS n_chars
     FROM documents
@@ -422,8 +424,12 @@ def maparrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pyarrow.compute as pc
 
         for batch in batches:
+            # trim only ' ' (pc.utf8_trim with a space charset), not
+            # utf8_trim_whitespace: SQL trim() removes only spaces, and
+            # a leading tab/newline must produce the same leading empty
+            # token the oracle's regexp_split_to_array(trim(...)) does.
             t = pc.utf8_lower(
-                pc.utf8_trim_whitespace(batch.column("text"))
+                pc.utf8_trim(batch.column("text"), characters=" ")
             )
             toks = pc.split_pattern_regex(t, r"[ \t\n\r\f\v]+")
             yield pa.RecordBatch.from_arrays(

@@ -438,7 +438,7 @@ def _mg_candidates(it):
     "text_heavy_hitters",
     oracle=f"""
     WITH toks AS (
-      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      SELECT unnest(regexp_split_to_array(trim(lower(text), ' '), '[\\s\\v]+')) AS tok
       FROM documents
     )
     SELECT tok, COUNT(*) AS n

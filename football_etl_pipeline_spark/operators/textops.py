@@ -42,9 +42,19 @@ LANG_MARKERS = {
 }
 
 # ---- shared expression fragments (Spark SQL and DuckDB dialects) ----
+#
+# The house TOKENS contract — trim then split on whitespace runs — is
+# pinned so THREE engines tokenize identically on hostile input
+# (tests/test_tokenizer_whitespace_parity.py):
+#   * trim: only 0x20.  Spark's trim() already is; DuckDB's default
+#     trim() strips Unicode whitespace (NBSP included), so the duck
+#     side must pass the explicit charset trim(x, ' ').
+#   * split class: Java \s = [ \t\n\x0B\f\r] (includes \v); RE2 (the
+#     DuckDB engine) \s excludes \v, so the duck side spells it
+#     [\s\v]+; Python re with re.ASCII matches Java exactly.
 
 TOKENS_SPARK = r"split(trim(lower(text)), '\\s+')"
-TOKENS_DUCK = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+TOKENS_DUCK = r"regexp_split_to_array(trim(lower(text), ' '), '[\s\v]+')"
 
 
 def _sql_list(words: tuple[str, ...]) -> str:
@@ -279,7 +289,7 @@ SHINGLES_DUCK = (
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
+             regexp_replace(trim(lower(text), ' '), '[\\s\\v]+', ' ', 'g') AS norm,
              {TOKENS_DUCK} AS toks
       FROM documents
     )
@@ -322,7 +332,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus-wide at sf0.01/sf0.1.
 BPE_PAT = "'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
 _WS_COUNT_SPARK = r"size(split(trim(text), '\\s+'))"
-_WS_COUNT_DUCK = r"len(regexp_split_to_array(trim(text), '\s+'))"
+_WS_COUNT_DUCK = r"len(regexp_split_to_array(trim(text, ' '), '[\s\v]+'))"
 
 
 @query(
@@ -449,7 +459,7 @@ CURATION_QUALITY_MIN = 0.55
     ), canon AS (
       SELECT *,
              doc_id = MIN(doc_id) OVER (
-               PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+               PARTITION BY md5(regexp_replace(trim(lower(text), ' '), '[\\s\\v]+', ' ', 'g'))
              ) AS is_canonical
       FROM kept
     ), final AS (
@@ -1434,14 +1444,14 @@ def _bpe_oracle() -> str:
     final = (
         "trim(replace(CASE WHEN strpos(r, chr(1)) > 0 "
         "THEN substr(r, 1, strpos(r, chr(1)) - 1) || ' ' "
-        "|| substr(r, strpos(r, chr(1)) + 1) ELSE r END, chr(1), ''))"
+        "|| substr(r, strpos(r, chr(1)) + 1) ELSE r END, chr(1), ''), ' ')"
     )
     parts = [
         f"""
     w0 AS (
       SELECT unnest({TOKENS_DUCK}) AS word FROM documents
     ), wf AS (
-      SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS w,
+      SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g'), ' ') AS w,
              COUNT(*)::BIGINT AS freq
       FROM w0 WHERE length(word) > 0 GROUP BY 1
     ), r0 AS (SELECT w, freq FROM wf)"""

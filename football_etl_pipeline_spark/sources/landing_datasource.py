@@ -178,10 +178,18 @@ class FootballLandingWriter(DataSourceWriter):
     under ``<root>/_staging/<uuid>/`` and returns the intended final
     locations as its commit message; the DRIVER publishes all staged
     files with renames in ``commit()`` (and clears them in
-    ``abort()``), so readers never see a partial job — a crashed task
-    leaves nothing but unreferenced staging files. ``overwrite``
-    clears each TARGETED endpoint directory at commit time (the
-    narrow dynamic-partition-overwrite semantics, not truncate-root).
+    ``abort()``) — a crashed task leaves nothing but unreferenced
+    staging files. ``overwrite`` replaces each TARGETED endpoint
+    directory (the narrow dynamic-partition-overwrite semantics, not
+    truncate-root) by renaming the current files into a
+    ``_tombstone/<job>/`` dir first and deleting them only after every
+    staged rename lands, so a mid-commit crash never loses the prior
+    data (it stays recoverable under the tombstone dir) and a rename
+    failure rolls the displaced files back. Commit is still not
+    atomic for concurrent READERS on a plain filesystem — a reader
+    listing an endpoint dir mid-commit can see a mix of old/new files;
+    single-writer-then-read is the landing contract (matching the
+    reference's GCS job, reference ``main.py`` WRITE_TRUNCATE).
 
     Input columns: api, season, league, endpoint, payload (the
     reader's ``file_path`` is output-generated and ignored on input).
@@ -219,17 +227,48 @@ class FootballLandingWriter(DataSourceWriter):
         import shutil
 
         moves = [m for msg in messages if msg for m in msg.moves]
+        # Overwrite publishes in three steps so prior data is never
+        # destroyed before the new data is in place: (1) rename the
+        # targeted endpoints' current .json files into a tombstone dir
+        # (rename, not delete — recoverable), (2) rename staged files
+        # in, (3) drop the tombstones only after every rename
+        # succeeded.  A crash between (1) and (2) leaves the old files
+        # intact under _tombstone/<job>/ for manual recovery; a rename
+        # failure in (2) restores the tombstoned files before raising.
+        tombstone = os.path.join(
+            self.root, "_tombstone", os.path.basename(self.staging)
+        )
+        displaced: list[tuple] = []  # (tombstoned_abs, original_abs)
         if self.overwrite:
             for rel_dir in {os.path.dirname(rel) for _, rel in moves}:
                 target = os.path.join(self.root, rel_dir)
-                if os.path.isdir(target):
-                    for f in os.listdir(target):
-                        if f.endswith(".json"):
-                            os.remove(os.path.join(target, f))
-        for staged, rel in moves:
-            final = os.path.join(self.root, rel)
-            os.makedirs(os.path.dirname(final), exist_ok=True)
-            os.rename(staged, final)
+                if not os.path.isdir(target):
+                    continue
+                dst_dir = os.path.join(tombstone, rel_dir)
+                os.makedirs(dst_dir, exist_ok=True)
+                for f in os.listdir(target):
+                    if f.endswith(".json"):
+                        src = os.path.join(target, f)
+                        dst = os.path.join(dst_dir, f)
+                        os.rename(src, dst)
+                        displaced.append((dst, src))
+        try:
+            for staged, rel in moves:
+                final = os.path.join(self.root, rel)
+                os.makedirs(os.path.dirname(final), exist_ok=True)
+                os.rename(staged, final)
+        except OSError:
+            for dst, src in displaced:
+                try:
+                    os.rename(dst, src)
+                except OSError:
+                    pass  # leave the rest in the tombstone dir
+            raise
+        shutil.rmtree(tombstone, ignore_errors=True)
+        try:
+            os.rmdir(os.path.join(self.root, "_tombstone"))
+        except OSError:
+            pass
         self._clean_staging(shutil)
 
     def abort(self, messages) -> None:

@@ -57,6 +57,19 @@ OUTPUT_SCHEMA = (
 )
 
 
+def _sessions_pdf(uid, sessions):
+    """One output pandas frame for a list of (open, close, n, total)."""
+    return pd.DataFrame(
+        {
+            "user_id": [uid] * len(sessions),
+            "session_open_ms": [s[0] for s in sessions],
+            "session_close_ms": [s[1] for s in sessions],
+            "n_events": [s[2] for s in sessions],
+            "total_value": [s[3] for s in sessions],
+        }
+    )
+
+
 class SessionCloser(StatefulProcessor):
     """Per-user idle-timeout sessionizer: accumulate on input, emit on
     timer expiry only."""
@@ -69,14 +82,30 @@ class SessionCloser(StatefulProcessor):
         open_ms, last_ms, n, total, timer_ms = (
             self.state.get() if self.state.exists() else (None, None, 0, 0.0, None)
         )
+        pairs = []
         for pdf in rows:
             ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-            for t in ts_ms:
-                if open_ms is None:
-                    open_ms = t
-                last_ms = t if last_ms is None else max(last_ms, t)
-            n += len(pdf)
-            total += float(pdf["value"].sum())
+            vals = pdf["value"].astype("float64").tolist()
+            pairs.extend(zip(ts_ms, vals))
+        pairs.sort()
+        # Split sessions INLINE: the eviction watermark lags one
+        # micro-batch, so a post-gap arrival would otherwise be merged
+        # into the open session before its timer can fire.  When an
+        # in-order event lands past the idle gap, close the current
+        # session here and start a new one; the registered timer is
+        # then only the idle-tail closer.
+        closed = []
+        for t, v in pairs:
+            if last_ms is not None and t > last_ms + SESSION_GAP_MS:
+                closed.append((open_ms, last_ms, n, total))
+                open_ms, last_ms, n, total = None, None, 0, 0.0
+            # min-update: an out-of-order event inside the watermark may
+            # predate the session's first-SEEN event; batch ground truth
+            # is min(ts), so track it, not first-seen.
+            open_ms = t if open_ms is None else min(open_ms, t)
+            last_ms = t if last_ms is None else max(last_ms, t)
+            n += 1
+            total += v
         # re-arm: ONE live timer per key (delete the stale one — a
         # fired stale timer would close the session too early)
         if timer_ms is not None:
@@ -84,7 +113,9 @@ class SessionCloser(StatefulProcessor):
         new_timer = last_ms + SESSION_GAP_MS
         self.handle.registerTimer(new_timer)
         self.state.update((open_ms, last_ms, n, total, new_timer))
-        return iter(())  # nothing emitted while the session is open
+        if closed:
+            return iter((_sessions_pdf(key[0], closed),))
+        return iter(())  # nothing emitted while the session stays open
 
     def handleExpiredTimer(
         self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
@@ -97,19 +128,7 @@ class SessionCloser(StatefulProcessor):
             # session saw newer activity, keep it open
             return iter(())
         self.state.clear()
-        return iter(
-            (
-                pd.DataFrame(
-                    {
-                        "user_id": [key[0]],
-                        "session_open_ms": [open_ms],
-                        "session_close_ms": [last_ms],
-                        "n_events": [n],
-                        "total_value": [total],
-                    }
-                ),
-            )
-        )
+        return iter((_sessions_pdf(key[0], [(open_ms, last_ms, n, total)]),))
 
     def close(self) -> None:
         pass

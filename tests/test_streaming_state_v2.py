@@ -161,6 +161,121 @@ def test_timer_closed_sessions_equal_batch_sessionization(spark, tmp_path):
     assert got == want, (sorted(got), sorted(want))
 
 
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    """Minimal StatefulProcessorHandle stand-in: one value state, a
+    set of live timers — lets the processor LOGIC run without the
+    protobuf state server."""
+
+    def __init__(self):
+        self.state = _FakeValueState()
+        self.timers = set()
+
+    def getValueState(self, name, schema):
+        return self.state
+
+    def registerTimer(self, ms):
+        self.timers.add(ms)
+
+    def deleteTimer(self, ms):
+        self.timers.discard(ms)
+
+
+class _ExpiredInfo:
+    def __init__(self, ms):
+        self._ms = ms
+
+    def getExpiryTimeInMs(self):
+        return self._ms
+
+
+def _drive_processor(batches):
+    """Drive SessionCloser directly: each batch is a list of (ts_ms,
+    value); after all batches, fire every timer <= +inf watermark in
+    order.  Returns emitted (open, close, n, total) tuples."""
+    import pandas as pd
+
+    from football_etl_pipeline_spark.streaming.state_v2 import SessionCloser
+
+    proc = SessionCloser()
+    handle = _FakeHandle()
+    proc.init(handle)
+    out = []
+
+    def _collect(it):
+        for pdf in it:
+            for _, r in pdf.iterrows():
+                out.append(
+                    (
+                        int(r["session_open_ms"]),
+                        int(r["session_close_ms"]),
+                        int(r["n_events"]),
+                        round(float(r["total_value"]), 6),
+                    )
+                )
+
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([t for t, _ in batch], unit="ms"),
+                "value": [v for _, v in batch],
+            }
+        )
+        _collect(proc.handleInputRows((1,), iter([pdf]), None))
+    for t in sorted(handle.timers):
+        _collect(proc.handleExpiredTimer((1,), None, _ExpiredInfo(t)))
+    return out
+
+
+def test_processor_splits_post_gap_event_inline():
+    """User 1's scenario from ADVICE: minute-0/10 events then a
+    minute-55 arrival while the watermark still lags — the processor
+    must emit the first session inline and open a second, matching
+    batch sessionization (two sessions), not one merged span."""
+    m = 60_000
+    got = _drive_processor([[(0, 1.5), (10 * m, 1.5)], [(55 * m, 1.5)]])
+    assert got == [(0, 10 * m, 2, 3.0), (55 * m, 55 * m, 1, 1.5)], got
+
+
+def test_processor_min_updates_open_on_out_of_order_event():
+    """An out-of-order event inside the watermark that PREDATES the
+    session's first-seen event must pull session_open_ms back to the
+    true min(ts)."""
+    m = 60_000
+    got = _drive_processor([[(10 * m, 1.0)], [(5 * m, 2.0)]])
+    assert got == [(5 * m, 10 * m, 2, 3.0)], got
+
+
+def test_processor_intra_batch_split_and_idle_tail():
+    """Three sessions inside ONE batch: two closed inline, the tail by
+    timer; sorted-order processing makes the splits deterministic."""
+    m = 60_000
+    got = _drive_processor(
+        [[(0, 1.0), (40 * m, 1.0), (45 * m, 1.0), (90 * m, 1.0)]]
+    )
+    assert got == [
+        (0, 0, 1, 1.0),
+        (40 * m, 45 * m, 2, 2.0),
+        (90 * m, 90 * m, 1, 1.0),
+    ], got
+
+
 def test_session_spanning_batches_stays_open_until_gap(spark, tmp_path):
     """User 2's activity straddles two deliveries with a 20-min gap:
     the timer re-arms and the session must close ONCE, spanning both
