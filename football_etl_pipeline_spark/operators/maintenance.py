@@ -144,11 +144,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape IS the honest one). Cited contrast: the reference's
     WRITE_TRUNCATE rewrites everything on every run regardless of
     batch size."""
-    base = load_table(spark, sf_dir, "orders")
-    updates = _updates_batch(spark, sf_dir)
-    survivors = base.join(
-        updates.select("o_orderkey"), "o_orderkey", "left_anti"
-    ).select(
+    base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
@@ -156,7 +152,19 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_orderpriority",
     )
-    return survivors.unionByName(updates)
+    return merge_upsert(base, _updates_batch(spark, sf_dir), "o_orderkey")
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Latest-wins MERGE: matched keys take the updates row, unmatched
+    base rows survive, new keys append.  Replay-IDEMPOTENT by
+    construction — applying the same batch twice displaces the batch's
+    own rows and re-adds them, so ``merge(merge(b,u),u) ≡ merge(b,u)``
+    (pinned in tests/test_compaction.py)."""
+    survivors = base.join(
+        updates.select(key), key, "left_anti"
+    ).select(*base.columns)
+    return survivors.unionByName(updates.select(*base.columns))
 
 
 @query(

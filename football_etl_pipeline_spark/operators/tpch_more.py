@@ -820,24 +820,52 @@ def lineitem_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cum*10 <= total*8), so no float share ever exists and the class
     boundaries are bit-deterministic.
 
-    Scale note: the cumulative window is a GLOBAL ordered sum over
-    the per-part aggregate — |parts| rows, not |lineitem|, which is
-    what makes a single range-partitioned window acceptable here (the
-    same de-scale-kill logic as customer_rfm_segments: never run a
-    global window over the raw fact table; run it over the reduced
-    frame)."""
+    Scale design (r7 verdict fix): the cumulative ordered sum runs
+    over the per-part aggregate, but at TPC-H sf100 that is still
+    ~20M rows — a global ``Window.orderBy`` would funnel them through
+    ONE task. Instead the house range-exchange + partition-offset
+    pattern (``_ntile4_distributed``): range-partition on (rev DESC,
+    partkey), cumulative-sum WITHIN each physical partition, and add
+    each partition's exact-decimal prefix offset (P = RFM_RANGE_PARTS
+    per-partition subtotals collected to the driver, prefix-summed in
+    Python Decimals — bounded driver traffic, corpus-independent).
+    ``total_rev`` rides the same P-row collect instead of a second
+    (also single-partition) ``SUM() OVER ()`` window. Every window in
+    the plan is partitioned; plan-tested."""
+    from decimal import Decimal
+
     li = load_table(spark, sf_dir, "lineitem")
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    per_part = persist_tracked(
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+        )
+        .repartitionByRange(
+            RFM_RANGE_PARTS, F.col("rev").desc(), F.col("l_partkey").asc()
+        )
+        .withColumn("_pid", F.spark_partition_id())
     )
-    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    partials = {
+        r["_pid"]: r["s"]
+        for r in per_part.groupBy("_pid")
+        .agg(F.sum("rev").alias("s"))
+        .collect()
+    }
+    offs, acc = [], Decimal(0)
+    for p in range(RFM_RANGE_PARTS):
+        offs.append(acc)
+        acc += partials.get(p) or Decimal(0)
+    total_rev = F.lit(str(acc)).cast("decimal(38,2)")
+    off_arr = F.array(
+        *[F.lit(str(o)).cast("decimal(38,2)") for o in offs]
     )
-    wt = Window.partitionBy()
+    wloc = Window.partitionBy("_pid").orderBy(
+        F.col("rev").desc(), F.col("l_partkey").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = per_part.select(
         "rev",
-        F.sum("rev").over(w).alias("cum_rev"),
-        F.sum("rev").over(wt).alias("total_rev"),
+        (off_arr[F.col("_pid")] + F.sum("rev").over(wloc)).alias("cum_rev"),
+        total_rev.alias("total_rev"),
     )
     classed = ranked.select(
         "rev",

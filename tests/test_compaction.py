@@ -177,3 +177,28 @@ def test_zorder_key_matches_spark_expression(spark):
     got = [(r["_nx"], r["_ny"], r["z"]) for r in df.collect()]
     for x, y, z in got:
         assert z == morton(x, y), (x, y, z)
+
+
+def test_merge_upsert_is_replay_idempotent(spark, sf_dir):
+    """Applying the same updates batch twice must equal applying it
+    once — the crash-replay contract a warehouse MERGE needs (a retried
+    batch after a driver failure must not duplicate or drop rows)."""
+    from football_etl_pipeline_spark.operators.maintenance import (
+        _updates_batch,
+        merge_upsert,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    updates = _updates_batch(spark, sf_dir)
+    once = merge_upsert(base, updates, "o_orderkey")
+    twice = merge_upsert(once, updates, "o_orderkey")
+    assert once.count() == twice.count()
+    assert twice.exceptAll(once).isEmpty()
+    assert once.exceptAll(twice).isEmpty()

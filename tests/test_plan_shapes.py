@@ -163,6 +163,29 @@ def test_rfm_windows_are_partitioned(spark):
     assert _windows_fed_by_single_partition(final) == []
 
 
+def test_cogroup_reconciliation_buckets_and_single_exchange_per_side(spark):
+    """The cogroup must shuffle each side exactly ONCE, on the coarse
+    bucket key — cogrouping on raw o_orderkey invokes Python once per
+    key (the r7 scale-killer); the bucket keeps Python-invocation
+    count bounded while the merge stays vectorized per bucket."""
+    final = _final(_plan(spark, "cogroup_order_reconciliation"))
+    assert "FlatMapCoGroupsInPandas [bkt" in final
+    assert final.count("Exchange hashpartitioning(bkt") == 2
+    # only the two bucket exchanges — no extra shuffle anywhere
+    assert final.count("Exchange") == 2
+
+
+def test_abc_classification_windows_are_partitioned(spark):
+    """The Pareto cumulative sum must ride the range-exchange +
+    partition-offset pattern: no Window fed by a SinglePartition
+    exchange (at sf100 the per-part frame is ~20M rows — a global
+    ordered window would funnel them through one task)."""
+    plan = _plan(spark, "lineitem_abc_classification")
+    final = _final(plan)
+    assert "Window" in final
+    assert _windows_fed_by_single_partition(final) == []
+
+
 @pytest.mark.parametrize(
     "name",
     ["q1_pricing_summary", "text_stats", "embedding_quantize_int8"],
