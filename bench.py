@@ -130,10 +130,33 @@ HEADLINE = [
 ]
 
 
+# The r5-anchor prefix: HEADLINE is append-only, so the first 46
+# entries ARE the frozen 46-query baseline curve in BASELINE.md. The
+# "fast" tier runs exactly that prefix — enough for adjudications and
+# per-query A/Bs without paying the full sweep.
+FAST_TIER_N = 46
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    # SPARK_GRAFT_BENCH_TIER: "full" (default) = every headline query;
+    # "fast" = the r5-anchor 46-query prefix (comparable to BASELINE.md
+    # directly); a comma-separated list = exactly those queries (ad-hoc
+    # adjudication runs).
+    tier = os.environ.get("SPARK_GRAFT_BENCH_TIER", "full").strip()
+    if tier == "fast":
+        headline = HEADLINE[:FAST_TIER_N]
+    elif tier and tier != "full":
+        wanted = [q.strip() for q in tier.split(",") if q.strip()]
+        unknown = [q for q in wanted if q not in HEADLINE]
+        if unknown:
+            print(f"# unknown tier queries skipped: {unknown}", file=sys.stderr)
+        headline = [q for q in wanted if q in HEADLINE]
+    else:
+        headline = HEADLINE
 
     from football_etl_pipeline_spark.operators import QUERIES
     from football_etl_pipeline_spark.session import get_spark
@@ -168,7 +191,7 @@ def main() -> None:
     from football_etl_pipeline_spark.operators.registry import release_persists
 
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
+    for name in headline:
         fn = QUERIES.get(name)
         if fn is not None:
             fn(spark, warm_dir).count()
@@ -190,7 +213,7 @@ def main() -> None:
     # garbage — exactly what a per-query steady-state number means.
     N_RUNS = 3
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = QUERIES.get(name)
         if fn is None:
             continue
@@ -219,12 +242,14 @@ def main() -> None:
         "n_queries": len(timings),
     }
     # Full record: committed file + stderr (never the driver-parsed line).
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
-        f.write("\n")
+    if tier in ("full", ""):
+        # tiered runs must not clobber the committed full-sweep record
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
     print(json.dumps(detail), file=sys.stderr)
     # Driver-parsed line: compact. Cap the inline per-query map to the
     # slowest TOP_K so the line stays ~<1 KB regardless of registry
