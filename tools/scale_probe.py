@@ -159,6 +159,35 @@ def main() -> None:
         rows.append((name, n1, nN, round(growth, 2), w1, wN))
         print(f"# {name}: 1x={n1} {copies}x={nN} growth/linear={growth:.2f}")
 
+    # Composed pipelines (r7 verdict task #4): each is a composition
+    # of individually-probed rungs, but composition can change
+    # candidate volumes (e.g. LSH runs on exact-dedup survivors; the
+    # recall report runs brute-force top-k as the oracle of LSH), so
+    # they get their own 1x-vs-Nx rows. These return REPORT frames
+    # (bounded rows), so the soundness metric is wall-clock growth
+    # relative to linear — candidate explosions inside the composition
+    # surface as superlinear wall.
+    from football_etl_pipeline_spark.operators import QUERIES
+
+    COMPOSED = [
+        "dedup_pipeline_e2e",
+        "dedup_method_agreement",
+        "similarity_ann_recall_report",
+    ]
+    composed_rows = []
+    for name in COMPOSED:
+        qfn = QUERIES[name]
+        qfn(spark, "/root/testdata/sf0.001").count()
+        release_persists()
+        n1, w1 = measure(lambda d: qfn(spark, d), BASE_SF)
+        nN, wN = measure(lambda d: qfn(spark, d), big)
+        wg = wN / w1 / copies if w1 else float("nan")
+        composed_rows.append((name, n1, nN, w1, wN, round(wg, 2)))
+        print(
+            f"# {name}: wall 1x={w1}s {copies}x={wN}s "
+            f"wall-growth/linear={wg:.2f}"
+        )
+
     # the IVF dial: cells scaled with the corpus
     saved = dedup.EMB_DUP_CELLS
     try:
@@ -193,6 +222,24 @@ def main() -> None:
     ]
     for name, n1, nN, g, w1, wN in rows:
         lines.append(f"| {name} | {n1} | {nN} | {g} | {w1} | {wN} |")
+    lines += [
+        "",
+        "## Composed pipelines (wall-clock growth)",
+        "",
+        "Each composes individually-probed rungs; composition can "
+        "change candidate volumes (LSH runs on exact-dedup survivors, "
+        "the recall report runs brute-force as the oracle of LSH), so "
+        "the rehearsal measures the whole composition. Output frames "
+        "are bounded reports — the soundness metric is wall growth "
+        "relative to linear (a candidate explosion inside the "
+        "composition would surface as superlinear wall).",
+        "",
+        f"| pipeline | rows 1x | rows {copies}x | wall 1x (s) | "
+        f"wall {copies}x (s) | wall growth / linear |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, n1, nN, w1, wN, wg in composed_rows:
+        lines.append(f"| {name} | {n1} | {nN} | {w1} | {wN} | {wg} |")
     lines += [
         "",
         "`growth / linear` = candidates_Nx / candidates_1x / N: "
