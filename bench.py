@@ -127,6 +127,12 @@ HEADLINE = [
     "events_sketch_overlap_estimate",
     "text_source_drift_tvd",
     "events_count_min_heavyhitters",
+    # round-8 additions (same comparability rule: shared prefix
+    # comparable across rounds; totals comparable from r8 on)
+    "similarity_ann_ivf_adc",
+    "part_name_fuzzy_pairs",
+    "events_conversion_attribution",
+    "text_quality_logreg_score",
 ]
 
 

@@ -1533,3 +1533,89 @@ def events_count_min_heavyhitters(
         "uid string, n_exact long, cms_never_undercounts boolean,"
         " cms_within_eps boolean",
     )
+
+
+# ---- conversion attribution (first/last touch) -----------------------
+
+ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback, micros
+
+
+@query(
+    "events_conversion_attribution",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+             event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             MIN(CASE WHEN event_type IN ('view', 'click') THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN {ATTR_WINDOW_US} PRECEDING
+                           AND 1 PRECEDING) AS first_touch_ts,
+             MAX(CASE WHEN event_type IN ('view', 'click') THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN {ATTR_WINDOW_US} PRECEDING
+                           AND 1 PRECEDING) AS last_touch_ts,
+             COUNT(CASE WHEN event_type IN ('view', 'click') THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN {ATTR_WINDOW_US} PRECEDING
+                           AND 1 PRECEDING) AS n_touches
+      FROM e
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           first_touch_ts, last_touch_ts,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS attributed_value
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def events_conversion_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution: every purchase
+    is annotated with the earliest and latest preceding touch (view or
+    click) by the same user inside a 7-day lookback, plus the touch
+    count — the marketing-analytics staple that motivates RANGE
+    window frames (an as-of join would find only ONE side).
+
+    Plan: ONE shuffle on user_id and a single window pass computes all
+    three frames (same partition/order/frame → one WindowExec); the
+    frame bound is exact integer MICROseconds (``unix_micros`` /
+    ``epoch_us``), so the 1-μs-preceding upper bound excludes
+    same-instant events identically on both engines. At 100 TB the
+    per-user event history is the only frame state — no self-join, no
+    fact-table blow-up."""
+    ev = load_table(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin("view", "click"), F.col("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-ATTR_WINDOW_US, -1)
+    )
+    ann = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.min(touch).over(w).alias("first_touch_ts"),
+        F.max(touch).over(w).alias("last_touch_ts"),
+        F.count(touch).over(w).alias("n_touches"),
+    )
+    return ann.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "first_touch_ts",
+        "last_touch_ts",
+        F.col("n_touches").cast("bigint").alias("n_touches"),
+        F.col("value")
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("attributed_value"),
+    )

@@ -1405,3 +1405,199 @@ def similarity_ann_recall_report(
             "recall_micro"
         ),
     )
+
+
+# ---- IVF + PQ-ADC composed search (the production ANN read path) ------
+
+
+@query(
+    "similarity_ann_ivf_adc",
+    oracle=f"""
+    WITH e AS ({_NORMED_DUCK}),
+    cent AS ({_CENT_DUCK}),
+    aff AS (
+      SELECT e.vec_id, c.c_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_dot_duck("e.v", "c.cv")} / (e.nrm * c.cnrm) DESC,
+                        c.c_id ASC
+             ) AS crank
+      FROM e CROSS JOIN cent c
+    ),
+    assign AS (SELECT vec_id, c_id AS cell FROM aff WHERE crank = 1),
+    qcells AS (
+      SELECT vec_id AS q_id, c_id AS cell
+      FROM aff WHERE vec_id < {N_QUERIES} AND crank <= {IVF_NPROBE}
+    ),
+    sub AS (
+      SELECT vec_id, m.m AS m,
+             v[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}] AS sv
+      FROM e, LATERAL (SELECT unnest(range({PQ_SUBSPACES})) AS m) m
+    ),
+    cb AS (
+      SELECT vec_id AS c_id, m, sv AS cv FROM sub WHERE vec_id < {PQ_K}
+    ),
+    paff AS (
+      SELECT s.vec_id, s.m, c.c_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.vec_id, s.m
+               ORDER BY {_l2_duck("s.sv", "c.cv")} ASC, c.c_id ASC
+             ) AS rnk
+      FROM sub s JOIN cb c ON c.m = s.m
+    ),
+    codes AS (
+      SELECT vec_id, list(c_id ORDER BY m) AS code
+      FROM paff WHERE rnk = 1 GROUP BY vec_id
+    ),
+    qlut AS (
+      SELECT s.vec_id AS q_id,
+             list({_l2_duck("s.sv", "c.cv")} ORDER BY s.m, c.c_id) AS lut
+      FROM sub s JOIN cb c ON c.m = s.m
+      WHERE s.vec_id < {N_QUERIES}
+      GROUP BY s.vec_id
+    ),
+    adc AS (
+      SELECT q.q_id AS query_id, a.vec_id AS neighbor_id,
+             list_sum([l.lut[m * {PQ_K} + x.code[m + 1] + 1]
+                       for m in range({PQ_SUBSPACES})]) AS adc_d2
+      FROM qcells q
+      JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.q_id
+      JOIN codes x ON x.vec_id = a.vec_id
+      JOIN qlut l ON l.q_id = q.q_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY adc_d2 ASC, neighbor_id ASC
+             ) AS rnk
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, CAST(adc_d2 AS DOUBLE) AS adc_d2, rnk
+    FROM ranked WHERE rnk <= {PQ_ADC_TOPK}
+    """,
+)
+def similarity_ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ-ADC composed search — the full production ANN read
+    path (FAISS's IVFPQ layout re-expressed relationally): the coarse
+    quantizer routes each query to its IVF_NPROBE nearest cells, and
+    only the vectors ASSIGNED to those cells are scored — by ADC
+    table lookups over their 4-bit PQ codes, never by float math
+    against raw vectors. Composes the two verified halves
+    (``similarity_ann_ivf``'s routing, ``similarity_pq_adc_topk``'s
+    scoring) into the shape a 100 TB vector store actually serves:
+    candidate volume ~ n·nprobe/K and scan bytes ~ 4 B/vector.
+
+    Plan: cell assignment and code assignment are each one corpus
+    scan × broadcast(small codebook); the candidate gate is a
+    broadcast join of the (query, probed-cell) pairs against the
+    assignment, and the ADC scoring joins the broadcast per-query LUT
+    — the corpus-sized frames are never shuffled, only the bounded
+    candidate set reaches the 5-key top-k window. Each vector lives
+    in exactly ONE cell, so multi-probe never duplicates a
+    (query, neighbor) pair.
+
+    Exactness: LUT entries fold in pinned (m, c_id) order and the ADC
+    sum folds in subspace order on both engines, so distances and
+    ranks hash-match exactly."""
+    e = persist_tracked(
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", F.expr(_norm_spark("v")))
+    )
+    # --- IVF routing (cosine coarse quantizer, first-K centroids) ---
+    cent = e.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    ccos = F.expr(_dot_spark("v", "cv")) / (F.col("nrm") * F.col("cnrm"))
+    wcell = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("c_id").asc()
+    )
+    aff = persist_tracked(
+        e.join(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("crank", F.row_number().over(wcell))
+    )
+    assign = aff.filter(F.col("crank") == 1).select(
+        "vec_id", F.col("c_id").alias("cell")
+    )
+    qcells = aff.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= IVF_NPROBE)
+    ).select(F.col("vec_id").alias("q_id"), F.col("c_id").alias("cell"))
+    # --- PQ codes + per-query LUTs (seeded sub-codebooks) -----------
+    sub = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(_subvec_spark("v", str(m)))
+                    for m in range(PQ_SUBSPACES)
+                ]
+            )
+        ).alias("m", "sv"),
+    )
+    cb = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("m").alias("cm"),
+        F.col("sv").alias("cv"),
+    )
+    d2 = F.expr(_l2_spark("sv", "cv"))
+    wbest = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("c_id").asc()
+    )
+    codes = (
+        sub.join(F.broadcast(cb), F.col("cm") == F.col("m"))
+        .withColumn("d2", d2)
+        .withColumn("rnk", F.row_number().over(wbest))
+        .filter(F.col("rnk") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, c_id))),"
+                " s -> s.c_id)"
+            ).alias("code")
+        )
+    )
+    qlut = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cb), F.col("cm") == F.col("m"))
+        .withColumn("d2", d2)
+        .groupBy(F.col("vec_id").alias("lq_id"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, c_id, d2))),"
+                " s -> s.d2)"
+            ).alias("lut")
+        )
+    )
+    cand = F.broadcast(qcells).join(
+        assign,
+        (qcells.cell == assign.cell) & (assign.vec_id != qcells.q_id),
+    ).select("q_id", F.col("vec_id").alias("neighbor_id"))
+    adc = F.expr(
+        f"aggregate(transform(sequence(0, {PQ_SUBSPACES - 1}),"
+        f" m -> lut[m * {PQ_K} + code[m]]), 0D, (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(codes, codes.vec_id == cand.neighbor_id)
+        .join(F.broadcast(qlut), F.col("lq_id") == F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            "neighbor_id",
+            adc.alias("adc_d2"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= PQ_ADC_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("adc_d2").cast("double").alias("adc_d2"),
+            "rnk",
+        )
+    )

@@ -2140,3 +2140,82 @@ def text_source_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---- model-based quality gate (linear classifier inference) -----------
+
+# Published weights of a tiny logistic-regression quality classifier
+# (bias, length-saturation, stopword-density, lexical-diversity). The
+# DECISION is monotone in the logit, so the gate compares the logit
+# directly — no exp()/sigmoid in either engine (transcendental
+# last-ulp divergence is the one float hazard the house rules can't
+# pin; a linear score avoids it entirely).
+# D-suffixed literals: Spark parses bare 1.0 as DECIMAL(2,1) (decimal
+# division rounds at Spark's result scale) while DuckDB promotes
+# int/decimal to DOUBLE — both sides must run IEEE double end-to-end
+# for the logits to agree bit-for-bit before the _dec6 pin.
+_LOGREG_SPARK = (
+    "-3.0D + 4.0D * least(size(TOKS) / 256.0D, 1.0D)"
+    " + 3.0D * (size(filter(TOKS, s -> s IN (STOP))) * 1.0D / size(TOKS))"
+    " + 2.0D * (size(array_distinct(TOKS)) * 1.0D / size(TOKS))"
+)
+_LOGREG_DUCK = (
+    "-3.0 + 4.0 * least(len(toks) / 256.0, 1.0)"
+    " + 3.0 * (len(list_filter(toks, s -> s IN (STOP))) * 1.0 / len(toks))"
+    " + 2.0 * (len(list_distinct(toks)) * 1.0 / len(toks))"
+)
+LOGREG_GATE = 0.0  # keep docs with logit >= 0 (p >= 0.5)
+
+
+@query(
+    "text_quality_logreg_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, {TOKENS_DUCK} AS toks FROM documents
+    ), scored AS (
+      SELECT source,
+             {_dec6(_LOGREG_DUCK.replace("STOP", _sql_list(STOPWORDS)))}
+               AS logit
+      FROM t
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE logit >= {LOGREG_GATE}) AS n_kept,
+           CAST(SUM(logit) AS DOUBLE) / COUNT(*) AS avg_logit,
+           CAST(MIN(logit) AS DOUBLE) AS min_logit,
+           CAST(MAX(logit) AS DOUBLE) AS max_logit
+    FROM scored
+    GROUP BY source
+    """,
+)
+def text_quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a (frozen) logistic-regression
+    classifier scored IN the engine — vectorized linear algebra over
+    engine-computed features, the way a production pipeline applies a
+    trained fastText/LR quality model to 100 TB without leaving the
+    scan. The classifier's decision is monotone in the logit, so the
+    keep-gate compares the logit to the bias-adjusted threshold and no
+    sigmoid/exp is ever evaluated (transcendentals are the one float
+    op the cross-engine exactness rules can't pin; the linear form is
+    bit-stable under the house double→DECIMAL(18,6) pattern).
+
+    Plan: scan → per-doc feature fold (whole-stage codegen; TOKENS
+    computed once) → partial agg → one shuffle on source. Weights are
+    literals in the plan — a model update is a new constant fold, not
+    a new join."""
+    docs = load_table(spark, sf_dir, "documents")
+    expr = _LOGREG_SPARK.replace("TOKS", "toks").replace(
+        "STOP", _sql_list(STOPWORDS)
+    )
+    scored = docs.select(
+        "source", F.expr(TOKENS_SPARK).alias("toks")
+    ).select("source", F.expr(expr).cast("decimal(18,6)").alias("logit"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("logit") >= LOGREG_GATE).alias("n_kept"),
+        (F.sum("logit").cast("double") / F.count(F.lit(1))).alias(
+            "avg_logit"
+        ),
+        F.min("logit").cast("double").alias("min_logit"),
+        F.max("logit").cast("double").alias("max_logit"),
+    )
