@@ -68,6 +68,12 @@ SHOWCASE = {
     "profile_key_skew": "per key: partial+final count agg then TakeOrdered(5); per-table total as a 1-row broadcast",
     "embedding_pca_power_step": "no-shuffle HOF dot projection; posexplode collapsed by partial agg into the single 64-group exchange",
     "similarity_ann_recall_report": "composes the brute-force and LSH frames; recall join is over 25 exact rows vs 25 ANN rows",
+    "cogroup_order_reconciliation": "FlatMapCoGroupsInPandas on the coarse bucket key; exactly one hashpartitioning(bkt) exchange per side, vectorized merge inside each bucket call",
+    "lineitem_abc_classification": "range exchange on (rev DESC, partkey) + partitioned cumulative window with literal-array prefix offsets; NO SinglePartition window, total_rev rides the P-row collect",
+    "similarity_ann_ivf_adc": "cell routing and code assignment each one corpus scan x broadcast codebook; candidate gate broadcasts (query, cell) pairs; ADC is a codegen fold over the broadcast LUT",
+    "part_name_fuzzy_pairs": "distinct-entity collapse before blocking; token self-join behind the DF-cap gate; Levenshtein evaluated once per DISTINCT pair",
+    "events_conversion_attribution": "three RANGE frames share one WindowExec (same partition/order/frame) after a single user_id shuffle",
+    "text_quality_logreg_score": "logit folds as constants in the scan projection (one WholeStageCodegen span); partial agg before the one source shuffle",
 }
 
 
