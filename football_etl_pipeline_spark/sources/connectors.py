@@ -103,3 +103,52 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+_EXT_MIME = {
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "gif": "image/gif",
+    "wav": "audio/wav",
+    "mp4": "video/mp4",
+}
+
+
+def read_media_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw media-file ingestion via Spark's ``binaryFile`` source —
+    how a multimodal pipeline lands loose image/audio/video files
+    into a lakehouse table (the file-system twin of
+    ``operators.multimodal.media_table``): one row per file with
+    ``path``/``modificationTime``/``length``/``content`` plus a
+    mime column inferred from the extension.
+
+    Scale notes: ``pathGlobFilter`` prunes at LISTING time (skipped
+    files are never opened); a ``length`` predicate prunes before
+    payload bytes load where the filter is pushed to the source
+    (binaryFile advertises pushdown on path/length/modificationTime);
+    ``recursiveFileLookup`` walks nested date/shard layouts without a
+    partition-discovery pass. Payload bytes stay opaque — downstream
+    metadata queries that drop ``content`` never deserialize them."""
+    reader = (
+        spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    from pyspark.sql import functions as F
+
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime_map = F.create_map(
+        *[F.lit(x) for kv in _EXT_MIME.items() for x in kv]
+    )
+    return df.withColumn(
+        "mime", F.coalesce(mime_map[ext], F.lit("application/octet-stream"))
+    )

@@ -242,3 +242,69 @@ def test_mp4_header_rejects_corruption():
     bad = struct.pack(">I4s", 3, b"ftyp") + b"\x00" * 16
     with pytest.raises(ValueError, match="overruns"):
         decode_mp4_header(bad)
+
+
+def test_binaryfile_media_ingestion_roundtrip(spark, tmp_path):
+    """Loose media files on disk -> binaryFile source -> decoded
+    headers: the file-system ingestion twin of media_table. Real
+    containers (stdlib encoders) are written under a nested layout;
+    read_media_files must find them recursively, infer mimes from
+    extensions, honor the glob prune, and hand back payload bytes
+    that header-decode identically to the originals."""
+    import os
+
+    from football_etl_pipeline_spark.operators.multimodal import (
+        decode_gif_header,
+        decode_png_header,
+        decode_wav_header,
+        make_gif,
+        make_png,
+        make_wav,
+    )
+    from football_etl_pipeline_spark.sources.connectors import (
+        read_media_files,
+    )
+
+    blobs = {
+        "a/img1.png": make_png(17, 9),
+        "a/img2.gif": make_gif(5, 7),
+        "b/nested/snd.wav": make_wav(160),
+        "b/readme.txt": b"not media",
+    }
+    for rel, data in blobs.items():
+        p = tmp_path / rel
+        os.makedirs(p.parent, exist_ok=True)
+        p.write_bytes(data)
+
+    df = read_media_files(spark, str(tmp_path))
+    rows = {os.path.basename(r.path): r for r in df.collect()}
+    assert set(rows) == {"img1.png", "img2.gif", "snd.wav", "readme.txt"}
+    assert rows["img1.png"].mime == "image/png"
+    assert rows["img2.gif"].mime == "image/gif"
+    assert rows["snd.wav"].mime == "audio/wav"
+    assert rows["readme.txt"].mime == "application/octet-stream"
+    # payload bytes identical to what was written
+    for name, rel in (
+        ("img1.png", "a/img1.png"),
+        ("snd.wav", "b/nested/snd.wav"),
+    ):
+        assert bytes(rows[name].content) == blobs[rel]
+        assert rows[name].length == len(blobs[rel])
+    # ingested bytes header-decode exactly like the originals
+    png = decode_png_header(bytes(rows["img1.png"].content))
+    assert (png["width"], png["height"]) == (17, 9)
+    gif = decode_gif_header(bytes(rows["img2.gif"].content))
+    assert (gif["width"], gif["height"]) == (5, 7)
+    decode_wav_header(bytes(rows["snd.wav"].content))
+    # glob prunes at listing time — only PNGs surface
+    only_png = read_media_files(spark, str(tmp_path), glob="*.png")
+    assert [
+        os.path.basename(r.path) for r in only_png.collect()
+    ] == ["img1.png"]
+    # size gate prunes before payload load
+    small = read_media_files(
+        spark, str(tmp_path), max_bytes=len(blobs["a/img2.gif"])
+    )
+    assert "img1.png" not in {
+        os.path.basename(r.path) for r in small.collect()
+    } or len(blobs["a/img1.png"]) <= len(blobs["a/img2.gif"])
