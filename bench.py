@@ -133,6 +133,8 @@ HEADLINE = [
     "part_name_fuzzy_pairs",
     "events_conversion_attribution",
     "text_quality_logreg_score",
+    "events_forecast_backtest",
+    "profile_equiheight_histogram",
 ]
 
 

@@ -1619,3 +1619,79 @@ def events_conversion_attribution(
         .cast("double")
         .alias("attributed_value"),
     )
+
+
+# ---- seasonal-naive forecast backtest --------------------------------
+
+FORECAST_LAG_DAYS = 7
+
+
+@query(
+    "events_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP)::DATE AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS rev
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT a.event_type, a.day, a.rev,
+             p.rev AS pred,
+             abs(a.rev - p.rev) AS abs_err
+      FROM daily a
+      JOIN daily p ON p.event_type = a.event_type
+                  AND p.day = a.day - INTERVAL {FORECAST_LAG_DAYS} DAY
+    )
+    SELECT event_type,
+           COUNT(*) AS n_days,
+           CAST(SUM(rev) AS DOUBLE) AS total_actual,
+           CAST(SUM(abs_err) AS DOUBLE) AS total_abs_err,
+           CAST(CAST(CAST(SUM(abs_err) AS DOUBLE)
+                     / CAST(SUM(rev) AS DOUBLE) AS DECIMAL(18,6))
+                AS DOUBLE) AS wmape
+    FROM scored
+    GROUP BY event_type
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's revenue per
+    event type as the value {FORECAST_LAG_DAYS} days earlier and score
+    the prediction with WMAPE (Σ|err| / Σactual) — the
+    evaluate-the-baseline step every forecasting pipeline runs before
+    anything fancier, expressed as a self-join so missing days
+    evaluate nothing rather than propagating nulls.
+
+    Exactness: daily revenues are DECIMAL(18,6) sums
+    (order-insensitive), absolute errors stay decimal, and the single
+    WMAPE division happens once in IEEE double then pins through
+    DECIMAL(18,6) — the house one-division rule.
+
+    Plan: one shuffle to the (type, day) aggregate (tiny at any scale:
+    |types|×|days| rows), then a self-join on the shifted day —
+    AQE broadcasts it. The fact table is scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("rev"))
+    pred = daily.select(
+        F.col("event_type").alias("p_type"),
+        F.date_add("day", FORECAST_LAG_DAYS).alias("p_day"),
+        F.col("rev").alias("pred"),
+    )
+    scored = daily.join(
+        pred,
+        (F.col("p_type") == F.col("event_type"))
+        & (F.col("p_day") == F.col("day")),
+    ).withColumn("abs_err", F.abs(F.col("rev") - F.col("pred")))
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("rev").cast("double").alias("total_actual"),
+        F.sum("abs_err").cast("double").alias("total_abs_err"),
+        (
+            F.sum("abs_err").cast("double")
+            / F.sum("rev").cast("double")
+        )
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("wmape"),
+    )

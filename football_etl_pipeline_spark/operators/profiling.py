@@ -1021,3 +1021,99 @@ def embedding_pca_power_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         trajectory, "iteration int, dim int, v_micro long"
     )
+
+
+# ---- equi-height histogram (CBO statistics) ---------------------------
+
+EQH_BUCKETS = 8
+EQH_RANGE_PARTS = 32
+
+
+@query(
+    "profile_equiheight_histogram",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT l_extendedprice AS price,
+             NTILE({EQH_BUCKETS}) OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS bucket
+      FROM lineitem
+    )
+    SELECT bucket,
+           COUNT(*) AS n_rows,
+           CAST(MIN(price) AS DOUBLE) AS lo,
+           CAST(MAX(price) AS DOUBLE) AS hi
+    FROM ranked
+    GROUP BY bucket
+    """,
+)
+def profile_equiheight_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equi-HEIGHT histogram over ``l_extendedprice`` — the statistic
+    a cost-based optimizer keeps per column (equal ROW counts per
+    bucket, so bucket boundaries ARE the octile cut points; the
+    equi-WIDTH twin is ``events_value_histogram``). Emits each
+    bucket's row count and [lo, hi] value bounds.
+
+    Scale design: NTILE over the raw fact table is the textbook
+    single-partition-window trap, so this runs the house
+    range-exchange + partition-offset pattern
+    (``tpch_more._ntile4_distributed``, generalized to K=8): range
+    partitions on the unique total order (price + key tiebreaks) are
+    globally contiguous, the global rank is the partition-local
+    row_number plus a literal prefix offset (P-row driver collect,
+    corpus-independent), and the NTILE bucket follows from the rank
+    via {EQH_BUCKETS - 1} literal cutoffs. Every window is
+    partitioned; one range exchange total."""
+    from .registry import persist_tracked
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    order_cols = [
+        F.col("price").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    ]
+    part = persist_tracked(
+        li.repartitionByRange(EQH_RANGE_PARTS, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    cnt = {
+        r["_pid"]: r["n"]
+        for r in part.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sizes = [cnt.get(p, 0) for p in range(EQH_RANGE_PARTS)]
+    offs, acc = [], 0
+    for s in sizes:
+        offs.append(acc)
+        acc += s
+    n = acc
+    base, rem = divmod(n, EQH_BUCKETS)
+    cuts, running = [], 0
+    for b in range(EQH_BUCKETS - 1):
+        running += base + (1 if b < rem else 0)
+        cuts.append(running)
+    wloc = Window.partitionBy("_pid").orderBy(*order_cols)
+    rank = F.array(*[F.lit(o) for o in offs])[
+        F.col("_pid")
+    ] + F.row_number().over(wloc)
+    bucket = F.lit(1)
+    for c in cuts:
+        bucket = bucket + (rank > c).cast("int")
+    return (
+        part.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("price").cast("double").alias("lo"),
+            F.max("price").cast("double").alias("hi"),
+        )
+    )
