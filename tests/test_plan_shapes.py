@@ -175,6 +175,35 @@ def test_cogroup_reconciliation_buckets_and_single_exchange_per_side(spark):
     assert final.count("Exchange") == 2
 
 
+def test_ivf_adc_broadcasts_codebooks_never_shuffles_corpus_joins(spark):
+    """IVF+PQ-ADC: every join must be broadcast (centroids, candidate
+    gate, LUT) — a sort-merge join here would shuffle the corpus-sized
+    code frame, defeating the 4-byte-per-vector read path."""
+    final = _final(_plan(spark, "similarity_ann_ivf_adc"))
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+    assert _windows_fed_by_single_partition(final) == []
+
+
+def test_attribution_frames_share_one_window_exec(spark):
+    """The three RANGE frames (first/last touch, touch count) use the
+    same partition/order/frame, so they must collapse into ONE
+    WindowExec after a single user_id exchange — three separate window
+    passes would triple the sort cost at 100 TB."""
+    final = _final(_plan(spark, "events_conversion_attribution"))
+    assert final.count("Window [") == 1
+    assert final.count("Exchange hashpartitioning") == 1
+    assert _windows_fed_by_single_partition(final) == []
+
+
+def test_equiheight_histogram_has_no_global_window(spark):
+    """NTILE over the raw fact table must ride the range-exchange +
+    partition-offset pattern — no Window fed by SinglePartition."""
+    final = _final(_plan(spark, "profile_equiheight_histogram"))
+    assert "Window" in final
+    assert _windows_fed_by_single_partition(final) == []
+
+
 def test_abc_classification_windows_are_partitioned(spark):
     """The Pareto cumulative sum must ride the range-exchange +
     partition-offset pattern: no Window fed by a SinglePartition
