@@ -135,6 +135,7 @@ HEADLINE = [
     "text_quality_logreg_score",
     "events_forecast_backtest",
     "profile_equiheight_histogram",
+    "profile_expectations_report",
 ]
 
 

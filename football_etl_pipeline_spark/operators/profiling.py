@@ -1117,3 +1117,117 @@ def profile_equiheight_histogram(
             F.max("price").cast("double").alias("hi"),
         )
     )
+
+
+# ---- data-contract expectations report --------------------------------
+
+
+@query(
+    "profile_expectations_report",
+    oracle="""
+    WITH li AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50
+                              OR l_quantity IS NULL) AS v_qty,
+             COUNT(*) FILTER (WHERE l_extendedprice <= 0
+                              OR l_extendedprice IS NULL) AS v_price,
+             COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS v_ship
+      FROM lineitem
+    ),
+    dup AS (
+      SELECT COALESCE(SUM(c - 1), 0) AS v, COUNT(*) AS n
+      FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+    ),
+    fk AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey)
+             ) AS v
+      FROM lineitem l
+    )
+    SELECT * FROM (
+      SELECT 'l_quantity_between_1_and_50' AS expectation,
+             n AS n_checked, v_qty AS n_violations, v_qty = 0 AS passed
+      FROM li
+      UNION ALL
+      SELECT 'l_extendedprice_positive', n, v_price, v_price = 0 FROM li
+      UNION ALL
+      SELECT 'l_shipdate_not_null', n, v_ship, v_ship = 0 FROM li
+      UNION ALL
+      SELECT 'o_orderkey_unique', n, v, v = 0 FROM dup
+      UNION ALL
+      SELECT 'l_orderkey_references_orders', n, v, v = 0 FROM fk
+    )
+    """,
+)
+def profile_expectations_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Declarative data-contract validation (the dbt-tests /
+    Great-Expectations report as a query): range, not-null,
+    key-uniqueness, and referential-integrity expectations evaluated
+    in bulk, one row per expectation with checked/violation counts
+    and a pass flag — the gate a lakehouse runs before publishing a
+    partition.
+
+    Plan shape per expectation class: the three row-level range/null
+    checks fold into ONE lineitem scan as conditional counts (adding
+    an expectation adds a column, not a pass); uniqueness is one
+    groupBy on the key; referential integrity is one LEFT ANTI join
+    counted (AQE broadcasts the key side while it fits). Total: two
+    fact scans + one dim scan regardless of how many row-level
+    expectations the contract carries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    row_checks = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(
+            F.col("l_quantity").isNull()
+            | (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 50)
+        ).alias("v_qty"),
+        F.count_if(
+            F.col("l_extendedprice").isNull()
+            | (F.col("l_extendedprice") <= 0)
+        ).alias("v_price"),
+        F.count_if(F.col("l_shipdate").isNull()).alias("v_ship"),
+    )
+    row_rows = row_checks.selectExpr(
+        "stack(3,"
+        " 'l_quantity_between_1_and_50', n, v_qty,"
+        " 'l_extendedprice_positive', n, v_price,"
+        " 'l_shipdate_not_null', n, v_ship"
+        ") AS (expectation, n_checked, n_violations)"
+    )
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.lit("o_orderkey_unique").alias("expectation"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias(
+                "n_violations"
+            ),
+        )
+    )
+    orphans = (
+        li.join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == orders.o_orderkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+        .crossJoin(li.agg(F.count(F.lit(1)).alias("n")))
+        .select(
+            F.lit("l_orderkey_references_orders").alias("expectation"),
+            F.col("n").alias("n_checked"),
+            F.col("v").alias("n_violations"),
+        )
+    )
+    return (
+        row_rows.unionByName(dup)
+        .unionByName(orphans)
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
