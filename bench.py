@@ -136,6 +136,7 @@ HEADLINE = [
     "events_forecast_backtest",
     "profile_equiheight_histogram",
     "profile_expectations_report",
+    "dedup_source_overlap_matrix",
 ]
 
 

@@ -1503,3 +1503,71 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "agreement_micro"
         ),
     )
+
+
+# ---- cross-source duplicate overlap matrix ---------------------------
+
+
+@query(
+    "dedup_source_overlap_matrix",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, md5({NORM_DUCK}) AS fp FROM documents
+    ),
+    per AS (
+      SELECT fp, source, COUNT(*) AS c FROM t GROUP BY fp, source
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.fp, a.c AS c_a, b.c AS c_b
+      FROM per a JOIN per b
+        ON a.fp = b.fp AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           COUNT(*) AS n_shared_contents,
+           SUM(c_a)::BIGINT AS n_docs_a,
+           SUM(c_b)::BIGINT AS n_docs_b
+    FROM pairs
+    GROUP BY source_a, source_b
+    """,
+)
+def dedup_source_overlap_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source duplication provenance: for every source pair, how
+    many distinct normalized contents they SHARE and how many docs on
+    each side carry them — the diagnostic that tells a curation team
+    which feeds mirror each other (and therefore which source to
+    de-prioritize) before any dedup policy is chosen.
+
+    Plan: one scan → (fp, source) count aggregate (uniform 128-bit
+    key + bounded source cardinality), then a self-join on fp — the
+    fan-out per fp is |sources carrying it|², bounded by the source
+    count squared, NEVER by doc count (the per-(fp, source) collapse
+    happens first). Output is at most |sources|² rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.expr(f"md5({NORM_SPARK})").alias("fp"))
+        .groupBy("fp", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = per.select(
+        F.col("source").alias("source_a"),
+        F.col("fp").alias("fp_a"),
+        F.col("c").alias("c_a"),
+    )
+    b = per.select(
+        F.col("source").alias("source_b"),
+        F.col("fp").alias("fp_b"),
+        F.col("c").alias("c_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("fp_a") == F.col("fp_b"))
+        & (F.col("source_a") < F.col("source_b")),
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared_contents"),
+        F.sum("c_a").alias("n_docs_a"),
+        F.sum("c_b").alias("n_docs_b"),
+    )
