@@ -173,6 +173,7 @@ def main() -> None:
         "dedup_pipeline_e2e",
         "dedup_method_agreement",
         "similarity_ann_recall_report",
+        "similarity_ann_ivf_adc",
     ]
     composed_rows = []
     for name in COMPOSED:
