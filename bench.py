@@ -137,6 +137,7 @@ HEADLINE = [
     "profile_equiheight_histogram",
     "profile_expectations_report",
     "dedup_source_overlap_matrix",
+    "versioned_orders_diff",
 ]
 
 

@@ -533,3 +533,48 @@ def compact_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = os.path.join(_run_scratch_dir("zorder", sf_dir), "zorder")
     zorder_cluster_table(spark, li, dst, "l_partkey", "l_suppkey", ZORDER_FILES)
     return spark.read.parquet(dst).select(*_ZORDER_COLS)
+
+
+# ---- versioned-table time travel (manifest format, oracled) -----------
+
+
+@query(
+    "versioned_orders_diff",
+    oracle=f"""
+    SELECT 'insert' AS change,
+           o_orderkey + {_INSERT_OFFSET} AS o_orderkey
+    FROM orders WHERE {_INSERT_SRC_W}
+    """,
+)
+def versioned_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest table format driven end-to-end AS a query: commit
+    ``orders`` as version 1 of a versioned table
+    (``sources/versioned_table.py``), commit the merge-upserted state
+    as version 2 (overwrite — old files stay for time travel), then
+    emit the key-level change feed BETWEEN the two committed
+    snapshots. The oracle knows the answer independently: the upsert
+    only ever inserts the offset keys (corrections change values, not
+    keys), so the diff must be exactly those inserts — which makes the
+    whole commit/read/time-travel protocol oracle-gated, not just
+    unit-tested (``tests/test_versioned_table.py`` covers isolation,
+    conflicts, and vacuum).
+
+    Scale: both commits are straight parquet writes (no history
+    rewrite — version 2 references new files only because it IS an
+    overwrite; an append would carry v1's by reference), and the diff
+    is one full-outer join on the key."""
+    from ..sources.versioned_table import commit_version, snapshot_diff
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    merged = merge_upsert(base, _updates_batch(spark, sf_dir), "o_orderkey")
+    root = _run_scratch_dir("versioned", sf_dir)
+    commit_version(base, root, "append")
+    commit_version(merged, root, "overwrite")
+    return snapshot_diff(spark, root, 1, 2, "o_orderkey")

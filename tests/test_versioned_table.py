@@ -1,0 +1,109 @@
+"""Versioned-table format: snapshot isolation, time travel, optimistic
+concurrency, crash-orphan vacuum — each guarantee pinned by a test
+that breaks if the commit protocol regresses."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from football_etl_pipeline_spark.sources.versioned_table import (
+    VersionConflict,
+    commit_version,
+    read_version,
+    snapshot_diff,
+    vacuum,
+    versions,
+)
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i, f"row{i}") for i in ids], "id long, v string")
+
+
+def test_append_and_overwrite_versions_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = commit_version(_df(spark, [1, 2]), root, "append")
+    v2 = commit_version(_df(spark, [3]), root, "append")
+    v3 = commit_version(_df(spark, [9]), root, "overwrite")
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert versions(root) == [1, 2, 3]
+    # time travel: every committed version stays readable as it was
+    assert {r.id for r in read_version(spark, root, 1).collect()} == {1, 2}
+    assert {r.id for r in read_version(spark, root, 2).collect()} == {1, 2, 3}
+    assert {r.id for r in read_version(spark, root).collect()} == {9}
+
+
+def test_optimistic_concurrency_conflict(spark, tmp_path):
+    root = str(tmp_path / "t")
+    commit_version(_df(spark, [1]), root, "append")
+    # writer A and writer B both read version 1; A commits first
+    commit_version(_df(spark, [2]), root, "append", expected_base=1)
+    with pytest.raises(VersionConflict):
+        commit_version(_df(spark, [3]), root, "append", expected_base=1)
+    # B retries from the new base and succeeds
+    v = commit_version(_df(spark, [3]), root, "append", expected_base=2)
+    assert v == 3
+    assert {r.id for r in read_version(spark, root).collect()} == {1, 2, 3}
+
+
+def test_staged_files_invisible_until_manifest(spark, tmp_path):
+    """A crashed commit (data staged, manifest never created) must not
+    change what readers see, and vacuum must reap the orphans."""
+    root = str(tmp_path / "t")
+    commit_version(_df(spark, [1]), root, "append")
+    # simulate the crash: stage data exactly like commit_version does,
+    # then "die" before the manifest create
+    orphan_dir = os.path.join(root, "data", "deadbeefcafe")
+    _df(spark, [99]).write.parquet(orphan_dir)
+    assert {r.id for r in read_version(spark, root).collect()} == {1}
+    deleted = vacuum(root, keep=1)
+    assert any("deadbeefcafe" in d for d in deleted)
+    assert {r.id for r in read_version(spark, root).collect()} == {1}
+
+
+def test_vacuum_keeps_time_travel_window(spark, tmp_path):
+    root = str(tmp_path / "t")
+    commit_version(_df(spark, [1]), root, "append")
+    commit_version(_df(spark, [2]), root, "append")
+    commit_version(_df(spark, [7]), root, "overwrite")
+    vacuum(root, keep=2)
+    assert versions(root) == [2, 3]
+    # kept versions still read exactly as committed
+    assert {r.id for r in read_version(spark, root, 2).collect()} == {1, 2}
+    assert {r.id for r in read_version(spark, root, 3).collect()} == {7}
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, root, 1)
+    # the overwrite-displaced files of v1/v2 are gone from disk only
+    # if no kept manifest references them (v2 still carries v1's file)
+    assert {r.id for r in read_version(spark, root).collect()} == {7}
+
+
+def test_snapshot_diff_between_versions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    commit_version(_df(spark, [1, 2, 3]), root, "append")
+    commit_version(_df(spark, [2, 3, 4]), root, "overwrite")
+    d = {
+        (r.change, r.id)
+        for r in snapshot_diff(spark, root, 1, 2, "id").collect()
+    }
+    assert d == {("delete", 1), ("insert", 4)}
+
+
+def test_append_reuses_prior_files_no_rewrite(spark, tmp_path):
+    """Append commits must carry the previous manifest's files by
+    reference — rewriting history on append is the anti-pattern the
+    format exists to avoid (the reference's WRITE_TRUNCATE)."""
+    import json
+
+    root = str(tmp_path / "t")
+    commit_version(_df(spark, [1]), root, "append")
+    commit_version(_df(spark, [2]), root, "append")
+    m1 = json.load(open(os.path.join(root, "_manifests", "v000001.json")))
+    m2 = json.load(open(os.path.join(root, "_manifests", "v000002.json")))
+    assert set(m1["files"]) < set(m2["files"])
+    for f in m1["files"]:
+        assert os.path.exists(os.path.join(root, f))
