@@ -74,6 +74,7 @@ def commit_version(
     root: str,
     mode: str = "append",
     expected_base: int | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Stage ``df`` as new immutable data files, then atomically
     publish the next version. ``mode``: ``append`` keeps the previous
@@ -112,6 +113,7 @@ def commit_version(
         "commit_id": commit_id,
         "files": carried + new_files,
         "schema": df.schema.json(),
+        "meta": meta or {},
     }
     # 2. publish: O_EXCL create IS the commit point — losing a race
     #    raises here, and the staged files stay orphaned (vacuumable),
@@ -126,6 +128,20 @@ def commit_version(
     with os.fdopen(fd, "w") as fh:
         json.dump(manifest, fh)
     return base + 1
+
+
+def last_committed_meta(root: str, key: str) -> int | None:
+    """Max integer ``meta[key]`` across committed manifests — the
+    replay-idempotence watermark a streaming sink checks before
+    committing a re-delivered micro-batch (the manifest records the
+    batch WITH the data it published, so the guard can't desync from
+    the table the way a sidecar marker could)."""
+    best: int | None = None
+    for v in versions(root):
+        m = _read_manifest(root, v).get("meta", {})
+        if key in m:
+            best = m[key] if best is None else max(best, m[key])
+    return best
 
 
 def read_version(

@@ -1,0 +1,94 @@
+"""Versioned-table streaming sink: one version per micro-batch,
+replay-idempotent via the in-manifest batch-id guard, crash orphans
+invisible — the stream≡batch house pattern plus the format's own
+guarantees."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from football_etl_pipeline_spark.sources.versioned_table import (
+    read_version,
+    vacuum,
+    versions,
+)
+from football_etl_pipeline_spark.streaming.versioned_sink import (
+    append_stream_versioned,
+    commit_batch,
+)
+
+SCHEMA = "event_id long, user_id long, value double"
+FIRST = [{"event_id": 1, "user_id": 10, "value": 1.0},
+         {"event_id": 2, "user_id": 11, "value": 2.0}]
+SECOND = [{"event_id": 3, "user_id": 10, "value": 3.0}]
+
+
+def _write(src, rows, fname):
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, fname), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _drain(spark, src, root, ck):
+    stream = (
+        spark.readStream.format("json")
+        .schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = append_stream_versioned(stream, root, ck)
+    q.awaitTermination(300)
+
+
+def test_one_version_per_batch_and_content(spark, tmp_path):
+    src, root, ck = (str(tmp_path / d) for d in ("src", "tbl", "ck"))
+    _write(src, FIRST, "a.jsonl")
+    _write(src, SECOND, "b.jsonl")
+    _drain(spark, src, root, ck)
+    assert len(versions(root)) == 2  # one commit per micro-batch
+    got = {r.event_id for r in read_version(spark, root).collect()}
+    assert got == {1, 2, 3}
+    # time travel: the first version holds exactly the first batch's file
+    v1 = {r.event_id for r in read_version(spark, root, 1).collect()}
+    assert v1 in ({1, 2}, {3})  # file order is listing-dependent
+
+
+def test_replay_with_rebuilt_checkpoint_is_idempotent(spark, tmp_path):
+    """Losing the checkpoint replays every file as batches 0..n again;
+    the in-manifest batch-id guard must skip them all — the table
+    neither duplicates rows nor grows versions."""
+    src, root, ck = (str(tmp_path / d) for d in ("src", "tbl", "ck"))
+    _write(src, FIRST, "a.jsonl")
+    _write(src, SECOND, "b.jsonl")
+    _drain(spark, src, root, ck)
+    before = versions(root)
+    _drain(spark, src, root, str(tmp_path / "ck2"))  # rebuilt checkpoint
+    assert versions(root) == before
+    got = sorted(r.event_id for r in read_version(spark, root).collect())
+    assert got == [1, 2, 3]
+
+
+def test_direct_replay_guard(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 10, 1.0)], SCHEMA)
+    assert commit_batch(df, 0, root) is True
+    assert commit_batch(df, 0, root) is False  # same batch re-delivered
+    assert commit_batch(df, 1, root) is True
+    assert len(versions(root)) == 2
+
+
+def test_crash_orphans_stay_invisible_and_vacuum(spark, tmp_path):
+    """A crash between staging and manifest-create leaves orphan
+    parquet that no reader sees; a later vacuum reaps it while the
+    committed versions read back unchanged."""
+    src, root, ck = (str(tmp_path / d) for d in ("src", "tbl", "ck"))
+    _write(src, FIRST, "a.jsonl")
+    _drain(spark, src, root, ck)
+    orphan = os.path.join(root, "data", "deadcrash0000")
+    spark.createDataFrame([(99, 99, 9.9)], SCHEMA).write.parquet(orphan)
+    assert {r.event_id for r in read_version(spark, root).collect()} == {1, 2}
+    deleted = vacuum(root, keep=len(versions(root)))
+    assert any("deadcrash0000" in d for d in deleted)
+    assert {r.event_id for r in read_version(spark, root).collect()} == {1, 2}
