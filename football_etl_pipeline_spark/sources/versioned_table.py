@@ -104,8 +104,13 @@ def commit_version(
         if f.endswith(".parquet")
     )
     carried: list[str] = []
+    prior_stats: dict = {}
     if mode == "append" and vs:
-        carried = _read_manifest(root, base)["files"]
+        pm = _read_manifest(root, base)
+        carried = pm["files"]
+        prior_stats = pm.get("stats", {})
+    stats = dict(prior_stats)
+    stats.update(_file_stats(root, new_files))
     manifest = {
         "version": base + 1,
         "base": base,
@@ -114,6 +119,7 @@ def commit_version(
         "files": carried + new_files,
         "schema": df.schema.json(),
         "meta": meta or {},
+        "stats": stats,
     }
     # 2. publish: O_EXCL create IS the commit point — losing a race
     #    raises here, and the staged files stay orphaned (vacuumable),
@@ -128,6 +134,105 @@ def commit_version(
     with os.fdopen(fd, "w") as fh:
         json.dump(manifest, fh)
     return base + 1
+
+
+def _file_stats(root: str, rel_files: list[str]) -> dict:
+    """Per-file footer statistics (row count + min/max per leaf
+    column), read from parquet metadata with pyarrow — no Spark job.
+    These are what make copy-on-write deletes and future scan-pruning
+    cheap: the manifest answers \"which files can contain key K\"
+    without opening data pages (Iceberg/Delta keep exactly this)."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for rel in rel_files:
+        md = pq.ParquetFile(os.path.join(root, rel)).metadata
+        cols: dict = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = c.path_in_schema
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes) or isinstance(mx, bytes):
+                    continue  # physical byte stats don't compare portably
+                if hasattr(mn, "isoformat"):
+                    mn, mx = mn.isoformat(), mx.isoformat()
+                if name in cols:
+                    cols[name] = [min(cols[name][0], mn), max(cols[name][1], mx)]
+                else:
+                    cols[name] = [mn, mx]
+        out[rel] = {"rows": md.num_rows, "minmax": cols}
+    return out
+
+
+def delete_where(
+    spark: SparkSession, root: str, col: str, lo, hi
+) -> tuple[int, dict]:
+    """Copy-on-write row-level delete of ``col BETWEEN lo AND hi``:
+    files whose footer [min, max] range cannot contain the predicate
+    are CARRIED BY REFERENCE into the new version; only intersecting
+    files are read, filtered, and rewritten. Returns (new_version,
+    {"carried": [...], "rewritten": [...]}). Time travel keeps the
+    pre-delete version readable until ``vacuum``.
+
+    This is the Delta/Iceberg delete path in miniature: the manifest's
+    per-file stats bound the rewrite set, so deleting one day from a
+    date-clustered 100 TB table rewrites one day's files, not the
+    table."""
+    from pyspark.sql import functions as F
+
+    vs = versions(root)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    base = vs[-1]
+    m = _read_manifest(root, base)
+    stats = m.get("stats", {})
+    carried, touched = [], []
+    for rel in m["files"]:
+        mm = stats.get(rel, {}).get("minmax", {}).get(col)
+        if mm is not None and (mm[1] < lo or mm[0] > hi):
+            carried.append(rel)
+        else:
+            touched.append(rel)
+    survivors_files: list[str] = []
+    commit_id = uuid.uuid4().hex[:12]
+    if touched:
+        surv = spark.read.parquet(
+            *[os.path.join(root, f) for f in touched]
+        ).filter(~F.col(col).between(lo, hi))
+        data_dir = os.path.join(root, _DATA_DIR, commit_id)
+        surv.write.mode("error").parquet(data_dir)
+        survivors_files = sorted(
+            os.path.join(_DATA_DIR, commit_id, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+    new_stats = {rel: stats[rel] for rel in carried if rel in stats}
+    new_stats.update(_file_stats(root, survivors_files))
+    manifest = {
+        "version": base + 1,
+        "base": base,
+        "mode": "delete",
+        "commit_id": commit_id,
+        "files": carried + survivors_files,
+        "schema": m.get("schema"),
+        "meta": {"delete": {"col": col, "lo": str(lo), "hi": str(hi)}},
+        "stats": new_stats,
+    }
+    target = _manifest_path(root, base + 1)
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        raise VersionConflict(
+            f"version {base + 1} was committed concurrently"
+        ) from e
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    return base + 1, {"carried": carried, "rewritten": touched}
 
 
 def last_committed_meta(root: str, key: str) -> int | None:

@@ -107,3 +107,53 @@ def test_append_reuses_prior_files_no_rewrite(spark, tmp_path):
     assert set(m1["files"]) < set(m2["files"])
     for f in m1["files"]:
         assert os.path.exists(os.path.join(root, f))
+
+
+def test_delete_where_skips_disjoint_files(spark, tmp_path):
+    """Copy-on-write delete: footer stats must bound the rewrite set —
+    a file whose [min, max] can't contain the predicate is carried BY
+    REFERENCE (same path), never rewritten; rows in the touched range
+    disappear; the pre-delete version stays time-travel-readable."""
+    from football_etl_pipeline_spark.sources.versioned_table import (
+        delete_where,
+    )
+
+    root = str(tmp_path / "t")
+    # two separate commits -> two disjoint key-range file sets
+    commit_version(_df(spark, [1, 2, 3]).coalesce(1), root, "append")
+    commit_version(_df(spark, [100, 101]).coalesce(1), root, "append")
+    v, moved = delete_where(spark, root, "id", 100, 100)
+    assert v == 3
+    # the low-range file is untouched; the high-range file is rewritten
+    assert len(moved["carried"]) == 1
+    assert len(moved["rewritten"]) == 1
+    import json as _json
+    import os as _os
+
+    m2 = _json.load(
+        open(_os.path.join(root, "_manifests", "v000002.json"))
+    )
+    assert moved["carried"][0] in m2["files"]  # carried = same path
+    assert {r.id for r in read_version(spark, root).collect()} == {
+        1, 2, 3, 101,
+    }
+    # time travel to the pre-delete version still shows the row
+    assert 100 in {r.id for r in read_version(spark, root, 2).collect()}
+
+
+def test_delete_where_stats_survive_for_next_delete(spark, tmp_path):
+    """Stats carry through delete commits so a SECOND delete can still
+    skip disjoint files (stats lost = everything rewritten forever)."""
+    from football_etl_pipeline_spark.sources.versioned_table import (
+        delete_where,
+    )
+
+    root = str(tmp_path / "t")
+    commit_version(_df(spark, [1, 2]).coalesce(1), root, "append")
+    commit_version(_df(spark, [50, 51]).coalesce(1), root, "append")
+    commit_version(_df(spark, [900]).coalesce(1), root, "append")
+    delete_where(spark, root, "id", 50, 50)
+    _, moved = delete_where(spark, root, "id", 900, 999)
+    # files for [1,2] and the rewritten [51] survivor are both skipped
+    assert len(moved["rewritten"]) == 1
+    assert {r.id for r in read_version(spark, root).collect()} == {1, 2, 51}
