@@ -250,12 +250,22 @@ def last_committed_meta(root: str, key: str) -> int | None:
 
 
 def read_version(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    prune: tuple | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: latest). Resolving the
     manifest FIRST and reading exactly its files is what makes every
     read a consistent snapshot — a concurrent commit changes which
-    manifest is latest, never the contents of a resolved one."""
+    manifest is latest, never the contents of a resolved one.
+
+    ``prune=(col, lo, hi)`` applies MANIFEST-level data skipping: files
+    whose footer [min, max] for ``col`` cannot intersect [lo, hi] are
+    dropped from the listing before Spark ever opens them (the same
+    stats ``delete_where`` uses to bound rewrites — Iceberg/Delta's
+    scan-planning step), and the residual row filter is applied on
+    top so the result is exact even for files without stats."""
     vs = versions(root)
     if not vs:
         raise FileNotFoundError(f"no committed versions under {root}")
@@ -263,8 +273,30 @@ def read_version(
     if v not in vs:
         raise FileNotFoundError(f"version {v} not in {vs}")
     m = _read_manifest(root, v)
-    paths = [os.path.join(root, f) for f in m["files"]]
-    return spark.read.parquet(*paths)
+    files = m["files"]
+    if prune is not None:
+        col, lo, hi = prune
+        stats = m.get("stats", {})
+        kept = []
+        for rel in files:
+            mm = stats.get(rel, {}).get("minmax", {}).get(col)
+            if mm is not None and (mm[1] < lo or mm[0] > hi):
+                continue
+            kept.append(rel)
+        files = kept
+        if not files:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(__import__("json").loads(m["schema"]))
+            return spark.createDataFrame([], schema)
+    paths = [os.path.join(root, f) for f in files]
+    df = spark.read.parquet(*paths)
+    if prune is not None:
+        from pyspark.sql import functions as F
+
+        col, lo, hi = prune
+        df = df.filter(F.col(col).between(lo, hi))
+    return df
 
 
 def snapshot_diff(

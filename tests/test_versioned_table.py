@@ -157,3 +157,19 @@ def test_delete_where_stats_survive_for_next_delete(spark, tmp_path):
     # files for [1,2] and the rewritten [51] survivor are both skipped
     assert len(moved["rewritten"]) == 1
     assert {r.id for r in read_version(spark, root).collect()} == {1, 2, 51}
+
+
+def test_read_version_prune_skips_files_at_listing(spark, tmp_path):
+    """Manifest-stat scan pruning: a pruned read must not even LIST
+    files whose footer range can't match — checked via inputFiles() —
+    and must still return exactly the matching rows."""
+    root = str(tmp_path / "t")
+    commit_version(_df(spark, [1, 2, 3]).coalesce(1), root, "append")
+    commit_version(_df(spark, [100, 101]).coalesce(1), root, "append")
+    df = read_version(spark, root, prune=("id", 100, 200))
+    assert {r.id for r in df.collect()} == {100, 101}
+    assert len(df.inputFiles()) == 1  # the low-range file never opened
+    # empty prune range -> empty frame with the committed schema
+    empty = read_version(spark, root, prune=("id", 5000, 6000))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "v"]
