@@ -138,6 +138,7 @@ HEADLINE = [
     "profile_expectations_report",
     "dedup_source_overlap_matrix",
     "versioned_orders_diff",
+    "events_training_features_pit",
 ]
 
 

@@ -1695,3 +1695,82 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("wmape"),
     )
+
+
+# ---- point-in-time training features (leakage-free) -------------------
+
+
+@query(
+    "events_training_features_pit",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             event_type, value,
+             COUNT(*) OVER w AS n_prior,
+             SUM(CAST(value AS DECIMAL(18,6))) OVER w AS val_prior,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS label_id, user_id, ts AS label_ts,
+           n_prior,
+           CAST(COALESCE(val_prior, 0) AS DOUBLE) AS f_value_prior,
+           COALESCE(prev_type, 'none') AS f_last_type,
+           CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS label_value
+    FROM ordered WHERE event_type = 'purchase'
+    """,
+)
+def events_training_features_pit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-time-correct training-set generation: every purchase
+    becomes a labeled example whose features are computed STRICTLY
+    BEFORE the label timestamp — prior event count, prior exact-
+    decimal value sum, and the immediately preceding event type. This
+    is the feature-store primitive that prevents label leakage (a
+    feature computed over a frame that includes the label row trains
+    a model on the answer); the ROWS ... AND 1 PRECEDING frame IS the
+    leakage guard, and the (ts, event_id) tiebreak makes it
+    deterministic even for same-instant events.
+
+    Plan: one shuffle on user_id; all three features and the lag ride
+    the same sort (two window specs, one partition key, one
+    WindowExec pair); the purchase filter applies after — no
+    self-join, no range join, the per-user history is the only state.
+    At 100 TB this is the union-and-window as-of pattern that replaces
+    a quadratic point-in-time range join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ann = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).alias(
+            "val_prior"
+        ),
+        F.lag("event_type").over(wl).alias("prev_type"),
+    )
+    return ann.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_id"),
+        "user_id",
+        F.col("ts").alias("label_ts"),
+        "n_prior",
+        F.coalesce(F.col("val_prior"), F.lit(0).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("f_value_prior"),
+        F.coalesce(F.col("prev_type"), F.lit("none")).alias("f_last_type"),
+        F.col("value").cast("decimal(18,6)").cast("double").alias(
+            "label_value"
+        ),
+    )
