@@ -1146,7 +1146,9 @@ def profile_equiheight_histogram(
              ) AS v
       FROM lineitem l
     )
-    SELECT * FROM (
+    SELECT expectation, n_checked::BIGINT AS n_checked,
+           n_violations::BIGINT AS n_violations, passed
+    FROM (
       SELECT 'l_quantity_between_1_and_50' AS expectation,
              n AS n_checked, v_qty AS n_violations, v_qty = 0 AS passed
       FROM li
