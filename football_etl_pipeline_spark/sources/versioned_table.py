@@ -141,7 +141,12 @@ def _file_stats(root: str, rel_files: list[str]) -> dict:
     column), read from parquet metadata with pyarrow — no Spark job.
     These are what make copy-on-write deletes and future scan-pruning
     cheap: the manifest answers \"which files can contain key K\"
-    without opening data pages (Iceberg/Delta keep exactly this)."""
+    without opening data pages (Iceberg/Delta keep exactly this).
+
+    String caveat: parquet writers may truncate long string min/max
+    stats and this reader does not consult the writer's exactness
+    flags, so prune/delete keys should be numeric/date/short-string
+    columns (binary physical stats are skipped outright)."""
     import pyarrow.parquet as pq
 
     out: dict = {}
