@@ -58,3 +58,30 @@ def test_python_tokenizers_match_oracle_on_hostile_whitespace(
 ):
     sdf = QUERIES[name](spark, hostile_sf_dir)
     assert_matches_oracle(sdf, hostile_duck, ORACLES[name], name)
+
+
+def test_udtf_arrow_path_matches_row_path(spark, hostile_sf_dir):
+    """Spark 4's Arrow-optimized Python UDTF execution
+    (spark.sql.execution.pythonUDTF.arrow.enabled) must produce the
+    SAME rows as the default pickled-row path — same hostile corpus,
+    config flipped, multiset-equal output. Pins that the chunker's
+    semantics don't depend on the serialization lane."""
+    from football_etl_pipeline_spark.operators import QUERIES
+
+    key = "spark.sql.execution.pythonUDTF.arrow.enabled"
+    old = spark.conf.get(key, "false")
+    base = {
+        tuple(r) for r in QUERIES["udtf_chunk_documents"](
+            spark, hostile_sf_dir
+        ).collect()
+    }
+    try:
+        spark.conf.set(key, "true")
+        arrow = {
+            tuple(r) for r in QUERIES["udtf_chunk_documents"](
+                spark, hostile_sf_dir
+            ).collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+    assert arrow == base
