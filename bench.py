@@ -139,6 +139,7 @@ HEADLINE = [
     "dedup_source_overlap_matrix",
     "versioned_orders_diff",
     "events_training_features_pit",
+    "part_entity_resolution",
 ]
 
 

@@ -22,10 +22,10 @@ FUZZY_MAX_LEV = 3     # verify: edit distance bound for a link
 FUZZY_DF_CAP = 4096   # blocking guard: drop tokens hotter than this
 
 
-@query(
-    "part_name_fuzzy_pairs",
-    oracle=f"""
-    WITH ents AS (SELECT DISTINCT p_name FROM part),
+# DuckDB fragment shared by the pair query and the entity-resolution
+# composition: blocked candidates + Levenshtein verify.
+_FUZZY_CTES = f"""
+    ents AS (SELECT DISTINCT p_name FROM part),
     toks AS (
       SELECT p_name, unnest(string_split(p_name, ' ')) AS tok FROM ents
     ),
@@ -36,30 +36,26 @@ FUZZY_DF_CAP = 4096   # blocking guard: drop tokens hotter than this
     cand AS (
       SELECT DISTINCT a.p_name AS a_name, b.p_name AS b_name
       FROM tf a JOIN tf b ON a.tok = b.tok AND a.p_name < b.p_name
+    ),
+    fuzzy AS (
+      SELECT a_name, b_name,
+             CAST(levenshtein(a_name, b_name) AS INT) AS lev
+      FROM cand
+      WHERE levenshtein(a_name, b_name) <= {FUZZY_MAX_LEV}
     )
-    SELECT a_name, b_name,
-           CAST(levenshtein(a_name, b_name) AS INT) AS lev
-    FROM cand
-    WHERE levenshtein(a_name, b_name) <= {FUZZY_MAX_LEV}
+"""
+
+
+@query(
+    "part_name_fuzzy_pairs",
+    oracle=f"""
+    WITH {_FUZZY_CTES}
+    SELECT a_name, b_name, lev FROM fuzzy
     """,
 )
-def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Record linkage via blocked fuzzy matching: candidate pairs from
-    a shared-token BLOCK join, verified by exact Levenshtein distance
-    (≤ {FUZZY_MAX_LEV}) — the blocking+verify shape every
-    entity-resolution system uses, because edit distance over the full
-    cross product is O(n²·len²) and the block join prunes it to
-    near-linear.
-
-    Scale design: (1) linkage runs over the DISTINCT-entity frame, so
-    cost scales with entity diversity, not row count; (2) blocking
-    tokens hotter than FUZZY_DF_CAP are dropped before the self-join
-    (the stop-token guard — the same DF_CAP idea as the shingle rungs
-    in dedup.py), bounding any block's pair fan-out at CAP²; (3) the
-    pair set is DISTINCT-ed before the O(len²) Levenshtein verify so
-    a pair sharing k tokens is verified once, not k times. Both
-    engines implement classic unit-cost edit distance, so the verify
-    agrees exactly."""
+def _fuzzy_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified fuzzy name pairs (a_name, b_name, lev) — the shared
+    Spark-side candidate builder behind both linkage queries."""
     ents = load_table(spark, sf_dir, "part").select("p_name").distinct()
     toks = ents.select(
         "p_name", F.explode(F.split("p_name", " ")).alias("tok")
@@ -84,4 +80,98 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lev = F.levenshtein("a_name", "b_name")
     return cand.filter(lev <= FUZZY_MAX_LEV).select(
         "a_name", "b_name", lev.cast("int").alias("lev")
+    )
+
+
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage via blocked fuzzy matching: candidate pairs from
+    a shared-token BLOCK join, verified by exact Levenshtein distance
+    (≤ {FUZZY_MAX_LEV}) — the blocking+verify shape every
+    entity-resolution system uses, because edit distance over the full
+    cross product is O(n²·len²) and the block join prunes it to
+    near-linear.
+
+    Scale design: (1) linkage runs over the DISTINCT-entity frame, so
+    cost scales with entity diversity, not row count; (2) blocking
+    tokens hotter than FUZZY_DF_CAP are dropped before the self-join
+    (the stop-token guard — the same DF_CAP idea as the shingle rungs
+    in dedup.py), bounding any block's pair fan-out at CAP²; (3) the
+    pair set is DISTINCT-ed before the O(len²) Levenshtein verify so
+    a pair sharing k tokens is verified once, not k times. Both
+    engines implement classic unit-cost edit distance, so the verify
+    agrees exactly."""
+    return _fuzzy_pairs_frame(spark, sf_dir)
+
+
+# ---- entity resolution (composed: block -> verify -> cluster) ---------
+
+
+@query(
+    "part_entity_resolution",
+    oracle=f"""
+    WITH RECURSIVE {_FUZZY_CTES},
+    edges AS (
+      SELECT a_name AS u, b_name AS v FROM fuzzy
+      UNION SELECT b_name, a_name FROM fuzzy
+    ),
+    reach AS (
+      SELECT u AS node, u AS label FROM edges
+      UNION
+      SELECT e.u AS node, r.label
+      FROM edges e JOIN reach r ON r.node = e.v
+    ),
+    comp AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+    lab AS (
+      SELECT e.p_name, COALESCE(c.label, e.p_name) AS canonical
+      FROM ents e LEFT JOIN comp c ON c.node = e.p_name
+    ),
+    names AS (
+      SELECT canonical, COUNT(*) AS n_names FROM lab GROUP BY canonical
+    ),
+    parts AS (
+      SELECT l.canonical, COUNT(*) AS n_parts
+      FROM part p JOIN lab l ON l.p_name = p.p_name
+      GROUP BY l.canonical
+    )
+    SELECT n.canonical AS canonical_name, n.n_names, p.n_parts
+    FROM names n JOIN parts p ON p.canonical = n.canonical
+    """,
+)
+def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED entity-resolution pipeline: blocked fuzzy pairs →
+    connected components over the match graph → one canonical entity
+    per cluster (min name) with its alias count and the number of
+    part rows it absorbs — block/verify/cluster/canonicalize, the
+    full ER recipe (the string-entity sibling of the document ladder's
+    ``dedup_pipeline_e2e``), reusing the verified fuzzy-pair rung and
+    the house min-label component iteration
+    (``graph.connected_components`` — converged fixpoint or raise,
+    O(diameter) rounds, one shuffle per round).
+
+    Singleton entities (no fuzzy match) keep themselves as canonical
+    via the left join — every distinct name appears in exactly one
+    cluster, so ``sum(n_parts) == |part|`` (a conservation law the
+    oracle enforces implicitly)."""
+    from .graph import connected_components
+
+    pairs = _fuzzy_pairs_frame(spark, sf_dir)
+    comp = connected_components(pairs, "a_name", "b_name").select(
+        F.col("node"), F.col("label").alias("canonical")
+    )
+    ents = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    lab = ents.join(comp, ents.p_name == comp.node, "left").select(
+        "p_name", F.coalesce("canonical", "p_name").alias("canonical")
+    )
+    names = lab.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("n_names")
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .join(lab, "p_name")
+        .groupBy("canonical")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    return names.join(parts, "canonical").select(
+        F.col("canonical").alias("canonical_name"), "n_names", "n_parts"
     )
