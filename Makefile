@@ -4,9 +4,9 @@
 SF_SMALL := /root/testdata/sf0.001
 SF_MED   := /root/testdata/sf0.01
 SF_BIG   := /root/testdata/sf0.1
-ROUND    ?= 6
+ROUND    ?= 8
 
-.PHONY: test canary gate verify verify-big bench bench-smoke entry plans
+.PHONY: test canary gate verify verify-big bench bench-smoke entry plans round-close
 
 test:        ## full pytest suite
 	python -m pytest tests/ -q
@@ -34,4 +34,15 @@ entry:       ## driver t1 smoke: entry() runs and returns rows
 	import __spark_entry__ as e; print('rows:', e.entry(get_spark('smoke')).count())"
 
 plans:       ## regenerate PLANS.md from the showcase set
+	python tools/dump_plans.py $(SF_MED)
+
+# END-OF-ROUND ritual: full pytest, then the closing gate (its count
+# must equal len(QUERIES) at snapshot time, both SFs), then a full
+# bench whose detail file is copied to the round-stamped name, then a
+# fresh PLANS.md.
+round-close: ## end-of-round: pytest + gate + bench + plans
+	python -m pytest tests/ -q
+	python tools/round_gate.py $(ROUND)
+	python bench.py
+	cp BENCH_DETAIL.json BENCH_DETAIL_r0$(ROUND).json
 	python tools/dump_plans.py $(SF_MED)
