@@ -140,6 +140,8 @@ HEADLINE = [
     "versioned_orders_diff",
     "events_training_features_pit",
     "part_entity_resolution",
+    "graph_label_propagation",
+    "orders_backlog_timeseries",
 ]
 
 

@@ -610,3 +610,88 @@ def graph_khop_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         if frontier.isEmpty():
             break
     return labels.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+# ---- label-propagation communities -----------------------------------
+
+LPA_ROUNDS = 3
+
+
+def _lpa_round_duck(prev: str, it: int) -> str:
+    return f"""
+    r{it} AS (
+      SELECT s.u AS node, l.label, COUNT(*) AS c
+      FROM sym s JOIN {prev} l ON l.node = s.v
+      GROUP BY s.u, l.label
+    ), l{it} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY node ORDER BY c DESC, label ASC
+               ) AS rn
+        FROM r{it}
+      ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_COACTIVITY_EDGES_DUCK
+    + """
+    , sym AS (
+      SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+    ), l0 AS (
+      SELECT DISTINCT u AS node, u AS label FROM sym
+    ), """
+    + ", ".join(_lpa_round_duck(f"l{i - 1}", i) for i in range(1, LPA_ROUNDS + 1)).replace(", \n    r", ", \n    r")
+    + f"""
+    SELECT node AS user_id, label AS community FROM l{LPA_ROUNDS}
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    co-activity graph: every node starts as its own label; each round
+    it adopts the MOST FREQUENT label among its neighbors (ties → the
+    smallest label, which makes classic LPA — normally run-to-run
+    nondeterministic — exactly reproducible and therefore oracle-able
+    via {LPA_ROUNDS} unrolled CTE rounds). The fourth graph-analytics
+    family next to components (connectivity), PageRank (centrality),
+    and triangles (cohesion).
+
+    Plan per round: one (node, label) count aggregate + one per-node
+    top-1 window — two bounded shuffles, no NxN anything; rounds are
+    a fixed constant (LPA converges in a few sweeps on social-shaped
+    graphs; a production run adds a convergence check exactly like
+    ``connected_components``' changed-count)."""
+    from .events import events_interval_overlap_join
+
+    pairs = events_interval_overlap_join(spark, sf_dir)
+    edges = pairs.select(
+        F.col("user_a").alias("u"), F.col("user_b").alias("v")
+    ).distinct()
+    sym = persist_tracked(
+        edges.union(edges.select(F.col("v"), F.col("u")))
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    from pyspark.sql import Window
+
+    wtop = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(LPA_ROUNDS):
+        counts = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy(sym.u, "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.col("u").alias("node"), "label", "c")
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(wtop))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.select(
+        F.col("node").alias("user_id"), F.col("label").alias("community")
+    )

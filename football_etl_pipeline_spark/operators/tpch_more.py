@@ -956,3 +956,84 @@ def lineitem_ols_price_quantity(
         .cast("double")
         .alias("mean_price"),
     )
+
+
+# ---- order backlog time series ---------------------------------------
+
+
+@query(
+    "orders_backlog_timeseries",
+    oracle="""
+    WITH closes AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS close_d
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    deltas AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, 1 AS opened, 0 AS closed
+      FROM orders
+      UNION ALL
+      SELECT CAST(c.close_d AS DATE), 0, 1
+      FROM orders o JOIN closes c ON c.l_orderkey = o.o_orderkey
+    ),
+    daily AS (
+      SELECT day,
+             SUM(opened)::BIGINT AS n_opened,
+             SUM(closed)::BIGINT AS n_closed
+      FROM deltas GROUP BY day
+    )
+    SELECT day, n_opened, n_closed,
+           (SUM(n_opened - n_closed) OVER (
+              ORDER BY day ROWS UNBOUNDED PRECEDING))::BIGINT AS backlog
+    FROM daily
+    """,
+)
+def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time: each order opens at its order
+    date and closes when its LAST line ships; the daily series is the
+    running sum of (opens − closes) — the +1/−1 event-delta pattern
+    that turns interval counting into one aggregate plus one
+    cumulative window (the ops-analytics workhorse: concurrent
+    sessions, active subscriptions, WIP inventory).
+
+    Scale: the deltas collapse to ONE row per active day before any
+    window runs, so the cumulative sum orders |days| rows (~2.5k for
+    TPC-H's 7-year span at ANY corpus size — bounded by the calendar,
+    not the data; the events.py single-partition-window precedent).
+    Orders with no lineitems simply never close — no null plumbing."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    closes = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("close_d")
+    )
+    opens = orders.select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    )
+    closed = (
+        orders.join(closes, orders.o_orderkey == closes.l_orderkey)
+        .select(
+            F.col("close_d").cast("date").alias("day"),
+            F.lit(0).alias("opened"),
+            F.lit(1).alias("closed"),
+        )
+    )
+    daily = (
+        opens.unionByName(closed)
+        .groupBy("day")
+        .agg(
+            F.sum("opened").alias("n_opened"),
+            F.sum("closed").alias("n_closed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).alias(
+            "backlog"
+        ),
+    )
