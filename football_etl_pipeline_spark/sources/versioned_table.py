@@ -289,11 +289,14 @@ def read_version(
                 continue
             kept.append(rel)
         files = kept
-        if not files:
-            from pyspark.sql.types import StructType
+    if not files:
+        # zero referenced files (a pruned-out read, or an overwrite
+        # commit of an empty frame whose writer emitted no parts):
+        # an empty frame with the committed schema, not a read error
+        from pyspark.sql.types import StructType
 
-            schema = StructType.fromJson(__import__("json").loads(m["schema"]))
-            return spark.createDataFrame([], schema)
+        schema = StructType.fromJson(__import__("json").loads(m["schema"]))
+        return spark.createDataFrame([], schema)
     paths = [os.path.join(root, f) for f in files]
     df = spark.read.parquet(*paths)
     if prune is not None:

@@ -173,3 +173,18 @@ def test_read_version_prune_skips_files_at_listing(spark, tmp_path):
     empty = read_version(spark, root, prune=("id", 5000, 6000))
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["id", "v"]
+
+
+def test_empty_overwrite_commit_reads_back_empty(spark, tmp_path):
+    """Overwriting with an empty frame (e.g. a delete-everything
+    compaction) must commit cleanly and read back as an empty frame
+    with the committed schema — not crash on a zero-file manifest."""
+    root = str(tmp_path / "t")
+    commit_version(_df(spark, [1, 2]), root, "append")
+    empty = _df(spark, []).filter("1=0")
+    commit_version(empty, root, "overwrite")
+    got = read_version(spark, root)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "v"]
+    # the earlier version still time-travels
+    assert {r.id for r in read_version(spark, root, 1).collect()} == {1, 2}
