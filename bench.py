@@ -142,6 +142,9 @@ HEADLINE = [
     "part_entity_resolution",
     "graph_label_propagation",
     "orders_backlog_timeseries",
+    "dedup_threshold_sweep",
+    "orders_chi2_priority_status",
+    "events_ab_test_lift",
 ]
 
 

@@ -1571,3 +1571,65 @@ def dedup_source_overlap_matrix(
         F.sum("c_a").alias("n_docs_a"),
         F.sum("c_b").alias("n_docs_b"),
     )
+
+
+# ---- Jaccard threshold sensitivity sweep -----------------------------
+
+SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _sweep_oracle() -> str:
+    from .registry import ORACLES
+
+    ths = ", ".join(str(t) for t in SWEEP_THRESHOLDS)
+    return f"""
+    WITH scored AS ({ORACLES["dedup_ngram_jaccard"]}),
+    th AS (SELECT unnest([{ths}]) AS threshold),
+    exp AS (
+      SELECT t.threshold, s.a_id, s.b_id
+      FROM scored s JOIN th t ON s.jaccard >= t.threshold
+    ),
+    np AS (
+      SELECT threshold, COUNT(*) AS n_pairs FROM exp GROUP BY threshold
+    ),
+    nd AS (
+      SELECT threshold, COUNT(DISTINCT doc) AS n_docs
+      FROM (
+        SELECT threshold, a_id AS doc FROM exp
+        UNION ALL SELECT threshold, b_id FROM exp
+      ) GROUP BY threshold
+    )
+    SELECT np.threshold, np.n_pairs, nd.n_docs
+    FROM np JOIN nd ON nd.threshold = np.threshold
+    """
+
+
+@query("dedup_threshold_sweep", oracle=_sweep_oracle())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard threshold sensitivity: for each candidate cut in
+    {SWEEP_THRESHOLDS}, how many near-dup pairs survive and how many
+    documents they touch — the diagnostic a curation team reads BEFORE
+    choosing a dedup threshold (too low deletes content, too high
+    keeps templates; the knee of this curve is the policy input).
+
+    Plan: the verified Jaccard rung runs ONCE; the five thresholds
+    arrive as a broadcast 5-row frame joined on ``jaccard >=
+    threshold``, so the sweep costs one scored-pair computation plus
+    two bounded aggregates — never five rung executions."""
+    pj = dedup_ngram_jaccard(spark, sf_dir)
+    th = spark.createDataFrame(
+        [(t,) for t in SWEEP_THRESHOLDS], "threshold double"
+    )
+    exp = persist_tracked(
+        pj.join(F.broadcast(th), F.col("jaccard") >= F.col("threshold"))
+    )
+    np_ = exp.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    nd = (
+        exp.select(
+            "threshold",
+            F.explode(F.array("a_id", "b_id")).alias("doc"),
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("doc").alias("n_docs"))
+    )
+    return np_.join(nd, "threshold")

@@ -1774,3 +1774,127 @@ def events_training_features_pit(
             "label_value"
         ),
     )
+
+
+# ---- hash-bucketed A/B experiment analysis ---------------------------
+
+
+def _ab_oracle() -> str:
+    from .textops import hash60_duck
+
+    grp = f"{hash60_duck('CAST(user_id AS VARCHAR)')} % 2"
+    return f"""
+    WITH per_user AS (
+      SELECT user_id, {grp} AS grp,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(value AS DECIMAL(18,6)) END),
+                      0) AS rev
+      FROM events GROUP BY user_id
+    ),
+    mo AS (
+      SELECT grp,
+             COUNT(*) AS n,
+             SUM(rev) AS sx,
+             SUM(CAST(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)
+                      AS DECIMAL(18,6))) AS sxx
+      FROM per_user GROUP BY grp
+    ),
+    w AS (
+      SELECT
+        (SELECT n FROM mo WHERE grp = 0) AS n_a,
+        (SELECT n FROM mo WHERE grp = 1) AS n_b,
+        (SELECT CAST(sx AS DOUBLE) FROM mo WHERE grp = 0) AS sx_a,
+        (SELECT CAST(sx AS DOUBLE) FROM mo WHERE grp = 1) AS sx_b,
+        (SELECT CAST(sxx AS DOUBLE) FROM mo WHERE grp = 0) AS sxx_a,
+        (SELECT CAST(sxx AS DOUBLE) FROM mo WHERE grp = 1) AS sxx_b
+    )
+    SELECT n_a, n_b,
+           CAST(CAST(sx_a / n_a AS DECIMAL(18,6)) AS DOUBLE) AS mean_a,
+           CAST(CAST(sx_b / n_b AS DECIMAL(18,6)) AS DOUBLE) AS mean_b,
+           CAST(CAST((sx_b / n_b - sx_a / n_a) / (sx_a / n_a)
+                AS DECIMAL(18,6)) AS DOUBLE) AS lift,
+           CAST(CAST(
+             (sx_b / n_b - sx_a / n_a)
+             / sqrt(((sxx_a - n_a * ((sx_a / n_a) * (sx_a / n_a)))
+                     / (n_a - 1)) / n_a
+                  + ((sxx_b - n_b * ((sx_b / n_b) * (sx_b / n_b)))
+                     / (n_b - 1)) / n_b)
+             AS DECIMAL(18,6)) AS DOUBLE) AS welch_z
+    FROM w
+    """
+
+
+@query("events_ab_test_lift", oracle=_ab_oracle())
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout computed in the engine: users split into
+    two arms by a deterministic 60-bit content hash (the house
+    reproducible-assignment pattern — re-running the analysis
+    reassigns nobody), per-user purchase revenue as the metric, and
+    the arm means, relative lift, and Welch z-statistic as the
+    decision numbers (p-value lookup is client-side; the distributed
+    part is the moments).
+
+    Exactness: per-user revenues are exact decimal sums; each arm's
+    (n, Σx, Σx²) moments are decimal (Σx² with a per-user
+    DECIMAL(18,6) pin on the one float square); the mean/variance/z
+    tail is a FIXED IEEE expression chain written identically in both
+    dialects (division, multiply, sqrt are all correctly rounded), so
+    the final statistics pin to DECIMAL(18,6) bit-identically.
+
+    Plan: one shuffle to the per-user aggregate, one 2-group moment
+    aggregate, then a 2-row reshape — experiment analysis at 100 TB
+    is exactly this shape (the metric frame is the expensive part and
+    it's one pass)."""
+    from .textops import hash60_spark
+
+    ev = load_table(spark, sf_dir, "events")
+    grp = F.expr(f"{hash60_spark('CAST(user_id AS STRING)')} % 2")
+    rev = F.coalesce(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,6)"),
+            )
+        ),
+        F.lit(0).cast("decimal(18,6)"),
+    )
+    per_user = ev.groupBy("user_id").agg(rev.alias("rev")).withColumn(
+        "grp", grp
+    )
+    xd = F.col("rev").cast("double")
+    mo = per_user.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("sx"),
+        F.sum((xd * xd).cast("decimal(18,6)")).alias("sxx"),
+    )
+    a = mo.filter(F.col("grp") == 0).select(
+        F.col("n").alias("n_a"),
+        F.col("sx").cast("double").alias("sx_a"),
+        F.col("sxx").cast("double").alias("sxx_a"),
+    )
+    b = mo.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n_b"),
+        F.col("sx").cast("double").alias("sx_b"),
+        F.col("sxx").cast("double").alias("sxx_b"),
+    )
+    w = a.crossJoin(b)
+    mean_a = F.col("sx_a") / F.col("n_a")
+    mean_b = F.col("sx_b") / F.col("n_b")
+    var_a = (F.col("sxx_a") - F.col("n_a") * (mean_a * mean_a)) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("sxx_b") - F.col("n_b") * (mean_b * mean_b)) / (
+        F.col("n_b") - 1
+    )
+    z = (mean_b - mean_a) / F.sqrt(
+        var_a / F.col("n_a") + var_b / F.col("n_b")
+    )
+    d6 = lambda c: c.cast("decimal(18,6)").cast("double")  # noqa: E731
+    return w.select(
+        "n_a",
+        "n_b",
+        d6(mean_a).alias("mean_a"),
+        d6(mean_b).alias("mean_b"),
+        d6((mean_b - mean_a) / mean_a).alias("lift"),
+        d6(z).alias("welch_z"),
+    )

@@ -1037,3 +1037,83 @@ def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
             "backlog"
         ),
     )
+
+
+# ---- chi-square independence test ------------------------------------
+
+
+@query(
+    "orders_chi2_priority_status",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st,
+             COUNT(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT pri, SUM(o) AS r FROM obs GROUP BY pri),
+    ct AS (SELECT st, SUM(o) AS c FROM obs GROUP BY st),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    terms AS (
+      SELECT CAST(
+        (obs.o - (rt.r * ct.c * 1.0 / n.n))
+        * (obs.o - (rt.r * ct.c * 1.0 / n.n))
+        / (rt.r * ct.c * 1.0 / n.n) AS DECIMAL(18,6)) AS term
+      FROM obs JOIN rt ON rt.pri = obs.pri
+               JOIN ct ON ct.st = obs.st
+               CROSS JOIN n
+    )
+    SELECT
+      (SELECT (COUNT(DISTINCT pri) - 1) * (COUNT(DISTINCT st) - 1)
+       FROM obs)::BIGINT AS dof,
+      CAST(SUM(term) AS DOUBLE) AS chi2,
+      (SELECT n FROM n)::BIGINT AS n
+    FROM terms
+    """,
+)
+def orders_chi2_priority_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson chi-square independence test (priority × order status)
+    computed IN the engine — the statistical-testing face of the
+    profiling family: one contingency aggregate, expected counts from
+    broadcast marginals, and the χ² statistic with its degrees of
+    freedom (the p-value lookup is a client-side table; the statistic
+    is the distributed part).
+
+    Exactness: observed counts and marginals are exact integers;
+    each cell's (O−E)²/E is one fixed IEEE expression pinned to
+    DECIMAL(18,6) per term, and the term SUM is decimal —
+    order-insensitive, so both engines hash-match despite the float
+    division. Plan: one scan → contingency aggregate (|cells| =
+    |priorities|×|statuses|, tiny) → broadcast marginal joins."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    obs = persist_tracked(obs)
+    rt = obs.groupBy("pri").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("st").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    exp = F.col("r") * F.col("c") * F.lit(1.0) / F.col("n")
+    terms = (
+        obs.join(F.broadcast(rt), "pri")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(n))
+        .select(
+            ((F.col("o") - exp) * (F.col("o") - exp) / exp)
+            .cast("decimal(18,6)")
+            .alias("term")
+        )
+    )
+    dof = obs.agg(
+        (
+            (F.countDistinct("pri") - 1) * (F.countDistinct("st") - 1)
+        ).alias("dof")
+    )
+    stat = terms.agg(F.sum("term").cast("double").alias("chi2"))
+    return (
+        dof.crossJoin(stat)
+        .crossJoin(n.select(F.col("n").cast("bigint").alias("n")))
+        .select("dof", "chi2", "n")
+    )
