@@ -145,6 +145,8 @@ HEADLINE = [
     "dedup_threshold_sweep",
     "orders_chi2_priority_status",
     "events_ab_test_lift",
+    "text_length_quality_correlation",
+    "orders_seasonal_index",
 ]
 
 

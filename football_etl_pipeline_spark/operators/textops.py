@@ -2219,3 +2219,81 @@ def text_quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("logit").cast("double").alias("min_logit"),
         F.max("logit").cast("double").alias("max_logit"),
     )
+
+
+# ---- length vs quality correlation -----------------------------------
+
+
+@query(
+    "text_length_quality_correlation",
+    oracle=f"""
+    WITH t AS (
+      SELECT {TOKENS_DUCK} AS toks FROM documents
+    ), xy AS (
+      SELECT len(toks)::BIGINT AS x,
+             {_dec6(_QUALITY_DUCK.replace("STOP", _sql_list(STOPWORDS)))} AS y
+      FROM t
+    ), mo AS (
+      SELECT COUNT(*)::BIGINT AS n,
+             SUM(x)::BIGINT AS sx, SUM(x * x)::BIGINT AS sxx,
+             SUM(y) AS sy, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM xy
+    )
+    SELECT n,
+           CAST(CAST(
+             (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (n * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS DECIMAL(18,6)) AS DOUBLE) AS pearson_r
+    FROM mo
+    """,
+)
+def text_length_quality_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does quality correlate with length? Pearson r between token
+    count and the house quality score, from SUFFICIENT STATISTICS
+    (n, Σx, Σx², Σy, Σy², Σxy) — the one-pass distributed-correlation
+    pattern (same moment trick as the exact OLS operator): integer and
+    exact-decimal sums are order-insensitive, and only the final
+    r-formula tail runs in IEEE doubles, written identically in both
+    dialects and pinned to DECIMAL(18,6). The diagnostic behind every
+    'is our quality score just a length proxy?' curation review.
+
+    Plan: one scan, one partial/final aggregate, one-row reshape —
+    correlation at 100 TB costs exactly one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    q_expr = _QUALITY_SPARK.replace("TOKS", "toks").replace(
+        "STOP", _sql_list(STOPWORDS)
+    )
+    xy = docs.select(F.expr(TOKENS_SPARK).alias("toks")).select(
+        F.size("toks").cast("bigint").alias("x"),
+        F.expr(q_expr).cast("decimal(18,6)").alias("y"),
+    )
+    mo = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy").cast("double") - F.col("sx") * F.col("sy").cast(
+        "double"
+    )
+    den = F.sqrt(
+        (
+            n * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * (
+            n * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return mo.select(
+        "n",
+        (num / den).cast("decimal(18,6)").cast("double").alias("pearson_r"),
+    )

@@ -1117,3 +1117,60 @@ def orders_chi2_priority_status(
         .crossJoin(n.select(F.col("n").cast("bigint").alias("n")))
         .select("dof", "chi2", "n")
     )
+
+
+# ---- monthly seasonal index ------------------------------------------
+
+
+@query(
+    "orders_seasonal_index",
+    oracle="""
+    WITH monthly AS (
+      SELECT EXTRACT(month FROM CAST(o_orderdate AS DATE))::INT AS month,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(rev) AS trev, SUM(n_orders) AS tn,
+             COUNT(*) AS n_months
+      FROM monthly
+    )
+    SELECT m.month, m.n_orders,
+           CAST(m.rev AS DOUBLE) AS revenue,
+           CAST(CAST(
+             (CAST(m.rev AS DOUBLE) / CAST(t.trev AS DOUBLE))
+             * t.n_months AS DECIMAL(18,6)) AS DOUBLE) AS seasonal_index
+    FROM monthly m CROSS JOIN tot t
+    """,
+)
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonal index: each calendar month's share of total
+    revenue scaled by the number of active months, so 1.0 = an average
+    month — the first decomposition any demand-planning pipeline runs
+    (and the denominator `events_forecast_backtest`'s seasonal-naive
+    model implicitly assumes).
+
+    Exactness: monthly and total revenues are exact decimal sums; the
+    index is one IEEE division chain pinned to DECIMAL(18,6). Plan:
+    one scan → 12-group aggregate → broadcast scalar total."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.month(F.col("o_orderdate").cast("date")).alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"),
+    )
+    monthly = persist_tracked(monthly)
+    tot = monthly.agg(
+        F.sum("rev").alias("trev"), F.count(F.lit(1)).alias("n_months")
+    )
+    idx = (
+        F.col("rev").cast("double") / F.col("trev").cast("double")
+    ) * F.col("n_months")
+    return monthly.crossJoin(F.broadcast(tot)).select(
+        "month",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        idx.cast("decimal(18,6)").cast("double").alias("seasonal_index"),
+    )
