@@ -147,6 +147,7 @@ HEADLINE = [
     "events_ab_test_lift",
     "text_length_quality_correlation",
     "orders_seasonal_index",
+    "events_error_rate_wilson",
 ]
 
 

@@ -1898,3 +1898,80 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         d6((mean_b - mean_a) / mean_a).alias("lift"),
         d6(z).alias("welch_z"),
     )
+
+
+# ---- error-rate time series with Wilson bounds ------------------------
+
+
+@query(
+    "events_error_rate_wilson",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             COUNT(*)::BIGINT AS n,
+             COUNT(*) FILTER (WHERE event_type = 'error')::BIGINT AS e
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT hour, n, e,
+             CAST(e AS DOUBLE) / n AS p,
+             CAST(1.96 AS DOUBLE) AS z
+      FROM hourly
+    )
+    SELECT hour, n, e,
+           CAST(CAST(p AS DECIMAL(18,6)) AS DOUBLE) AS error_rate,
+           CAST(CAST(
+             ((p + (z * z) / (2 * n))
+              - z * sqrt(p * (1 - p) / n
+                         + (z * z) / (4 * (CAST(n AS DOUBLE) * n))))
+             / (1 + (z * z) / n) AS DECIMAL(18,6)) AS DOUBLE)
+             AS wilson_lo,
+           CAST(CAST(
+             ((p + (z * z) / (2 * n))
+              + z * sqrt(p * (1 - p) / n
+                         + (z * z) / (4 * (CAST(n AS DOUBLE) * n))))
+             / (1 + (z * z) / n) AS DECIMAL(18,6)) AS DOUBLE)
+             AS wilson_hi
+    FROM w
+    """,
+)
+def events_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error rate with 95% WILSON score bounds — the
+    error-budget/SLO time series done right: Wilson intervals stay
+    inside [0, 1] and behave at small n where the naive normal
+    interval lies (an hour with 3 events and 1 error reports a wide
+    honest band, not ±0.5 nonsense).
+
+    Exactness: counts are exact; the Wilson formula is one fixed IEEE
+    chain (divisions, one sqrt — all correctly rounded) written
+    identically in both dialects and pinned to DECIMAL(18,6); z=1.96
+    parses to the same double on both engines. Plan: one scan, one
+    hour-grain aggregate, pure projection after — the per-hour row
+    count is calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("event_type") == "error")
+        .cast("bigint")
+        .alias("e"),
+    )
+    p = F.col("e").cast("double") / F.col("n")
+    z = F.lit(1.96)
+    zz = z * z
+    nd = F.col("n").cast("double")
+    center = p + zz / (2 * F.col("n"))
+    half = z * F.sqrt(
+        p * (1 - p) / F.col("n") + zz / (4 * (nd * F.col("n")))
+    )
+    denom = 1 + zz / F.col("n")
+    d6 = lambda c: c.cast("decimal(18,6)").cast("double")  # noqa: E731
+    return hourly.select(
+        "hour",
+        "n",
+        "e",
+        d6(p).alias("error_rate"),
+        d6((center - half) / denom).alias("wilson_lo"),
+        d6((center + half) / denom).alias("wilson_hi"),
+    )
