@@ -1584,7 +1584,7 @@ def _sweep_oracle() -> str:
     ths = ", ".join(str(t) for t in SWEEP_THRESHOLDS)
     return f"""
     WITH scored AS ({ORACLES["dedup_ngram_jaccard"]}),
-    th AS (SELECT unnest([{ths}]) AS threshold),
+    th AS (SELECT unnest([{ths}]::DOUBLE[]) AS threshold),
     exp AS (
       SELECT t.threshold, s.a_id, s.b_id
       FROM scored s JOIN th t ON s.jaccard >= t.threshold
