@@ -44,5 +44,5 @@ round-close: ## end-of-round: pytest + gate + bench + plans
 	python -m pytest tests/ -q
 	python tools/round_gate.py $(ROUND)
 	python bench.py
-	cp BENCH_DETAIL.json BENCH_DETAIL_r0$(ROUND).json
+	cp BENCH_DETAIL.json BENCH_DETAIL_r$$(printf '%02d' $(ROUND)).json
 	python tools/dump_plans.py $(SF_MED)

@@ -1796,7 +1796,7 @@ def _ab_oracle() -> str:
              COUNT(*) AS n,
              SUM(rev) AS sx,
              SUM(CAST(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)
-                      AS DECIMAL(18,6))) AS sxx
+                      AS DECIMAL(38,6))) AS sxx
       FROM per_user GROUP BY grp
     ),
     w AS (
@@ -1836,7 +1836,10 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: per-user revenues are exact decimal sums; each arm's
     (n, Σx, Σx²) moments are decimal (Σx² with a per-user
-    DECIMAL(18,6) pin on the one float square); the mean/variance/z
+    DECIMAL(38,6) pin on the one float square — 32 integer digits, so
+    a user with arm revenue up to ~1e16 squares without overflow; the
+    old 18,6 pin silently nulled terms above ~1e6 under Spark's
+    non-ANSI overflow while DuckDB errored); the mean/variance/z
     tail is a FIXED IEEE expression chain written identically in both
     dialects (division, multiply, sqrt are all correctly rounded), so
     the final statistics pin to DECIMAL(18,6) bit-identically.
@@ -1865,7 +1868,7 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     mo = per_user.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rev").alias("sx"),
-        F.sum((xd * xd).cast("decimal(18,6)")).alias("sxx"),
+        F.sum((xd * xd).cast("decimal(38,6)")).alias("sxx"),
     )
     a = mo.filter(F.col("grp") == 0).select(
         F.col("n").alias("n_a"),

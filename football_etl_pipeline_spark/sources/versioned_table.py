@@ -69,6 +69,37 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _int_meta(meta: dict | None) -> dict:
+    """Integer-valued meta entries — the ones that act as watermarks
+    (bools excluded: they are ints in Python but not watermarks)."""
+    return {
+        k: v
+        for k, v in (meta or {}).items()
+        if isinstance(v, int) and not isinstance(v, bool)
+    }
+
+
+def _carried_watermarks(root: str, vs: list[int]) -> dict:
+    """The running-max watermark dict to carry into the NEXT manifest,
+    derived from the current latest manifest. Every commit carries it
+    forward (``vacuum``-proof: dropping old manifests can no longer
+    lose the max ``batch_id`` behind a window of non-batch commits).
+    Legacy manifests without a ``watermarks`` key are backfilled by a
+    one-time scan of the surviving history."""
+    if not vs:
+        return {}
+    m = _read_manifest(root, vs[-1])
+    wm = m.get("watermarks")
+    if wm is not None:
+        return dict(wm)
+    # legacy table: reconstruct from whatever manifests still exist
+    out: dict = {}
+    for v in vs:
+        for k, val in _int_meta(_read_manifest(root, v).get("meta")).items():
+            out[k] = val if k not in out else max(out[k], val)
+    return out
+
+
 def commit_version(
     df: DataFrame,
     root: str,
@@ -111,6 +142,9 @@ def commit_version(
         prior_stats = pm.get("stats", {})
     stats = dict(prior_stats)
     stats.update(_file_stats(root, new_files))
+    wm = _carried_watermarks(root, vs)
+    for k, v in _int_meta(meta).items():
+        wm[k] = v if k not in wm else max(wm[k], v)
     manifest = {
         "version": base + 1,
         "base": base,
@@ -119,6 +153,7 @@ def commit_version(
         "files": carried + new_files,
         "schema": df.schema.json(),
         "meta": meta or {},
+        "watermarks": wm,
         "stats": stats,
     }
     # 2. publish: O_EXCL create IS the commit point — losing a race
@@ -143,10 +178,16 @@ def _file_stats(root: str, rel_files: list[str]) -> dict:
     cheap: the manifest answers \"which files can contain key K\"
     without opening data pages (Iceberg/Delta keep exactly this).
 
-    String caveat: parquet writers may truncate long string min/max
-    stats and this reader does not consult the writer's exactness
-    flags, so prune/delete keys should be numeric/date/short-string
-    columns (binary physical stats are skipped outright)."""
+    String caveat: parquet writers may TRUNCATE long string min/max
+    stats (a truncated max can sit below the file's true max), which
+    would let ``delete_where`` carry a file by reference while rows
+    matching the predicate survive inside it. So string-typed stats
+    are recorded ONLY when the writer's exactness flags
+    (``is_min_value_exact``/``is_max_value_exact``, parquet-format
+    ColumnOrder-era fields surfaced by pyarrow) are present and true;
+    otherwise the column gets no stats for that file — no stats means
+    "always scan/rewrite", which is conservative and correct. Binary
+    physical stats are skipped outright."""
     import pyarrow.parquet as pq
 
     out: dict = {}
@@ -164,6 +205,12 @@ def _file_stats(root: str, rel_files: list[str]) -> dict:
                 mn, mx = st.min, st.max
                 if isinstance(mn, bytes) or isinstance(mx, bytes):
                     continue  # physical byte stats don't compare portably
+                if isinstance(mn, str) or isinstance(mx, str):
+                    if not (
+                        getattr(st, "is_min_value_exact", False)
+                        and getattr(st, "is_max_value_exact", False)
+                    ):
+                        continue  # possibly truncated → treat as no-stats
                 if hasattr(mn, "isoformat"):
                     mn, mx = mn.isoformat(), mx.isoformat()
                 if name in cols:
@@ -226,6 +273,7 @@ def delete_where(
         "files": carried + survivors_files,
         "schema": m.get("schema"),
         "meta": {"delete": {"col": col, "lo": str(lo), "hi": str(hi)}},
+        "watermarks": _carried_watermarks(root, vs),
         "stats": new_stats,
     }
     target = _manifest_path(root, base + 1)
@@ -241,17 +289,29 @@ def delete_where(
 
 
 def last_committed_meta(root: str, key: str) -> int | None:
-    """Max integer ``meta[key]`` across committed manifests — the
+    """Max integer ``meta[key]`` ever committed — the
     replay-idempotence watermark a streaming sink checks before
     committing a re-delivered micro-batch (the manifest records the
     batch WITH the data it published, so the guard can't desync from
-    the table the way a sidecar marker could)."""
-    best: int | None = None
-    for v in versions(root):
-        m = _read_manifest(root, v).get("meta", {})
-        if key in m:
-            best = m[key] if best is None else max(best, m[key])
-    return best
+    the table the way a sidecar marker could).
+
+    Reads the LATEST manifest's carried ``watermarks`` (every commit
+    copies the running max forward), so the answer survives ``vacuum``
+    even when non-batch commits (delete_where/overwrite/compaction)
+    fill the whole keep window. Legacy tables without the carried key
+    fall back to scanning surviving manifests."""
+    return last_committed_meta_at(root, key, versions(root))
+
+
+def last_committed_meta_at(
+    root: str, key: str, vs: list[int]
+) -> int | None:
+    """``last_committed_meta`` against an explicit version-list
+    SNAPSHOT — lets a writer derive its replay guard and its
+    optimistic-concurrency base from ONE ``versions()`` read, so the
+    guard and the commit race the same state (see
+    ``streaming.versioned_sink.commit_batch``)."""
+    return _carried_watermarks(root, vs).get(key)
 
 
 def read_version(

@@ -92,3 +92,49 @@ def test_crash_orphans_stay_invisible_and_vacuum(spark, tmp_path):
     deleted = vacuum(root, keep=len(versions(root)))
     assert any("deadcrash0000" in d for d in deleted)
     assert {r.event_id for r in read_version(spark, root).collect()} == {1, 2}
+
+
+def test_zombie_driver_race_commits_exactly_once(spark, tmp_path, monkeypatch):
+    """The Delta-style failover race: a zombie driver and a restarted
+    query both snapshot last=none for batch 0; the restarted driver
+    commits first; the zombie's commit_version must then FAIL with
+    VersionConflict (expected_base from the shared snapshot), and the
+    re-checked guard must skip — one committed version, no dup rows."""
+    import football_etl_pipeline_spark.streaming.versioned_sink as vsink
+    from football_etl_pipeline_spark.sources import versioned_table as vt
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 10, 1.0)], SCHEMA)
+    real_commit = vt.commit_version
+    state = {"injected": False}
+
+    def racing_commit(bdf, r, **kw):
+        if not state["injected"]:
+            state["injected"] = True
+            # the competing driver commits the SAME batch between the
+            # zombie's snapshot and its commit attempt
+            real_commit(df, r, mode="append", meta={"batch_id": 0})
+        return real_commit(bdf, r, **kw)
+
+    monkeypatch.setattr(vsink, "commit_version", racing_commit)
+    assert vsink.commit_batch(df, 0, root) is False  # zombie skips
+    assert len(vt.versions(root)) == 1  # exactly one commit
+    assert [r.event_id for r in vt.read_version(spark, root).collect()] == [1]
+
+
+def test_replay_guard_survives_vacuum_after_nonbatch_commits(spark, tmp_path):
+    """vacuum + non-batch commits filling the keep window must not
+    resurrect old batches on a checkpoint-rebuild replay."""
+    from football_etl_pipeline_spark.sources import versioned_table as vt
+
+    root = str(tmp_path / "tbl")
+    df0 = spark.createDataFrame([(1, 10, 1.0)], SCHEMA)
+    df1 = spark.createDataFrame([(2, 11, 2.0)], SCHEMA)
+    assert commit_batch(df0, 0, root) is True
+    assert commit_batch(df1, 1, root) is True
+    vt.commit_version(df0, root, mode="append")  # compaction-ish commit
+    vt.commit_version(df1, root, mode="append")
+    vt.vacuum(root, keep=2)  # batch manifests are gone
+    assert commit_batch(df0, 0, root) is False
+    assert commit_batch(df1, 1, root) is False
+    assert commit_batch(df1, 2, root) is True

@@ -188,3 +188,72 @@ def test_empty_overwrite_commit_reads_back_empty(spark, tmp_path):
     assert [f.name for f in got.schema.fields] == ["id", "v"]
     # the earlier version still time-travels
     assert {r.id for r in read_version(spark, root, 1).collect()} == {1, 2}
+
+
+def test_string_stats_skipped_unless_exact(spark, tmp_path):
+    """Parquet writers may truncate long-string min/max footer stats;
+    unless pyarrow reports the exactness flags as true, the column
+    must get NO recorded stats (conservative: no stats = always
+    scan/rewrite) so delete_where can never carry a file whose
+    truncated max hides matching rows."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from football_etl_pipeline_spark.sources.versioned_table import (
+        delete_where,
+    )
+
+    root = str(tmp_path / "t")
+    long_lo, long_hi = "a" * 200, "z" * 200
+    df = spark.createDataFrame(
+        [(1, long_lo), (2, long_hi)], "id long, s string"
+    ).coalesce(1)
+    commit_version(df, root, "append")
+    m = _json.load(open(_os.path.join(root, "_manifests", "v000001.json")))
+    rel = m["files"][0]
+    st = (
+        _pq.ParquetFile(_os.path.join(root, rel))
+        .metadata.row_group(0)
+        .column(1)
+        .statistics
+    )
+    exact = getattr(st, "is_min_value_exact", False) and getattr(
+        st, "is_max_value_exact", False
+    )
+    mm = m["stats"][rel]["minmax"]
+    if exact:
+        assert mm.get("s") == [long_lo, long_hi]
+    else:
+        assert "s" not in mm  # possibly-truncated stats not recorded
+    # numeric stats are unaffected either way
+    assert mm["id"] == [1, 2]
+    # and a string-keyed delete stays CORRECT: no stats -> file is
+    # scanned/rewritten, never carried past matching rows
+    _, moved = delete_where(spark, root, "s", "a", "b")
+    assert {r.id for r in read_version(spark, root).collect()} == {2}
+    if not exact:
+        assert moved["carried"] == []
+
+
+def test_meta_watermark_survives_vacuum(spark, tmp_path):
+    """Non-batch commits (append/overwrite/delete) filling the whole
+    vacuum keep-window must NOT lose the max batch_id: every manifest
+    carries the running watermark forward, so a checkpoint-rebuild
+    replay after vacuum still skips old batches."""
+    from football_etl_pipeline_spark.sources.versioned_table import (
+        delete_where,
+        last_committed_meta,
+    )
+
+    root = str(tmp_path / "t")
+    commit_version(_df(spark, [1]), root, "append", meta={"batch_id": 0})
+    commit_version(_df(spark, [2]), root, "append", meta={"batch_id": 7})
+    # three non-batch commits fill a keep=3 window past both batches
+    commit_version(_df(spark, [3]), root, "append")
+    delete_where(spark, root, "id", 3, 3)
+    commit_version(_df(spark, [4]), root, "append")
+    vacuum(root, keep=3)
+    assert 1 not in versions(root) and 2 not in versions(root)
+    assert last_committed_meta(root, "batch_id") == 7
