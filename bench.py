@@ -148,6 +148,12 @@ HEADLINE = [
     "text_length_quality_correlation",
     "orders_seasonal_index",
     "events_error_rate_wilson",
+    "stats_ks_source_drift",
+    "stats_mannwhitney_value",
+    "orders_benford_screen",
+    "customer_revenue_gini",
+    "events_cusum_changepoint",
+    "stats_bootstrap_ci_mean",
 ]
 
 

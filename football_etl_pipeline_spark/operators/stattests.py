@@ -1,0 +1,719 @@
+"""Distribution-comparison and concentration statistics computed
+in-engine: two-sample Kolmogorov–Smirnov, tie-corrected Mann–Whitney
+U, a Benford first-digit screen, the Gini coefficient, CUSUM
+changepoint detection, and a deterministic half-sample bootstrap CI.
+
+These are the readouts a data-curation pipeline runs on its OWN
+tables — "did source A's length distribution drift from source B's",
+"is revenue concentration pathological", "when did the daily series
+shift" — so they belong in the engine next to the profiling and
+drift operators (``profiling.py``, ``textops.text_source_drift_tvd``)
+rather than in client-side notebooks.
+
+Exactness contract (the registry's rule 2): every statistic is
+derived from exact integer counts / DECIMAL sums, then pushed through
+ONE fixed IEEE expression chain written identically in both dialects
+(+, −, ×, ÷, sqrt are correctly rounded, so identical inputs give
+identical bits), and finally pinned to DECIMAL(18,6). No engine-side
+float aggregation ever feeds a statistic.
+
+Scale contract: NO global single-partition window over a
+corpus-sized frame. Running totals over value-grouped frames go
+through the range-exchange + partition-offset pattern
+(``_range_prefix`` below, same design as the rank machinery in
+``tpch_more.py:588-640``): one range exchange, per-partition window,
+P-row driver collect (P fixed by config, corpus-independent).
+
+Registered AFTER the driver's frozen first-50 CORRECTNESS window —
+this module is imported at the END of ``operators.__init__._load_all``
+(see tests/test_testdata_schema.py::test_driver_window_is_pinned).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .registry import persist_tracked, query
+
+PREFIX_PARTS = 32  # width of the range exchange behind running sums
+
+
+def _d6(c):
+    return c.cast("decimal(18,6)").cast("double")
+
+
+def _range_prefix(
+    df: DataFrame, order_cols: list[str], weight_cols: list[str]
+) -> DataFrame:
+    """Inclusive running totals of ``weight_cols`` in ``order_cols``
+    order WITHOUT a single-partition window: range-partition on the
+    (unique) sort key, take per-partition window cumsums, then add
+    each partition's start offset. Offsets come from a P-row collect
+    of per-partition totals (P = PREFIX_PARTS, fixed by config — the
+    same bounded-driver-traffic budget as the NTILE machinery in
+    ``tpch_more._ntile4_distributed``). Adds ``cum_<w>`` per weight.
+
+    The caller guarantees ``order_cols`` is a unique total order (the
+    frames here are one-row-per-distinct-value), so the running total
+    is well defined and engine-independent."""
+    part = persist_tracked(
+        df.repartitionByRange(PREFIX_PARTS, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    totals = {
+        r["_pid"]: [r[f"_t_{w}"] for w in weight_cols]
+        for r in part.groupBy("_pid")
+        .agg(*[F.sum(w).alias(f"_t_{w}") for w in weight_cols])
+        .collect()
+    }
+    offs: dict[str, list[int]] = {w: [] for w in weight_cols}
+    acc = [0] * len(weight_cols)
+    for p in range(PREFIX_PARTS):
+        for i, w in enumerate(weight_cols):
+            offs[w].append(acc[i])
+        if p in totals:
+            acc = [a + (t or 0) for a, t in zip(acc, totals[p])]
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = part
+    for w in weight_cols:
+        out = out.withColumn(
+            f"cum_{w}",
+            F.array(*[F.lit(o) for o in offs[w]])[F.col("_pid")]
+            + F.sum(w).over(wloc),
+        )
+    return out.drop("_pid")
+
+
+# ---- two-sample Kolmogorov–Smirnov drift test -------------------------
+
+KS_SRC_A, KS_SRC_B = "src0", "src1"
+
+
+@query(
+    "stats_ks_source_drift",
+    oracle=f"""
+    WITH byv AS (
+      SELECT n_chars,
+             COUNT(*) FILTER (WHERE source = '{KS_SRC_A}')::BIGINT AS ca,
+             COUNT(*) FILTER (WHERE source = '{KS_SRC_B}')::BIGINT AS cb
+      FROM documents
+      WHERE source IN ('{KS_SRC_A}', '{KS_SRC_B}')
+      GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT n_chars,
+             SUM(ca) OVER (ORDER BY n_chars) AS cum_ca,
+             SUM(cb) OVER (ORDER BY n_chars) AS cum_cb,
+             (SELECT SUM(ca) FROM byv) AS n_a,
+             (SELECT SUM(cb) FROM byv) AS n_b
+      FROM byv
+    ),
+    scored AS (
+      SELECT n_chars, n_a, n_b,
+             abs(CAST(cum_ca AS DOUBLE) / n_a
+                 - CAST(cum_cb AS DOUBLE) / n_b) AS d
+      FROM cum
+    )
+    SELECT n_a, n_b,
+           CAST(CAST(d AS DECIMAL(18,6)) AS DOUBLE) AS ks_d,
+           n_chars AS ks_at_chars
+    FROM scored
+    ORDER BY d DESC, n_chars ASC
+    LIMIT 1
+    """,
+)
+def stats_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between two
+    document sources' length distributions: D = max over observed
+    values of |ECDF_a − ECDF_b|, reported with the value where the
+    gap peaks (min such value on ties). The distribution-free drift
+    test that complements the binned TVD screen
+    (``textops.text_source_drift_tvd``) — KS needs no bin choice and
+    is sensitive to location shifts TVD's coarse bins can hide.
+
+    Exactness: ECDFs are ratios of exact integer counts; D is a max
+    over identically computed doubles — bit-identical cross-engine,
+    pinned DECIMAL(18,6).
+
+    Plan: one scan → one groupBy(n_chars) shuffle, then the running
+    counts go through the range-exchange prefix pattern
+    (``_range_prefix``) — no single-partition window even though the
+    distinct-value frame is small today; the argmax is a 1-row
+    TakeOrdered."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(KS_SRC_A, KS_SRC_B)
+    )
+    byv = d.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("source") == KS_SRC_A, 1).otherwise(0)).alias(
+            "ca"
+        ),
+        F.sum(F.when(F.col("source") == KS_SRC_B, 1).otherwise(0)).alias(
+            "cb"
+        ),
+    )
+    cum = _range_prefix(byv, ["n_chars"], ["ca", "cb"])
+    tot = cum.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "d",
+        F.abs(
+            F.col("cum_ca").cast("double") / F.col("n_a")
+            - F.col("cum_cb").cast("double") / F.col("n_b")
+        ),
+    )
+    return (
+        scored.orderBy(F.col("d").desc(), F.col("n_chars").asc())
+        .limit(1)
+        .select(
+            "n_a",
+            "n_b",
+            _d6(F.col("d")).alias("ks_d"),
+            F.col("n_chars").alias("ks_at_chars"),
+        )
+    )
+
+
+# ---- tie-corrected Mann–Whitney U -------------------------------------
+
+
+@query(
+    "stats_mannwhitney_value",
+    oracle="""
+    WITH p AS (
+      SELECT value,
+             CASE WHEN isodow(CAST(ts AS TIMESTAMP)) <= 5
+                  THEN 1 ELSE 0 END AS is_wd
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    byv AS (
+      SELECT value,
+             SUM(is_wd)::BIGINT AS na,
+             SUM(1 - is_wd)::BIGINT AS nb
+      FROM p GROUP BY value
+    ),
+    cum AS (
+      SELECT value, na, nb,
+             SUM(na + nb) OVER (ORDER BY value) AS cum_t
+      FROM byv
+    ),
+    terms AS (
+      SELECT na, nb,
+             -- 2*avg_rank of this tie group, kept integral:
+             -- ranks cum_before+1 .. cum_before+t average to
+             -- cum_before + (t+1)/2, so twice that is
+             -- 2*(cum_t - t) + t + 1
+             na * (2 * (cum_t - (na + nb)) + (na + nb) + 1) AS r2a_term,
+             (na + nb) AS t
+      FROM cum
+    ),
+    mo AS (
+      SELECT SUM(na)::BIGINT AS n_a,
+             SUM(nb)::BIGINT AS n_b,
+             SUM(r2a_term)::BIGINT AS r2a,
+             SUM(t * t * t - t)::BIGINT AS tie3
+      FROM terms
+    )
+    SELECT n_a AS n_weekday, n_b AS n_weekend,
+           CAST((r2a - n_a * (n_a + 1)) AS DOUBLE) / 2 AS u_stat,
+           CAST(CAST(
+             (CAST((r2a - n_a * (n_a + 1)) AS DOUBLE) / 2
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
+             / sqrt(
+                 CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12
+                 * (CAST(n_a + n_b + 1 AS DOUBLE)
+                    - CAST(tie3 AS DOUBLE)
+                      / (CAST(n_a + n_b AS DOUBLE)
+                         * CAST(n_a + n_b - 1 AS DOUBLE))))
+             AS DECIMAL(18,6)) AS DOUBLE) AS z
+    FROM mo
+    """,
+)
+def stats_mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann–Whitney U (rank-sum) test: do weekday and
+    weekend purchases draw from the same value distribution? The
+    non-parametric sibling of the Welch readout in
+    ``events_ab_test_lift`` — rank-based, so a heavy revenue tail
+    can't dominate the verdict.
+
+    Exactness: the whole rank machinery stays INTEGRAL — ties get
+    average ranks, and 2×avg_rank = 2·cum_before + t + 1 is an exact
+    BIGINT, so the rank sum 2·R_a is summed as exact integers
+    (order-insensitive) and halved once in IEEE. The tie-correction
+    Σ(t³−t) is integral too. One fixed double chain → DECIMAL(18,6).
+
+    Plan: one scan → groupBy(value) shuffle, running totals via the
+    range-exchange prefix (distinct purchase values grow with the
+    corpus — a global window here would be the scale bug), then a
+    single-row moment aggregate."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    byv = (
+        ev.withColumn(
+            "is_wd", (F.weekday("ts") <= 4).cast("bigint")
+        )
+        .groupBy("value")
+        .agg(
+            F.sum("is_wd").alias("na"),
+            F.sum(F.lit(1) - F.col("is_wd")).alias("nb"),
+        )
+    )
+    cum = _range_prefix(
+        byv.withColumn("t", F.col("na") + F.col("nb")), ["value"], ["t"]
+    )
+    terms = cum.select(
+        "na",
+        "nb",
+        "t",
+        (
+            F.col("na")
+            * (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1)
+        ).alias("r2a_term"),
+    )
+    mo = terms.agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum("r2a_term").alias("r2a"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie3"),
+    )
+    na_d = F.col("n_a").cast("double")
+    nb_d = F.col("n_b").cast("double")
+    n = F.col("n_a") + F.col("n_b")
+    u = (F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1)).cast(
+        "double"
+    ) / 2
+    mu = na_d * nb_d / 2
+    sigma = F.sqrt(
+        na_d
+        * nb_d
+        / 12
+        * (
+            (n + 1).cast("double")
+            - F.col("tie3").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    return mo.select(
+        F.col("n_a").alias("n_weekday"),
+        F.col("n_b").alias("n_weekend"),
+        u.alias("u_stat"),
+        _d6((u - mu) / sigma).alias("z"),
+    )
+
+
+# ---- Benford first-digit screen ---------------------------------------
+
+# One literal per digit, interpolated into BOTH dialects so the IEEE
+# bits are identical by construction. Each arm casts the literal to
+# DOUBLE explicitly: BOTH engines parse a bare decimal literal as
+# DECIMAL (DuckDB at (18,17), Spark likewise), and DuckDB's
+# decimal→decimal downscale TRUNCATES while Spark's rounds HALF_UP —
+# the same dialect trap as the 1.0D-suffix rule, pinned here by the
+# benford_share column.
+_BENFORD_P = {d: repr(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+
+
+def _benford_case(col: str) -> str:
+    arms = " ".join(
+        f"WHEN '{d}' THEN CAST({p} AS DOUBLE)"
+        for d, p in _BENFORD_P.items()
+    )
+    return f"CASE {col} {arms} END"
+
+
+@query(
+    "orders_benford_screen",
+    oracle=f"""
+    WITH digits AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS digit
+      FROM orders
+    ),
+    counts AS (
+      SELECT digit, COUNT(*)::BIGINT AS n_obs FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT SUM(n_obs)::BIGINT AS n FROM counts)
+    SELECT digit, n_obs,
+           CAST(CAST(CAST(n_obs AS DOUBLE) / n AS DECIMAL(18,6))
+                AS DOUBLE) AS obs_share,
+           CAST(CAST({_benford_case('digit')} AS DECIMAL(18,6))
+                AS DOUBLE) AS benford_share,
+           CAST(CAST(
+             (CAST(n_obs AS DOUBLE) - n * {_benford_case('digit')})
+             * (CAST(n_obs AS DOUBLE) - n * {_benford_case('digit')})
+             / (n * {_benford_case('digit')})
+             AS DECIMAL(18,6)) AS DOUBLE) AS chi2_term
+    FROM counts, tot
+    ORDER BY digit
+    """,
+)
+def orders_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals: observed
+    leading-digit shares vs log10(1+1/d), with per-digit chi-square
+    contributions — the classic synthetic-/fabricated-data smell test
+    a curation pipeline runs on numeric columns it ingests.
+
+    Exactness: the digit comes from FLOOR → BIGINT → string (NOT a
+    double→int cast, which truncates in Spark but rounds in DuckDB,
+    and NOT log10 of the value, whose libm isn't cross-engine
+    bit-stable); the Benford shares are shared decimal literals
+    interpolated into both dialects, so every double is identical by
+    construction.
+
+    Plan: projection-pruned scan → 9-group partial agg; the total
+    rides a 9-row broadcast. Nothing here grows with the corpus
+    except the one scan."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.expr("CAST(FLOOR(o_totalprice) AS BIGINT)").cast("string"),
+            1,
+            1,
+        ).alias("digit")
+    )
+    counts = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = counts.agg(F.sum("n_obs").alias("n"))
+    p = F.expr(_benford_case("digit"))
+    n_obs_d = F.col("n_obs").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            _d6(n_obs_d / F.col("n")).alias("obs_share"),
+            _d6(p).alias("benford_share"),
+            _d6(
+                (n_obs_d - F.col("n") * p)
+                * (n_obs_d - F.col("n") * p)
+                / (F.col("n") * p)
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---- Gini concentration coefficient -----------------------------------
+
+
+@query(
+    "customer_revenue_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rn
+      FROM rev
+    ),
+    mo AS (
+      SELECT COUNT(*)::BIGINT AS n,
+             SUM(rev) AS t,
+             SUM(CAST(rn * rev AS DECIMAL(38,6))) AS s
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+           CAST(t AS DOUBLE) AS total_rev,
+           CAST(CAST(
+             2 * CAST(s AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)
+             AS DECIMAL(18,6)) AS DOUBLE) AS gini
+    FROM mo
+    """,
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue concentration via the
+    rank formula G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending
+    revenue — the one-number skew readout behind "do 1% of customers
+    carry the book" (and, run on documents-per-domain, the curation
+    question "is the corpus one crawl source in a trenchcoat").
+
+    Exactness: per-customer revenue is an exact DECIMAL(18,2) sum;
+    ranks are integers with a unique (rev, custkey) total order;
+    Σ i·xᵢ accumulates in DECIMAL(38,6) — everything exact until one
+    fixed double chain, pinned DECIMAL(18,6).
+
+    Plan: groupBy(custkey) shuffle, then the global rank uses the
+    range-exchange + partition-offset pattern (row_number within each
+    range partition + collected P-row prefix offsets — same design as
+    ``tpch_more._ntile4_distributed``), NOT a single-partition
+    window; the moments are one partial agg."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    part = persist_tracked(
+        rev.repartitionByRange(
+            PREFIX_PARTS, "rev", "o_custkey"
+        ).withColumn("_pid", F.spark_partition_id())
+    )
+    cnt = {
+        r["_pid"]: r["n"]
+        for r in part.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offs, acc = [], 0
+    for p in range(PREFIX_PARTS):
+        offs.append(acc)
+        acc += cnt.get(p, 0)
+    wloc = Window.partitionBy("_pid").orderBy("rev", "o_custkey")
+    rn = (
+        F.array(*[F.lit(o) for o in offs])[F.col("_pid")]
+        + F.row_number().over(wloc)
+    )
+    mo = part.withColumn("rn", rn).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("t"),
+        F.sum((F.col("rn") * F.col("rev")).cast("decimal(38,6)")).alias(
+            "s"
+        ),
+    )
+    n_d = F.col("n").cast("double")
+    return mo.select(
+        F.col("n").alias("n_customers"),
+        F.col("t").cast("double").alias("total_rev"),
+        _d6(
+            2 * F.col("s").cast("double")
+            / (n_d * F.col("t").cast("double"))
+            - (F.col("n") + 1).cast("double") / n_d
+        ).alias("gini"),
+    )
+
+
+# ---- CUSUM changepoint over the daily revenue series ------------------
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS rev
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT day,
+             ROW_NUMBER() OVER (ORDER BY day) AS t,
+             SUM(rev) OVER (ORDER BY day) AS cum_rev,
+             (SELECT CAST(SUM(rev) AS DOUBLE) FROM daily) AS total,
+             (SELECT COUNT(*)::BIGINT FROM daily) AS n_days
+      FROM daily
+    ),
+    scored AS (
+      SELECT day, n_days,
+             abs(CAST(cum_rev AS DOUBLE) - t * (total / n_days)) AS s
+      FROM cum
+    )
+    SELECT day AS changepoint_day,
+           CAST(CAST(s AS DECIMAL(18,6)) AS DOUBLE) AS cusum_peak,
+           n_days
+    FROM scored
+    ORDER BY s DESC, day ASC
+    LIMIT 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily purchase-revenue
+    series: sₜ = (cumulative revenue through day t) − t·mean, and the
+    day where |sₜ| peaks is the maximum-likelihood single shift point
+    for a mean change — the monitoring query behind "when did the
+    metric move", complementing the pointwise MAD/z-score anomaly
+    screens (``events_anomaly_mad``/``_zscore``).
+
+    Exactness: daily revenue and its running total are exact DECIMAL
+    sums; the mean and sₜ are one fixed double chain; argmax ties
+    break to the earliest day.
+
+    Plan: one scan → per-day partial agg; every window after that
+    runs over the ~#days frame — tiny BY CONSTRUCTION (30 days here,
+    a few thousand at any horizon), the documented exception to the
+    no-global-window rule (precedent: ``events.py`` daily series)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy(
+            F.date_trunc("DAY", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("rev"))
+    )
+    wall = Window.orderBy("day")
+    cum = daily.select(
+        "day",
+        F.row_number().over(wall).alias("t"),
+        F.sum("rev")
+        .over(wall.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_rev"),
+    ).crossJoin(
+        F.broadcast(
+            daily.agg(
+                F.sum("rev").cast("double").alias("total"),
+                F.count(F.lit(1)).alias("n_days"),
+            )
+        )
+    )
+    scored = cum.withColumn(
+        "s",
+        F.abs(
+            F.col("cum_rev").cast("double")
+            - F.col("t") * (F.col("total") / F.col("n_days"))
+        ),
+    )
+    return (
+        scored.orderBy(F.col("s").desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            _d6(F.col("s")).alias("cusum_peak"),
+            "n_days",
+        )
+    )
+
+
+# ---- deterministic half-sample bootstrap CI ---------------------------
+
+BOOT_REPS = 32
+
+
+def _boot_oracle() -> str:
+    from .textops import hash60_duck
+
+    h = hash60_duck(
+        "CAST(user_id AS VARCHAR) || '|' || CAST(b AS VARCHAR)"
+    )
+    return f"""
+    WITH per_user AS (
+      SELECT user_id, SUM(CAST(value AS DECIMAL(18,6))) AS rev
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY user_id
+    ),
+    reps AS (
+      SELECT u.user_id, u.rev, b.b
+      FROM per_user u, (SELECT unnest(range({BOOT_REPS})) AS b) b
+      WHERE {h} % 2 = 0
+    ),
+    rep_means AS (
+      SELECT b,
+             CAST(CAST(CAST(SUM(rev) AS DOUBLE) / COUNT(*)
+                  AS DECIMAL(18,6)) AS DOUBLE) AS mb
+      FROM reps GROUP BY b
+    ),
+    mo AS (
+      SELECT COUNT(*)::BIGINT AS n_reps,
+             CAST(SUM(CAST(mb AS DECIMAL(18,6))) AS DOUBLE) AS sm,
+             CAST(SUM(CAST(mb * mb AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM rep_means
+    )
+    SELECT n_reps,
+           CAST(CAST(sm / n_reps AS DECIMAL(18,6)) AS DOUBLE) AS mean_rev,
+           CAST(CAST(
+             sqrt((sxx - n_reps * ((sm / n_reps) * (sm / n_reps)))
+                  / (n_reps - 1) / 2)
+             AS DECIMAL(18,6)) AS DOUBLE) AS se_est,
+           CAST(CAST(
+             sm / n_reps
+             - 1.96 * sqrt((sxx - n_reps * ((sm / n_reps) * (sm / n_reps)))
+                           / (n_reps - 1) / 2)
+             AS DECIMAL(18,6)) AS DOUBLE) AS ci_lo,
+           CAST(CAST(
+             sm / n_reps
+             + 1.96 * sqrt((sxx - n_reps * ((sm / n_reps) * (sm / n_reps)))
+                           / (n_reps - 1) / 2)
+             AS DECIMAL(18,6)) AS DOUBLE) AS ci_hi
+    FROM mo
+    """
+
+
+@query("stats_bootstrap_ci_mean", oracle=_boot_oracle())
+def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence interval for mean per-user purchase revenue via a
+    DETERMINISTIC half-sample bootstrap: replicate b keeps user u iff
+    a 60-bit content hash of (u, b) is even — the house reproducible-
+    assignment pattern (``events_ab_test_lift``), so re-running the
+    analysis resamples nobody. Each replicate mean uses ~n/2 users,
+    so Var(replicate mean) ≈ 2·Var(full mean) and the full-sample SE
+    is sd_replicates/√2 — that √2 is in the fixed expression chain.
+
+    Exactness: per-user and per-replicate sums are DECIMAL-exact;
+    replicate means are pinned DECIMAL(18,6) BEFORE the cross-replicate
+    moments (again decimal), so the 32-row variance is
+    order-insensitive; one double chain to the CI.
+
+    Plan: one scan → per-user agg, a ×32 replicate explode that
+    FILTERS before shuffling (each replicate keeps half its rows),
+    one groupBy(b) into 32 groups, then a 32-row moment agg. At 100 TB
+    the explode is the cost dial — B is config, and the replicate
+    filter keeps the shuffled volume at B/2 × the per-user frame, not
+    B×."""
+    from .textops import hash60_spark
+
+    h = hash60_spark(
+        "CONCAT(CAST(user_id AS STRING), '|', CAST(b AS STRING))"
+    )
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("rev"))
+    )
+    reps = (
+        per_user.withColumn(
+            "b", F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1)))
+        )
+        .filter(F.expr(f"{h} % 2 = 0"))
+    )
+    rep_means = reps.groupBy("b").agg(
+        _d6(
+            F.sum("rev").cast("double") / F.count(F.lit(1))
+        ).alias("mb")
+    )
+    mo = rep_means.agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.sum(F.col("mb").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sm"),
+        F.sum((F.col("mb") * F.col("mb")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    m = F.col("sm") / F.col("n_reps")
+    se = F.sqrt(
+        (F.col("sxx") - F.col("n_reps") * (m * m))
+        / (F.col("n_reps") - 1)
+        / 2
+    )
+    return mo.select(
+        "n_reps",
+        _d6(m).alias("mean_rev"),
+        _d6(se).alias("se_est"),
+        _d6(m - 1.96 * se).alias("ci_lo"),
+        _d6(m + 1.96 * se).alias("ci_hi"),
+    )
