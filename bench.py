@@ -154,6 +154,8 @@ HEADLINE = [
     "customer_revenue_gini",
     "events_cusum_changepoint",
     "stats_bootstrap_ci_mean",
+    "text_cooccurrence_lift",
+    "lateral_topk_recent_orders",
 ]
 
 

@@ -296,3 +296,37 @@ def subquery_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFram
         WHERE NOT EXISTS (SELECT 1 FROM excl WHERE excl.k = o.o_custkey)
         """
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey,
+       CAST(o.o_totalprice AS DOUBLE) AS recent_price
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_orderdate DESC, o_orderkey ASC
+  LIMIT 3
+) o
+WHERE c.c_mktsegment = 'MACHINERY'
+"""
+
+
+@query("lateral_topk_recent_orders", oracle=_LATERAL_SQL)
+def lateral_topk_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT —
+    the SQL-surface face of "top-k rows per outer row", written as
+    the IDENTICAL query text in both dialects (the whole point: a
+    user's lateral query ports verbatim).
+
+    Plan: Catalyst DECORRELATES the lateral into a row_number window
+    PARTITIONED BY o_custkey + filter rn<=3 + broadcast join with the
+    filtered customers — no per-customer re-execution and no
+    single-partition window, so the shape survives 100×. The ordering
+    key (o_orderdate DESC, o_orderkey ASC) is a unique total order
+    per customer, so both engines select an identical row set."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)

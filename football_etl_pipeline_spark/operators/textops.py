@@ -2297,3 +2297,105 @@ def text_length_quality_correlation(
         "n",
         (num / den).cast("decimal(18,6)").cast("double").alias("pearson_r"),
     )
+
+
+# ---- word co-occurrence lift (PMI without the log) ---------------------
+
+COOC_VOCAB_CAP = 64  # keep-list width: candidate pairs bounded V^2/doc
+
+
+@query(
+    "text_cooccurrence_lift",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ),
+    dw AS (SELECT DISTINCT doc_id, unnest(toks) AS w FROM t),
+    dfreq AS (SELECT w, COUNT(*)::BIGINT AS c FROM dw GROUP BY w),
+    keep AS (
+      SELECT w, c FROM dfreq ORDER BY c DESC, w LIMIT {COOC_VOCAB_CAP}
+    ),
+    dwk AS (SELECT dw.doc_id, dw.w, k.c FROM dw JOIN keep k USING (w)),
+    pairs AS (
+      SELECT a.w AS word_a, b.w AS word_b,
+             a.c AS c_a, b.c AS c_b, COUNT(*)::BIGINT AS c_ab
+      FROM dwk a JOIN dwk b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2, 3, 4
+    ),
+    tot AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents)
+    SELECT word_a, word_b, c_ab,
+           CAST(CAST(
+             (CAST(n_docs AS DOUBLE) * c_ab)
+             / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))
+             AS DECIMAL(18,6)) AS DOUBLE) AS lift
+    FROM pairs, tot
+    WHERE c_ab * 10 >= n_docs
+    ORDER BY lift DESC, word_a ASC, word_b ASC
+    LIMIT 25
+    """,
+)
+def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word-pair co-occurrence LIFT at document granularity:
+    lift(a,b) = P(a,b) / (P(a)·P(b)) = N·c_ab / (c_a·c_b) over
+    document-presence counts — PMI's argument without the log, so the
+    score stays an exact integer ratio (libm log10 is not cross-engine
+    bit-stable; the monotone transform changes nothing about ranking).
+    The collocation/topic-coherence statistic a corpus report runs
+    next to the raw bigram counts (``text_top_ngrams``, which is
+    ADJACENCY — this is unordered same-document association).
+
+    Plan: tokenize once, distinct (doc, word) pairs, then the
+    candidate pair generator is BOUNDED by a top-V document-frequency
+    keep-list (V = COOC_VOCAB_CAP, broadcast): pairs per document are
+    ≤ V², independent of vocabulary growth — the same
+    candidate-bounding discipline as the dedup banding. Support
+    filter c_ab ≥ N/10 is expressed integrally (c_ab·10 ≥ N) in both
+    dialects. One shuffle for the distinct, one self-join on doc_id
+    over keep-list survivors, TakeOrdered top-25."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    dw = (
+        docs.select(
+            "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("w")
+        )
+        .distinct()
+    )
+    dfreq = dw.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    keep = dfreq.orderBy(F.col("c").desc(), F.col("w").asc()).limit(
+        COOC_VOCAB_CAP
+    )
+    dwk = dw.join(F.broadcast(keep), "w")
+    a = dwk.select(
+        "doc_id", F.col("w").alias("word_a"), F.col("c").alias("c_a")
+    )
+    b = dwk.select(
+        "doc_id", F.col("w").alias("word_b"), F.col("c").alias("c_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .groupBy("word_a", "word_b", "c_a", "c_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(F.col("c_ab") * 10 >= F.col("n_docs"))
+        .select(
+            "word_a",
+            "word_b",
+            "c_ab",
+            (
+                (F.col("n_docs").cast("double") * F.col("c_ab"))
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("lift"),
+        )
+        .orderBy(
+            F.col("lift").desc(), F.col("word_a").asc(), F.col("word_b").asc()
+        )
+        .limit(25)
+    )
