@@ -156,6 +156,12 @@ HEADLINE = [
     "stats_bootstrap_ci_mean",
     "text_cooccurrence_lift",
     "lateral_topk_recent_orders",
+    "lineitem_weighted_median",
+    # events_ewma_recursive: 30-step recursive CTE — ~7s of pure
+    # per-iteration job-scheduling overhead on a 30-row frame (the
+    # corpus-sized scan inside it is the same daily agg the other
+    # events queries time). Gate-checked for correctness; excluded
+    # from the query bench like the full-table rewrite jobs above.
 ]
 
 

@@ -47,49 +47,82 @@ def _d6(c):
 
 
 def _range_prefix(
-    df: DataFrame, order_cols: list[str], weight_cols: list[str]
+    df: DataFrame,
+    order_cols: list[str],
+    weight_cols: list[str],
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Inclusive running totals of ``weight_cols`` in ``order_cols``
     order WITHOUT a single-partition window: range-partition on the
     (unique) sort key, take per-partition window cumsums, then add
-    each partition's start offset. Offsets come from a P-row collect
-    of per-partition totals (P = PREFIX_PARTS, fixed by config — the
-    same bounded-driver-traffic budget as the NTILE machinery in
+    each partition's start offset. Offsets come from a bounded collect
+    of per-partition totals (P = PREFIX_PARTS rows, ×G with grouping —
+    P fixed by config, G small by contract — the same
+    bounded-driver-traffic budget as the NTILE machinery in
     ``tpch_more._ntile4_distributed``). Adds ``cum_<w>`` per weight.
 
-    The caller guarantees ``order_cols`` is a unique total order (the
-    frames here are one-row-per-distinct-value), so the running total
-    is well defined and engine-independent."""
+    With ``group_cols`` the running total restarts per group (the
+    range exchange keys on group THEN order, and each group's offsets
+    prefix-sum only that group's partition totals) — grouped running
+    totals with NO per-group single-partition window, for grouped
+    medians/ECDFs where one group may carry millions of rows. G must
+    be small (the offset lookup compiles to a per-group literal-array
+    CASE); corpus-scale group counts should groupBy first.
+
+    The caller guarantees (group_cols +) ``order_cols`` is a unique
+    total order (the frames here are one-row-per-distinct-value), so
+    the running total is well defined and engine-independent."""
+    gcols = list(group_cols or [])
     part = persist_tracked(
-        df.repartitionByRange(PREFIX_PARTS, *order_cols).withColumn(
+        df.repartitionByRange(PREFIX_PARTS, *gcols, *order_cols).withColumn(
             "_pid", F.spark_partition_id()
         )
     )
-    totals = {
-        r["_pid"]: [r[f"_t_{w}"] for w in weight_cols]
-        for r in part.groupBy("_pid")
+    rows = (
+        part.groupBy("_pid", *gcols)
         .agg(*[F.sum(w).alias(f"_t_{w}") for w in weight_cols])
         .collect()
-    }
-    offs: dict[str, list[int]] = {w: [] for w in weight_cols}
-    acc = [0] * len(weight_cols)
-    for p in range(PREFIX_PARTS):
-        for i, w in enumerate(weight_cols):
-            offs[w].append(acc[i])
-        if p in totals:
-            acc = [a + (t or 0) for a, t in zip(acc, totals[p])]
+    )
+    # totals[group_key][pid] -> [per-weight totals]
+    totals: dict[tuple, dict[int, list]] = {}
+    for r in rows:
+        gk = tuple(r[g] for g in gcols)
+        totals.setdefault(gk, {})[r["_pid"]] = [
+            r[f"_t_{w}"] for w in weight_cols
+        ]
+    offs: dict[tuple, dict[str, list[int]]] = {}
+    for gk, by_pid in totals.items():
+        o: dict[str, list[int]] = {w: [] for w in weight_cols}
+        acc = [0] * len(weight_cols)
+        for p in range(PREFIX_PARTS):
+            for i, w in enumerate(weight_cols):
+                o[w].append(acc[i])
+            if p in by_pid:
+                acc = [a + (t or 0) for a, t in zip(acc, by_pid[p])]
+        offs[gk] = o
     wloc = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_pid", *gcols)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+
+    def _offset(w: str):
+        if not gcols:
+            arr = offs.get((), {w: [0] * PREFIX_PARTS})[w]
+            return F.array(*[F.lit(v) for v in arr])[F.col("_pid")]
+        expr = F.lit(0)
+        for gk, o in offs.items():
+            cond = F.lit(True)
+            for g, v in zip(gcols, gk):
+                cond = cond & (F.col(g) == F.lit(v))
+            expr = F.when(
+                cond, F.array(*[F.lit(v) for v in o[w]])[F.col("_pid")]
+            ).otherwise(expr)
+        return expr
+
     out = part
     for w in weight_cols:
-        out = out.withColumn(
-            f"cum_{w}",
-            F.array(*[F.lit(o) for o in offs[w]])[F.col("_pid")]
-            + F.sum(w).over(wloc),
-        )
+        out = out.withColumn(f"cum_{w}", _offset(w) + F.sum(w).over(wloc))
     return out.drop("_pid")
 
 
@@ -717,3 +750,138 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         _d6(m - 1.96 * se).alias("ci_lo"),
         _d6(m + 1.96 * se).alias("ci_hi"),
     )
+
+
+# ---- grouped weighted median ------------------------------------------
+
+
+@query(
+    "lineitem_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS returnflag, l_extendedprice AS p,
+             SUM(CAST(l_quantity AS BIGINT))::BIGINT AS wt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT returnflag, p, wt,
+             SUM(wt) OVER (PARTITION BY returnflag ORDER BY p) AS cw,
+             SUM(wt) OVER (PARTITION BY returnflag) AS tw
+      FROM w
+    )
+    SELECT returnflag,
+           MIN(p) AS weighted_median_price,
+           MIN(tw)::BIGINT AS total_qty
+    FROM c
+    WHERE 2 * cw >= tw
+    GROUP BY returnflag
+    ORDER BY returnflag
+    """,
+)
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per return flag: the
+    smallest price whose inclusive cumulative weight reaches half the
+    group's total — the exact order statistic (no approx-percentile
+    sketch), grouped.
+
+    Exactness: weights are integral (l_quantity carries integer
+    values; the BIGINT cast is exact on both engines for integral
+    doubles), the half-total test is written integrally (2·cw ≥ tw),
+    and the median is a MIN over raw parquet doubles — nothing is
+    computed in float at all.
+
+    Plan: groupBy(flag, price) first (shrinks to distinct prices with
+    partial aggregation before the shuffle), then the grouped running
+    weight uses ``_range_prefix`` with group_cols — a per-group
+    range-exchange prefix, NOT a ``PARTITION BY returnflag`` window:
+    with 3 flags over corpus-scale lineitem, a per-flag window
+    partition would funnel a third of the table through one task
+    (exactly the ``lineitem_abc_classification`` scale bug round 7
+    flagged and round 8 fixed)."""
+    w = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_extendedprice").alias("p"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("wt"))
+    )
+    cum = _range_prefix(w, ["p"], ["wt"], group_cols=["returnflag"])
+    tot = w.groupBy("returnflag").agg(F.sum("wt").alias("tw"))
+    return (
+        cum.join(F.broadcast(tot), "returnflag")
+        .filter(2 * F.col("cum_wt") >= F.col("tw"))
+        .groupBy("returnflag")
+        .agg(
+            F.min("p").alias("weighted_median_price"),
+            F.min("tw").alias("total_qty"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+# ---- recursive-CTE EWMA over the daily series --------------------------
+
+EWMA_ALPHA = "CAST(0.3 AS DOUBLE)"  # shared literal, both dialects
+
+
+def _ewma_sql(limit_clause: str = "") -> str:
+    """The IDENTICAL recursive query text for both dialects — the
+    point of the operator: Spark 4's WITH RECURSIVE runs a user's
+    DuckDB/Postgres recursion verbatim. s₁ = x₁;
+    sₜ = α·xₜ + (1−α)·sₜ₋₁ — a linear recurrence no plain window
+    function expresses exactly."""
+    a = EWMA_ALPHA
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS rev
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    seq AS (
+      SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily
+    ),
+    ew AS (
+      SELECT t, day, rev, CAST(rev AS DOUBLE) AS s
+      FROM seq WHERE t = 1
+      UNION ALL
+      SELECT d.t, d.day, d.rev,
+             {a} * CAST(d.rev AS DOUBLE) + (CAST(1 AS DOUBLE) - {a}) * e.s
+      FROM seq d JOIN ew e ON d.t = e.t + 1
+    )
+    SELECT day,
+           CAST(rev AS DOUBLE) AS daily_rev,
+           CAST(CAST(s AS DECIMAL(18,6)) AS DOUBLE) AS ewma_rev
+    FROM ew
+    ORDER BY day
+    {limit_clause}
+    """
+
+
+@query("events_ewma_recursive", oracle=_ewma_sql())
+def events_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily purchase revenue
+    via a RECURSIVE CTE — the sequential recurrence sₜ = α·xₜ +
+    (1−α)·sₜ₋₁ that windowed SQL cannot express exactly (the closed
+    form Σα(1−α)ᵏxₜ₋ₖ underflows/explodes as a window sum), run as
+    the IDENTICAL query text on Spark 4 and DuckDB.
+
+    Exactness: daily revenue is DECIMAL-exact; the recurrence applies
+    the same multiply-add chain in the same t-order on both engines
+    (recursion forces sequential evaluation), so every sₜ is
+    bit-identical; α is a shared literal cast to DOUBLE (bare decimal
+    literals parse as DECIMAL and downscale differently — the
+    Benford lesson).
+
+    Scale honesty: recursion depth = series length, and each step is
+    a join against the ~#days frame — tiny BY CONSTRUCTION here
+    (30 days; a few thousand at any horizon — within Spark's
+    cteRecursionLevelLimit=100 only for short series, so raise the
+    limit or fall back to the segmented-scan/applyInPandas form for
+    multi-year series). The corpus-sized work is the one scan into
+    the daily aggregate; the recursion runs on the aggregate."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ewma_sql())
