@@ -157,6 +157,7 @@ HEADLINE = [
     "text_cooccurrence_lift",
     "lateral_topk_recent_orders",
     "lineitem_weighted_median",
+    "users_kaplan_meier",
     # events_ewma_recursive: 30-step recursive CTE — ~7s of pure
     # per-iteration job-scheduling overhead on a 30-row frame (the
     # corpus-sized scan inside it is the same daily agg the other

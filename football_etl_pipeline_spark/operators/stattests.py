@@ -885,3 +885,132 @@ def events_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     the daily aggregate; the recursion runs on the aggregate."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_ewma_sql())
+
+
+# ---- Kaplan–Meier churn survival curve ---------------------------------
+
+KM_SILENCE_DAYS = 7  # churn = silent for this long before the horizon
+
+
+@query(
+    "users_kaplan_meier",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS f,
+             max(CAST(ts AS TIMESTAMP)) AS l
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT max(l) AS end_ts FROM u),
+    obs AS (
+      SELECT datediff('day', f, CAST(l AS DATE)) AS dur,
+             CASE WHEN l < end_ts - INTERVAL {KM_SILENCE_DAYS} DAY
+                  THEN 1 ELSE 0 END AS churned
+      FROM u, horizon
+    ),
+    byd AS (
+      SELECT dur, SUM(churned)::BIGINT AS d, COUNT(*)::BIGINT AS n
+      FROM obs GROUP BY dur
+    ),
+    cum AS (
+      SELECT dur, d, n,
+             SUM(n) OVER (ORDER BY dur) AS cumn,
+             (SELECT SUM(n) FROM byd) AS t
+      FROM byd
+    ),
+    r AS (
+      SELECT dur, d, t - (cumn - n) AS at_risk FROM cum
+      WHERE d > 0 AND t - (cumn - n) > d
+    ),
+    terms AS (
+      SELECT dur, d, at_risk,
+             CAST(ln(CAST(at_risk - d AS DOUBLE) / at_risk)
+                  AS DECIMAL(18,9)) AS lt
+      FROM r
+    ),
+    km AS (
+      SELECT dur, d, at_risk,
+             SUM(lt) OVER (ORDER BY dur) AS cl
+      FROM terms
+    )
+    SELECT dur AS duration_days, at_risk AS n_at_risk, d AS n_churned,
+           CAST(CAST(exp(CAST(cl AS DOUBLE)) AS DECIMAL(18,6))
+                AS DOUBLE) AS survival
+    FROM km ORDER BY duration_days
+    """,
+)
+def users_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for user lifetime: duration = days
+    between a user's first and last event; a user CHURNS if silent for
+    ≥ KM_SILENCE_DAYS before the data horizon, else is right-censored
+    (still active when observation ended) — the estimator that makes
+    retention analysis honest about censoring, where the naive
+    ``events_daily_retention`` readout treats still-active users as
+    lost. S(t) = Π over event-times ≤ t of (1 − dᵢ/nᵢ).
+
+    Exactness: risk sets and death counts are exact integers; each
+    factor enters as ln((nᵢ−dᵢ)/nᵢ) — ln of a correctly-rounded ratio
+    of exact ints, pinned DECIMAL(18,9) per term (the ln-of-int
+    precedent from ``text_token_entropy``), summed exactly, exp'd
+    once. Degenerate rows where the whole risk set dies (S → 0, ln
+    −∞: DuckDB yields -inf where Spark yields NULL) are excluded by
+    the same at_risk > d guard in both dialects.
+
+    Plan: one scan → per-user agg; everything after runs over the
+    ~#distinct-durations frame — tiny BY CONSTRUCTION (≤ horizon
+    days; the CUSUM-series exception), so the global windows here are
+    not a scale hazard. The horizon is a 1-row broadcast."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").cast("date").alias("f"),
+            F.max("ts").alias("l"),
+        )
+    )
+    horizon = u.agg(F.max("l").alias("end_ts"))
+    obs = u.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(F.col("l").cast("date"), F.col("f")).alias("dur"),
+        F.when(
+            F.col("l")
+            < F.col("end_ts") - F.expr(f"INTERVAL {KM_SILENCE_DAYS} DAY"),
+            1,
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    byd = obs.groupBy("dur").agg(
+        F.sum("churned").alias("d"), F.count(F.lit(1)).alias("n")
+    )
+    wall = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = byd.withColumn("cumn", F.sum("n").over(wall)).crossJoin(
+        F.broadcast(byd.agg(F.sum("n").alias("t")))
+    )
+    r = cum.select(
+        "dur",
+        "d",
+        (F.col("t") - (F.col("cumn") - F.col("n"))).alias("at_risk"),
+    ).filter((F.col("d") > 0) & (F.col("at_risk") > F.col("d")))
+    terms = r.withColumn(
+        "lt",
+        F.log(
+            (F.col("at_risk") - F.col("d")).cast("double")
+            / F.col("at_risk")
+        ).cast("decimal(18,9)"),
+    )
+    km = terms.withColumn(
+        "cl",
+        F.sum("lt").over(
+            Window.orderBy("dur").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return km.select(
+        F.col("dur").alias("duration_days"),
+        F.col("at_risk").alias("n_at_risk"),
+        F.col("d").alias("n_churned"),
+        _d6(F.exp(F.col("cl").cast("double"))).alias("survival"),
+    ).orderBy("duration_days")
