@@ -156,7 +156,7 @@ KS_SRC_A, KS_SRC_B = "src0", "src1"
                  - CAST(cum_cb AS DOUBLE) / n_b) AS d
       FROM cum
     )
-    SELECT n_a, n_b,
+    SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
            CAST(CAST(d AS DECIMAL(18,6)) AS DOUBLE) AS ks_d,
            n_chars AS ks_at_chars
     FROM scored
@@ -933,7 +933,8 @@ KM_SILENCE_DAYS = 7  # churn = silent for this long before the horizon
              SUM(lt) OVER (ORDER BY dur) AS cl
       FROM terms
     )
-    SELECT dur AS duration_days, at_risk AS n_at_risk, d AS n_churned,
+    SELECT dur AS duration_days, at_risk::BIGINT AS n_at_risk,
+           d AS n_churned,
            CAST(CAST(exp(CAST(cl AS DOUBLE)) AS DECIMAL(18,6))
                 AS DOUBLE) AS survival
     FROM km ORDER BY duration_days
