@@ -158,6 +158,7 @@ HEADLINE = [
     "lateral_topk_recent_orders",
     "lineitem_weighted_median",
     "users_kaplan_meier",
+    "stats_trimmed_mean",
     # events_ewma_recursive: 30-step recursive CTE — ~7s of pure
     # per-iteration job-scheduling overhead on a 30-row frame (the
     # corpus-sized scan inside it is the same daily agg the other

@@ -1015,3 +1015,101 @@ def users_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_churned"),
         _d6(F.exp(F.col("cl").cast("double"))).alias("survival"),
     ).orderBy("duration_days")
+
+
+# ---- trimmed and winsorized means --------------------------------------
+
+TRIM_PCT_TENTHS = 1  # drop/clamp floor(n/10) values from each tail
+
+
+@query(
+    "stats_trimmed_mean",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, value FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT value,
+             ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+             (SELECT COUNT(*)::BIGINT FROM p) AS n
+      FROM p
+    ),
+    kk AS (SELECT n AS nn, n // 10 AS k FROM ranked LIMIT 1),
+    mo AS (
+      SELECT MIN(nn) AS n, MIN(k) AS k,
+             SUM(CASE WHEN rn > k AND rn <= nn - k
+                      THEN CAST(value AS DECIMAL(18,6)) END) AS tsum,
+             MIN(CASE WHEN rn = k + 1 THEN value END) AS v_lo,
+             MIN(CASE WHEN rn = nn - k THEN value END) AS v_hi
+      FROM ranked, kk
+    )
+    SELECT n AS n_values, k AS k_trimmed,
+           CAST(CAST(CAST(tsum AS DOUBLE) / (n - 2 * k)
+                AS DECIMAL(18,6)) AS DOUBLE) AS trimmed_mean,
+           CAST(CAST(
+             (CAST(tsum AS DOUBLE) + k * v_lo + k * v_hi) / n
+             AS DECIMAL(18,6)) AS DOUBLE) AS winsorized_mean
+    FROM mo
+    """,
+)
+def stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed AND winsorized means of purchase values —
+    the robust-location pair (drop the tails / clamp the tails to the
+    cut points) that complements the median/MAD fences
+    (``events_anomaly_mad``) when the readout must stay a mean.
+
+    Exactness: the rank order (value, event_id) is unique; the kept
+    mass sums in DECIMAL; k = n//10 is exact integer division; the
+    cut-point values v_lo/v_hi are raw parquet doubles picked by
+    rank-equality MIN; one fixed double chain to both means.
+
+    Plan: the global rank over raw purchases uses the range-exchange
+    + partition-offset pattern (plan-tested: no single-partition
+    window); n and k fall out of the same bounded offsets collect, so
+    they inject as literals — the moment aggregate is then ONE pass
+    with conditional sums, no self-join against quantile scalars."""
+    p = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("event_id", "value")
+    part = persist_tracked(
+        p.repartitionByRange(PREFIX_PARTS, "value", "event_id").withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    cnt = {
+        r["_pid"]: r["n"]
+        for r in part.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offs, acc = [], 0
+    for q in range(PREFIX_PARTS):
+        offs.append(acc)
+        acc += cnt.get(q, 0)
+    n, k = acc, acc // 10
+    wloc = Window.partitionBy("_pid").orderBy("value", "event_id")
+    rn = (
+        F.array(*[F.lit(o) for o in offs])[F.col("_pid")]
+        + F.row_number().over(wloc)
+    )
+    mo = part.withColumn("rn", rn).agg(
+        F.sum(
+            F.when(
+                (F.col("rn") > k) & (F.col("rn") <= n - k),
+                F.col("value").cast("decimal(18,6)"),
+            )
+        ).alias("tsum"),
+        F.min(F.when(F.col("rn") == k + 1, F.col("value"))).alias("v_lo"),
+        F.min(F.when(F.col("rn") == n - k, F.col("value"))).alias("v_hi"),
+    )
+    tsum_d = F.col("tsum").cast("double")
+    return mo.select(
+        F.lit(n).alias("n_values"),
+        F.lit(k).alias("k_trimmed"),
+        _d6(tsum_d / F.lit(n - 2 * k)).alias("trimmed_mean"),
+        _d6(
+            (tsum_d + F.lit(k) * F.col("v_lo") + F.lit(k) * F.col("v_hi"))
+            / F.lit(n)
+        ).alias("winsorized_mean"),
+    )

@@ -535,3 +535,52 @@ def test_stable_row_ids_has_no_global_window(spark):
     outer = _outer_final(full)
     assert "Window" not in outer
     assert "Exchange SinglePartition" not in outer
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "stats_ks_source_drift",
+        "stats_mannwhitney_value",
+        "customer_revenue_gini",
+        "lineitem_weighted_median",
+    ],
+)
+def test_stattest_running_totals_avoid_global_windows(spark, name):
+    """Every running total in the distribution-statistics family must
+    ride the range-exchange + partition-offset pattern (stattests.
+    _range_prefix): a Window fed by a SinglePartition exchange over
+    the distinct-value frame would funnel corpus-scale cardinality
+    (distinct purchase values, per-customer revenues, grouped prices)
+    through one task at 100×."""
+    final = _final(_plan(spark, name))
+    assert "Window" in final
+    assert _windows_fed_by_single_partition(final) == []
+
+
+def test_lateral_topk_decorrelates_to_partitioned_window(spark):
+    """The correlated LATERAL (ORDER BY + LIMIT 3 per customer) must
+    decorrelate to a row_number window PARTITIONED BY o_custkey + a
+    broadcast join — per-outer-row re-execution or a global window
+    would both be scale bugs."""
+    final = _final(_plan(spark, "lateral_topk_recent_orders"))
+    assert "Window" in final
+    assert _windows_fed_by_single_partition(final) == []
+    assert "BroadcastHashJoin" in final
+
+
+def test_cooccurrence_keeplist_is_broadcast(spark):
+    """The top-V document-frequency keep-list must join as a
+    broadcast (it is V rows by construction); shuffling the (doc,
+    word) frame against it would add a corpus-sized exchange."""
+    final = _final(_plan(spark, "text_cooccurrence_lift"))
+    assert "BroadcastHashJoin" in final
+
+
+def test_trimmed_mean_rank_is_range_partitioned(spark):
+    """The global rank over raw purchase rows must ride the
+    range-exchange + partition-offset pattern — no SinglePartition
+    window over the row-level frame."""
+    final = _final(_plan(spark, "stats_trimmed_mean"))
+    assert "Window" in final
+    assert _windows_fed_by_single_partition(final) == []
