@@ -1113,3 +1113,224 @@ def stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(n)
         ).alias("winsorized_mean"),
     )
+
+
+# ---- Theil–Sen robust trend over the daily series ----------------------
+
+
+@query(
+    "stats_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS rev
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    seq AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS t,
+             CAST(rev AS DOUBLE) AS y
+      FROM daily
+    ),
+    slopes AS (
+      SELECT (b.y - a.y) / (b.t - a.t) AS s
+      FROM seq a JOIN seq b ON b.t > a.t
+    ),
+    ranked AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn,
+             (SELECT COUNT(*)::BIGINT FROM slopes) AS np
+      FROM slopes
+    ),
+    med AS (
+      SELECT MIN(np) AS n_pairs,
+             MIN(CASE WHEN rn = (np + 1) // 2 THEN s END) AS m1,
+             MIN(CASE WHEN rn = (np + 2) // 2 THEN s END) AS m2
+      FROM ranked
+    )
+    SELECT (SELECT COUNT(*)::BIGINT FROM daily) AS n_days,
+           n_pairs,
+           CAST(CAST((m1 + m2) / 2 AS DECIMAL(18,6)) AS DOUBLE)
+             AS slope_per_day
+    FROM med
+    """,
+)
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily purchase revenue: the median of
+    all pairwise slopes — 29.3% breakdown point where the OLS twin
+    (``lineitem_ols_price_quantity``) folds to a single outlier day.
+    The monitoring sibling of the CUSUM changepoint: CUSUM asks WHEN
+    the series shifted, this asks how fast it drifts.
+
+    Exactness: day indexes are integers and daily revenue is
+    DECIMAL-exact, so every pairwise slope is one identical IEEE
+    division; the median is an exact order statistic (lower/upper
+    middle averaged — two identical doubles both sides), pinned
+    DECIMAL(18,6).
+
+    Plan: corpus-sized work is the one scan into the daily aggregate;
+    the O(d²) pair join and its rank run over the ~#days frame —
+    tiny BY CONSTRUCTION (30 days → 435 pairs; even a 3-year horizon
+    is ~600k pairs in one task) — the documented small-series
+    exception, same as CUSUM/EWMA."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy(F.date_trunc("DAY", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("rev"))
+    )
+    seq = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.col("rev").cast("double").alias("y"),
+    )
+    a = seq.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = seq.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    slopes = (
+        a.join(b, F.col("tb") > F.col("ta"))
+        .select(
+            ((F.col("yb") - F.col("ya")) / (F.col("tb") - F.col("ta"))).alias(
+                "s"
+            )
+        )
+    )
+    ranked = slopes.select(
+        "s", F.row_number().over(Window.orderBy("s")).alias("rn")
+    ).crossJoin(F.broadcast(slopes.agg(F.count(F.lit(1)).alias("np"))))
+    med = ranked.agg(
+        F.min("np").alias("n_pairs"),
+        F.min(
+            F.when(F.col("rn") == F.floor((F.col("np") + 1) / 2), F.col("s"))
+        ).alias("m1"),
+        F.min(
+            F.when(F.col("rn") == F.floor((F.col("np") + 2) / 2), F.col("s"))
+        ).alias("m2"),
+    )
+    return med.crossJoin(
+        F.broadcast(daily.agg(F.count(F.lit(1)).alias("n_days")))
+    ).select(
+        "n_days",
+        "n_pairs",
+        _d6((F.col("m1") + F.col("m2")) / 2).alias("slope_per_day"),
+    )
+
+
+# ---- 2D Pareto skyline --------------------------------------------------
+
+SKYLINE_SEGMENT = "AUTOMOBILE"
+
+
+@query(
+    "customer_pareto_skyline",
+    oracle=f"""
+    WITH pts AS (
+      SELECT o.o_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev,
+             max(CAST(o.o_orderdate AS DATE)) AS d
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment = '{SKYLINE_SEGMENT}'
+      GROUP BY 1
+    )
+    SELECT p.o_custkey AS c_custkey,
+           CAST(p.rev AS DOUBLE) AS revenue,
+           p.d AS last_order_date
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.rev >= p.rev AND q.d >= p.d
+        AND (q.rev > p.rev OR q.d > p.d)
+    )
+    ORDER BY revenue DESC, c_custkey
+    """,
+)
+def customer_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D Pareto skyline (maximal-vector / dominance query): customers
+    in one segment not dominated on (total revenue, order recency) —
+    q dominates p iff q is ≥ on both axes and > on at least one. The
+    classic multi-objective shortlist operator ("highest-value AND
+    freshest") relational engines ship as SKYLINE OF; Spark has no
+    native form.
+
+    Exactness: revenue is an exact DECIMAL sum and recency a DATE —
+    dominance is pure integer/decimal comparison, no float anywhere;
+    equal points do not dominate each other (both survive), matching
+    the oracle's NOT EXISTS literally.
+
+    Plan — the scale story is why this ISN'T the oracle's O(n²)
+    NOT EXISTS: for 2D max-max dominance, p is dominated iff
+    (a) some strictly-higher-revenue point has recency ≥ p's, or
+    (b) a same-revenue point has recency > p's. (a) is an EXCLUSIVE
+    running max of recency over revenue descending — computed with
+    the range-exchange pattern (per-partition exclusive window max +
+    suffix-max partition offsets from a P-row collect); (b) is the
+    per-revenue max from the same distinct-revenue aggregate. One
+    groupBy, one range exchange, zero self-joins — O(n log n) against
+    the oracle's quadratic."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == SKYLINE_SEGMENT
+    )
+    pts = (
+        o.join(F.broadcast(c.select("c_custkey")),
+               o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+            F.max(F.col("o_orderdate").cast("date")).alias("d"),
+        )
+    )
+    byrev = pts.groupBy("rev").agg(F.max("d").alias("ymax"))
+    part = persist_tracked(
+        byrev.repartitionByRange(PREFIX_PARTS, "rev").withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    pmax = {
+        r["_pid"]: r["m"]
+        for r in part.groupBy("_pid").agg(F.max("ymax").alias("m")).collect()
+    }
+    # suffix max: best recency among partitions holding HIGHER revenue
+    suffix, best = [], None
+    for p in range(PREFIX_PARTS - 1, -1, -1):
+        suffix.append(best)
+        if p in pmax and (best is None or pmax[p] > best):
+            best = pmax[p]
+    suffix.reverse()  # suffix[p] = max ymax over pids > p (None at top)
+    sentinel = "0001-01-01"
+    off = F.array(
+        *[
+            F.lit(str(s) if s is not None else sentinel).cast("date")
+            for s in suffix
+        ]
+    )[F.col("_pid")]
+    wdesc = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("rev").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    best_above = F.greatest(
+        F.coalesce(F.max("ymax").over(wdesc), F.lit(sentinel).cast("date")),
+        off,
+    )
+    dom = part.select(
+        "rev", "ymax", best_above.alias("best_above")
+    )
+    sky = (
+        pts.join(dom, "rev")
+        .filter(
+            ~(
+                (F.col("best_above") >= F.col("d"))
+                | (F.col("ymax") > F.col("d"))
+            )
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("d").alias("last_order_date"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    )
+    return sky

@@ -584,3 +584,14 @@ def test_trimmed_mean_rank_is_range_partitioned(spark):
     final = _final(_plan(spark, "stats_trimmed_mean"))
     assert "Window" in final
     assert _windows_fed_by_single_partition(final) == []
+
+
+def test_skyline_has_no_self_join_and_no_global_window(spark):
+    """The skyline must be the O(n log n) cummax formulation: no
+    quadratic dominance self-join (exactly one join — points back to
+    the distinct-revenue dominance frame, plus the broadcast segment
+    filter) and no SinglePartition window."""
+    final = _final(_plan(spark, "customer_pareto_skyline"))
+    assert _windows_fed_by_single_partition(final) == []
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
