@@ -161,6 +161,8 @@ HEADLINE = [
     "stats_trimmed_mean",
     "stats_theil_sen_trend",
     "customer_pareto_skyline",
+    "eval_auc_language_detector",
+    "eval_calibration_bins",
     # events_ewma_recursive: 30-step recursive CTE — ~7s of pure
     # per-iteration job-scheduling overhead on a 30-row frame (the
     # corpus-sized scan inside it is the same daily agg the other

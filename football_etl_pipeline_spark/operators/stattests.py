@@ -1334,3 +1334,201 @@ def customer_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
     )
     return sky
+
+
+# ---- classifier evaluation: exact AUC + calibration table --------------
+#
+# Detector under evaluation: the en-marker-ratio score behind
+# text_language_id, judged against the labeled lang column — the
+# engine-side eval half of a train/score/eval curation loop (features:
+# events_training_features_pit; scoring: text_quality_logreg_score;
+# eval: here).
+
+
+def _en_score_spark() -> str:
+    from .textops import TOKENS_SPARK, _marker_count
+
+    return (
+        f"CASE WHEN size({TOKENS_SPARK}) > 0 THEN "
+        f"CAST({_marker_count(TOKENS_SPARK, 'en', 'spark')} AS DOUBLE)"
+        f" / size({TOKENS_SPARK}) ELSE CAST(0 AS DOUBLE) END"
+    )
+
+
+def _en_score_duck() -> str:
+    from .textops import TOKENS_DUCK, _marker_count
+
+    return (
+        f"CASE WHEN len({TOKENS_DUCK}) > 0 THEN "
+        f"CAST({_marker_count(TOKENS_DUCK, 'en', 'duck')} AS DOUBLE)"
+        f" / len({TOKENS_DUCK}) ELSE CAST(0 AS DOUBLE) END"
+    )
+
+
+def _auc_oracle() -> str:
+    return f"""
+    WITH scored AS (
+      SELECT {_en_score_duck()} AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    byv AS (
+      SELECT s, SUM(y)::BIGINT AS na, SUM(1 - y)::BIGINT AS nb
+      FROM scored GROUP BY s
+    ),
+    cum AS (
+      SELECT s, na, nb, SUM(na + nb) OVER (ORDER BY s) AS cum_t
+      FROM byv
+    ),
+    mo AS (
+      SELECT SUM(na)::BIGINT AS n_pos, SUM(nb)::BIGINT AS n_neg,
+             SUM(na * (2 * (cum_t - (na + nb)) + (na + nb) + 1))::BIGINT
+               AS r2a
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           CAST(CAST(
+             (CAST((r2a - n_pos * (n_pos + 1)) AS DOUBLE) / 2)
+             / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+             AS DECIMAL(18,6)) AS DOUBLE) AS auc
+    FROM mo
+    """
+
+
+@query("eval_auc_language_detector", oracle=_auc_oracle())
+def eval_auc_language_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the en-marker-ratio detector against the
+    labeled ``lang`` column — AUC computed as the tie-corrected
+    rank-sum statistic (AUC = U/(n₊·n₋), the Mann–Whitney identity),
+    NOT a thresholded-curve trapezoid: exact, one pass, no threshold
+    grid. The model-evaluation face of the curation loop; on this
+    word-salad corpus the discrimination is near chance, which is
+    exactly what the metric should report.
+
+    Exactness: the score is an exact rational (marker count / token
+    count, one IEEE division), tie groups get integral 2×avg-ranks
+    (the ``stats_mannwhitney_value`` machinery), so AUC is a ratio of
+    exact integers halved once.
+
+    Plan: tokenize scan → groupBy(score) shuffle → range-exchange
+    prefix for the rank sums → single-row moment."""
+    d = load_table(spark, sf_dir, "documents").selectExpr(
+        f"{_en_score_spark()} AS s",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y",
+    )
+    byv = d.groupBy("s").agg(
+        F.sum("y").alias("na"),
+        F.sum(F.lit(1) - F.col("y")).alias("nb"),
+    )
+    cum = _range_prefix(
+        byv.withColumn("t", F.col("na") + F.col("nb")), ["s"], ["t"]
+    )
+    mo = cum.agg(
+        F.sum("na").alias("n_pos"),
+        F.sum("nb").alias("n_neg"),
+        F.sum(
+            F.col("na")
+            * (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1)
+        ).alias("r2a"),
+    )
+    u = (
+        F.col("r2a") - F.col("n_pos") * (F.col("n_pos") + 1)
+    ).cast("double") / 2
+    return mo.select(
+        "n_pos",
+        "n_neg",
+        _d6(
+            u / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+        ).alias("auc"),
+    )
+
+
+def _calib_oracle() -> str:
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, {_en_score_duck()} AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    ranked AS (
+      SELECT s, y,
+             ROW_NUMBER() OVER (ORDER BY s, doc_id) AS rn,
+             (SELECT COUNT(*)::BIGINT FROM scored) AS n
+      FROM scored
+    ),
+    binned AS (
+      SELECT CAST(floor(((rn - 1) * 10) / n) AS BIGINT) + 1 AS bin,
+             s, y
+      FROM ranked
+    )
+    SELECT bin,
+           COUNT(*)::BIGINT AS n_docs,
+           CAST(CAST(CAST(SUM(y) AS DOUBLE) / COUNT(*)
+                AS DECIMAL(18,6)) AS DOUBLE) AS pos_rate,
+           CAST(CAST(CAST(SUM(CAST(s AS DECIMAL(18,9))) AS DOUBLE)
+                / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS mean_score
+    FROM binned
+    GROUP BY bin ORDER BY bin
+    """
+
+
+@query("eval_calibration_bins", oracle=_calib_oracle())
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the same detector: rank-decile score bins
+    vs empirical positive rate — the calibration readout (does score
+    0.8 mean 80%?) that AUC alone can't answer. Equal-count bins via
+    the positional rule bin = ⌊(rank−1)·10/n⌋+1 over a unique
+    (score, doc_id) order.
+
+    Exactness: ranks ride the range-exchange offset pattern; the bin
+    formula's float division is exact-by-gap (the quotient is a
+    rational with denominator n — at least 1/n from any non-exact
+    integer, far beyond one ulp); per-bin positive rates are exact
+    count ratios and mean scores sum DECIMAL(18,9)-pinned values.
+
+    Plan: tokenize scan → range exchange for ranks → 10-group agg."""
+    d = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_en_score_spark()} AS s",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y",
+    )
+    part = persist_tracked(
+        d.repartitionByRange(PREFIX_PARTS, "s", "doc_id").withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    cnt = {
+        r["_pid"]: r["n"]
+        for r in part.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offs, acc = [], 0
+    for q in range(PREFIX_PARTS):
+        offs.append(acc)
+        acc += cnt.get(q, 0)
+    n = acc
+    rn = (
+        F.array(*[F.lit(o) for o in offs])[F.col("_pid")]
+        + F.row_number().over(
+            Window.partitionBy("_pid").orderBy("s", "doc_id")
+        )
+    )
+    binned = part.withColumn(
+        "bin",
+        (F.floor(((rn - 1) * 10) / F.lit(n)) + 1).cast("bigint"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _d6(
+                F.sum("y").cast("double") / F.count(F.lit(1))
+            ).alias("pos_rate"),
+            _d6(
+                F.sum(F.col("s").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_score"),
+        )
+        .orderBy("bin")
+    )
