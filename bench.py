@@ -163,6 +163,8 @@ HEADLINE = [
     "customer_pareto_skyline",
     "eval_auc_language_detector",
     "eval_calibration_bins",
+    "stats_psi_drift",
+    "features_target_encoding",
     # events_ewma_recursive: 30-step recursive CTE — ~7s of pure
     # per-iteration job-scheduling overhead on a 30-row frame (the
     # corpus-sized scan inside it is the same daily agg the other

@@ -1532,3 +1532,171 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---- Population Stability Index ----------------------------------------
+
+PSI_BINS = 10
+PSI_SRC = "src0"
+
+
+@query(
+    "stats_psi_drift",
+    oracle=f"""
+    WITH rng AS (
+      SELECT min(n_chars) AS mn, max(n_chars) - min(n_chars) + 1 AS span
+      FROM documents
+    ),
+    binned AS (
+      SELECT ((n_chars - mn) * {PSI_BINS}) // span AS bin,
+             CASE WHEN source = '{PSI_SRC}' THEN 1 ELSE 0 END AS is_a
+      FROM documents, rng
+    ),
+    byb AS (
+      SELECT bin,
+             SUM(is_a)::BIGINT AS ca,
+             SUM(1 - is_a)::BIGINT AS cb
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb FROM byb),
+    terms AS (
+      SELECT bin, ca, cb,
+             CAST(ca + 1 AS DOUBLE) / (na + {PSI_BINS}) AS p,
+             CAST(cb + 1 AS DOUBLE) / (nb + {PSI_BINS}) AS q
+      FROM byb, tot
+    )
+    SELECT bin, ca AS n_src, cb AS n_rest,
+           CAST(CAST(p AS DECIMAL(18,6)) AS DOUBLE) AS p_src,
+           CAST(CAST(q AS DECIMAL(18,6)) AS DOUBLE) AS p_rest,
+           CAST(CAST((p - q) * ln(p / q) AS DECIMAL(18,6)) AS DOUBLE)
+             AS psi_term
+    FROM terms
+    ORDER BY bin
+    """,
+)
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between one source and the rest of
+    the corpus over document length, per equal-width bin — the
+    industry-standard model-monitoring drift score, completing the
+    drift triptych: TVD (coarse binned mass), KS (distribution-free
+    max gap), PSI (per-bin log-ratio attribution — WHICH bins moved).
+
+    Exactness: binning is fully integral (bin = (x−mn)·B // span, an
+    exact integer floor-division); add-one smoothing keeps every
+    share a positive exact rational so ln never sees 0; each term is
+    one identical double chain (the ln-of-exact-ratio precedent),
+    pinned DECIMAL(18,6).
+
+    Plan: a 2-row min/max broadcast, one binning scan → B-group agg;
+    everything after runs on B rows."""
+    rng = load_table(spark, sf_dir, "documents").agg(
+        F.min("n_chars").alias("mn"),
+        (F.max("n_chars") - F.min("n_chars") + 1).alias("span"),
+    )
+    binned = (
+        load_table(spark, sf_dir, "documents")
+        .crossJoin(F.broadcast(rng))
+        .select(
+            F.floor(
+                ((F.col("n_chars") - F.col("mn")) * PSI_BINS)
+                / F.col("span")
+            ).alias("bin"),
+            F.when(F.col("source") == PSI_SRC, 1).otherwise(0).alias(
+                "is_a"
+            ),
+        )
+    )
+    byb = binned.groupBy("bin").agg(
+        F.sum("is_a").alias("ca"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("cb"),
+    )
+    tot = byb.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    t = byb.crossJoin(F.broadcast(tot))
+    p = (F.col("ca") + 1).cast("double") / (F.col("na") + PSI_BINS)
+    q = (F.col("cb") + 1).cast("double") / (F.col("nb") + PSI_BINS)
+    return t.select(
+        "bin",
+        F.col("ca").alias("n_src"),
+        F.col("cb").alias("n_rest"),
+        _d6(p).alias("p_src"),
+        _d6(q).alias("p_rest"),
+        _d6((p - q) * F.log(p / q)).alias("psi_term"),
+    ).orderBy("bin")
+
+
+# ---- leave-one-out target encoding --------------------------------------
+
+TENC_SMOOTH = 20  # pseudo-count mass pulled toward the global prior
+
+
+@query(
+    "features_target_encoding",
+    oracle=f"""
+    WITH lab AS (
+      SELECT o_orderpriority AS category,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    bycat AS (
+      SELECT category, SUM(y)::BIGINT AS sy, COUNT(*)::BIGINT AS n
+      FROM lab GROUP BY category
+    ),
+    tot AS (
+      SELECT SUM(sy)::BIGINT AS ty, SUM(n)::BIGINT AS tn FROM bycat
+    )
+    SELECT category, n, sy AS n_pos,
+           CAST(CAST(CAST(sy AS DOUBLE) / n AS DECIMAL(18,6))
+                AS DOUBLE) AS raw_rate,
+           CAST(CAST(
+             (sy - 1 + {TENC_SMOOTH} * (CAST(ty AS DOUBLE) / tn))
+             / (n - 1 + {TENC_SMOOTH})
+             AS DECIMAL(18,6)) AS DOUBLE) AS enc_if_pos,
+           CAST(CAST(
+             (sy + {TENC_SMOOTH} * (CAST(ty AS DOUBLE) / tn))
+             / (n - 1 + {TENC_SMOOTH})
+             AS DECIMAL(18,6)) AS DOUBLE) AS enc_if_neg
+    FROM bycat, tot
+    ORDER BY category
+    """,
+)
+def features_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with prior smoothing — the
+    categorical-feature workhorse of tabular training pipelines,
+    computed the leakage-safe way: a row's own label is subtracted
+    from its category's sum before the rate is formed (the
+    ``events_training_features_pit`` discipline applied to
+    aggregates), with TENC_SMOOTH pseudo-observations of the global
+    prior so rare categories shrink toward it. Encoding
+    o_orderpriority against the fulfilled-order label here.
+
+    A LOO encoding takes exactly two values per category (the row was
+    a positive / was a negative), so the lossless, scale-free output
+    is the per-category table of both values — joining it back to
+    rows is one broadcast map-side join, no per-row recompute.
+
+    Exactness: sums/counts integral, the prior one IEEE division,
+    each encoding one fixed chain, pinned DECIMAL(18,6).
+
+    Plan: one scan → |categories|-group partial agg; the prior is a
+    1-row broadcast."""
+    lab = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("category"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    bycat = lab.groupBy("category").agg(
+        F.sum("y").alias("sy"), F.count(F.lit(1)).alias("n")
+    )
+    tot = bycat.agg(F.sum("sy").alias("ty"), F.sum("n").alias("tn"))
+    t = bycat.crossJoin(F.broadcast(tot))
+    prior = F.col("ty").cast("double") / F.col("tn")
+    den = F.col("n") - 1 + TENC_SMOOTH
+    return t.select(
+        "category",
+        "n",
+        F.col("sy").alias("n_pos"),
+        _d6(F.col("sy").cast("double") / F.col("n")).alias("raw_rate"),
+        _d6((F.col("sy") - 1 + TENC_SMOOTH * prior) / den).alias(
+            "enc_if_pos"
+        ),
+        _d6((F.col("sy") + TENC_SMOOTH * prior) / den).alias("enc_if_neg"),
+    ).orderBy("category")
