@@ -2304,6 +2304,36 @@ def text_length_quality_correlation(
 COOC_VOCAB_CAP = 64  # keep-list width: candidate pairs bounded V^2/doc
 
 
+def cooccurrence_candidates(docs, vocab_cap: int = COOC_VOCAB_CAP):
+    """Candidate (doc, word_a, word_b) pair frame behind
+    ``text_cooccurrence_lift``, exposed for the scale probe: per-doc
+    pairs over the top-``vocab_cap`` document-frequency keep-list.
+    Candidate volume is bounded by V²·n_docs for fixed V; on a corpus
+    whose VOCABULARY grows (more sources), a fixed V dilutes per-source
+    coverage (sublinear candidates, shrinking result) — the production
+    dial is V ~ source diversity, demonstrated in SCALE.md exactly
+    like the IVF CELLS dial. Columns: doc_id, word_a, c_a, word_b,
+    c_b (c_* = document frequency from the keep-list)."""
+    dw = (
+        docs.select(
+            "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("w")
+        )
+        .distinct()
+    )
+    dfreq = dw.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    keep = dfreq.orderBy(F.col("c").desc(), F.col("w").asc()).limit(
+        vocab_cap
+    )
+    dwk = dw.join(F.broadcast(keep), "w")
+    a = dwk.select(
+        "doc_id", F.col("w").alias("word_a"), F.col("c").alias("c_a")
+    )
+    b = dwk.select(
+        "doc_id", F.col("w").alias("word_b"), F.col("c").alias("c_b")
+    )
+    return a.join(b, "doc_id").filter(F.col("word_a") < F.col("word_b"))
+
+
 @query(
     "text_cooccurrence_lift",
     oracle=f"""
@@ -2355,26 +2385,8 @@ def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    dw = (
-        docs.select(
-            "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("w")
-        )
-        .distinct()
-    )
-    dfreq = dw.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    keep = dfreq.orderBy(F.col("c").desc(), F.col("w").asc()).limit(
-        COOC_VOCAB_CAP
-    )
-    dwk = dw.join(F.broadcast(keep), "w")
-    a = dwk.select(
-        "doc_id", F.col("w").alias("word_a"), F.col("c").alias("c_a")
-    )
-    b = dwk.select(
-        "doc_id", F.col("w").alias("word_b"), F.col("c").alias("c_b")
-    )
     pairs = (
-        a.join(b, "doc_id")
-        .filter(F.col("word_a") < F.col("word_b"))
+        cooccurrence_candidates(docs)
         .groupBy("word_a", "word_b", "c_a", "c_b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
     )

@@ -110,7 +110,7 @@ def main() -> None:
     if "--copies" in sys.argv:
         copies = int(sys.argv[sys.argv.index("--copies") + 1])
 
-    from football_etl_pipeline_spark.operators import dedup, similarity
+    from football_etl_pipeline_spark.operators import dedup, similarity, textops
     from football_etl_pipeline_spark.operators.registry import (
         release_persists,
     )
@@ -138,6 +138,9 @@ def main() -> None:
         ),
         "dedup_embedding_ivf": lambda d: dedup.dedup_embedding_ivf(
             spark, d, candidates_only=True
+        ),
+        "text_cooccurrence (V=64)": lambda d: textops.cooccurrence_candidates(
+            docs_of(d)
         ),
     }
 
@@ -205,6 +208,24 @@ def main() -> None:
     finally:
         dedup.EMB_DUP_CELLS = saved
 
+    # the co-occurrence dial: keep-list width scaled with source
+    # diversity. A FIXED V on an N-source corpus spreads the top-V
+    # document-frequency slots across copies (each copy keeps ~V/N of
+    # its vocabulary), so candidates go SUBLINEAR and coverage shrinks
+    # silently — the dial is V ~ diversity, restoring per-copy
+    # structure and ~linear growth (same shape as the IVF CELLS dial).
+    fn = lambda d: textops.cooccurrence_candidates(  # noqa: E731
+        docs_of(d), vocab_cap=64 * copies
+    )
+    nN, wN = measure(fn, big)
+    n1 = next(r[1] for r in rows if r[0] == "text_cooccurrence (V=64)")
+    growth = nN / n1 / copies if n1 else float("nan")
+    rows.append(
+        (f"text_cooccurrence (V x{copies})", n1, nN, round(growth, 2),
+         next(r[4] for r in rows if r[0] == "text_cooccurrence (V=64)"), wN)
+    )
+    print(f"# cooccurrence V-scaled: {copies}x={nN} growth/linear={growth:.2f}")
+
     lines = [
         "# SCALE — candidate-volume rehearsal (1x vs "
         f"{copies}x synthetic corpus)",
@@ -247,6 +268,13 @@ def main() -> None:
         "1.0 = perfectly linear, <1 = sublinear (banding keys spread "
         "thinner in the bigger key space), >1 = superlinear (a "
         "banding key went hot).",
+        "",
+        "**Co-occurrence**: the fixed-V row is expected SUBLINEAR "
+        "(top-V document-frequency slots spread across sources, so "
+        "per-source coverage silently shrinks — the failure is "
+        "coverage, not cost); the `V x10` row demonstrates the dial "
+        "(keep-list width ~ source diversity) restoring exactly "
+        "linear candidates.",
         "",
         "**IVF**: candidate volume is ~n^2 * nprobe^2 / CELLS by "
         "construction, so at FIXED 32 cells the 10x row is expected "
