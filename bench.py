@@ -165,6 +165,7 @@ HEADLINE = [
     "eval_calibration_bins",
     "stats_psi_drift",
     "features_target_encoding",
+    "events_conformal_forecast",
     # events_ewma_recursive: 30-step recursive CTE — ~7s of pure
     # per-iteration job-scheduling overhead on a 30-row frame (the
     # corpus-sized scan inside it is the same daily agg the other

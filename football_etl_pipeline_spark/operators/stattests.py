@@ -1700,3 +1700,124 @@ def features_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _d6((F.col("sy") + TENC_SMOOTH * prior) / den).alias("enc_if_neg"),
     ).orderBy("category")
+
+
+# ---- split-conformal forecast intervals ---------------------------------
+
+CONF_EVAL_DAYS = 7  # evaluate the last week; calibrate on prior lag-7 days
+
+
+@query(
+    "events_conformal_forecast",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS rev
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    seq AS (
+      SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS t,
+             (SELECT COUNT(*)::BIGINT FROM daily) AS tmax
+      FROM daily
+    ),
+    paired AS (
+      SELECT a.day, a.t, a.tmax, a.rev AS actual, p.rev AS pred
+      FROM seq a JOIN seq p ON p.t = a.t - 7
+    ),
+    cal AS (
+      SELECT abs(actual - pred) AS absr FROM paired
+      WHERE t <= tmax - {CONF_EVAL_DAYS}
+    ),
+    ranked AS (
+      SELECT absr, ROW_NUMBER() OVER (ORDER BY absr) AS rn,
+             (SELECT COUNT(*)::BIGINT FROM cal) AS nc
+      FROM cal
+    ),
+    q AS (
+      SELECT MIN(CASE WHEN rn = LEAST((9 * (nc + 1) + 9) // 10, nc)
+                      THEN absr END) AS qhat
+      FROM ranked
+    )
+    SELECT day,
+           CAST(actual AS DOUBLE) AS actual,
+           CAST(pred AS DOUBLE) AS forecast,
+           CAST(pred - qhat AS DOUBLE) AS lo,
+           CAST(pred + qhat AS DOUBLE) AS hi,
+           CASE WHEN actual >= pred - qhat AND actual <= pred + qhat
+                THEN 1 ELSE 0 END AS covered
+    FROM paired, q
+    WHERE t > tmax - {CONF_EVAL_DAYS}
+    ORDER BY day
+    """,
+)
+def events_conformal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals around the seasonal-naive
+    forecast: calibrate the 90% quantile of |lag-7 residuals| on days
+    BEFORE the evaluation week (no leakage — the
+    ``events_training_features_pit`` discipline), then band the last
+    week's forecasts with ±q̂ and report coverage — distribution-free
+    uncertainty for the ``events_forecast_backtest`` baseline.
+
+    Exactness: everything is DECIMAL until the output cast — daily
+    revenue, residuals, the conformal quantile (an exact order
+    statistic picked by the INTEGRAL rank ⌈0.9·(n+1)⌉ = (9(n+1)+9)//10;
+    a float 0.9·(n+1) misrounds when n+1 is a multiple of 10), and
+    the interval arithmetic. No float op exists in this query at all.
+
+    Plan: one scan → per-day agg; the lag join, calibration ranks,
+    and banding all run over the ~#days frame (tiny BY CONSTRUCTION —
+    the CUSUM-series exception)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy(F.date_trunc("DAY", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("rev"))
+    )
+    seq = daily.select(
+        "day", "rev", F.row_number().over(Window.orderBy("day")).alias("t")
+    ).crossJoin(
+        F.broadcast(daily.agg(F.count(F.lit(1)).alias("tmax")))
+    )
+    a = seq.select("day", "t", "tmax", F.col("rev").alias("actual"))
+    p = seq.select(F.col("t").alias("tp"), F.col("rev").alias("pred"))
+    paired = a.join(p, F.col("tp") == F.col("t") - 7).drop("tp")
+    cal = paired.filter(
+        F.col("t") <= F.col("tmax") - CONF_EVAL_DAYS
+    ).select(F.abs(F.col("actual") - F.col("pred")).alias("absr"))
+    ranked = cal.select(
+        "absr", F.row_number().over(Window.orderBy("absr")).alias("rn")
+    ).crossJoin(F.broadcast(cal.agg(F.count(F.lit(1)).alias("nc"))))
+    qhat = ranked.select(
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.least(
+                    F.floor((9 * (F.col("nc") + 1) + 9) / 10),
+                    F.col("nc"),
+                ),
+                F.col("absr"),
+            )
+        ).alias("qhat")
+    )
+    ev = paired.filter(F.col("t") > F.col("tmax") - CONF_EVAL_DAYS)
+    out = ev.crossJoin(F.broadcast(qhat))
+    lo = F.col("pred") - F.col("qhat")
+    hi = F.col("pred") + F.col("qhat")
+    return out.select(
+        "day",
+        F.col("actual").cast("double").alias("actual"),
+        F.col("pred").cast("double").alias("forecast"),
+        lo.cast("double").alias("lo"),
+        hi.cast("double").alias("hi"),
+        F.when(
+            (F.col("actual") >= lo) & (F.col("actual") <= hi), 1
+        )
+        .otherwise(0)
+        .alias("covered"),
+    ).orderBy("day")
