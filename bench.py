@@ -166,6 +166,7 @@ HEADLINE = [
     "stats_psi_drift",
     "features_target_encoding",
     "events_conformal_forecast",
+    "multimodal_aspect_buckets",
     # events_ewma_recursive: 30-step recursive CTE — ~7s of pure
     # per-iteration job-scheduling overhead on a 30-row frame (the
     # corpus-sized scan inside it is the same daily agg the other

@@ -962,3 +962,93 @@ def multimodal_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("n_ok"),
     )
+
+
+# ---- aspect-ratio batch bucketing (vision-training staple) -------------
+
+
+@query(
+    "multimodal_aspect_buckets",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, {_MIME_CASE} AS mime FROM documents
+    ),
+    dims AS (
+      SELECT mime,
+             ({_RT_W})::BIGINT AS w,
+             ({_RT_H})::BIGINT AS h
+      FROM m
+      WHERE mime LIKE 'image/%' OR mime = 'video/mp4'
+    ),
+    binned AS (
+      SELECT mime,
+             CASE WHEN w * 3 >= h * 4 THEN 'wide'
+                  WHEN h * 3 >= w * 4 THEN 'tall'
+                  ELSE 'square' END AS bucket,
+             w, h
+      FROM dims
+    )
+    SELECT mime, bucket,
+           COUNT(*)::BIGINT AS n_media,
+           MAX(w)::BIGINT AS max_w,
+           MAX(h)::BIGINT AS max_h,
+           CAST(CAST(
+             CAST(COUNT(*) * MAX(w) * MAX(h) - SUM(w * h) AS DOUBLE)
+             / (COUNT(*) * MAX(w) * MAX(h))
+             AS DECIMAL(18,6)) AS DOUBLE) AS pad_waste_pct
+    FROM binned
+    GROUP BY mime, bucket
+    ORDER BY mime, bucket
+    """,
+)
+def multimodal_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio batch bucketing over REAL-DECODED header
+    dimensions: group visual media into wide / square / tall buckets
+    by exact integer cross-multiplication (w·3 ≥ h·4 ⇔ aspect ≥ 4/3 —
+    no float ratio), and report each bucket's batch-padding waste if
+    batched at the bucket's max dims — the vision-training staple
+    (aspect bucketing) that cuts pad-pixel waste, computed from the
+    same encode→``decode_media_real`` seam as
+    ``multimodal_header_roundtrip``, so a width/height decode
+    regression in any image codec breaks this hash too.
+
+    Exactness: dimensions are integers decoded from real container
+    bytes (oracle predicts them from the generating arithmetic);
+    bucketing and padding waste are integer arithmetic with one final
+    division, pinned DECIMAL(18,6).
+
+    Plan: one mapInPandas encode/decode pass (per-row CPU inside
+    Arrow batches, no shuffle) → small-key aggregate."""
+    m = media_table(spark, sf_dir).select("media_id", "mime").filter(
+        F.col("mime").like("image/%") | (F.col("mime") == "video/mp4")
+    )
+    rt = m.mapInPandas(_roundtrip_batches, schema=_RT_SCHEMA)
+    binned = rt.select(
+        "mime",
+        F.when(F.col("width") * 3 >= F.col("height") * 4, "wide")
+        .when(F.col("height") * 3 >= F.col("width") * 4, "tall")
+        .otherwise("square")
+        .alias("bucket"),
+        F.col("width").alias("w"),
+        F.col("height").alias("h"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        binned.groupBy("mime", "bucket")
+        .agg(
+            n.alias("n_media"),
+            F.max("w").alias("max_w"),
+            F.max("h").alias("max_h"),
+            (
+                (
+                    F.count(F.lit(1)) * F.max("w") * F.max("h")
+                    - F.sum(F.col("w") * F.col("h"))
+                ).cast("double")
+                / (F.count(F.lit(1)) * F.max("w") * F.max("h"))
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("pad_waste_pct"),
+        )
+        .orderBy("mime", "bucket")
+    )
