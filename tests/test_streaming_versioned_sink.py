@@ -138,3 +138,39 @@ def test_replay_guard_survives_vacuum_after_nonbatch_commits(spark, tmp_path):
     assert commit_batch(df0, 0, root) is False
     assert commit_batch(df1, 1, root) is False
     assert commit_batch(df1, 2, root) is True
+
+
+def test_concurrent_writers_stress_exactly_once(spark, tmp_path):
+    """True-concurrency race: many threads replay an overlapping batch
+    range against one table simultaneously (every batch is attempted
+    by several threads — the multi-zombie worst case). The O_EXCL
+    manifest commit must serialize them so each batch lands EXACTLY
+    once, in order, with no duplicate rows and no lost batch."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from football_etl_pipeline_spark.sources import versioned_table as vt
+
+    root = str(tmp_path / "tbl")
+    n_batches, n_threads = 10, 8
+    frames = {
+        b: spark.createDataFrame([(b, b, float(b))], SCHEMA)
+        for b in range(n_batches)
+    }
+
+    def replay(_):
+        done = []
+        for b in range(n_batches):
+            if commit_batch(frames[b], b, root, max_races=64):
+                done.append(b)
+        return done
+
+    with ThreadPoolExecutor(max_workers=n_threads) as ex:
+        wins = list(ex.map(replay, range(n_threads)))
+    committed = sorted(b for w in wins for b in w)
+    assert committed == list(range(n_batches))  # each won exactly once
+    assert len(vt.versions(root)) == n_batches
+    rows = sorted(
+        r.event_id for r in vt.read_version(spark, root).collect()
+    )
+    assert rows == list(range(n_batches))  # no dup, no loss
+    assert vt.last_committed_meta(root, "batch_id") == n_batches - 1
