@@ -167,6 +167,7 @@ HEADLINE = [
     "features_target_encoding",
     "events_conformal_forecast",
     "multimodal_aspect_buckets",
+    "graph_link_prediction",
     # events_ewma_recursive: 30-step recursive CTE — ~7s of pure
     # per-iteration job-scheduling overhead on a 30-row frame (the
     # corpus-sized scan inside it is the same daily agg the other

@@ -695,3 +695,114 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("user_id"), F.col("label").alias("community")
     )
+
+
+# ---- link prediction: common-neighbor Jaccard -------------------------
+
+LP_CENTER_DEG_CAP = 256  # wedge centers hotter than this are dropped
+LP_TOP_K = 20
+
+
+@query(
+    "graph_link_prediction",
+    oracle=_COACTIVITY_EDGES_DUCK
+    + f"""
+    , sym AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (SELECT src AS node, COUNT(*)::BIGINT AS d FROM sym GROUP BY 1),
+    centers AS (SELECT node FROM deg WHERE d <= {LP_CENTER_DEG_CAP}),
+    wed AS (
+      SELECT a.dst AS u, b.dst AS w, COUNT(*)::BIGINT AS cn
+      FROM sym a JOIN sym b
+        ON a.src = b.src AND a.dst < b.dst
+      JOIN centers c ON c.node = a.src
+      GROUP BY 1, 2
+    ),
+    nonadj AS (
+      SELECT wed.u, wed.w, wed.cn
+      FROM wed LEFT JOIN edges e ON e.u = wed.u AND e.v = wed.w
+      WHERE e.u IS NULL
+    )
+    SELECT n.u AS user_a, n.w AS user_b, n.cn AS common_neighbors,
+           CAST(CAST(
+             CAST(n.cn AS DOUBLE) / (da.d + db.d - n.cn)
+             AS DECIMAL(18,6)) AS DOUBLE) AS jaccard_score
+    FROM nonadj n
+    JOIN deg da ON da.node = n.u
+    JOIN deg db ON db.node = n.w
+    ORDER BY jaccard_score DESC, user_a ASC, user_b ASC
+    LIMIT {LP_TOP_K}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the user co-activity graph: for NON-adjacent
+    pairs sharing at least one neighbor, the common-neighbor Jaccard
+    score |N(u)∩N(w)| / |N(u)∪N(w)| — the classic "who should be
+    connected" recommender primitive, top-K with deterministic ties.
+
+    Exactness: neighbor counts and degrees are exact integers;
+    |N∪N| = d_u + d_w − common needs no second join pass; one IEEE
+    division, pinned DECIMAL(18,6).
+
+    Scale: candidate pairs come from a WEDGE join through shared
+    neighbors — Σ d² through hubs is the blow-up — so wedge centers
+    hotter than LP_CENTER_DEG_CAP are dropped (the documented
+    candidate-bounding dial, same discipline as the fuzzy-match
+    DF cap and the triangle count's degree orientation; a celebrity
+    hub predicts everyone↔everyone and is signal-free anyway). The
+    adjacency screen is a broadcast-or-shuffle anti-join on the edge
+    key; top-K is TakeOrdered."""
+    from .events import events_interval_overlap_join
+
+    pairs = events_interval_overlap_join(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
+        .distinct()
+    )
+    sym = edges.union(edges.select(F.col("v"), F.col("u"))).toDF(
+        "src", "dst"
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d")).toDF(
+        "node", "d"
+    )
+    centers = deg.filter(F.col("d") <= LP_CENTER_DEG_CAP).select("node")
+    a = sym.toDF("c", "u")
+    b = sym.toDF("c", "w")
+    wed = (
+        a.join(b, "c")
+        .filter(F.col("u") < F.col("w"))
+        .join(centers.withColumnRenamed("node", "c"), "c")
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonadj = wed.join(
+        edges,
+        (wed["u"] == edges["u"]) & (wed["w"] == edges["v"]),
+        "left_anti",
+    )
+    da = deg.toDF("u", "da")
+    db = deg.toDF("w", "db")
+    return (
+        nonadj.join(da, "u")
+        .join(db, "w")
+        .select(
+            F.col("u").alias("user_a"),
+            F.col("w").alias("user_b"),
+            F.col("cn").alias("common_neighbors"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn"))
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("jaccard_score"),
+        )
+        .orderBy(
+            F.col("jaccard_score").desc(),
+            F.col("user_a").asc(),
+            F.col("user_b").asc(),
+        )
+        .limit(LP_TOP_K)
+    )
