@@ -168,6 +168,8 @@ HEADLINE = [
     "events_conformal_forecast",
     "multimodal_aspect_buckets",
     "graph_link_prediction",
+    "text_bm25_search",
+    "join_bloom_prefilter",
     # events_ewma_recursive: 30-step recursive CTE — ~7s of pure
     # per-iteration job-scheduling overhead on a 30-row frame (the
     # corpus-sized scan inside it is the same daily agg the other

@@ -383,3 +383,114 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
     )
 
+
+
+# ---- bloom-filter join pruning ---------------------------------------
+
+BLOOM_BITS = 1 << 17          # 131072 bits = 2048 64-bit words
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_SEEDS = (42, 43)        # two independent xxhash64 probes
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """Build the bloom word table from a key frame: two probe
+    positions per key → (word_idx, mask) → ``bit_or`` into ≤
+    ``BLOOM_WORDS`` rows. Size is independent of |keys|."""
+    probes = None
+    for seed in BLOOM_SEEDS:
+        pos = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)),
+                     F.lit(BLOOM_BITS))
+        p = keys.withColumn("_pos", pos).select(
+            (F.col("_pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(_pos % 64 AS INT))").alias("mask"),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    return probes.groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
+
+
+def bloom_probe(fact: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
+    """Drop fact rows whose either bloom probe bit is unset. The
+    survivors are a SUPERSET of the true matches (false positives
+    possible, false negatives impossible) — callers finish with an
+    exact join. Missing words mean the bit is 0, so the inner join
+    itself performs that rejection."""
+    probed = fact
+    for i, seed in enumerate(BLOOM_SEEDS):
+        pos = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)),
+                     F.lit(BLOOM_BITS))
+        probed = (
+            probed.withColumn(f"_pos{i}", pos)
+            .join(
+                F.broadcast(
+                    bloom.withColumnRenamed("word_idx", f"_w{i}")
+                    .withColumnRenamed("word", f"_word{i}")
+                ),
+                F.col(f"_w{i}") == (F.col(f"_pos{i}") / 64).cast("long"),
+            )
+            .filter(
+                F.expr(
+                    f"(_word{i} & shiftleft(1L, "
+                    f"CAST(_pos{i} % 64 AS INT))) != 0"
+                )
+            )
+            .drop(f"_pos{i}", f"_w{i}", f"_word{i}")
+        )
+    return probed
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*)::BIGINT AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    WHERE o.o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with an explicit bloom-filter pre-filter: revenue by
+    priority for orders whose customer sits in the AUTOMOBILE segment.
+
+    The bloom is the shuffle-reduction pattern for fact⋈dim at 100 TB:
+    build a 128 Ki-bit filter from the FILTERED dim keys (two xxhash64
+    probes), collapse it to 64-bit words with ``bit_or`` (≤2048 rows
+    regardless of dim size), broadcast the words, and drop fact rows
+    whose either probe bit is unset BEFORE any fact shuffle — rows the
+    filter rejects provably cannot join. False positives are removed
+    by the exact (broadcast-semi here; shuffle-semi at scale) join
+    that follows, so the result is EXACTLY the plain semi join the
+    oracle runs; the bloom only changes how many fact rows reach it.
+    This is the manual form of Spark's own runtime row-level bloom
+    pruning (spark.sql.optimizer.runtime.bloomFilter), expressed with
+    DataFrame ops so the build/probe plan is visible and testable.
+
+    Plan: dim scans once (filter pushed to parquet), the bloom build
+    shuffles ≤2·|dim| (word_idx, mask) pairs into ≤2048 groups, the
+    probe is two broadcast hash joins + bitwise tests inside codegen,
+    and the finishing semi join sees only surviving fact rows. No
+    driver-side collect anywhere — the filter lives in a broadcast
+    relation, not in the plan as a literal."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        "c_custkey"
+    )
+
+    bloom = bloom_build(keys, "c_custkey")
+    probed = bloom_probe(orders, "o_custkey", bloom)
+
+    # Exact finish removes bloom false positives.
+    exact = probed.join(
+        F.broadcast(keys),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )

@@ -2411,3 +2411,146 @@ def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(25)
     )
+
+
+# ---- BM25 retrieval --------------------------------------------------
+#
+# A fixed multi-term query ranked with BM25 — the retrieval surface a
+# curation pipeline needs for "find training docs about X" triage and
+# for contamination lookups driven by eval-set queries. Scoring is the
+# standard Robertson formula with k1=1.2, b=0.75, but every factor is
+# kept RATIONAL in micro fixed-point (BIGINT `div`), like
+# text_distinctive_terms: ln-idf is replaced by the raw idf ratio
+# (N - df + 0.5)/(df + 0.5) so both engines agree bit-exactly (libm vs
+# JVM ln differ in final ulps and would poison the oracle hash). The
+# ranking this produces is idf-monotone, so top-k membership matches
+# the ln variant whenever one query term's idf dominates, and is
+# deterministic always.
+
+BM25_TERMS = ("broadcast", "shuffle", "vector", "stream")
+BM25_TOPK = 15
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {TOKENS_DUCK} AS toks FROM documents
+    ), d AS (
+      SELECT doc_id, source, len(toks) AS dl FROM t
+    ), tot AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM d
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      WHERE tok IN ({_sql_list(BM25_TERMS)})
+      GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), contrib AS (
+      SELECT tf.doc_id, tf.tok,
+             ((2 * (tot.n_docs - df.df) + 1) * 1000000)
+               // (2 * df.df + 1) AS idf_micro,
+             (tf.tf * 2200000 * 1000000) // (
+               tf.tf * 1000000
+               + (1200000 * (250000
+                   + (750000 * d.dl * tot.n_docs) // tot.total_tokens))
+                 // 1000000
+             ) AS tfp_micro
+      FROM tf
+      JOIN df ON df.tok = tf.tok
+      JOIN d ON d.doc_id = tf.doc_id
+      CROSS JOIN tot
+    ), scored AS (
+      SELECT doc_id,
+             COUNT(*) AS n_terms_hit,
+             SUM((idf_micro * tfp_micro) // 1000000)::BIGINT AS score_micro
+      FROM contrib GROUP BY doc_id
+    ), ranked AS (
+      SELECT s.doc_id, d.source, s.n_terms_hit,
+             CAST(s.score_micro AS DOUBLE) / 1000000.0 AS bm25,
+             ROW_NUMBER() OVER (
+               ORDER BY s.score_micro DESC, s.doc_id ASC) AS rnk
+      FROM scored s JOIN d ON d.doc_id = s.doc_id
+    )
+    SELECT * FROM ranked WHERE rnk <= {BM25_TOPK}
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query-term set (rational-idf
+    variant, micro fixed-point — see block comment above).
+
+    Plan: one tokenize pass; the explode is filtered to the 4 query
+    terms BEFORE the (doc_id, tok) partial agg, so the shuffle carries
+    only matching postings — the inverted-index access pattern without
+    materializing an index. df is a 4-row aggregate OVER the tf frame
+    (no second corpus scan) and joins back broadcast; doc lengths join
+    on doc_id; corpus totals ride a broadcast 1-row cross join. The
+    final top-k is TakeOrderedAndProject over |matching docs| rows.
+    At 100 TB the posting shuffle is |docs with a query term| rows,
+    not the corpus. BIGINT overflow guard: idf_micro * tfp_micro peaks
+    ~7e18 at N=5e6 docs; beyond that pin the product DECIMAL(38,0)
+    (ANSI mode errors loudly rather than wrapping, so the dial is
+    self-announcing)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = docs.select("doc_id", "source", F.expr(TOKENS_SPARK).alias("toks"))
+    d = t.select(
+        "doc_id", "source", F.size("toks").cast("long").alias("dl")
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(d.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                "((2 * (n_docs - df) + 1) * 1000000L) div (2 * df + 1)"
+            ).alias("idf_micro"),
+            F.expr(
+                "(tf * 2200000L * 1000000L) div ("
+                "  tf * 1000000L"
+                "  + (1200000L * (250000L"
+                "      + (750000L * dl * n_docs) div total_tokens))"
+                "    div 1000000L"
+                ")"
+            ).alias("tfp_micro"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.sum(F.expr("(idf_micro * tfp_micro) div 1000000L"))
+        .cast("long")
+        .alias("score_micro"),
+    )
+    # Top-k FIRST via TakeOrderedAndProject (per-partition heaps, no
+    # global sort shuffle), then rank the k survivors — the
+    # single-partition row_number window only ever sees BM25_TOPK rows.
+    topk = (
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rnk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_terms_hit",
+            (F.col("score_micro").cast("double") / 1000000.0).alias("bm25"),
+            "rnk",
+        )
+    )
