@@ -1601,3 +1601,124 @@ def similarity_ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---- Matryoshka truncation evaluation --------------------------------
+
+MRL_LEVELS = (8, 16, 32)  # prefix dims evaluated against full DIM=64
+
+
+def _dot_prefix_duck(a: str, b: str, d: int) -> str:
+    return f"list_sum([{a}[i+1] * {b}[i+1] for i in range({d})])"
+
+
+@query(
+    "similarity_matryoshka_eval",
+    oracle=f"""
+    WITH e AS ({_NORMED_DUCK}),
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    full_rank AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_dot_duck("q.v", "e.v")} / (q.nrm * e.nrm) DESC,
+                        e.vec_id ASC) AS rnk
+      FROM q JOIN e ON e.vec_id <> q.vec_id
+    ),
+    full_topk AS (
+      SELECT query_id, neighbor_id FROM full_rank WHERE rnk <= {TOPK}
+    ),
+    trunc_topk AS ({" UNION ALL ".join(f'''
+      SELECT {d} AS trunc_dim, query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_dot_prefix_duck("q.v", "e.v", d)}
+                   / (sqrt({_dot_prefix_duck("q.v", "q.v", d)})
+                      * sqrt({_dot_prefix_duck("e.v", "e.v", d)})) DESC,
+                 e.vec_id ASC) AS rnk
+        FROM q JOIN e ON e.vec_id <> q.vec_id
+      ) WHERE rnk <= {TOPK}''' for d in MRL_LEVELS)})
+    SELECT t.trunc_dim, t.query_id,
+           COUNT(f.neighbor_id)::BIGINT AS n_overlap,
+           CAST(COUNT(f.neighbor_id) AS DOUBLE) / {TOPK} AS recall_at_k
+    FROM trunc_topk t
+    LEFT JOIN full_topk f
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY t.trunc_dim, t.query_id
+    """,
+)
+def similarity_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (prefix-truncation) retrieval evaluation: for each
+    truncation level d ∈ {8, 16, 32}, recall@10 of top-k search using
+    only the first d embedding dims against the full-64-dim exact
+    top-k — the measurement behind "how small can we store the index
+    tier" decisions for MRL-trained embedding stacks (truncating a
+    vector column IS the cheap index: ReadSchema stays the same but
+    the ANN memory/compute drops ~DIM/d).
+
+    Plan: the corpus scans ONCE per level plus once for the full
+    baseline (4 broadcast nested-loop passes over one cached normed
+    frame, query side always the broadcast 5 rows); each pass's rank
+    is a 5-key partitioned window and the final overlap join touches
+    only (levels × queries × k) rows. Prefix cosines reuse the
+    zip_with/aggregate fold over ``slice(v, 1, d)``, so scores stay
+    bit-identical to DuckDB's list-comprehension fold and the oracle
+    hash is exact — no rounding anywhere in the ranking."""
+    e = persist_tracked(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+
+    def topk_at(d: int | None) -> DataFrame:
+        if d is None:
+            qa, ea = "q.v", "e.v"
+        else:
+            qa, ea = f"slice(q.v, 1, {d})", f"slice(e.v, 1, {d})"
+        cos = F.expr(
+            f"{_dot_spark(qa, ea)} / "
+            f"(sqrt({_dot_spark(qa, qa)}) * sqrt({_dot_spark(ea, ea)}))"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            F.broadcast(q.alias("q"))
+            .join(e.alias("e"), F.col("e.vec_id") != F.col("q.vec_id"))
+            .select(
+                F.col("q.vec_id").alias("query_id"),
+                F.col("e.vec_id").alias("neighbor_id"),
+                cos.alias("cosine"),
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOPK)
+            .select("query_id", "neighbor_id")
+        )
+
+    full_topk = topk_at(None)
+    trunc = None
+    for d in MRL_LEVELS:
+        t = topk_at(d).select(
+            F.lit(d).cast("int").alias("trunc_dim"), "query_id", "neighbor_id"
+        )
+        trunc = t if trunc is None else trunc.unionAll(t)
+    return (
+        trunc.alias("t")
+        .join(
+            F.broadcast(full_topk.alias("f")),
+            (F.col("f.query_id") == F.col("t.query_id"))
+            & (F.col("f.neighbor_id") == F.col("t.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("t.trunc_dim").alias("trunc_dim"),
+                 F.col("t.query_id").alias("query_id"))
+        .agg(
+            F.count(F.col("f.neighbor_id")).alias("n_overlap"),
+            (F.count(F.col("f.neighbor_id")).cast("double") / TOPK).alias(
+                "recall_at_k"
+            ),
+        )
+    )
