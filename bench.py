@@ -171,6 +171,7 @@ HEADLINE = [
     "text_bm25_search",
     "join_bloom_prefilter",
     "similarity_matryoshka_eval",
+    "similarity_binary_quant_rerank",
     # events_ewma_recursive: 30-step recursive CTE — ~7s of pure
     # per-iteration job-scheduling overhead on a 30-row frame (the
     # corpus-sized scan inside it is the same daily agg the other

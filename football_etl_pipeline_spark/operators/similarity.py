@@ -1722,3 +1722,151 @@ def similarity_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---- binary quantization + exact rerank ------------------------------
+
+BQ_CAND = 50   # Hamming candidates per query before the exact rerank
+
+
+def _bq_words_spark(v: str) -> tuple[str, str]:
+    """Sign-bit packing, 32 dims per BIGINT word (bits 0..31 only, so
+    no sign-bit hazard on either engine)."""
+    return tuple(
+        f"aggregate(sequence(0, 31), 0L, (acc, j) -> acc | "
+        f"IF(element_at({v}, j + {off} + 1) > 0D, shiftleft(1L, j), 0L))"
+        for off in (0, 32)
+    )
+
+
+def _bq_words_duck(v: str) -> tuple[str, str]:
+    return tuple(
+        "list_sum([CASE WHEN "
+        f"{v}[j + {off} + 1] > 0 THEN (1::BIGINT << j) ELSE 0 END "
+        "for j in range(32)])::BIGINT"
+        for off in (0, 32)
+    )
+
+
+@query(
+    "similarity_binary_quant_rerank",
+    oracle=f"""
+    WITH e AS ({_NORMED_DUCK}),
+    sig AS (
+      SELECT vec_id, v, nrm,
+             {_bq_words_duck("v")[0]} AS w0,
+             {_bq_words_duck("v")[1]} AS w1
+      FROM e
+    ),
+    q AS (SELECT * FROM sig WHERE vec_id < {N_QUERIES}),
+    ham AS (
+      SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+             (bit_count(xor(q.w0, s.w0))
+              + bit_count(xor(q.w1, s.w1)))::BIGINT AS hamming,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY bit_count(xor(q.w0, s.w0))
+                        + bit_count(xor(q.w1, s.w1)) ASC,
+                        s.vec_id ASC) AS cand_rnk
+      FROM q JOIN sig s ON s.vec_id <> q.vec_id
+    ),
+    cand AS (SELECT * FROM ham WHERE cand_rnk <= {BQ_CAND}),
+    rer AS (
+      SELECT c.query_id, c.neighbor_id, c.hamming,
+             {_dot_duck("q.v", "s.v")} / (q.nrm * s.nrm) AS cosine
+      FROM cand c
+      JOIN q ON q.vec_id = c.query_id
+      JOIN sig s ON s.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rnk FROM rer
+    )
+    SELECT query_id, neighbor_id, hamming,
+           CAST(CAST(cosine AS DECIMAL(18,6)) AS DOUBLE) AS cosine, rnk
+    FROM ranked WHERE rnk <= {TOPK}
+    """,
+)
+def similarity_binary_quant_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary-quantized retrieval: pack each 64-dim embedding's sign
+    bits into two 32-bit words, shortlist {BQ_CAND} candidates per
+    query by Hamming distance (``bit_count(xor)``), then rerank the
+    shortlist with exact full-precision cosine — the 32×-compression
+    retrieval tier (1 bit/dim vs float32) modern vector stores run in
+    front of exact scoring.
+
+    Plan: signatures are one narrow projection (the fold runs inside
+    codegen; 16 bytes/vector flow forward, not 512); the Hamming pass
+    is the same broadcast nested-loop shape as brute-force but
+    comparing two BIGINTs instead of folding 64 doubles; candidate
+    top-{BQ_CAND} is a 5-key partitioned window; only (queries ×
+    {BQ_CAND}) rows reach the full-vector rerank join. At corpus
+    scale the win compounds: the bit signatures fit executor cache,
+    and the rerank's vector fetch is a tiny keyed join against the
+    (bucketed) embedding table rather than a second full scan."""
+    w0s, w1s = _bq_words_spark("v")
+    sig = persist_tracked(
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", F.expr(_norm_spark("v")))
+        .withColumn("w0", F.expr(w0s))
+        .withColumn("w1", F.expr(w1s))
+    )
+    q = sig.filter(F.col("vec_id") < N_QUERIES)
+    ham = (
+        F.broadcast(q.alias("q"))
+        .join(sig.alias("s"), F.col("s.vec_id") != F.col("q.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("s.vec_id").alias("neighbor_id"),
+            F.expr(
+                "CAST(bit_count(q.w0 ^ s.w0) + bit_count(q.w1 ^ s.w1)"
+                " AS BIGINT)"
+            ).alias("hamming"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        ham.withColumn("cand_rnk", F.row_number().over(wc))
+        .filter(F.col("cand_rnk") <= BQ_CAND)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    cos = F.expr(_dot_spark("q.v", "s.v")) / (
+        F.col("q.nrm") * F.col("s.nrm")
+    )
+    rer = (
+        cand.alias("c")
+        .join(F.broadcast(q.alias("q")),
+              F.col("q.vec_id") == F.col("c.query_id"))
+        .join(sig.alias("s"), F.col("s.vec_id") == F.col("c.neighbor_id"))
+        .select(
+            F.col("c.query_id").alias("query_id"),
+            F.col("c.neighbor_id").alias("neighbor_id"),
+            F.col("c.hamming").alias("hamming"),
+            cos.alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.col("cosine").cast("decimal(18,6)").cast("double").alias(
+                "cosine"
+            ),
+            "rnk",
+        )
+    )
