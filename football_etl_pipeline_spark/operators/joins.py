@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum
 from ..sources.testdata import load_table
-from .registry import query
+from .registry import persist_tracked, query
 
 
 @query(
@@ -395,16 +395,33 @@ BLOOM_SEEDS = (42, 43)        # two independent xxhash64 probes
 def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
     """Build the bloom word table from a key frame: two probe
     positions per key → (word_idx, mask) → ``bit_or`` into ≤
-    ``BLOOM_WORDS`` rows. Size is independent of |keys|."""
-    probes = None
-    for seed in BLOOM_SEEDS:
-        pos = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)),
-                     F.lit(BLOOM_BITS))
-        p = keys.withColumn("_pos", pos).select(
-            (F.col("_pos") / 64).cast("long").alias("word_idx"),
-            F.expr("shiftleft(1L, CAST(_pos % 64 AS INT))").alias("mask"),
-        )
-        probes = p if probes is None else probes.unionAll(p)
+    ``BLOOM_WORDS`` rows. Size is independent of |keys|. Both probes
+    are emitted from ONE scan (explode of a 2-element struct array),
+    not a per-seed union — the key frame is read exactly once."""
+    probes = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (
+                            F.pmod(
+                                F.xxhash64(F.col(key_col), F.lit(seed)),
+                                F.lit(BLOOM_BITS),
+                            )
+                            / 64
+                        )
+                        .cast("long")
+                        .alias("word_idx"),
+                        F.expr(
+                            f"shiftleft(1L, CAST(pmod(xxhash64({key_col},"
+                            f" {seed}), {BLOOM_BITS}) % 64 AS INT))"
+                        ).alias("mask"),
+                    )
+                    for seed in BLOOM_SEEDS
+                ]
+            )
+        ).alias("pm")
+    ).select("pm.word_idx", "pm.mask")
     return probes.groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
 
 
@@ -481,7 +498,9 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey"
     )
 
-    bloom = bloom_build(keys, "c_custkey")
+    # The bloom feeds TWO broadcast joins (one per probe); persist the
+    # <=2048-row word table so the build runs once, not once per probe.
+    bloom = persist_tracked(bloom_build(keys, "c_custkey"))
     probed = bloom_probe(orders, "o_custkey", bloom)
 
     # Exact finish removes bloom false positives.
