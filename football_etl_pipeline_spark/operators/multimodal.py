@@ -37,7 +37,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
@@ -1051,4 +1051,92 @@ def multimodal_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pad_waste_pct"),
         )
         .orderBy("mime", "bucket")
+    )
+
+
+# ---- WebDataset-style shard manifest -----------------------------------
+
+SHARD_TARGET_BYTES = 8192   # target payload bytes per tar shard
+SHARD_SUBSTREAMS = 16       # independent packing substreams per mime
+
+
+@query(
+    "multimodal_shard_manifest",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             {_MIME_CASE} AS mime,
+             doc_id % {SHARD_SUBSTREAMS} AS substream,
+             strlen(text)::BIGINT AS n_bytes
+      FROM documents
+    ),
+    o AS (
+      SELECT media_id, mime, substream, n_bytes,
+             COALESCE(SUM(n_bytes) OVER (
+               PARTITION BY mime, substream ORDER BY media_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0)::BIGINT AS byte_offset
+      FROM m
+    ),
+    assigned AS (
+      SELECT mime, substream,
+             (byte_offset // {SHARD_TARGET_BYTES})::BIGINT AS shard_seq,
+             media_id, n_bytes
+      FROM o
+    )
+    SELECT mime, substream, shard_seq,
+           COUNT(*)::BIGINT AS n_files,
+           SUM(n_bytes)::BIGINT AS total_bytes,
+           MIN(media_id)::BIGINT AS first_media,
+           MAX(media_id)::BIGINT AS last_media,
+           CAST(CAST(SUM(n_bytes) * 1.0 / {SHARD_TARGET_BYTES}
+                AS DECIMAL(18,6)) AS DOUBLE) AS fill_ratio
+    FROM assigned
+    GROUP BY mime, substream, shard_seq
+    """,
+)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest: assign every media payload to
+    a ~{SHARD_TARGET_BYTES}-byte tar shard (deterministic media_id
+    order) and emit one manifest row per shard — file count, byte
+    total, id range, fill ratio — the bookkeeping a training loader
+    needs to stream media shards with balanced I/O.
+
+    Packing runs independently per (mime, media_id % {SHARD_SUBSTREAMS})
+    substream — same scale design as ``text_pack_sequences``: a global
+    byte-offset window would serialize the corpus through one
+    partition, while per-substream packing is embarrassingly parallel
+    (one shuffle on the stratum key) and each substream boundary
+    wastes at most one underfull shard. Byte sizes use octet_length
+    (UTF-8 bytes — DuckDB ``strlen``), all offsets are exact integer
+    math, and shard ids are offset-div-target, so the manifest is
+    bit-reproducible across engines AND across runs — a re-landed
+    corpus re-shards identically, which is what makes shard-level
+    resume/dedup of a training run possible."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(_MIME_CASE).alias("mime"),
+        (F.col("doc_id") % SHARD_SUBSTREAMS).alias("substream"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+    )
+    w = (
+        Window.partitionBy("mime", "substream")
+        .orderBy("media_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = m.withColumn(
+        "byte_offset", F.coalesce(F.sum("n_bytes").over(w), F.lit(0))
+    ).withColumn(
+        "shard_seq", F.expr(f"byte_offset div {SHARD_TARGET_BYTES}")
+    )
+    return assigned.groupBy("mime", "substream", "shard_seq").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("media_id").alias("first_media"),
+        F.max("media_id").alias("last_media"),
+        F.expr(
+            f"CAST(CAST(SUM(n_bytes) * 1.0 / {SHARD_TARGET_BYTES}"
+            " AS DECIMAL(18,6)) AS DOUBLE)"
+        ).alias("fill_ratio"),
     )

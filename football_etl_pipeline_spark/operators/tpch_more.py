@@ -1174,3 +1174,131 @@ def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         idx.cast("decimal(18,6)").cast("double").alias("seasonal_index"),
     )
+
+
+# ---- mutual information (dependency strength) ------------------------
+
+
+@query(
+    "orders_mutual_information",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st,
+             COUNT(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT pri, SUM(o) AS r FROM obs GROUP BY pri),
+    ct AS (SELECT st, SUM(o) AS c FROM obs GROUP BY st),
+    n AS (SELECT SUM(o) AS n, COUNT(*) AS n_cells FROM obs),
+    terms AS (
+      SELECT CAST(obs.o * CAST(ln(
+               CAST(obs.o * n.n AS DOUBLE) / (rt.r * ct.c)
+             ) AS DECIMAL(18,9)) AS DECIMAL(18,6)) AS mi_term
+      FROM obs JOIN rt ON rt.pri = obs.pri
+               JOIN ct ON ct.st = obs.st
+               CROSS JOIN n
+    ),
+    hx AS (
+      SELECT SUM(CAST(r * ln(r) AS DECIMAL(18,6))) AS s_rlnr FROM rt
+    ),
+    hy AS (
+      SELECT SUM(CAST(c * ln(c) AS DECIMAL(18,6))) AS s_clnc FROM ct
+    ),
+    agg AS (
+      SELECT (SELECT n FROM n) AS n,
+             (SELECT n_cells FROM n) AS n_cells,
+             CAST((SELECT SUM(mi_term) FROM terms) AS DOUBLE)
+               / (SELECT n FROM n) AS mi,
+             ln((SELECT n FROM n))
+               - CAST((SELECT s_rlnr FROM hx) AS DOUBLE)
+                 / (SELECT n FROM n) AS h_pri,
+             ln((SELECT n FROM n))
+               - CAST((SELECT s_clnc FROM hy) AS DOUBLE)
+                 / (SELECT n FROM n) AS h_st
+    )
+    SELECT n::BIGINT AS n, n_cells::BIGINT AS n_cells,
+           CAST(CAST(mi AS DECIMAL(18,6)) AS DOUBLE) AS mi_nats,
+           CAST(CAST(h_pri AS DECIMAL(18,6)) AS DOUBLE) AS h_priority,
+           CAST(CAST(h_st AS DECIMAL(18,6)) AS DOUBLE) AS h_status,
+           CAST(CAST(mi / sqrt(h_pri * h_st) AS DECIMAL(18,6))
+                AS DOUBLE) AS nmi
+    FROM agg
+    """,
+)
+def orders_mutual_information(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information I(priority; status) with marginal entropies
+    and the sqrt-normalized NMI — the information-theoretic sibling of
+    ``orders_chi2_priority_status``: χ² asks "is there dependence",
+    MI measures HOW MUCH in nats, comparable across column pairs
+    (the column-dependency screen a profiler runs to pick composite
+    partition/sort keys and spot redundant features).
+
+    Exactness: counts and marginals are exact integers; each PMI
+    enters as ln of a ratio of exact-int products pinned
+    DECIMAL(18,9) (the ``users_kaplan_meier`` ln precedent), scaled by
+    the exact cell count and pinned DECIMAL(18,6) per term, so the
+    term sum is order-insensitive; entropies use the
+    ``text_token_entropy`` Σc·ln(c) pattern. Plan: one scan → tiny
+    contingency aggregate; everything after runs on ≤|pri|×|st| rows
+    with broadcast marginal joins."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = persist_tracked(
+        o.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderstatus").alias("st"),
+        ).agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = obs.groupBy("pri").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("st").agg(F.sum("o").alias("c"))
+    n = obs.agg(
+        F.sum("o").alias("n"), F.count(F.lit(1)).alias("n_cells")
+    )
+    terms = (
+        obs.join(F.broadcast(rt), "pri")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr(
+                "CAST(o * CAST(ln(CAST(o * n AS DOUBLE) / (r * c))"
+                " AS DECIMAL(18,9)) AS DECIMAL(18,6))"
+            ).alias("mi_term")
+        )
+    )
+    hx = rt.agg(
+        F.sum(F.expr("CAST(r * ln(r) AS DECIMAL(18,6))")).alias("s_rlnr")
+    )
+    hy = ct.agg(
+        F.sum(F.expr("CAST(c * ln(c) AS DECIMAL(18,6))")).alias("s_clnc")
+    )
+    msum = terms.agg(F.sum("mi_term").alias("s_mi"))
+    return (
+        n.crossJoin(msum)
+        .crossJoin(hx)
+        .crossJoin(hy)
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_cells").cast("bigint").alias("n_cells"),
+            F.expr("CAST(s_mi AS DOUBLE) / n").alias("mi"),
+            F.expr("ln(n) - CAST(s_rlnr AS DOUBLE) / n").alias("h_pri"),
+            F.expr("ln(n) - CAST(s_clnc AS DOUBLE) / n").alias("h_st"),
+        )
+        .select(
+            "n",
+            "n_cells",
+            F.expr("CAST(CAST(mi AS DECIMAL(18,6)) AS DOUBLE)").alias(
+                "mi_nats"
+            ),
+            F.expr("CAST(CAST(h_pri AS DECIMAL(18,6)) AS DOUBLE)").alias(
+                "h_priority"
+            ),
+            F.expr("CAST(CAST(h_st AS DECIMAL(18,6)) AS DOUBLE)").alias(
+                "h_status"
+            ),
+            F.expr(
+                "CAST(CAST(mi / sqrt(h_pri * h_st) AS DECIMAL(18,6))"
+                " AS DOUBLE)"
+            ).alias("nmi"),
+        )
+    )
