@@ -174,6 +174,7 @@ HEADLINE = [
     "similarity_binary_quant_rerank",
     "orders_mutual_information",
     "multimodal_shard_manifest",
+    "streaming_windowed_counts",
     # events_ewma_recursive: 30-step recursive CTE — ~7s of pure
     # per-iteration job-scheduling overhead on a 30-row frame (the
     # corpus-sized scan inside it is the same daily agg the other

@@ -17,7 +17,7 @@ __all__ = ["registry", "QUERIES", "ORACLES"]
 
 def _load_all() -> None:
     """Import every operator module (idempotent)."""
-    from . import joins, windows, setops, scalar, events, dedup, similarity, textops, multimodal, subqueries, pandas_udfs, graph, skew, tpch_more, tpch_adapted, profiling, maintenance, linkage, stattests  # noqa: F401
+    from . import joins, windows, setops, scalar, events, dedup, similarity, textops, multimodal, subqueries, pandas_udfs, graph, skew, tpch_more, tpch_adapted, profiling, maintenance, linkage, stattests, streaming_query  # noqa: F401
 
 
 _load_all()

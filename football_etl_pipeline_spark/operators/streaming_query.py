@@ -1,0 +1,117 @@
+"""Registry-facing Structured Streaming queries.
+
+Until now every streaming surface (``streaming/``) was pinned by
+pytest only — stream ≡ batch equivalence tests — while the driver's
+oracle gate saw none of it. This module closes that gap: each entry
+here RUNS a real structured stream (file source → stateful operator →
+memory sink, ``availableNow`` trigger) inside the ordinary
+``queries()`` contract and returns the sink table as a batch
+DataFrame, so the DuckDB oracle hash-checks a streaming execution the
+same way it checks every batch operator.
+
+Determinism notes:
+- ``availableNow`` processes the current backlog then stops — same
+  rows as a batch read of the source.
+- The windowed aggregate runs in COMPLETE output mode: every window
+  in state is emitted at the end, so the result equals the batch
+  GROUP BY regardless of where micro-batch boundaries fall (append
+  mode would hold back windows younger than the watermark — the
+  stream-only semantics the pytest suite covers).
+- Money sums go through DECIMAL(18,6) as everywhere else.
+
+The checkpoint + sink names are pid/uuid-scoped scratch (the
+``operators/maintenance.py`` convention) so concurrent harnesses
+never collide.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query
+
+STREAM_WINDOW = "5 minutes"
+
+
+@query(
+    "streaming_windowed_counts",
+    oracle="""
+    SELECT
+      make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 300000000)
+                     * 300000000) AS window_start,
+      make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 300000000)
+                     * 300000000 + 300000000) AS window_end,
+      event_type,
+      COUNT(*)::BIGINT AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_windowed_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tumbling 5-minute window × event_type counts computed BY A
+    STRUCTURED STREAM — file source over the events parquet, windowed
+    state, memory sink, ``availableNow`` — and returned as the sink
+    table, so the driver's DuckDB oracle verifies an actual streaming
+    execution (the only registry row that exercises
+    ``spark.readStream``).
+
+    Scale: on a cluster this exact plan is the production shape —
+    file-source backlog draining with bounded per-batch work
+    (``maxFilesPerTrigger``), partial aggs merged into window state
+    per micro-batch. COMPLETE mode is used here because the run is
+    finite and the full result is the contract; a continuous
+    deployment would run append mode + watermark (pinned by
+    ``tests/test_streaming*.py``) with this same dataflow."""
+    # The stream needs an explicit schema: take the PHYSICAL schema
+    # from a batch read of the same file (load_table's ts
+    # normalization happens below, after the source).
+    path = os.path.join(sf_dir, "events.parquet")
+    physical = spark.read.parquet(path).schema
+    # The file source wants a DIRECTORY; point it at sf_dir and let
+    # pathGlobFilter select just the events file.
+    src = (
+        spark.readStream.format("parquet")
+        .schema(physical)
+        .option("maxFilesPerTrigger", 64)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    ev = src.select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    agg = (
+        ev.groupBy(F.window("ts", STREAM_WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"swc_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
