@@ -175,6 +175,7 @@ HEADLINE = [
     "orders_mutual_information",
     "multimodal_shard_manifest",
     "streaming_windowed_counts",
+    "streaming_stream_join",
     # events_ewma_recursive: 30-step recursive CTE — ~7s of pure
     # per-iteration job-scheduling overhead on a 30-row frame (the
     # corpus-sized scan inside it is the same daily agg the other

@@ -115,3 +115,74 @@ def streaming_windowed_counts(
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+             event_type, value
+      FROM events
+    )
+    SELECT
+      p.user_id AS p_user,
+      p.event_id AS purchase_id,
+      v.event_id AS view_id,
+      v.ts AS view_ts,
+      p.ts AS purchase_ts,
+      p.value AS amount
+    FROM e p
+    JOIN e v
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join (purchase ← views in the preceding 30
+    minutes) executed as a real structured stream and oracle-checked
+    against the batch self-join — the second streaming row in the
+    gate, covering the join-state machinery the windowed-agg row
+    doesn't touch.
+
+    Exact equivalence holds because the backlog is one parquet file →
+    ONE micro-batch: inner stream-stream joins emit on match, and no
+    intermediate watermark advancement can evict state before the
+    matches of the same batch are produced (the single-file rationale
+    pinned in tests/test_streaming_oracle.py). The time-bound join
+    condition is still the load-bearing scale design: it lets a
+    continuous deployment expire both sides' state to ~window-width
+    per key instead of growing forever."""
+    from ..streaming.events_stream import view_to_purchase_join
+
+    physical = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    src = (
+        spark.readStream.format("parquet")
+        .schema(physical)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    ev = src.select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    joined = view_to_purchase_join(ev)
+    name = f"ssj_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
