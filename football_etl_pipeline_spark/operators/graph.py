@@ -672,11 +672,22 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = persist_tracked(
         edges.union(edges.select(F.col("v"), F.col("u")))
     )
+    labels = _lpa_labels(sym)
+    return labels.select(
+        F.col("node").alias("user_id"), F.col("label").alias("community")
+    )
+
+
+def _lpa_labels(sym: DataFrame) -> DataFrame:
+    """The synchronous LPA sweep over a symmetric edge frame →
+    (node, label). Shared by ``graph_label_propagation`` and the
+    modularity report so both run the identical deterministic
+    tie-broken rounds."""
+    from pyspark.sql import Window
+
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    from pyspark.sql import Window
-
     wtop = Window.partitionBy("node").orderBy(
         F.col("c").desc(), F.col("label").asc()
     )
@@ -692,9 +703,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node", "label")
         )
-    return labels.select(
-        F.col("node").alias("user_id"), F.col("label").alias("community")
-    )
+    return labels
 
 
 # ---- link prediction: common-neighbor Jaccard -------------------------
@@ -805,4 +814,146 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_b").asc(),
         )
         .limit(LP_TOP_K)
+    )
+
+
+# ---- community modularity report -------------------------------------
+
+
+@query(
+    "graph_modularity_report",
+    oracle=_COACTIVITY_EDGES_DUCK
+    + """
+    , sym AS (
+      SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+    ), l0 AS (
+      SELECT DISTINCT u AS node, u AS label FROM sym
+    ), """
+    + ", ".join(_lpa_round_duck(f"l{i - 1}", i) for i in range(1, LPA_ROUNDS + 1))
+    + f"""
+    , comm AS (SELECT node, label FROM l{LPA_ROUNDS}),
+    mm AS (SELECT COUNT(*)::BIGINT AS m FROM edges),
+    deg AS (SELECT u AS node, COUNT(*)::BIGINT AS d FROM sym GROUP BY 1),
+    vol AS (
+      SELECT c.label, SUM(deg.d)::BIGINT AS volume,
+             COUNT(*)::BIGINT AS n_nodes
+      FROM deg JOIN comm c ON c.node = deg.node
+      GROUP BY c.label
+    ),
+    ein AS (
+      SELECT ca.label, COUNT(*)::BIGINT AS e_in
+      FROM edges e
+      JOIN comm ca ON ca.node = e.u
+      JOIN comm cb ON cb.node = e.v
+      WHERE ca.label = cb.label
+      GROUP BY ca.label
+    ),
+    base AS (
+      SELECT v.label AS community, v.n_nodes,
+             COALESCE(ein.e_in, 0)::BIGINT AS internal_edges,
+             v.volume, mm.m,
+             (4 * mm.m * COALESCE(ein.e_in, 0)
+              - v.volume * v.volume)::BIGINT AS num
+      FROM vol v LEFT JOIN ein ON ein.label = v.label CROSS JOIN mm
+    ),
+    tot AS (SELECT SUM(num)::BIGINT AS tnum FROM base)
+    SELECT community, n_nodes, internal_edges, volume,
+           CAST(CAST(CAST(num AS DOUBLE) / (4.0 * m * m)
+                AS DECIMAL(18,6)) AS DOUBLE) AS q_contrib,
+           CAST(CAST(CAST(tot.tnum AS DOUBLE) / (4.0 * m * m)
+                AS DECIMAL(18,6)) AS DOUBLE) AS q_total
+    FROM base CROSS JOIN tot
+    """,
+)
+def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities — the
+    quality metric that tells you whether LPA found real structure
+    (Q near 0 = no better than random given the degree sequence):
+    per-community node count, internal edge count, volume (degree
+    sum), its modularity contribution (e_i/m − (vol_i/2m)²), and the
+    graph-level Q on every row. Composes the verified LPA rung
+    (shared ``_lpa_labels`` sweep — identical deterministic
+    tie-breaking) the way ``dedup_method_agreement`` composes the
+    dedup ladder.
+
+    Exactness: the contribution numerator 4·m·e_i − vol_i² is EXACT
+    integer arithmetic (no integer division anywhere — `div` truncates
+    on Spark but floors on DuckDB for negatives, so the term is kept
+    integral and only the final scale-down goes through the one
+    fixed double expression + DECIMAL pin). Plan: the community frame
+    persists once and feeds the volume aggregate and both endpoint
+    joins; everything downstream runs on |communities| rows with the
+    1-row m and Σ frames broadcast."""
+    from .events import events_interval_overlap_join
+
+    pairs = events_interval_overlap_join(spark, sf_dir)
+    edges = persist_tracked(
+        pairs.select(
+            F.col("user_a").alias("u"), F.col("user_b").alias("v")
+        ).distinct()
+    )
+    sym = persist_tracked(
+        edges.union(edges.select(F.col("v"), F.col("u")))
+    )
+    comm = persist_tracked(_lpa_labels(sym))
+
+    mm = edges.agg(F.count(F.lit(1)).alias("m"))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    vol = (
+        deg.join(comm, "node")
+        .groupBy("label")
+        .agg(
+            F.sum("d").cast("bigint").alias("volume"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+    )
+    ca = comm.select(
+        F.col("node").alias("u"), F.col("label").alias("la")
+    )
+    cb = comm.select(
+        F.col("node").alias("v"), F.col("label").alias("lb")
+    )
+    ein = (
+        edges.join(ca, "u")
+        .join(cb, "v")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    base = (
+        vol.join(ein, "label", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.col("label").alias("community"),
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).cast("bigint").alias(
+                "internal_edges"
+            ),
+            "volume",
+            "m",
+            F.expr(
+                "CAST(4 * m * COALESCE(e_in, 0) - volume * volume"
+                " AS BIGINT)"
+            ).alias("num"),
+        )
+    )
+    tot = base.agg(F.sum("num").cast("bigint").alias("tnum"))
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .select(
+            "community",
+            "n_nodes",
+            "internal_edges",
+            "volume",
+            F.expr(
+                "CAST(CAST(CAST(num AS DOUBLE) / (4.0 * m * m)"
+                " AS DECIMAL(18,6)) AS DOUBLE)"
+            ).alias("q_contrib"),
+            F.expr(
+                "CAST(CAST(CAST(tnum AS DOUBLE) / (4.0 * m * m)"
+                " AS DECIMAL(18,6)) AS DOUBLE)"
+            ).alias("q_total"),
+        )
     )
