@@ -1302,3 +1302,265 @@ def orders_mutual_information(
             ).alias("nmi"),
         )
     )
+
+
+# ---- two-factor exact OLS (Cramer over integer moments) --------------
+
+
+def _det3(m, cast):
+    """Cofactor-expanded 3x3 determinant SQL over exact integer moment
+    columns; ``cast`` wraps each entry in the dialect's 128-bit type."""
+    (a, b, c), (d, e, f_), (g, h, i) = m
+    A, B, C = cast(a), cast(b), cast(c)
+    D, E, Fx = cast(d), cast(e), cast(f_)
+    G, H, I = cast(g), cast(h), cast(i)
+    return (
+        f"({A} * ({E} * {I} - {Fx} * {H})"
+        f" - {B} * ({D} * {I} - {Fx} * {G})"
+        f" + {C} * ({D} * {H} - {E} * {G}))"
+    )
+
+
+def _ols2_dets(cast):
+    """det(A), det_b0, det_b1, det_b2 for y ~ b0 + b1·x1 + b2·x2."""
+    A = [["n", "sx1", "sx2"], ["sx1", "sx11", "sx12"], ["sx2", "sx12", "sx22"]]
+    r = ["sy", "sx1y", "sx2y"]
+    dets = [_det3(A, cast)]
+    for j in range(3):
+        M = [row[:] for row in A]
+        for i in range(3):
+            M[i][j] = r[i]
+        dets.append(_det3(M, cast))
+    return dets
+
+
+_OLS2_DUCK = _ols2_dets(lambda c: f"{c}::HUGEINT")
+_OLS2_SPARK = _ols2_dets(lambda c: f"CAST({c} AS DECIMAL(38,0))")
+
+
+@query(
+    "lineitem_ols_two_factor",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+             CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag,
+             COUNT(*)::HUGEINT AS n,
+             SUM(x1)::HUGEINT AS sx1, SUM(x2)::HUGEINT AS sx2,
+             SUM(y)::HUGEINT AS sy,
+             SUM(x1*x1)::HUGEINT AS sx11, SUM(x2*x2)::HUGEINT AS sx22,
+             SUM(x1*x2)::HUGEINT AS sx12,
+             SUM(x1*y)::HUGEINT AS sx1y, SUM(x2*y)::HUGEINT AS sx2y,
+             SUM(y*y)::HUGEINT AS syy
+      FROM b GROUP BY 1
+    ), d AS (
+      SELECT *,
+             {_OLS2_DUCK[0]} AS det,
+             {_OLS2_DUCK[1]} AS det0,
+             {_OLS2_DUCK[2]} AS det1,
+             {_OLS2_DUCK[3]} AS det2
+      FROM s
+    ), fit AS (
+      SELECT l_returnflag, n,
+             CAST(CAST(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE)
+                  AS DECIMAL(18,6)) AS DOUBLE) AS b0,
+             CAST(CAST(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE)
+                  AS DECIMAL(18,6)) AS DOUBLE) AS b1_qty,
+             CAST(CAST(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE)
+                  AS DECIMAL(18,6)) AS DOUBLE) AS b2_disc,
+             sy, sx1y, sx2y, syy
+      FROM d
+    )
+    SELECT l_returnflag, n::BIGINT AS n_rows, b0, b1_qty, b2_disc,
+           CAST(CAST(
+             1.0 - (CAST(syy AS DOUBLE) - b0 * CAST(sy AS DOUBLE)
+                    - b1_qty * CAST(sx1y AS DOUBLE)
+                    - b2_disc * CAST(sx2y AS DOUBLE))
+                 / (CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+             AS DECIMAL(18,6)) AS DOUBLE) AS r2
+    FROM fit
+    """,
+)
+def lineitem_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed TWO-feature OLS per return flag:
+    price ~ quantity + discount, solved by Cramer's rule over the 3×3
+    normal-equation matrix of INTEGER moment sums (y in whole
+    currency units, discount in hundredths, so every moment is an
+    exact BIGINT and every determinant an exact 128-bit product —
+    DECIMAL(38,0) / HUGEINT) with ONE double division per
+    coefficient; R² is derived from the same moments using the
+    ALREADY-PINNED coefficients so both engines feed identical
+    doubles into it. Extends ``lineitem_ols_price_quantity`` from
+    one regressor to the general sufficient-statistics multivariate
+    fit: at 100 TB the whole model ships 10 numbers per group
+    through one map-side-combined aggregate — no iteration, no
+    sampling, bit-deterministic.
+
+    Determinant magnitude check: the largest term is n·sx11·sx22 ≈
+    5e31 at TPC-H sf100 — inside both 128-bit types; beyond that,
+    center the moments first (the standard conditioning fix) before
+    widening types."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice")).cast("bigint").alias("y"),
+    )
+    s = b.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = s.select(
+        "*",
+        F.expr(_OLS2_SPARK[0]).alias("det"),
+        F.expr(_OLS2_SPARK[1]).alias("det0"),
+        F.expr(_OLS2_SPARK[2]).alias("det1"),
+        F.expr(_OLS2_SPARK[3]).alias("det2"),
+    )
+    fit = d.select(
+        "l_returnflag",
+        "n",
+        F.expr(
+            "CAST(CAST(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE)"
+            " AS DECIMAL(18,6)) AS DOUBLE)"
+        ).alias("b0"),
+        F.expr(
+            "CAST(CAST(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE)"
+            " AS DECIMAL(18,6)) AS DOUBLE)"
+        ).alias("b1_qty"),
+        F.expr(
+            "CAST(CAST(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE)"
+            " AS DECIMAL(18,6)) AS DOUBLE)"
+        ).alias("b2_disc"),
+        "sy",
+        "sx1y",
+        "sx2y",
+        "syy",
+    )
+    return fit.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        "b0",
+        "b1_qty",
+        "b2_disc",
+        F.expr(
+            "CAST(CAST("
+            " 1.0D - (CAST(syy AS DOUBLE) - b0 * CAST(sy AS DOUBLE)"
+            "         - b1_qty * CAST(sx1y AS DOUBLE)"
+            "         - b2_disc * CAST(sx2y AS DOUBLE))"
+            "     / (CAST(syy AS DOUBLE)"
+            "        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+            "          / CAST(n AS DOUBLE))"
+            " AS DECIMAL(18,6)) AS DOUBLE)"
+        ).alias("r2"),
+    )
+
+
+# ---- daily-series autocorrelation ------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+@query(
+    "orders_daily_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             COUNT(*)::BIGINT AS n
+      FROM orders GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1}))::BIGINT AS lag),
+    pairs AS (
+      SELECT l.lag, a.n AS x, b.n AS y
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+    ),
+    s AS (
+      SELECT lag,
+             COUNT(*)::BIGINT AS np,
+             SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+             SUM(x*y)::BIGINT AS sxy,
+             SUM(x*x)::BIGINT AS sxx, SUM(y*y)::BIGINT AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, np AS n_pairs,
+           CAST(CAST(
+             CAST(np*sxy - sx*sy AS DOUBLE)
+             / sqrt(CAST(np*sxx - sx*sx AS DOUBLE)
+                    * CAST(np*syy - sy*sy AS DOUBLE))
+             AS DECIMAL(18,6)) AS DOUBLE) AS acf
+    FROM s
+    """,
+)
+def orders_daily_autocorrelation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Autocorrelation of the daily order-count series at lags 1..7 —
+    the seasonality diagnostic that tells a forecaster which lag
+    structure matters (weekly cycle → spike at lag 7) before fitting
+    anything; complements ``orders_seasonal_index`` (monthly shape)
+    and ``events_cusum_changepoint`` (level shifts).
+
+    Exactness: Pearson-at-lag over calendar-aligned day pairs, all
+    five moment sums exact BIGINTs; the per-moment products stay in
+    BIGINT (np·sxx ≲ 5e11 at sf0.1) and the two variance terms
+    multiply as doubles inside one fixed sqrt expression, pinned
+    DECIMAL(18,6). Plan: the corpus collapses to ~#days rows in ONE
+    scan+agg; the lag expansion and self-joins run on that tiny frame
+    (≤ 7·days rows), so the query is scan-bound at any scale —
+    no window over the raw table, no driver collect."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = persist_tracked(
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    a = daily.select(F.col("day").alias("a_day"), F.col("n").alias("x"))
+    bf = daily.select(F.col("day").alias("b_day"), F.col("n").alias("y"))
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(
+            bf,
+            F.col("b_day")
+            == F.expr("date_add(a_day, CAST(lag AS INT))"),
+        )
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return s.select(
+        "lag",
+        F.col("np").alias("n_pairs"),
+        F.expr(
+            "CAST(CAST("
+            " CAST(np*sxy - sx*sy AS DOUBLE)"
+            " / sqrt(CAST(np*sxx - sx*sx AS DOUBLE)"
+            "        * CAST(np*syy - sy*sy AS DOUBLE))"
+            " AS DECIMAL(18,6)) AS DOUBLE)"
+        ).alias("acf"),
+    )
