@@ -179,6 +179,7 @@ HEADLINE = [
     "graph_modularity_report",
     "lineitem_ols_two_factor",
     "orders_daily_autocorrelation",
+    "text_zipf_fit",
     # events_ewma_recursive: 30-step recursive CTE — ~7s of pure
     # per-iteration job-scheduling overhead on a 30-row frame (the
     # corpus-sized scan inside it is the same daily agg the other

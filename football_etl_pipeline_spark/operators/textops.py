@@ -2554,3 +2554,132 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---- Zipf power-law fit ----------------------------------------------
+
+ZIPF_TOP_V = 300  # vocabulary prefix the power law is fitted on
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tf AS (
+      SELECT tok, COUNT(*)::BIGINT AS c
+      FROM (SELECT unnest({TOKENS_DUCK}) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, c FROM tf ORDER BY c DESC, tok ASC LIMIT {ZIPF_TOP_V}
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS rnk
+      FROM top
+    ),
+    pts AS (
+      SELECT CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT)
+               AS xm,
+             CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)
+               AS ym
+      FROM ranked
+    ),
+    s AS (
+      SELECT COUNT(*)::BIGINT AS n,
+             SUM(xm)::BIGINT AS sx, SUM(ym)::BIGINT AS sy,
+             SUM(xm*ym)::BIGINT AS sxy,
+             SUM(xm*xm)::BIGINT AS sxx, SUM(ym*ym)::BIGINT AS syy
+      FROM pts
+    )
+    SELECT n AS n_terms,
+           CAST(CAST(
+             -(CAST(n*sxy - sx*sy AS DOUBLE)
+               / CAST(n*sxx - sx*sx AS DOUBLE))
+             AS DECIMAL(18,6)) AS DOUBLE) AS zipf_exponent,
+           CAST(CAST(
+             (CAST(sy AS DOUBLE)
+              - CAST(n*sxy - sx*sy AS DOUBLE)
+                / CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 1000000.0
+             AS DECIMAL(18,6)) AS DOUBLE) AS intercept_ln,
+           CAST(CAST(
+             CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+             / (CAST(n*sxx - sx*sx AS DOUBLE)
+                * CAST(n*syy - sy*sy AS DOUBLE))
+             AS DECIMAL(18,6)) AS DOUBLE) AS r2
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the top-{ZIPF_TOP_V} vocabulary: OLS of
+    ln(freq) on ln(rank) → the Zipf exponent (natural corpora sit
+    near 1), the ln-intercept, and the fit R² — the corpus-health
+    screen that flags synthetic/templated text (exponent far from 1,
+    R² near 1 = suspiciously clean) and boilerplate-heavy crawls
+    before tokens are wasted training on them.
+
+    Exactness: the only floats are two ln's per vocabulary point,
+    immediately ROUND-ed to micro fixed-point BIGINTs (ROUND is
+    half-away-from-zero on positives in both engines, unlike the
+    truncate-vs-round CAST divergence), so all five regression
+    moments are exact integers; slope/intercept/R² are fixed double
+    expressions over them, pinned DECIMAL(18,6). Plan: one tokenize →
+    (tok) partial agg; the top-V is TakeOrderedAndProject; the
+    regression runs on {ZIPF_TOP_V} rows with the single-partition
+    rank window gated behind the LIMIT (never over the vocabulary)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tf = (
+        docs.select(F.explode(F.expr(TOKENS_SPARK)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = tf.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(
+        ZIPF_TOP_V
+    )
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+        ),
+    )
+    pts = ranked.select(
+        F.expr(
+            "CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("xm"),
+        F.expr(
+            "CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("ym"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xm").alias("sx"),
+        F.sum("ym").alias("sy"),
+        F.sum(F.col("xm") * F.col("ym")).alias("sxy"),
+        F.sum(F.col("xm") * F.col("xm")).alias("sxx"),
+        F.sum(F.col("ym") * F.col("ym")).alias("syy"),
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.expr(
+            "CAST(CAST(-(CAST(n*sxy - sx*sy AS DOUBLE)"
+            " / CAST(n*sxx - sx*sx AS DOUBLE))"
+            " AS DECIMAL(18,6)) AS DOUBLE)"
+        ).alias("zipf_exponent"),
+        F.expr(
+            "CAST(CAST((CAST(sy AS DOUBLE)"
+            " - CAST(n*sxy - sx*sy AS DOUBLE)"
+            "   / CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " / CAST(n AS DOUBLE) / 1000000.0"
+            " AS DECIMAL(18,6)) AS DOUBLE)"
+        ).alias("intercept_ln"),
+        F.expr(
+            "CAST(CAST("
+            " CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)"
+            " / (CAST(n*sxx - sx*sx AS DOUBLE)"
+            "    * CAST(n*syy - sy*sy AS DOUBLE))"
+            " AS DECIMAL(18,6)) AS DOUBLE)"
+        ).alias("r2"),
+    )
