@@ -595,3 +595,101 @@ def test_skyline_has_no_self_join_and_no_global_window(spark):
     assert _windows_fed_by_single_partition(final) == []
     assert "CartesianProduct" not in final
     assert "BroadcastNestedLoopJoin" not in final
+
+
+def test_bloom_prefilter_builds_once_probes_broadcast(spark):
+    """The bloom word table must be built ONCE (persisted — probes
+    read the cache) and both probe joins plus the exact finish must
+    broadcast; the orders fact must scan exactly once in the outer
+    plan. Losing the persist re-scans the dim per probe; losing a
+    broadcast shuffles the fact."""
+    plan = _plan(spark, "join_bloom_prefilter")
+    outer = _outer_final(plan)
+    assert "InMemoryTableScan" in outer
+    assert outer.count("BroadcastHashJoin") >= 3
+    assert outer.count("orders.parquet") == 1
+    # the only customer scan in the OUTER plan is the exact semi join;
+    # the bloom build's scan lives inside the cached relation
+    assert outer.count("customer.parquet") == 1
+
+
+def test_bm25_topk_runs_behind_limit(spark):
+    """The global rank must sit behind the top-k LIMIT: the plan's
+    only global sort is the k-row limit (TakeOrdered or a
+    single-partition exchange over ≤ k rows), never a corpus-wide
+    Window. The postings filter must reach the (doc, tok) aggregate
+    BEFORE the shuffle — visible as the isin filter below the first
+    HashAggregate."""
+    final = _final(_plan(spark, "text_bm25_search"))
+    assert "TakeOrderedAndProject" in final or "GlobalLimit" in final
+    assert "Window" in final  # the k-row rank, behind the limit
+
+
+def test_matryoshka_reads_corpus_from_cache(spark):
+    """All four scoring passes (3 truncation levels + full baseline)
+    must read the persisted normed frame — the embeddings parquet
+    appears only inside the cached relation's build plan, never in
+    the outer final plan."""
+    plan = _plan(spark, "similarity_matryoshka_eval")
+    outer = _outer_final(plan)
+    assert "InMemoryTableScan" in outer
+    assert "embeddings.parquet" not in outer
+
+
+def test_binary_quant_reuses_signature_cache(spark):
+    """Hamming pass and rerank must both read the persisted signature
+    frame (no second parquet scan); the 5-row query side rides
+    broadcast nested-loop against the corpus."""
+    plan = _plan(spark, "similarity_binary_quant_rerank")
+    outer = _outer_final(plan)
+    assert outer.count("InMemoryTableScan") >= 2
+    assert "embeddings.parquet" not in outer
+    assert "BroadcastNestedLoopJoin" in outer
+
+
+def test_shard_manifest_windows_are_partitioned(spark):
+    """Byte-offset packing must run per (mime, substream) stratum —
+    a single-partition window would serialize the corpus."""
+    final = _final(_plan(spark, "multimodal_shard_manifest"))
+    assert "Window" in final
+    assert _windows_fed_by_single_partition(final) == []
+
+
+def test_modularity_windows_partitioned_no_cartesian(spark):
+    """The LPA sweep's per-node top-1 windows stay partitioned by
+    node, and nothing in the report degenerates to a Cartesian
+    product (the 1-row m/Σ frames ride broadcast)."""
+    final = _final(_plan(spark, "graph_modularity_report"))
+    assert _windows_fed_by_single_partition(final) == []
+    assert "CartesianProduct" not in final
+
+
+def test_ols_two_factor_is_one_scan_no_join(spark):
+    """The whole two-regressor fit is sufficient statistics: ONE
+    lineitem scan into one partial-aggregated groupBy — any join or
+    second scan means the moments stopped being a single pass."""
+    plan = _plan(spark, "lineitem_ols_two_factor")
+    outer = _outer_final(plan)
+    assert outer.count("lineitem.parquet") == 1
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in outer
+
+
+def test_autocorrelation_joins_only_the_daily_cache(spark):
+    """The lag self-joins must run over the persisted ~#days frame —
+    the orders parquet appears only inside the cached relation's
+    build, never in the outer plan."""
+    plan = _plan(spark, "orders_daily_autocorrelation")
+    outer = _outer_final(plan)
+    assert "InMemoryTableScan" in outer
+    assert "orders.parquet" not in outer
+
+
+def test_streaming_rows_return_memory_sink_scans(spark):
+    """The streaming registry rows return the memory sink's table —
+    the returned plan must be a LocalTableScan/MemoryPlan, not a
+    re-execution of the stream."""
+    df = QUERIES["streaming_windowed_counts"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    release_persists()
+    assert "StreamingExecutionRelation" not in plan
