@@ -180,6 +180,7 @@ HEADLINE = [
     "lineitem_ols_two_factor",
     "orders_daily_autocorrelation",
     "text_zipf_fit",
+    "lineitem_correlation_matrix",
     # events_ewma_recursive: 30-step recursive CTE — ~7s of pure
     # per-iteration job-scheduling overhead on a 30-row frame (the
     # corpus-sized scan inside it is the same daily agg the other

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
 from .events import HLL_REL_ERR
-from .registry import query
+from .registry import persist_tracked, query
 from .textops import hash60_duck, hash60_spark
 
 # ---- PII redaction ---------------------------------------------------
@@ -1233,3 +1233,98 @@ def profile_expectations_report(
         .unionByName(orphans)
         .withColumn("passed", F.col("n_violations") == 0)
     )
+
+
+# ---- one-pass pairwise correlation matrix ----------------------------
+
+_CORR_COLS = ("q", "p", "d", "t")  # quantity, price(c), disc(%), tax(%)
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+]
+_CORR_NAMES = {"q": "quantity", "p": "price", "d": "discount", "t": "tax"}
+
+
+def _corr_pair_select(a: str, b: str) -> str:
+    """One output row of the correlation matrix from the single
+    moments row — shared SQL text for both dialects (all referenced
+    columns are 128-bit exact sums)."""
+    return f"""
+      SELECT '{_CORR_NAMES[a]}' AS col_a, '{_CORR_NAMES[b]}' AS col_b,
+             CAST(n AS BIGINT) AS n_rows,
+             CAST(CAST(
+               CAST(n * s_{a}{b} - s_{a} * s_{b} AS DOUBLE)
+               / sqrt(CAST(n * s_{a}{a} - s_{a} * s_{a} AS DOUBLE)
+                      * CAST(n * s_{b}{b} - s_{b} * s_{b} AS DOUBLE))
+               AS DECIMAL(18,6)) AS DOUBLE) AS pearson_r
+      FROM s"""
+
+
+_CORR_UNION = " UNION ALL ".join(
+    _corr_pair_select(a, b) for a, b in _CORR_PAIRS
+)
+
+
+@query(
+    "lineitem_correlation_matrix",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+             CAST(ROUND(l_tax * 100) AS BIGINT) AS t
+      FROM lineitem
+    ), s AS (
+      SELECT COUNT(*)::HUGEINT AS n,
+             {", ".join(f"SUM({c})::HUGEINT AS s_{c}" for c in _CORR_COLS)},
+             {", ".join(f"SUM({c}::HUGEINT * {c}::HUGEINT) AS s_{c}{c}" for c in _CORR_COLS)},
+             {", ".join(f"SUM({a}::HUGEINT * {b}::HUGEINT) AS s_{a}{b}" for a, b in _CORR_PAIRS)}
+      FROM b
+    )
+    {_CORR_UNION}
+    """,
+)
+def lineitem_correlation_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full pairwise Pearson correlation matrix over lineitem's four
+    numeric measures in ONE scan — the column-dependency profile a
+    CBO or feature-selection pass wants (15 exact sufficient
+    statistics: n, 4 sums, 4 squares, 6 cross-products), extending
+    ``text_length_quality_correlation`` (one pair) to the all-pairs
+    profiling shape.
+
+    Exactness: every measure is scaled to exact integers (price in
+    cents, rates in hundredths) and every moment accumulates in the
+    128-bit domain (DECIMAL(38,0) / HUGEINT — Σp² ≈ 6e19 at sf0.1
+    already exceeds BIGINT); each r is one fixed double expression
+    over the moments, pinned DECIMAL(18,6). Plan: one
+    map-side-combined aggregate ships 15 numbers total; the 6-row
+    matrix assembles from the single cached moments row — at 100 TB
+    the correlation matrix costs exactly one scan, no shuffle of
+    anything but partial aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("bigint").alias("t"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(dec(c)).alias(f"s_{c}"))
+    for c in _CORR_COLS:
+        aggs.append(F.sum(dec(c) * dec(c)).alias(f"s_{c}{c}"))
+    for a, bb in _CORR_PAIRS:
+        aggs.append(F.sum(dec(a) * dec(bb)).alias(f"s_{a}{bb}"))
+    s = persist_tracked(b.agg(*aggs))
+    s.createOrReplaceTempView("_corr_moments_tmp")
+    out = None
+    for a, bb in _CORR_PAIRS:
+        part = spark.sql(
+            _corr_pair_select(a, bb).replace("FROM s", "FROM _corr_moments_tmp")
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
