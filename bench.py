@@ -181,6 +181,10 @@ HEADLINE = [
     "orders_daily_autocorrelation",
     "text_zipf_fit",
     "lineitem_correlation_matrix",
+    "customer_nation_herfindahl",
+    # scan_orc_partitioned: full-table ORC rewrite job — gate-checked
+    # for losslessness + pruning, excluded from the query bench like
+    # the compaction jobs above.
     # events_ewma_recursive: 30-step recursive CTE — ~7s of pure
     # per-iteration job-scheduling overhead on a 30-row frame (the
     # corpus-sized scan inside it is the same daily agg the other

@@ -578,3 +578,53 @@ def versioned_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit_version(base, root, "append")
     commit_version(merged, root, "overwrite")
     return snapshot_diff(spark, root, 1, 2, "o_orderkey")
+
+
+@query(
+    "scan_orc_partitioned",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*)::BIGINT AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_orc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format + partition-discovery round-trip: land ``orders``
+    as an ORC table partitioned by ``o_orderpriority``, read it back
+    through partition discovery, and aggregate one priority — the
+    oracle is the same aggregate on the parquet original, so the
+    contract is LOSSLESS format round-trip + correct partition
+    pruning (only the 1-URGENT directory is listed; the plan carries
+    it as a PartitionFilter, not a row filter). Completes the format
+    matrix (parquet/json/csv/custom DataSource → +ORC, the other
+    columnar format Spark ships built-in; Avro needs an external
+    package, documented out of scope).
+
+    Scale note: partition-by-priority is the demo axis; a production
+    table partitions by date and the same pruning machinery turns a
+    100 TB scan into one partition's worth of I/O."""
+    import os
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = _run_scratch_dir("orc", sf_dir)
+    dst = os.path.join(root, "orders_orc")
+    (
+        orders.write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .orc(dst)
+    )
+    back = spark.read.orc(dst)
+    return (
+        back.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -1564,3 +1564,100 @@ def orders_daily_autocorrelation(
             " AS DECIMAL(18,6)) AS DOUBLE)"
         ).alias("acf"),
     )
+
+
+# ---- Herfindahl revenue concentration --------------------------------
+
+
+@query(
+    "customer_nation_herfindahl",
+    oracle="""
+    WITH cr AS (
+      SELECT c.c_nationkey AS nationkey, c.c_custkey,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT nationkey, SUM(rev_c)::BIGINT AS t,
+             COUNT(*)::BIGINT AS n_customers
+      FROM cr GROUP BY nationkey
+    ),
+    sh AS (
+      SELECT cr.nationkey,
+             (cr.rev_c * 1000000) // tot.t AS share_micro
+      FROM cr JOIN tot ON tot.nationkey = cr.nationkey
+    ),
+    h AS (
+      SELECT nationkey,
+             SUM((share_micro * share_micro) // 1000000)::BIGINT
+               AS hhi_micro
+      FROM sh GROUP BY nationkey
+    )
+    SELECT t.nationkey, t.n_customers,
+           CAST(CAST(t.t AS DOUBLE) / 100.0 AS DOUBLE) AS total_rev,
+           CAST(h.hhi_micro AS DOUBLE) / 1000000.0 AS hhi,
+           CAST(CAST(1000000.0 / h.hhi_micro AS DECIMAL(18,6))
+                AS DOUBLE) AS effective_n
+    FROM tot t JOIN h ON h.nationkey = t.nationkey
+    """,
+)
+def customer_nation_herfindahl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl–Hirschman revenue concentration per nation: each
+    customer's share of their nation's order revenue, squared and
+    summed — plus the equivalent-competitor count 1/HHI. The
+    concentration sibling of ``customer_revenue_gini`` (Gini measures
+    inequality of the curve; HHI measures how few heads dominate —
+    the metric dedup/mixing reports quote as "effective sources").
+
+    Exactness: revenue in exact cents; each share enters as
+    micro-fixed-point integer division (share ≤ 1e6), its square
+    integer-divided back to micro — every term BIGINT, the sum exact
+    and order-insensitive, zero floats until the output projection.
+    Plan: fact joins dim broadcast, one (nation, customer) aggregate,
+    then everything runs on |customers| and |nations| rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cr = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"), "c_custkey"
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("rev_c")
+        )
+    )
+    cr = persist_tracked(cr)
+    tot = cr.groupBy("nationkey").agg(
+        F.sum("rev_c").cast("bigint").alias("t"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    sh = cr.join(F.broadcast(tot), "nationkey").select(
+        "nationkey",
+        F.expr("(rev_c * 1000000L) div t").alias("share_micro"),
+    )
+    h = sh.groupBy("nationkey").agg(
+        F.sum(F.expr("(share_micro * share_micro) div 1000000L"))
+        .cast("bigint")
+        .alias("hhi_micro")
+    )
+    return (
+        tot.join(h, "nationkey")
+        .select(
+            "nationkey",
+            "n_customers",
+            (F.col("t").cast("double") / 100.0).alias("total_rev"),
+            (F.col("hhi_micro").cast("double") / 1000000.0).alias("hhi"),
+            F.expr(
+                "CAST(CAST(1000000.0D / hhi_micro AS DECIMAL(18,6))"
+                " AS DOUBLE)"
+            ).alias("effective_n"),
+        )
+    )
