@@ -176,6 +176,7 @@ HEADLINE = [
     "multimodal_shard_manifest",
     "streaming_windowed_counts",
     "streaming_stream_join",
+    "streaming_dedup_counts",
     "graph_modularity_report",
     "lineitem_ols_two_factor",
     "orders_daily_autocorrelation",

@@ -186,3 +186,62 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "streaming_dedup_counts",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n_unique_events,
+           COUNT(DISTINCT user_id)::BIGINT AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under TRUE double delivery: the events
+    backlog is unioned with itself (every record arrives twice —
+    the at-least-once delivery a real bus exhibits),
+    ``dropDuplicates`` on event_id collapses the stream back to one
+    row per event inside the state store, and the deduped stream
+    lands in the sink; counts per event_type are then taken from the
+    sink table. The oracle is the plain single-copy aggregate — the
+    row-level dedup state machinery is what's under test, the third
+    streaming surface in the gate (windowed agg state, join state,
+    and now dedup state).
+
+    Scale: dropDuplicates state is one entry per key forever; the
+    bounded-state production variant (dropDuplicatesWithinWatermark)
+    is pinned in tests/test_streaming_dedup_watermark.py — here the
+    unbounded form is correct because the run is finite."""
+    physical = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    src = (
+        spark.readStream.format("parquet")
+        .schema(physical)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    ev = src.select("event_id", "user_id", "event_type")
+    doubled = ev.union(ev)
+    deduped = doubled.dropDuplicates(["event_id"])
+    name = f"sdd_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
