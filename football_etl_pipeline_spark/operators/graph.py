@@ -939,6 +939,9 @@ def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("num"),
         )
     )
+    # base feeds BOTH the broadcast Σ frame and the final projection —
+    # persist the |communities|-row frame or the vol/ein joins run twice.
+    base = persist_tracked(base)
     tot = base.agg(F.sum("num").cast("bigint").alias("tnum"))
     return (
         base.crossJoin(F.broadcast(tot))
