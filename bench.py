@@ -168,6 +168,8 @@ HEADLINE = [
     "events_conformal_forecast",
     "multimodal_aspect_buckets",
     "graph_link_prediction",
+    # round-9 additions (same comparability rule: shared prefix
+    # comparable across rounds; totals comparable from r9 on)
     "text_bm25_search",
     "join_bloom_prefilter",
     "similarity_matryoshka_eval",
@@ -183,6 +185,7 @@ HEADLINE = [
     "text_zipf_fit",
     "lineitem_correlation_matrix",
     "customer_nation_herfindahl",
+    "events_watermark_lateness_audit",
     # scan_orc_partitioned: full-table ORC rewrite job — gate-checked
     # for losslessness + pruning, excluded from the query bench like
     # the compaction jobs above.

@@ -1978,3 +1978,117 @@ def events_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         d6((center - half) / denom).alias("wilson_lo"),
         d6((center + half) / denom).alias("wilson_hi"),
     )
+
+
+# ---- watermark lateness audit ----------------------------------------
+
+LATE_BUCKET = 10_000  # event_ids per prefix-max bucket
+
+
+@query(
+    "events_watermark_lateness_audit",
+    oracle="""
+    WITH o AS (
+      SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ),
+    lat AS (
+      SELECT GREATEST(COALESCE(MAX(us) OVER (
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) - us, 0), 0) AS late_us
+      FROM o
+    ),
+    banded AS (
+      SELECT CASE
+               WHEN late_us = 0 THEN 'a_on_time'
+               WHEN late_us < 60000000 THEN 'b_lt_1m'
+               WHEN late_us < 600000000 THEN 'c_lt_10m'
+               WHEN late_us < 3600000000 THEN 'd_lt_1h'
+               ELSE 'e_ge_1h' END AS band
+      FROM lat
+    ),
+    tot AS (SELECT COUNT(*)::BIGINT AS n FROM banded)
+    SELECT band, COUNT(*)::BIGINT AS n_events,
+           CAST(CAST(COUNT(*) * 1.0 / tot.n AS DECIMAL(18,6))
+                AS DOUBLE) AS share
+    FROM banded CROSS JOIN tot
+    GROUP BY band, tot.n
+    """,
+)
+def events_watermark_lateness_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Out-of-orderness audit of the event stream: for each event (in
+    event_id arrival order), its lateness vs the maximum event time
+    already seen, banded into on-time / <1m / <10m / <1h / ≥1h — the
+    measurement that tells a streaming deployment WHAT WATERMARK to
+    set (the registry's streaming rows use 10 minutes; this query is
+    where such a number comes from) and how many rows each candidate
+    delay would drop.
+
+    Plan — the global prefix max WITHOUT a global window: event_ids
+    bucket by div {LATE_BUCKET}; within-bucket exclusive cummax runs
+    partitioned by bucket, cross-bucket carry-in is an exclusive
+    prefix max over the tiny per-bucket-maxima frame (|buckets| rows
+    — the bounded single-partition window precedent of the daily
+    series), broadcast back. Unlike spark_partition_id range
+    exchanges, the bucket key is pure arithmetic, so the oracle
+    replays the identical semantics with one window. All math is
+    exact epoch microseconds."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.expr(f"event_id div {LATE_BUCKET}").alias("bk"),
+    )
+    wb = (
+        Window.partitionBy("bk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = ev.withColumn("in_max", F.max("us").over(wb))
+    bmax = ev.groupBy("bk").agg(F.max("us").alias("bmax"))
+    wcarry = Window.orderBy("bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = bmax.withColumn("carry", F.max("bmax").over(wcarry)).select(
+        "bk", "carry"
+    )
+    lat = (
+        within.join(F.broadcast(carry), "bk")
+        .select(
+            F.greatest(
+                F.coalesce(
+                    F.greatest(
+                        F.coalesce(F.col("in_max"), F.lit(None)),
+                        F.coalesce(F.col("carry"), F.lit(None)),
+                    )
+                    - F.col("us"),
+                    F.lit(0),
+                ),
+                F.lit(0),
+            ).alias("late_us")
+        )
+    )
+    banded = lat.select(
+        F.expr(
+            "CASE WHEN late_us = 0 THEN 'a_on_time'"
+            " WHEN late_us < 60000000L THEN 'b_lt_1m'"
+            " WHEN late_us < 600000000L THEN 'c_lt_10m'"
+            " WHEN late_us < 3600000000L THEN 'd_lt_1h'"
+            " ELSE 'e_ge_1h' END"
+        ).alias("band")
+    )
+    tot = banded.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        banded.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_events",
+            F.expr(
+                "CAST(CAST(n_events * 1.0 / n AS DECIMAL(18,6))"
+                " AS DOUBLE)"
+            ).alias("share"),
+        )
+    )
