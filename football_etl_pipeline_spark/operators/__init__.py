@@ -19,5 +19,7 @@ def _load_all() -> None:
     """Import every operator module (idempotent)."""
     from . import joins, windows, setops, scalar, events, dedup, similarity, textops, multimodal, subqueries, pandas_udfs, graph, skew, tpch_more, tpch_adapted, profiling, maintenance, linkage, stattests, streaming_query  # noqa: F401
 
+    registry.finalize_order()
+
 
 _load_all()

@@ -76,3 +76,56 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         return fn
 
     return deco
+
+
+# The exact 50-key window the driver verified in CORRECTNESS_r04, in
+# order. The driver's per-round correctness check runs the FIRST 50
+# keys of queries() — so this prefix is part of the external contract,
+# not an implementation detail. Operators register at import time in
+# module/source order, which would make the prefix drift whenever a
+# new query lands in an early module; finalize_order() (called once
+# after all operator modules import) rebuilds the dicts with this
+# window first and everything else in registration order after it,
+# decoupling source layout from the driver contract.
+# tests/test_testdata_schema.py holds an independent frozen copy.
+DRIVER_WINDOW_R04: tuple[str, ...] = (
+    "q1_pricing_summary", "scan_filter_project", "agg_stats_by_segment",
+    "distinct_values", "orderby_limit_topk", "agg_exact_percentiles",
+    "q6_forecast_revenue", "q14_promo_revenue_share", "q3_shipping_priority",
+    "q5_local_supplier_volume", "join_left_nulls", "join_full_outer",
+    "join_semi_active_customers", "join_anti_unshipped", "join_right_parts",
+    "join_range_price_bands", "join_asof_last_purchase",
+    "q19_disjunctive_predicates", "window_topk_per_group",
+    "window_rank_family", "window_running_total", "window_lag_lead_delta",
+    "window_moving_avg", "window_first_last_nth", "window_range_frame_30d",
+    "setop_priority_overlap", "setop_except_all", "setop_union_distinct",
+    "setop_union_all_counts", "rollup_revenue", "cube_order_matrix",
+    "grouping_sets_custom", "pivot_events_by_type", "unpivot_part_metrics",
+    "scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs",
+    "scalar_conditional", "scalar_array_funcs", "scalar_json_funcs",
+    "posexplode_name_words", "scalar_map_funcs", "scalar_regex_funcs",
+    "events_by_hour", "events_sessionize", "events_windowed_funnel",
+    "events_daily_retention", "events_approx_distinct",
+    "events_multi_rollup", "events_anomaly_zscore",
+)
+
+
+def finalize_order() -> None:
+    """Reorder QUERIES/ORACLES so the frozen driver window is the
+    first 50 keys regardless of which source module a later query
+    was added to. Idempotent; raises if a window key is missing
+    (deleting a window query IS a contract break and must be loud)."""
+    missing = [k for k in DRIVER_WINDOW_R04 if k not in QUERIES]
+    if missing:
+        raise RuntimeError(
+            f"frozen driver-window queries missing from registry: {missing}"
+        )
+    rest = [k for k in QUERIES if k not in DRIVER_WINDOW_R04]
+    for mapping in (QUERIES, ORACLES):
+        ordered = {
+            k: mapping[k]
+            for k in (*DRIVER_WINDOW_R04, *rest)
+            if k in mapping
+        }
+        mapping.clear()
+        mapping.update(ordered)
