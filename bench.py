@@ -186,6 +186,7 @@ HEADLINE = [
     "lineitem_correlation_matrix",
     "customer_nation_herfindahl",
     "events_watermark_lateness_audit",
+    "text_neyman_allocation",
     # scan_orc_partitioned: full-table ORC rewrite job — gate-checked
     # for losslessness + pruning, excluded from the query bench like
     # the compaction jobs above.

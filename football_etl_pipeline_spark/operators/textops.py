@@ -2683,3 +2683,123 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(18,6)) AS DOUBLE)"
         ).alias("r2"),
     )
+
+
+# ---- Neyman allocation (stratified sampling design) ------------------
+
+NEYMAN_TOTAL = 1000  # sample size to allocate across source strata
+
+
+@query(
+    "text_neyman_allocation",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             COUNT(*)::BIGINT AS n_rows,
+             SUM(n_chars)::BIGINT AS sx,
+             SUM(n_chars * n_chars)::BIGINT AS sxx
+      FROM documents GROUP BY source
+    ),
+    sd AS (
+      SELECT source, n_rows,
+             CAST(ROUND(sqrt(
+               CAST(n_rows * sxx - sx * sx AS DOUBLE)
+               / (CAST(n_rows AS DOUBLE) * (n_rows - 1.0))
+             ) * 1000000) AS BIGINT) AS sd_micro
+      FROM s WHERE n_rows > 1
+    ),
+    w AS (
+      SELECT source, n_rows, sd_micro,
+             n_rows * sd_micro AS wt,
+             (SELECT SUM(n_rows * sd_micro) FROM sd) AS tw
+      FROM sd
+    ),
+    base AS (
+      SELECT source, n_rows, sd_micro,
+             ({NEYMAN_TOTAL} * wt) // tw AS n_base,
+             ({NEYMAN_TOTAL} * wt) % tw AS rem
+      FROM w
+    ),
+    lo AS (
+      SELECT {NEYMAN_TOTAL} - SUM(n_base) AS leftover FROM base
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               ORDER BY rem DESC, source ASC) AS rr
+      FROM base
+    )
+    SELECT source, n_rows,
+           CAST(sd_micro AS DOUBLE) / 1000000.0 AS sd_chars,
+           (n_base + CASE WHEN rr <= lo.leftover THEN 1 ELSE 0 END)
+             ::BIGINT AS n_alloc
+    FROM ranked CROSS JOIN lo
+    """,
+)
+def text_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation across sources:
+    n_h ∝ N_h·S_h (stratum size × stratum std-dev of doc length), the
+    design that minimizes estimator variance for a fixed labeling/
+    eval budget — what a curation team should compute before paying
+    for {NEYMAN_TOTAL} human judgments, instead of proportional or
+    uniform splits. Integerization is largest-remainder (Hamilton)
+    apportionment, so allocations sum EXACTLY to the budget.
+
+    Exactness: per-stratum moments are exact BIGINTs; the one float
+    (the std-dev sqrt) is immediately ROUND-ed to micro fixed-point
+    (the ``text_zipf_fit`` precedent), so weights, quotas, and
+    remainders are all integer arithmetic and the remainder ranking
+    is deterministic. Plan: one scan → |sources| rows; every window
+    and join after the aggregate runs on the 5-row stratum frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    sd = s.filter(F.col("n_rows") > 1).select(
+        "source",
+        "n_rows",
+        F.expr(
+            "CAST(ROUND(sqrt("
+            " CAST(n_rows * sxx - sx * sx AS DOUBLE)"
+            " / (CAST(n_rows AS DOUBLE) * (n_rows - 1.0D))"
+            ") * 1000000) AS BIGINT)"
+        ).alias("sd_micro"),
+    )
+    sd = persist_tracked(sd)
+    tw = sd.agg(
+        F.sum(F.col("n_rows") * F.col("sd_micro")).alias("tw")
+    )
+    base = sd.crossJoin(F.broadcast(tw)).select(
+        "source",
+        "n_rows",
+        "sd_micro",
+        F.expr(f"({NEYMAN_TOTAL} * n_rows * sd_micro) div tw").alias(
+            "n_base"
+        ),
+        F.expr(f"({NEYMAN_TOTAL} * n_rows * sd_micro) % tw").alias("rem"),
+    )
+    base = persist_tracked(base)
+    lo = base.agg(
+        (F.lit(NEYMAN_TOTAL) - F.sum("n_base")).alias("leftover")
+    )
+    ranked = base.withColumn(
+        "rr",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            "n_rows",
+            (F.col("sd_micro").cast("double") / 1000000.0).alias(
+                "sd_chars"
+            ),
+            F.expr(
+                "CAST(n_base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("n_alloc"),
+        )
+    )
