@@ -693,3 +693,20 @@ def test_streaming_rows_return_memory_sink_scans(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     release_persists()
     assert "StreamingExecutionRelation" not in plan
+
+
+def test_link_prediction_wedge_is_equi_topk_is_takeordered(spark):
+    """The common-neighbor candidate generator must be an EQUI join on
+    the shared wedge center (hash-partitionable, sum C(d,2) bounded by
+    LP_CENTER_DEG_CAP) — an inequality-only pairing would plan a
+    BroadcastNestedLoopJoin over all user pairs. The final top-K must
+    be TakeOrderedAndProject, not a global sort of every scored pair."""
+    final = _final(_plan(spark, "graph_link_prediction"))
+    bnlj = [
+        ln
+        for ln in final.splitlines()
+        if "BroadcastNestedLoopJoin" in ln and "Cross" not in ln
+    ]
+    assert not bnlj, bnlj
+    assert "CartesianProduct" not in final
+    assert "TakeOrderedAndProject" in final
