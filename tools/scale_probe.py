@@ -105,6 +105,58 @@ def build_synthetic(spark, copies: int) -> str:
     return out
 
 
+def build_synthetic_events(spark, copies: int) -> str:
+    """Union of key-shifted, TIME-shifted copies of sf0.1 events,
+    written next to the documents/embeddings synthetic corpus.
+
+    Disjointness here is two-dimensional: copy k shifts user_id /
+    event_id by k*OFFSET (no cross-copy graph edges) AND shifts ts by
+    k*(span + 1 day) (no cross-copy grid-cell collisions in the
+    bucketed interval-overlap join). Each copy therefore reproduces
+    the 1x session/edge structure exactly, and linear growth of cell
+    candidates, wedges, and edges is the soundness bar — a 10x corpus
+    that is merely DENSER in the same time window would grow overlap
+    OUTPUT quadratically by problem semantics, which is a different
+    (and unreadable) experiment."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(REPO, "spark-warehouse", "scale_probe", f"x{copies}")
+    marker = os.path.join(out, "_PROBE_EVENTS")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    from football_etl_pipeline_spark.sources.testdata import load_table
+
+    ev = load_table(spark, BASE_SF, "events")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    span_us = (hi - lo) + 86_400_000_000  # + 1 day of slack
+    parts = []
+    for k in range(copies):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(k * OFFSET)).alias("event_id"),
+                F.timestamp_micros(
+                    F.unix_micros("ts") + F.lit(k * span_us)
+                ).alias("ts"),
+                (F.col("user_id") + F.lit(k * OFFSET)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    union.coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+    with open(marker, "w") as f:
+        f.write(str(copies))
+    return out
+
+
 def main() -> None:
     copies = 10
     if "--copies" in sys.argv:
@@ -192,6 +244,104 @@ def main() -> None:
             f"wall-growth/linear={wg:.2f}"
         )
 
+    # ---- graph / co-activity family (round 9) ------------------------
+    # The co-activity graph is DERIVED (sessionize -> bucketed interval
+    # overlap join -> edges), so its scale story has two layers:
+    # (1) candidate volume of the grid-cell hash join (sum of C(n,2)
+    #     per 15-min cell — the pairs the refine predicate examines),
+    # (2) wedge volume of link prediction (sum of C(d,2) over centers
+    #     — the pairs the common-neighbor aggregate examines), with
+    #     the LP_CENTER_DEG_CAP dial measured capped vs uncapped.
+    # The synthetic events corpus is user-shifted AND time-shifted, so
+    # both layers must grow ~linearly; the composed queries (LPA,
+    # link prediction, modularity) get wall-growth rows like the dedup
+    # pipelines.
+    from pyspark.sql import functions as F
+
+    from football_etl_pipeline_spark.operators import graph as graphmod
+    from football_etl_pipeline_spark.operators.events import (
+        OVERLAP_GRAIN_US,
+        events_interval_overlap_join,
+        session_intervals,
+    )
+
+    build_synthetic_events(spark, copies)
+
+    def overlap_cell_candidates(d):
+        iv = session_intervals(spark, d)
+        g = F.lit(OVERLAP_GRAIN_US)
+        cells = iv.withColumn(
+            "cell",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("s_us") / g), F.floor(F.col("e_us") / g)
+                )
+            ),
+        )
+        return (
+            cells.groupBy("cell")
+            .count()
+            .agg(
+                F.sum(F.expr("count * (count - 1) / 2")).cast("bigint")
+            )
+            .first()[0]
+        )
+
+    def wedge_candidates(d, cap):
+        pairs = events_interval_overlap_join(spark, d)
+        edges = pairs.select(
+            F.col("user_a").alias("u"), F.col("user_b").alias("v")
+        ).distinct()
+        sym = edges.union(edges.select("v", "u"))
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        if cap is not None:
+            deg = deg.filter(F.col("d") <= cap)
+        agg = deg.agg(F.sum(F.expr("d * (d - 1) / 2")).cast("bigint"))
+        return agg.first()[0] or 0
+
+    def measure_scalar(fn, d):
+        t0 = time.time()
+        n = fn(d)
+        wall = time.time() - t0
+        release_persists()
+        return n, round(wall, 2)
+
+    GRAPH_PROBES = {
+        "overlap_cell_candidates": overlap_cell_candidates,
+        "lp_wedges (capped)": lambda d: wedge_candidates(
+            d, graphmod.LP_CENTER_DEG_CAP
+        ),
+        "lp_wedges (uncapped)": lambda d: wedge_candidates(d, None),
+    }
+    graph_rows = []
+    for name, fn in GRAPH_PROBES.items():
+        fn("/root/testdata/sf0.001")
+        release_persists()
+        n1, w1 = measure_scalar(fn, BASE_SF)
+        nN, wN = measure_scalar(fn, big)
+        growth = nN / n1 / copies if n1 else float("nan")
+        graph_rows.append((name, n1, nN, round(growth, 2), w1, wN))
+        print(f"# {name}: 1x={n1} {copies}x={nN} growth/linear={growth:.2f}")
+
+    GRAPH_COMPOSED = [
+        "graph_label_propagation",
+        "graph_link_prediction",
+        "graph_modularity_report",
+    ]
+    graph_composed_rows = []
+    for name in GRAPH_COMPOSED:
+        qfn = QUERIES[name]
+        qfn(spark, "/root/testdata/sf0.001").count()
+        release_persists()
+        n1, w1 = measure(lambda d: qfn(spark, d), BASE_SF)
+        nN, wN = measure(lambda d: qfn(spark, d), big)
+        wg = wN / w1 / copies if w1 else float("nan")
+        graph_composed_rows.append((name, n1, nN, w1, wN, round(wg, 2)))
+        print(
+            f"# {name}: wall 1x={w1}s {copies}x={wN}s "
+            f"wall-growth/linear={wg:.2f}"
+        )
+
     # the IVF dial: cells scaled with the corpus
     saved = dedup.EMB_DUP_CELLS
     try:
@@ -261,6 +411,41 @@ def main() -> None:
         "|---|---|---|---|---|---|",
     ]
     for name, n1, nN, w1, wN, wg in composed_rows:
+        lines.append(f"| {name} | {n1} | {nN} | {w1} | {wN} | {wg} |")
+    lines += [
+        "",
+        "## Graph / co-activity family",
+        "",
+        "The graph queries derive their edge list (sessionize -> "
+        "bucketed interval-overlap join -> distinct pairs), so the "
+        "probe measures both layers. Events corpus: sf0.1 x"
+        f"{copies}, user-shifted AND time-shifted (copies are "
+        "disjoint in the grid-cell join key and the user key), so "
+        "every volume below must grow ~linearly. `lp_wedges` is the "
+        "common-neighbor candidate volume sum(C(d,2)) over wedge "
+        "centers — capped at LP_CENTER_DEG_CAP="
+        f"{graphmod.LP_CENTER_DEG_CAP} (the production dial against "
+        "celebrity hubs) vs uncapped (the exposure the dial bounds). "
+        "Caveat the time shift makes explicit: a corpus that grows by "
+        "getting DENSER in the same time window grows overlap OUTPUT "
+        "quadratically by problem semantics (more concurrent users = "
+        "more truly-overlapping pairs); the probe isolates engine "
+        "soundness from that semantic growth, and the degree cap is "
+        "the dial that bounds the downstream wedge volume either way.",
+        "",
+        f"| metric | 1x | {copies}x | growth / linear | "
+        f"wall 1x (s) | wall {copies}x (s) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, n1, nN, g, w1, wN in graph_rows:
+        lines.append(f"| {name} | {n1} | {nN} | {g} | {w1} | {wN} |")
+    lines += [
+        "",
+        f"| composed query | rows 1x | rows {copies}x | wall 1x (s) "
+        f"| wall {copies}x (s) | wall growth / linear |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, n1, nN, w1, wN, wg in graph_composed_rows:
         lines.append(f"| {name} | {n1} | {nN} | {w1} | {wN} | {wg} |")
     lines += [
         "",
