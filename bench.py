@@ -187,6 +187,11 @@ HEADLINE = [
     "customer_nation_herfindahl",
     "events_watermark_lateness_audit",
     "text_neyman_allocation",
+    "events_rolling_active_users",
+    "text_split_leakage_fuzzy",
+    # versioned_forget_customers: full-table versioned rewrite job —
+    # gate-checked for erasure correctness, excluded from the query
+    # bench like the compaction/ORC rewrite jobs above.
     # scan_orc_partitioned: full-table ORC rewrite job — gate-checked
     # for losslessness + pruning, excluded from the query bench like
     # the compaction jobs above.

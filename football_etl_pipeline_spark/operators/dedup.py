@@ -1633,3 +1633,103 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("doc").alias("n_docs"))
     )
     return np_.join(nd, "threshold")
+
+
+# ---- fuzzy train/eval split leakage ------------------------------------
+
+# Split rule shared with textops.text_train_val_test_split: bucket =
+# hash60(text) % 100, train < 90, held-out (val+test) otherwise. The
+# leakage screen asks the question the EXACT contamination screen
+# (text_contamination_screen) cannot: which held-out documents have a
+# NEAR-duplicate (MinHash-verified Jaccard >= threshold) in train —
+# paraphrase-grade leakage that survives an exact-hash split because
+# near-dup variants hash to different buckets.
+_LEAK_TRAIN_PCT = 90
+
+
+def _split_leakage_oracle() -> str:
+    from .textops import hash60_duck as _h60
+
+    return (
+        "WITH "
+        + _minhash_pairs_ctes()
+        + f""",
+    sp AS (
+      SELECT doc_id, source,
+             ({_h60('text')} % 100 < {_LEAK_TRAIN_PCT}) AS is_train
+      FROM documents
+    ), leaks AS (
+      SELECT CASE WHEN sa.is_train THEN p.b_id ELSE p.a_id END AS eval_id,
+             p.jaccard
+      FROM mh_pairs p
+      JOIN sp sa ON sa.doc_id = p.a_id
+      JOIN sp sb ON sb.doc_id = p.b_id
+      WHERE sa.is_train <> sb.is_train
+    )
+    SELECT l.eval_id,
+           s.source,
+           COUNT(*)::BIGINT AS n_train_dups,
+           CAST(CAST(MAX(l.jaccard) AS DECIMAL(18,6)) AS DOUBLE)
+             AS max_jaccard
+    FROM leaks l JOIN sp s ON s.doc_id = l.eval_id
+    GROUP BY 1, 2"""
+    )
+
+
+@query("text_split_leakage_fuzzy", oracle=_split_leakage_oracle())
+def text_split_leakage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate leakage ACROSS the train/held-out split boundary:
+    every held-out document with a MinHash-verified near-dup
+    (Jaccard >= 0.5) in the training partition, with its dup count and
+    worst-case similarity — the screen that decides whether an eval
+    number can be trusted, and the fuzzy complement of
+    ``text_contamination_screen``'s exact n-gram overlap (a paraphrased
+    eval answer shares few exact 5-grams but lights up here).
+
+    Plan: reuses the verified MinHash-LSH rung unchanged
+    (``minhash_lsh_pairs`` — the same banded self-join, so this adds
+    NO new quadratic surface), then classifies each verified pair by
+    the two sides' split buckets (one broadcast-sized projection of
+    (doc_id, bucket)) and keeps only boundary-crossing pairs. At
+    100 TB the leak set is tiny by construction (near-dup pairs ×
+    2·p·(1-p) boundary probability), so the classify-and-aggregate
+    tail is free; the LSH candidate volume is the same one already
+    scale-probed in SCALE.md."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    sp = docs.select(
+        "doc_id",
+        "source",
+        (F.expr(hash60_spark("text")) % 100 < _LEAK_TRAIN_PCT).alias(
+            "is_train"
+        ),
+    )
+    sa = sp.select(
+        F.col("doc_id").alias("sa_id"), F.col("is_train").alias("a_train")
+    )
+    sb = sp.select(
+        F.col("doc_id").alias("sb_id"), F.col("is_train").alias("b_train")
+    )
+    leaks = (
+        pairs.join(F.broadcast(sa), F.col("sa_id") == F.col("a_id"))
+        .join(F.broadcast(sb), F.col("sb_id") == F.col("b_id"))
+        .filter(F.col("a_train") != F.col("b_train"))
+        .select(
+            F.when(F.col("a_train"), F.col("b_id"))
+            .otherwise(F.col("a_id"))
+            .alias("eval_id"),
+            "jaccard",
+        )
+    )
+    meta = sp.select(F.col("doc_id").alias("m_id"), "source")
+    return (
+        leaks.join(F.broadcast(meta), F.col("m_id") == F.col("eval_id"))
+        .groupBy("eval_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_dups"),
+            F.max("jaccard")
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("max_jaccard"),
+        )
+    )

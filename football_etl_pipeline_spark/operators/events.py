@@ -2092,3 +2092,84 @@ def events_watermark_lateness_audit(
             ).alias("share"),
         )
     )
+
+
+# ---- rolling active users (exact sliding-window distinct) -------------
+
+# Trailing window width for the WAU face of the DAU/WAU pair.
+ROLLING_WINDOW_DAYS = 7
+
+
+@query(
+    "events_rolling_active_users",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id
+      FROM events
+    ), days AS (
+      SELECT DISTINCT d FROM ud
+    ), wau AS (
+      SELECT days.d AS day, COUNT(DISTINCT u.user_id)::BIGINT AS wau
+      FROM days
+      JOIN ud u ON u.d BETWEEN days.d - {ROLLING_WINDOW_DAYS - 1} AND days.d
+      GROUP BY days.d
+    ), dau AS (
+      SELECT d AS day, COUNT(*)::BIGINT AS dau FROM ud GROUP BY d
+    )
+    SELECT w.day, dau.dau, w.wau,
+           CAST(CAST(dau.dau * 1.0 / w.wau AS DECIMAL(18,6)) AS DOUBLE)
+             AS stickiness
+    FROM wau w JOIN dau ON dau.day = w.day
+    """,
+)
+def events_rolling_active_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact trailing-7-day distinct active users per observed day
+    (WAU), alongside that day's DAU and the DAU/WAU stickiness ratio —
+    the product-health staple that is NOT expressible as a window
+    function, because COUNT(DISTINCT) over a sliding frame can't be
+    decomposed into partial window aggregates.
+
+    Plan (the scale-right shape): activity is first collapsed to
+    DISTINCT (day, user) rows — one hash aggregate that shrinks the
+    fact table to at most |users|×|days| — then each row is EXPLODED to
+    the ≤7 trailing window anchors it contributes to (``sequence`` +
+    ``explode``: pure linear fan-out, no range join, no per-day rescan)
+    and a second hash aggregate counts distinct users per anchor day.
+    The oracle states the same semantics declaratively as a BETWEEN
+    range join — the engine plan deliberately avoids that join, which
+    would be O(|ud| × |days|) under a nested-loop broadcast.
+
+    Reference has no analytics surface (SURVEY §2c); this extends the
+    events family next to ``events_cumulative_distinct_users`` (the
+    unbounded-window sibling)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").cast("date").alias("d"), "user_id"
+    )
+    ud = ev.distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), ROLLING_WINDOW_DAYS - 1)
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    wau = (
+        contrib.join(days, contrib["day"] == days["d"], "leftsemi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    return wau.join(dau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.expr(
+            "CAST(CAST(dau * 1.0 / wau AS DECIMAL(18,6)) AS DOUBLE)"
+        ).alias("stickiness"),
+    )

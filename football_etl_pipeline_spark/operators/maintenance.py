@@ -628,3 +628,70 @@ def scan_orc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# ---- right-to-be-forgotten erasure (oracle-gated delete path) ----------
+
+# The erasure cohort: a contiguous customer-key range so the manifest's
+# per-file min/max stats can bound the rewrite set (GDPR requests
+# arrive as key SETS; a curation warehouse batches them into the
+# key-sorted ranges this demonstrates — same mechanics, one commit).
+_FORGET_LO = 100
+_FORGET_HI = 199
+_FORGET_FILES = 8
+
+
+@query(
+    "versioned_forget_customers",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*)::BIGINT AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE o_custkey NOT BETWEEN {_FORGET_LO} AND {_FORGET_HI}
+    GROUP BY o_orderstatus
+    """,
+)
+def versioned_forget_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Right-to-be-forgotten erasure driven end-to-end AS a query:
+    commit ``orders`` range-clustered on ``o_custkey`` as version 1 of
+    a versioned table, erase the requested customer-key range with the
+    copy-on-write ``delete_where`` (footer min/max stats carry
+    non-intersecting files BY REFERENCE — only files whose key range
+    overlaps the cohort are read and rewritten), then aggregate the
+    post-erasure snapshot. The oracle recomputes the answer
+    independently from the raw parquet (everything NOT in the cohort),
+    so the gate verifies the rows are truly gone AND no bystander row
+    was lost — the two failure modes of a stats-pruned delete
+    (``sources/versioned_table.py:224``; exactness-gated string stats
+    per ADVICE r8). tests/test_versioned_table.py pins the mechanics
+    (carried-by-reference set nonempty, pre-delete version still
+    readable for audit until vacuum).
+
+    Scale: the range-clustered write is one range exchange; the delete
+    reads only intersecting files (at 100 TB with date- or
+    key-clustered layout that is the cohort's files, not the table),
+    and the final aggregate is an ordinary partial+final hash agg."""
+    from ..sources.versioned_table import (
+        commit_version,
+        delete_where,
+        read_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    clustered = orders.repartitionByRange(_FORGET_FILES, "o_custkey")
+    root = _run_scratch_dir("forget", sf_dir)
+    commit_version(clustered, root, "append")
+    delete_where(spark, root, "o_custkey", _FORGET_LO, _FORGET_HI)
+    latest = read_version(spark, root)
+    return latest.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )

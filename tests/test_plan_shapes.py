@@ -710,3 +710,26 @@ def test_link_prediction_wedge_is_equi_topk_is_takeordered(spark):
     assert not bnlj, bnlj
     assert "CartesianProduct" not in final
     assert "TakeOrderedAndProject" in final
+
+
+def test_rolling_active_users_is_explode_not_range_join(spark):
+    """The trailing-7d distinct must be the linear explode fan-out
+    (sequence + Generate), never a BETWEEN range join — with a
+    broadcast day grid that would plan a BroadcastNestedLoopJoin
+    evaluated once per (row × day)."""
+    final = _final(_plan(spark, "events_rolling_active_users"))
+    assert "Generate explode" in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "CartesianProduct" not in final
+
+
+def test_split_leakage_classification_rides_broadcast(spark):
+    """The split-bucket classification of verified near-dup pairs must
+    be broadcast lookups of the 2-column (doc_id, bucket) projection —
+    shuffling the pair frame against documents would add exchanges to
+    a tail that is tiny by construction. The quadratic surface must
+    stay the persisted minhash rung (InMemoryTableScan), with no new
+    Cartesian anywhere."""
+    final = _final(_plan(spark, "text_split_leakage_fuzzy"))
+    assert "BroadcastHashJoin" in final
+    assert "CartesianProduct" not in final

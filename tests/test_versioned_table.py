@@ -257,3 +257,50 @@ def test_meta_watermark_survives_vacuum(spark, tmp_path):
     vacuum(root, keep=3)
     assert 1 not in versions(root) and 2 not in versions(root)
     assert last_committed_meta(root, "batch_id") == 7
+
+
+def test_forget_customers_clustering_bounds_rewrite(spark, tmp_path):
+    """The versioned_forget_customers operator's range-clustered
+    layout must make the erasure stats-prunable ON REAL DATA: with
+    orders range-partitioned on o_custkey, deleting the [100, 199]
+    cohort carries most files by reference and the erased keys are
+    gone while every bystander survives (same steps as the operator,
+    scratch rooted in tmp_path)."""
+    from football_etl_pipeline_spark.operators.maintenance import (
+        _FORGET_HI,
+        _FORGET_LO,
+    )
+    from football_etl_pipeline_spark.sources.testdata import load_table
+    from football_etl_pipeline_spark.sources.versioned_table import (
+        delete_where,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    root = str(tmp_path / "forget")
+    commit_version(
+        orders.repartitionByRange(8, "o_custkey"), root, "append"
+    )
+    _, moved = delete_where(
+        spark, root, "o_custkey", _FORGET_LO, _FORGET_HI
+    )
+    assert len(moved["carried"]) >= len(moved["rewritten"])
+    latest = read_version(spark, root)
+    assert (
+        latest.filter(
+            F.col("o_custkey").between(_FORGET_LO, _FORGET_HI)
+        ).count()
+        == 0
+    )
+    expected = orders.filter(
+        ~F.col("o_custkey").between(_FORGET_LO, _FORGET_HI)
+    ).count()
+    assert latest.count() == expected
+    # pre-delete version stays readable for the audit trail
+    assert (
+        read_version(spark, root, 1)
+        .filter(F.col("o_custkey").between(_FORGET_LO, _FORGET_HI))
+        .count()
+        > 0
+    )
