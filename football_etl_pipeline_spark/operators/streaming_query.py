@@ -37,6 +37,35 @@ from .registry import query
 
 STREAM_WINDOW = "5 minutes"
 
+# State-store fan-out for the gate's finite backlog runs. Stateful
+# operators allocate one state store PER shuffle partition (the
+# stream-stream join allocates four), and each store pays fixed
+# init/snapshot/commit cost per micro-batch — at 32 session-default
+# partitions that fixed cost dominates a one-file backlog (measured
+# at sf0.1: the join runs 5.7s at 32 partitions, 2.2s at 8; identical
+# 172-row result). This is a sizing CONF, not a plan change: a
+# continuous production deployment keeps the session default so state
+# parallelism matches the cluster, exactly as shuffle-partition count
+# is sized to data volume everywhere else in the repo.
+_STATE_PARTITIONS = 8
+
+
+class _state_partitions:
+    """Temporarily pin spark.sql.shuffle.partitions for a streaming
+    query's lifetime (state partitioning is captured at query start
+    from a fresh checkpoint); restores the session default after."""
+
+    def __init__(self, spark: SparkSession, n: int = _STATE_PARTITIONS):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
 
 @query(
     "streaming_windowed_counts",
@@ -105,15 +134,16 @@ def streaming_windowed_counts(
     )
     name = f"swc_{os.getpid()}_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -176,15 +206,16 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = view_to_purchase_join(ev)
     name = f"ssj_{os.getpid()}_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -228,15 +259,16 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.dropDuplicates(["event_id"])
     name = f"sdd_{os.getpid()}_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _state_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return (
         spark.table(name)
         .groupBy("event_type")
