@@ -189,6 +189,11 @@ HEADLINE = [
     "text_neyman_allocation",
     "events_rolling_active_users",
     "text_split_leakage_fuzzy",
+    "stats_anova_priority_price",
+    "eval_gate_agreement_kappa",
+    "events_session_paths",
+    # scan_text_log_parse: full-table text rewrite job — gate-checked
+    # for lossless round-trip, excluded like the other rewrite jobs.
     # versioned_forget_customers: full-table versioned rewrite job —
     # gate-checked for erasure correctness, excluded from the query
     # bench like the compaction/ORC rewrite jobs above.

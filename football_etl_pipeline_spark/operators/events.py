@@ -2173,3 +2173,89 @@ def events_rolling_active_users(
             "CAST(CAST(dau * 1.0 / wau AS DECIMAL(18,6)) AS DOUBLE)"
         ).alias("stickiness"),
     )
+
+
+# ---- session path mining (top event-type trigrams) ---------------------
+
+PATH_TOP_K = 25
+
+
+@query(
+    "events_session_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR date_diff('second',
+                                 LAG(CAST(ts AS TIMESTAMP)) OVER w,
+                                 CAST(ts AS TIMESTAMP)) > {SESSION_GAP_SEC}
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, event_type, ts,
+             SUM(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM seq
+    ), tri AS (
+      SELECT event_type AS s1,
+             LEAD(event_type, 1) OVER v AS s2,
+             LEAD(event_type, 2) OVER v AS s3
+      FROM sess
+      WINDOW v AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    )
+    SELECT s1 || '>' || s2 || '>' || s3 AS path,
+           COUNT(*)::BIGINT AS n_occurrences
+    FROM tri
+    WHERE s3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, path ASC
+    LIMIT {PATH_TOP_K}
+    """,
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, the n-gram-over-behavior face: the
+    top-{PATH_TOP_K} most common 3-step event-type paths WITHIN a
+    session (30-min inactivity sessions, the ``events_sessionize``
+    definition reused verbatim) — the "what do users actually do"
+    readout one step richer than the first-order
+    ``events_transition_matrix`` (trigrams see view>view>purchase vs
+    click>view>purchase; a Markov chain cannot).
+
+    Plan: ONE shuffle on user_id serves both the session-id running
+    sum and the per-session LEAD pair (same partition key, compatible
+    orderings); trigram counting is a partial+final hash aggregate on
+    the path string, and the top-K finishes as TakeOrdered — no global
+    sort. At 100 TB the trigram key space is |event_types|³ (tiny), so
+    the aggregate collapses map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = ev.withColumn(
+        "is_new_session",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap > SESSION_GAP_SEC), 1
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("is_new_session").over(wrun))
+    v = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    tri = sess.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(v).alias("s2"),
+        F.lead("event_type", 2).over(v).alias("s3"),
+    )
+    return (
+        tri.filter(F.col("s3").isNotNull())
+        .select(
+            F.concat_ws(">", "s1", "s2", "s3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(PATH_TOP_K)
+    )

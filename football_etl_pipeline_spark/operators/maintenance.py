@@ -695,3 +695,64 @@ def versioned_forget_customers(
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "scan_text_log_parse",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n_events,
+           COUNT(DISTINCT user_id)::BIGINT AS n_users,
+           MAX(event_id)::BIGINT AS max_event_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scan_text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text format + regex-parse round-trip — the classic
+    semi-structured log-ETL shape: render events as log LINES
+    (``type=... user=... id=...``), land them with the text sink
+    (one string column, newline-delimited), read them back with the
+    text source, re-extract the fields with ``regexp_extract``, and
+    aggregate. The oracle is the same aggregate on the original
+    parquet, so the contract is LOSSLESS line round-trip + correct
+    regex parse — exactly what a 100 TB raw-log ingest must get right
+    before anything else runs. Completes the built-in format matrix
+    with the last built-in Spark format (parquet/json/csv/ORC/custom
+    DataSource → +text).
+
+    Scale: the write is an embarrassingly parallel line render (one
+    codegen projection, no shuffle); the read-back parse is three
+    regexp_extract expressions in the scan projection; the aggregate
+    is partial+final. Regex stays JVM-side — no Python in the row
+    path."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("type="),
+            F.col("event_type"),
+            F.lit(" user="),
+            F.col("user_id").cast("string"),
+            F.lit(" id="),
+            F.col("event_id").cast("string"),
+        ).alias("value")
+    )
+    root = _run_scratch_dir("textlog", sf_dir)
+    dst = os.path.join(root, "events_log")
+    ev.write.mode("overwrite").text(dst)
+    back = spark.read.text(dst)
+    parsed = back.select(
+        F.regexp_extract("value", r"type=(\S+)", 1).alias("event_type"),
+        F.regexp_extract("value", r"user=(\d+)", 1)
+        .cast("bigint")
+        .alias("user_id"),
+        F.regexp_extract("value", r"id=(\d+)", 1)
+        .cast("bigint")
+        .alias("event_id"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.max("event_id").alias("max_event_id"),
+    )

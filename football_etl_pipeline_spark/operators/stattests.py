@@ -1821,3 +1821,116 @@ def events_conformal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("covered"),
     ).orderBy("day")
+
+
+# ---- one-way ANOVA -----------------------------------------------------
+
+# Order-priority groups are FIXED literals, so the 5 groups' exact
+# moments can be pivoted into ONE row by conditional aggregation and
+# every cross-group reduction written as a fixed left-to-right IEEE
+# expression — no float aggregation whose order the engine chooses.
+_ANOVA_GROUPS = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+
+
+def _anova_moment_cols(dialect: str) -> str:
+    """Per-group exact moments as conditional aggregates: n_i BIGINT,
+    s_i an exact DECIMAL(18,6) sum, q_i the Σx² sum with the per-row
+    square taken in DOUBLE and pinned to DECIMAL(38,6) before the sum
+    (the ``events_ab_test_lift`` sxx pattern: the square of an exact
+    decimal is one correctly-rounded IEEE op — identical bits on both
+    engines — and the SUM over the pins is order-insensitive; squaring
+    in DECIMAL overflows DuckDB's product width instead)."""
+    cols = []
+    for i, g in enumerate(_ANOVA_GROUPS):
+        x = "CAST(o_totalprice AS DECIMAL(18,6))"
+        x2 = (
+            f"CAST(CAST({x} AS DOUBLE) * CAST({x} AS DOUBLE)"
+            " AS DECIMAL(38,6))"
+        )
+        w = f"o_orderpriority = '{g}'"
+        if dialect == "spark":
+            cols += [
+                f"SUM(CASE WHEN {w} THEN 1 ELSE 0 END) AS n{i}",
+                f"SUM(CASE WHEN {w} THEN {x} END) AS s{i}",
+                f"SUM(CASE WHEN {w} THEN {x2} END) AS q{i}",
+            ]
+        else:
+            cols += [
+                f"COUNT(*) FILTER (WHERE {w})::BIGINT AS n{i}",
+                f"SUM({x}) FILTER (WHERE {w}) AS s{i}",
+                f"SUM({x2}) FILTER (WHERE {w}) AS q{i}",
+            ]
+    return ",\n             ".join(cols)
+
+
+def _anova_final_select() -> str:
+    """The fixed-order IEEE chain from the one-row moment frame —
+    written once, used verbatim by both dialects."""
+    k = len(_ANOVA_GROUPS)
+    nn = " + ".join(f"n{i}" for i in range(k))
+    within = " + ".join(
+        f"(CAST(q{i} AS DOUBLE)"
+        f" - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE) / n{i})"
+        for i in range(k)
+    )
+    between_grp = " + ".join(
+        f"CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE) / n{i}"
+        for i in range(k)
+    )
+    stot = " + ".join(f"CAST(s{i} AS DOUBLE)" for i in range(k))
+    return f"""
+      SELECT
+        CAST(({nn}) AS BIGINT) AS n_rows,
+        {k} AS k_groups,
+        CAST(CAST(
+          ((({between_grp}) - ({stot}) * ({stot}) / ({nn})) / {k - 1})
+          / ((({within})) / (({nn}) - {k}))
+          AS DECIMAL(18,6)) AS DOUBLE) AS f_stat,
+        CAST(CAST(
+          (({between_grp}) - ({stot}) * ({stot}) / ({nn}))
+          / ((({between_grp}) - ({stot}) * ({stot}) / ({nn})) + ({within}))
+          AS DECIMAL(18,6)) AS DOUBLE) AS eta_sq
+      FROM mo"""
+
+
+@query(
+    "stats_anova_priority_price",
+    oracle=f"""
+    WITH mo AS (
+      SELECT {_anova_moment_cols('duck')}
+      FROM orders
+    )
+    {_anova_final_select()}
+    """,
+)
+def stats_anova_priority_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-way ANOVA: does order priority explain order value? F
+    statistic and effect size (η²) across the five priority groups —
+    the k-group generalization of the A/B readout's two-arm Welch z
+    (``events_ab_test_lift``), run the way a curation pipeline asks
+    "does this categorical feature matter" before training on it.
+
+    Exactness: per-group sufficient statistics (n, Σx, Σx²) are exact
+    BIGINT/DECIMAL conditional aggregates folded in ONE scan; the five
+    groups pivot into a single row, so every cross-group reduction is
+    a FIXED left-to-right IEEE expression — no engine-ordered float
+    sum anywhere (the determinism rule events_ab_test_lift
+    established, extended to k arms).
+
+    Scale: one partial+final hash aggregate, 15 columns of moments;
+    the finishing arithmetic is a 1-row projection."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("anova_orders")
+    return spark.sql(
+        f"""
+        WITH mo AS (
+          SELECT {_anova_moment_cols('spark')}
+          FROM anova_orders
+        )
+        {_anova_final_select()}
+        """
+    )

@@ -2803,3 +2803,107 @@ def text_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_alloc"),
         )
     )
+
+
+# ---- quality-gate agreement (Cohen's kappa) ----------------------------
+
+# Chance-corrected agreement between the engine's two independent
+# keep/drop gates: the frozen logistic-regression model gate
+# (logit >= LOGREG_GATE) and the heuristic blend gate
+# (quality >= CURATION_QUALITY_MIN). Kappa near 1 means the cheap
+# heuristic can stand in for the model at scan time; near 0 means the
+# two gates ship different corpora and the choice matters.
+
+
+def _kappa_final_select() -> str:
+    """Fixed-order IEEE chain from the one-row 2×2 contingency —
+    identical text on both dialects. po = observed agreement,
+    pe = chance agreement from the marginals."""
+    po = "(n11 + n00) * 1.0 / n"
+    pe = (
+        "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+        " * 1.0 / (n * n)"
+    )
+    return f"""
+      SELECT
+        n AS n_docs, n11 AS n_both_keep, n10 AS n_model_only,
+        n01 AS n_heuristic_only, n00 AS n_both_drop,
+        CAST(CAST({po} AS DECIMAL(18,6)) AS DOUBLE) AS po,
+        CAST(CAST({pe} AS DECIMAL(18,6)) AS DOUBLE) AS pe,
+        CAST(CAST(({po} - {pe}) / (1.0 - ({pe}))
+             AS DECIMAL(18,6)) AS DOUBLE) AS kappa
+      FROM ct"""
+
+
+@query(
+    "eval_gate_agreement_kappa",
+    oracle=f"""
+    WITH t AS (
+      SELECT {TOKENS_DUCK} AS toks FROM documents
+    ), gates AS (
+      SELECT
+        {_dec6(_LOGREG_DUCK.replace("STOP", _sql_list(STOPWORDS)))}
+          >= {LOGREG_GATE} AS keep_model,
+        {_dec6(_QUALITY_DUCK.replace("STOP", _sql_list(STOPWORDS)))}
+          >= {CURATION_QUALITY_MIN} AS keep_heuristic
+      FROM t
+    ), ct AS (
+      SELECT
+        COUNT(*)::BIGINT AS n,
+        COUNT(*) FILTER (WHERE keep_model AND keep_heuristic)::BIGINT AS n11,
+        COUNT(*) FILTER (WHERE keep_model AND NOT keep_heuristic)::BIGINT AS n10,
+        COUNT(*) FILTER (WHERE NOT keep_model AND keep_heuristic)::BIGINT AS n01,
+        COUNT(*) FILTER (WHERE NOT keep_model AND NOT keep_heuristic)::BIGINT AS n00
+      FROM gates
+    )
+    {_kappa_final_select()}
+    """,
+)
+def eval_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the two quality gates the engine already
+    ships — the frozen logreg model gate (``text_quality_logreg_score``)
+    and the heuristic blend gate (``text_curation_pipeline``'s
+    threshold) — the rater-agreement readout that decides whether the
+    cheap heuristic can replace the model in the scan path.
+
+    Exactness: both gate decisions are the SAME pinned DECIMAL(18,6)
+    scores the standalone queries use (shared expression constants, so
+    this query cannot drift from them); the 2×2 contingency is exact
+    BIGINT counts in one scan; po/pe/kappa are a fixed-order IEEE
+    chain over a single row.
+
+    Plan: scan → tokenize once → two constant-folded score expressions
+    → one partial+final aggregate of five conditional counts — no
+    shuffle wider than one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    lg = _LOGREG_SPARK.replace("TOKS", "toks").replace(
+        "STOP", _sql_list(STOPWORDS)
+    )
+    ql = _QUALITY_SPARK.replace("TOKS", "toks").replace(
+        "STOP", _sql_list(STOPWORDS)
+    )
+    gates = docs.select(F.expr(TOKENS_SPARK).alias("toks")).select(
+        (F.expr(lg).cast("decimal(18,6)") >= LOGREG_GATE).alias(
+            "keep_model"
+        ),
+        (F.expr(ql).cast("decimal(18,6)") >= CURATION_QUALITY_MIN).alias(
+            "keep_heuristic"
+        ),
+    )
+    ct = gates.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(
+            F.col("keep_model") & F.col("keep_heuristic")
+        ).alias("n11"),
+        F.count_if(
+            F.col("keep_model") & ~F.col("keep_heuristic")
+        ).alias("n10"),
+        F.count_if(
+            ~F.col("keep_model") & F.col("keep_heuristic")
+        ).alias("n01"),
+        F.count_if(
+            ~F.col("keep_model") & ~F.col("keep_heuristic")
+        ).alias("n00"),
+    )
+    ct.createOrReplaceTempView("kappa_ct")
+    return spark.sql(f"WITH ct AS (SELECT * FROM kappa_ct) {_kappa_final_select()}")

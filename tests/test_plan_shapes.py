@@ -733,3 +733,34 @@ def test_split_leakage_classification_rides_broadcast(spark):
     final = _final(_plan(spark, "text_split_leakage_fuzzy"))
     assert "BroadcastHashJoin" in final
     assert "CartesianProduct" not in final
+
+
+def test_session_paths_one_user_shuffle_topk_takeordered(spark):
+    """The session-id running sum and the per-session LEAD trigram
+    must ride ONE user_id exchange (compatible partitioning), and the
+    top-K must be TakeOrdered, not a global sort of the path counts."""
+    final = _final(_plan(spark, "events_session_paths"))
+    assert final.count("Exchange hashpartitioning(user_id") <= 1
+    assert "TakeOrderedAndProject" in final
+
+
+def test_anova_is_one_scan_no_join(spark):
+    """The five groups' moments are conditional aggregates in ONE
+    orders scan — a join or second scan means the pivot-to-one-row
+    sufficient-statistics design degraded."""
+    plan = _plan(spark, "stats_anova_priority_price")
+    outer = _outer_final(plan)
+    assert outer.count("orders.parquet") == 1
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in outer
+
+
+def test_kappa_is_one_scan_both_gates_folded(spark):
+    """Both gate expressions fold into one documents scan (tokenize
+    once) — two scans would mean the shared-expression contract with
+    the standalone gate queries broke."""
+    plan = _plan(spark, "eval_gate_agreement_kappa")
+    outer = _outer_final(plan)
+    assert outer.count("documents.parquet") == 1
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in outer
