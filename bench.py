@@ -192,6 +192,8 @@ HEADLINE = [
     "stats_anova_priority_price",
     "eval_gate_agreement_kappa",
     "events_session_paths",
+    "graph_degree_distribution",
+    "multimodal_mime_sniff_mismatch",
     # scan_text_log_parse: full-table text rewrite job — gate-checked
     # for lossless round-trip, excluded like the other rewrite jobs.
     # versioned_forget_customers: full-table versioned rewrite job —

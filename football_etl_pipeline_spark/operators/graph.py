@@ -966,3 +966,80 @@ def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_total"),
         )
     )
+
+
+# ---- degree distribution (graph-health histogram) ----------------------
+
+# Power-of-two degree buckets as a FIXED CASE ladder (identical text
+# both dialects — no log2 float anywhere). Top arm is open-ended.
+_DEG_BUCKET_TOPS = (2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def _deg_bucket_case(col: str) -> str:
+    arms = " ".join(
+        f"WHEN {col} < {hi} THEN {hi // 2 if hi > 2 else 1}"
+        for hi in _DEG_BUCKET_TOPS
+    )
+    return f"CASE {arms} ELSE {_DEG_BUCKET_TOPS[-1]} END"
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=_COACTIVITY_EDGES_DUCK
+    + f"""
+    , sym AS (
+      SELECT u AS src FROM edges UNION ALL SELECT v FROM edges
+    ),
+    deg AS (SELECT src AS node, COUNT(*)::BIGINT AS d FROM sym GROUP BY 1),
+    tot AS (SELECT COUNT(*)::BIGINT AS n FROM deg)
+    SELECT CAST({_deg_bucket_case('d')} AS BIGINT) AS bucket_lo,
+           COUNT(*)::BIGINT AS n_nodes,
+           MIN(d)::BIGINT AS min_degree,
+           MAX(d)::BIGINT AS max_degree,
+           CAST(CAST(COUNT(*) * 1.0 / MAX(tot.n) AS DECIMAL(18,6))
+                AS DOUBLE) AS node_share
+    FROM deg CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-2-binned degree histogram of the co-activity graph — the
+    first graph-health readout any pipeline runs (is there a hub tail
+    that will blow up wedge joins? is LP_CENTER_DEG_CAP sized right?).
+    Buckets are a fixed power-of-two CASE ladder — no float log2, so
+    the histogram is engine-exact; each bucket reports its node count,
+    share, and observed [min, max] degree.
+
+    Plan: the same sessionize → interval-overlap → distinct-edge
+    derivation every graph query shares, then degree = one hash
+    aggregate on node, bucketing = a codegen CASE in the projection,
+    and the ≤ 13-row histogram finishes with a broadcast scalar total
+    — no single-partition window, no second edge scan."""
+    from .events import events_interval_overlap_join
+
+    pairs = events_interval_overlap_join(spark, sf_dir)
+    edges = pairs.select(
+        F.col("user_a").alias("u"), F.col("user_b").alias("v")
+    ).distinct()
+    sym = edges.select(F.col("u").alias("src")).union(
+        edges.select(F.col("v").alias("src"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    tot = deg.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        deg.select(
+            F.expr(_deg_bucket_case("d")).cast("bigint").alias("bucket_lo"),
+            "d",
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").alias("min_degree"),
+            F.max("d").alias("max_degree"),
+            F.expr(
+                "CAST(CAST(COUNT(*) * 1.0 / MAX(n) AS DECIMAL(18,6))"
+                " AS DOUBLE)"
+            ).alias("node_share"),
+        )
+    )

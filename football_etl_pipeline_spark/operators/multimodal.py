@@ -1140,3 +1140,136 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(18,6)) AS DOUBLE)"
         ).alias("fill_ratio"),
     )
+
+
+# ---- declared-vs-sniffed mime mismatch screen ---------------------------
+
+# A deterministic subset of rows is MISLABELED (declared mime rotated
+# one slot); magic-byte sniffing must catch exactly those. Distinct
+# mod from the quarantine corruption mod so the two screens' row sets
+# don't alias.
+_MISLABEL_MOD = 11
+
+
+def _mime_case_expr(idx_expr: str) -> str:
+    """The mime assignment CASE over an index expression — shared by
+    the true assignment (``idx % 5``) and the mislabel rotation
+    (``(idx + 1) % 5``), dialect-identical."""
+    return (
+        f"CASE {idx_expr}"
+        " WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'"
+        " WHEN 2 THEN 'image/gif' WHEN 3 THEN 'audio/wav'"
+        " ELSE 'video/mp4' END"
+    )
+
+
+_MIME_IDX = "CAST(substr(source, 4) AS INTEGER) % 5"
+_MIME_IDX_ROT = "(CAST(substr(source, 4) AS INTEGER) + 1) % 5"
+
+# Magic-byte sniff as a pure JVM expression over the binary column —
+# hex(substring(payload, pos, len)) against each container signature.
+# No Python touches a byte: this is the scan-speed screen that runs
+# BEFORE any decoder is trusted with the payload.
+_SNIFF_CASE = (
+    "CASE"
+    " WHEN hex(substring(payload, 1, 4)) = '89504E47' THEN 'image/png'"
+    " WHEN hex(substring(payload, 1, 3)) = 'FFD8FF' THEN 'image/jpeg'"
+    " WHEN hex(substring(payload, 1, 4)) = '47494638' THEN 'image/gif'"
+    " WHEN hex(substring(payload, 1, 4)) = '52494646'"
+    "  AND hex(substring(payload, 9, 4)) = '57415645' THEN 'audio/wav'"
+    " WHEN hex(substring(payload, 5, 4)) = '66747970' THEN 'video/mp4'"
+    " ELSE 'unknown' END"
+)
+
+
+def _sniff_payload_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Synthesize the TRUE container per row (same stdlib encoders as
+    the roundtrip/quarantine queries); the declared label is computed
+    JVM-side and may lie — the payload never does."""
+    for pdf in batches:
+        out = {"media_id": [], "payload": []}
+        for media_id, mime in zip(pdf["media_id"], pdf["true_mime"]):
+            doc_id = int(media_id)
+            w, h = 16 + doc_id % 64, 16 + doc_id % 48
+            if mime == "image/png":
+                payload = make_png(w, h)
+            elif mime == "image/jpeg":
+                payload = make_jpeg(w, h)
+            elif mime == "image/gif":
+                payload = make_gif(w, h)
+            elif mime == "audio/wav":
+                payload = make_wav(1600, 16000)
+            else:
+                payload = make_mp4(w, h)
+            out["media_id"].append(doc_id)
+            out["payload"].append(payload)
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_mime_sniff_mismatch",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {_MISLABEL_MOD} = 0
+                  THEN {_mime_case_expr(_MIME_IDX_ROT)}
+                  ELSE {_mime_case_expr(_MIME_IDX)} END AS declared_mime,
+             {_mime_case_expr(_MIME_IDX)} AS sniffed_mime
+      FROM documents
+    )
+    SELECT declared_mime, sniffed_mime,
+           COUNT(*)::BIGINT AS n_media
+    FROM m GROUP BY 1, 2
+    """,
+)
+def multimodal_mime_sniff_mismatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Declared-vs-sniffed mime audit: a deterministic subset of the
+    media table is MISLABELED (declared mime rotated one slot), every
+    payload is a real synthesized container of its true format, and a
+    pure-JVM magic-byte sniff (``hex(substring(payload, ...))``
+    against the five container signatures — binary functions in the
+    scan, zero Python in the byte path) recovers the true format. The
+    oracle predicts the full (declared, sniffed) contingency from
+    doc_id arithmetic alone — a sniff that misreads any signature, or
+    a synthesizer that emits a wrong magic, breaks the hash. This is
+    the trust-nothing screen a media lake runs before routing payloads
+    to mime-specific decoders (the third face of the media-hygiene
+    trio: roundtrip = decoders honest, quarantine = corrupt rows
+    dead-letter, sniff = labels honest).
+
+    Scale: synthesis stands in for reading real payloads; in
+    production the sniff is a 12-byte substring per row at scan speed
+    with the payload column read once — the aggregate is
+    partial+final on a ≤ 5×5 key space."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(_mime_case_expr(_MIME_IDX)).alias("true_mime"),
+        F.expr(
+            f"CASE WHEN doc_id % {_MISLABEL_MOD} = 0"
+            f" THEN {_mime_case_expr(_MIME_IDX_ROT)}"
+            f" ELSE {_mime_case_expr(_MIME_IDX)} END"
+        ).alias("declared_mime"),
+    )
+    payloads = base.select("media_id", "true_mime").mapInPandas(
+        _sniff_payload_batches, "media_id long, payload binary"
+    )
+    labels = base.select(
+        F.col("media_id").alias("l_id"), "declared_mime"
+    )
+    sniffed = payloads.select(
+        "media_id", F.expr(_SNIFF_CASE).alias("sniffed_mime")
+    )
+    return (
+        sniffed.join(
+            F.broadcast(labels), F.col("l_id") == F.col("media_id")
+        )
+        .groupBy("declared_mime", "sniffed_mime")
+        .agg(F.count(F.lit(1)).alias("n_media"))
+    )

@@ -764,3 +764,21 @@ def test_kappa_is_one_scan_both_gates_folded(spark):
     assert outer.count("documents.parquet") == 1
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert node not in outer
+
+
+def test_degree_distribution_no_global_window(spark):
+    """Degree bucketing is a codegen CASE + hash aggregate; nothing in
+    the histogram may funnel through a single-partition window (the
+    share finishes on a 1-row broadcast total instead)."""
+    final = _final(_plan(spark, "graph_degree_distribution"))
+    assert _windows_fed_by_single_partition(final) == []
+
+
+def test_mime_sniff_is_jvm_side_single_python_stage(spark):
+    """The magic-byte sniff must be pure JVM expressions over the
+    binary column: exactly ONE Python stage (the container synth), and
+    the label join a broadcast — a second Python stage means the sniff
+    fell out of the scan."""
+    final = _final(_plan(spark, "multimodal_mime_sniff_mismatch"))
+    assert final.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in final
