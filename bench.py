@@ -194,6 +194,8 @@ HEADLINE = [
     "events_session_paths",
     "graph_degree_distribution",
     "multimodal_mime_sniff_mismatch",
+    "stats_brown_forsythe_variance",
+    "embedding_halves_drift",
     # scan_text_log_parse: full-table text rewrite job — gate-checked
     # for lossless round-trip, excluded like the other rewrite jobs.
     # versioned_forget_customers: full-table versioned rewrite job —

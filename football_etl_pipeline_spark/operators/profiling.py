@@ -1328,3 +1328,122 @@ def lineitem_correlation_matrix(
         )
         out = part if out is None else out.unionAll(part)
     return out
+
+
+# ---- embedding distribution drift (corpus-half SMD screen) --------------
+
+# Top-N most drifted dimensions between the two deterministic corpus
+# halves (vec_id parity — the self-contained stand-in for "yesterday's
+# ingest vs today's"). Statistic: standardized mean difference
+# (Cohen's d with the unpooled two-sample denominator), the embedding
+# analog of the scalar TVD/KS/PSI drift triptych.
+DRIFT_TOP_DIMS = 10
+
+_SMD_MA = f"CAST(sa AS DOUBLE) / {NANO} / na"
+_SMD_MB = f"CAST(sb AS DOUBLE) / {NANO} / nb"
+_SMD_VA = (
+    f"CAST(qa * na - sa * sa AS DOUBLE)"
+    f" / (CAST(na AS DOUBLE) * na * {NANO} * {NANO})"
+)
+_SMD_VB = (
+    f"CAST(qb * nb - sb * sb AS DOUBLE)"
+    f" / (CAST(nb AS DOUBLE) * nb * {NANO} * {NANO})"
+)
+_SMD_EXPR = (
+    f"abs(({_SMD_MA}) - ({_SMD_MB}))"
+    f" / sqrt((({_SMD_VA}) + ({_SMD_VB})) / 2.0)"
+)
+
+
+@query(
+    "embedding_halves_drift",
+    oracle=f"""
+    WITH comps AS (
+      SELECT
+        u.dim,
+        e.vec_id % 2 = 0 AS in_a,
+        CAST(FLOOR(u.x * {NANO}) AS BIGINT) AS nano
+      FROM embeddings e,
+        LATERAL (
+          SELECT generate_series AS dim,
+                 (e.embedding::DOUBLE[])[generate_series + 1] AS x
+          FROM generate_series(0, {DIM - 1})
+        ) u
+    ), mo AS (
+      SELECT dim,
+        COUNT(*) FILTER (WHERE in_a)::BIGINT AS na,
+        SUM(CAST(nano AS DECIMAL(38,0))) FILTER (WHERE in_a) AS sa,
+        SUM(CAST(nano * nano AS DECIMAL(38,0))) FILTER (WHERE in_a) AS qa,
+        COUNT(*) FILTER (WHERE NOT in_a)::BIGINT AS nb,
+        SUM(CAST(nano AS DECIMAL(38,0))) FILTER (WHERE NOT in_a) AS sb,
+        SUM(CAST(nano * nano AS DECIMAL(38,0))) FILTER (WHERE NOT in_a) AS qb
+      FROM comps GROUP BY dim
+    )
+    SELECT dim,
+           CAST(CAST({_SMD_MA} AS DECIMAL(18,9)) AS DOUBLE) AS mean_a,
+           CAST(CAST({_SMD_MB} AS DECIMAL(18,9)) AS DOUBLE) AS mean_b,
+           CAST(CAST({_SMD_EXPR} AS DECIMAL(18,6)) AS DOUBLE) AS smd
+    FROM mo
+    ORDER BY smd DESC, dim ASC
+    LIMIT {DRIFT_TOP_DIMS}
+    """,
+)
+def embedding_halves_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift screen: the {DRIFT_TOP_DIMS} dimensions
+    whose means differ most (standardized mean difference) between the
+    two deterministic corpus halves — the vector-space member of the
+    drift family (TVD/KS/PSI cover scalars; a retrained or
+    version-bumped embedding model shifts dimensions long before any
+    scalar metadata moves).
+
+    Exactness: the ``embedding_dim_stats`` discipline — components
+    floor'd to nano-unit BIGINTs in the scan, per-half moments as
+    conditional DECIMAL(38,0) aggregates (one row per dim), variance
+    numerators kept in exact integer decimal (n·Σx² − (Σx)²), and the
+    SMD one fixed-order IEEE chain pinned DECIMAL(18,6).
+
+    Plan: posexplode (64× expansion, no shuffle) → partial-aggregated
+    64-group exchange → 64-row projection → TakeOrdered top-10. One
+    pass; both halves' moments ride the same aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        (F.col("vec_id") % 2 == 0).alias("in_a"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "dim",
+        "in_a",
+        F.floor(F.col("x").cast("double") * NANO)
+        .cast("bigint")
+        .alias("nano"),
+    )
+
+    def cagg(cond, expr):
+        return F.sum(F.when(cond, expr))
+
+    a, b = F.col("in_a"), ~F.col("in_a")
+    nano_dec = F.col("nano").cast("decimal(38,0)")
+    nanosq_dec = (F.col("nano") * F.col("nano")).cast("decimal(38,0)")
+    mo = comps.groupBy("dim").agg(
+        F.count_if(a).alias("na"),
+        cagg(a, nano_dec).alias("sa"),
+        cagg(a, nanosq_dec).alias("qa"),
+        F.count_if(b).alias("nb"),
+        cagg(b, nano_dec).alias("sb"),
+        cagg(b, nanosq_dec).alias("qb"),
+    )
+    return (
+        mo.select(
+            "dim",
+            F.expr(f"CAST(CAST({_SMD_MA} AS DECIMAL(18,9)) AS DOUBLE)").alias(
+                "mean_a"
+            ),
+            F.expr(f"CAST(CAST({_SMD_MB} AS DECIMAL(18,9)) AS DOUBLE)").alias(
+                "mean_b"
+            ),
+            F.expr(
+                f"CAST(CAST({_SMD_EXPR} AS DECIMAL(18,6)) AS DOUBLE)"
+            ).alias("smd"),
+        )
+        .orderBy(F.col("smd").desc(), F.col("dim").asc())
+        .limit(DRIFT_TOP_DIMS)
+    )

@@ -1834,22 +1834,25 @@ _ANOVA_GROUPS = (
 )
 
 
-def _anova_moment_cols(dialect: str) -> str:
+def _group_moment_cols(
+    dialect: str, val_expr: str, grp_col: str
+) -> str:
     """Per-group exact moments as conditional aggregates: n_i BIGINT,
     s_i an exact DECIMAL(18,6) sum, q_i the Σx² sum with the per-row
     square taken in DOUBLE and pinned to DECIMAL(38,6) before the sum
     (the ``events_ab_test_lift`` sxx pattern: the square of an exact
     decimal is one correctly-rounded IEEE op — identical bits on both
     engines — and the SUM over the pins is order-insensitive; squaring
-    in DECIMAL overflows DuckDB's product width instead)."""
+    in DECIMAL overflows DuckDB's product width instead). Shared by
+    the one-way ANOVA and the Brown–Forsythe variance test."""
     cols = []
     for i, g in enumerate(_ANOVA_GROUPS):
-        x = "CAST(o_totalprice AS DECIMAL(18,6))"
+        x = f"CAST({val_expr} AS DECIMAL(18,6))"
         x2 = (
             f"CAST(CAST({x} AS DOUBLE) * CAST({x} AS DOUBLE)"
             " AS DECIMAL(38,6))"
         )
-        w = f"o_orderpriority = '{g}'"
+        w = f"{grp_col} = '{g}'"
         if dialect == "spark":
             cols += [
                 f"SUM(CASE WHEN {w} THEN 1 ELSE 0 END) AS n{i}",
@@ -1863,6 +1866,10 @@ def _anova_moment_cols(dialect: str) -> str:
                 f"SUM({x2}) FILTER (WHERE {w}) AS q{i}",
             ]
     return ",\n             ".join(cols)
+
+
+def _anova_moment_cols(dialect: str) -> str:
+    return _group_moment_cols(dialect, "o_totalprice", "o_orderpriority")
 
 
 def _anova_final_select() -> str:
@@ -1930,6 +1937,83 @@ def stats_anova_priority_price(
         WITH mo AS (
           SELECT {_anova_moment_cols('spark')}
           FROM anova_orders
+        )
+        {_anova_final_select()}
+        """
+    )
+
+
+# ---- Brown–Forsythe variance homogeneity test ---------------------------
+
+# The ANOVA companion: ANOVA's F assumes equal group variances; the
+# Brown–Forsythe statistic IS a one-way ANOVA computed on the absolute
+# deviations from each group's MEDIAN (the robust Levene variant), so
+# it reuses the exact moment machinery verbatim on a derived frame.
+
+
+def _bf_dev_cte(dialect: str) -> str:
+    """The |x − med_g| frame: group medians via the shared type-7
+    interpolation (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
+    the ``agg_exact_percentiles`` anchor), deviations taken in DOUBLE
+    (one correctly-rounded subtract of bit-identical inputs)."""
+    med_fn = (
+        "percentile(o_totalprice, 0.5D)"
+        if dialect == "spark"
+        else "quantile_cont(o_totalprice, 0.5)"
+    )
+    return f"""med AS (
+      SELECT o_orderpriority, {med_fn} AS med
+      FROM src GROUP BY o_orderpriority
+    ), z AS (
+      SELECT o.o_orderpriority,
+             abs(CAST(o.o_totalprice AS DOUBLE) - CAST(m.med AS DOUBLE))
+               AS zdev
+      FROM src o JOIN med m ON m.o_orderpriority = o.o_orderpriority
+    )"""
+
+
+@query(
+    "stats_brown_forsythe_variance",
+    oracle=f"""
+    WITH src AS (SELECT o_orderpriority, o_totalprice FROM orders),
+    {_bf_dev_cte('duck')},
+    mo AS (
+      SELECT {_group_moment_cols('duck', 'zdev', 'o_orderpriority')}
+      FROM z
+    )
+    {_anova_final_select()}
+    """,
+)
+def stats_brown_forsythe_variance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brown–Forsythe homogeneity-of-variance test across the five
+    order-priority groups — the assumption check that decides whether
+    ``stats_anova_priority_price``'s F is trustworthy (ANOVA assumes
+    equal variances; BF detects when they aren't, robustly, by running
+    the SAME one-way F on |x − median_g|).
+
+    Exactness: group medians are the shared type-7 interpolation both
+    engines agree on bit-for-bit; each deviation is one
+    correctly-rounded IEEE subtract of bit-identical doubles, then
+    pinned DECIMAL(18,6) by the shared moment builder; the cross-group
+    reduction is the same fixed-order chain as the ANOVA (shared
+    ``_anova_final_select``, so the two tests cannot drift).
+
+    Plan: one grouped median pass (bounded groups), a broadcast join
+    of 5 medians back onto the scan, then the single-row conditional
+    moment aggregate — two passes over orders, no wide shuffle."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    orders.createOrReplaceTempView("bf_orders")
+    return spark.sql(
+        f"""
+        WITH src AS (SELECT * FROM bf_orders),
+        {_bf_dev_cte('spark')},
+        mo AS (
+          SELECT {_group_moment_cols('spark', 'zdev', 'o_orderpriority')}
+          FROM z
         )
         {_anova_final_select()}
         """

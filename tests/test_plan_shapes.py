@@ -782,3 +782,15 @@ def test_mime_sniff_is_jvm_side_single_python_stage(spark):
     final = _final(_plan(spark, "multimodal_mime_sniff_mismatch"))
     assert final.count("MapInPandas") == 1
     assert "BroadcastHashJoin" in final
+
+
+def test_embedding_drift_one_pass_takeordered(spark):
+    """Both halves' moments must ride ONE aggregate over one
+    embeddings scan (conditional aggregation, not a per-half scan or
+    self-join), and the top-10 must be TakeOrdered."""
+    plan = _plan(spark, "embedding_halves_drift")
+    outer = _outer_final(plan)
+    assert outer.count("embeddings.parquet") == 1
+    assert "TakeOrderedAndProject" in outer
+    for node in ("SortMergeJoin", "BroadcastHashJoin"):
+        assert node not in outer
