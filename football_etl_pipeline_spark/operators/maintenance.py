@@ -756,3 +756,115 @@ def scan_text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.max("event_id").alias("max_event_id"),
     )
+
+
+# ---- incremental JOIN-view maintenance (delta + retraction) ------------
+
+
+@query(
+    "incremental_join_view_merge",
+    oracle=f"""
+    WITH updates AS ({_UPDATES_DUCK}),
+    merged AS (
+      SELECT b.o_orderkey, b.o_custkey, b.o_totalprice
+      FROM orders b
+      WHERE NOT EXISTS (SELECT 1 FROM updates u
+                        WHERE u.o_orderkey = b.o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice FROM updates
+    )
+    SELECT c.c_nationkey,
+           COUNT(*)::BIGINT AS n_orders,
+           CAST(SUM(CAST(m.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM merged m JOIN customer c ON c.c_custkey = m.o_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def incremental_join_view_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental maintenance of a JOIN view under the
+    delta-with-RETRACTIONS model — the capability class beyond
+    ``incremental_agg_merge`` (single-table aggregate IVM): the
+    standing view is per-nation order count + revenue over
+    orders ⋈ customer, MATERIALIZED to parquet; the nightly batch
+    (corrections + inserts) is folded in WITHOUT recomputing the view:
+    each correction contributes (+new − old) — a zero count delta and
+    an exact decimal revenue delta — and each insert (+1, +new); the
+    delta group is joined to customer once and merged into the
+    standing state by a full-outer coalesce-sum. The oracle recomputes
+    the view FROM SCRATCH over the upserted table, so the gate proves
+    the algebraic identity IVM ≡ full recompute (the dbt/Materialize
+    correctness bar) — including the retraction arithmetic, which a
+    plain additive merge gets wrong on every correction.
+
+    Exactness: all deltas are DECIMAL(18,6); the correction delta is
+    new − old = 0.1 × old computed in decimal, so the incremental sum
+    is bit-equal to the recompute, not approximately equal.
+
+    Scale: the standing view is |nations| rows; the per-batch work is
+    |Δ| (scan the batch, one broadcast-ish join to customer, one tiny
+    merge) — independent of |orders|, which is the entire point of
+    IVM at 100 TB."""
+    import os
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    # 1. Materialize the standing view (the "yesterday" state).
+    view = (
+        o.join(cust, o["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).alias("revenue"),
+        )
+    )
+    root = _run_scratch_dir("ivm", sf_dir)
+    dst = os.path.join(root, "nation_view")
+    view.write.mode("overwrite").parquet(dst)
+    standing = spark.read.parquet(dst)
+    # 2. Delta stream with retractions, derived from the batch alone.
+    corrections = o.filter(F.expr(_CORRECTIONS_W)).select(
+        "o_custkey",
+        F.lit(0).cast("bigint").alias("d_n"),
+        (F.expr(_REPRICE_SPARK).cast("decimal(18,6)")
+         - dec("o_totalprice")).alias("d_rev"),
+    )
+    inserts = o.filter(F.expr(_INSERT_SRC_W)).select(
+        "o_custkey",
+        F.lit(1).cast("bigint").alias("d_n"),
+        F.expr(_REPRICE_SPARK).cast("decimal(18,6)").alias("d_rev"),
+    )
+    deltas = (
+        corrections.unionByName(inserts)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("d_n").alias("d_n"),
+            F.sum("d_rev").alias("d_rev"),
+        )
+    )
+    # 3. Merge: full-outer coalesce-sum on the view key.
+    s = standing.alias("s")
+    d = deltas.alias("d")
+    return (
+        s.join(d, F.col("s.c_nationkey") == F.col("d.c_nationkey"), "full")
+        .select(
+            F.coalesce(F.col("s.c_nationkey"), F.col("d.c_nationkey"))
+            .alias("c_nationkey"),
+            (
+                F.coalesce(F.col("s.n_orders"), F.lit(0))
+                + F.coalesce(F.col("d.d_n"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("s.revenue"), F.lit(0).cast("decimal(18,6)"))
+                + F.coalesce(F.col("d.d_rev"), F.lit(0).cast("decimal(18,6)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -794,3 +794,13 @@ def test_embedding_drift_one_pass_takeordered(spark):
     assert "TakeOrderedAndProject" in outer
     for node in ("SortMergeJoin", "BroadcastHashJoin"):
         assert node not in outer
+
+
+def test_ivm_reads_materialized_view_not_recompute(spark):
+    """The merge side must read the STANDING view from its
+    materialized parquet (that's what makes the per-batch cost |delta|
+    instead of |orders|) and fold deltas via one outer merge join —
+    recomputing the view in the merge plan defeats IVM."""
+    plan = _plan(spark, "incremental_join_view_merge")
+    outer = _outer_final(plan)
+    assert "nation_view" in outer
