@@ -196,6 +196,9 @@ HEADLINE = [
     "multimodal_mime_sniff_mismatch",
     "stats_brown_forsythe_variance",
     "embedding_halves_drift",
+    "incremental_join_view_merge",
+    "market_basket_rules",
+    "text_dataset_datasheet",
     # scan_text_log_parse: full-table text rewrite job — gate-checked
     # for lossless round-trip, excluded like the other rewrite jobs.
     # versioned_forget_customers: full-table versioned rewrite job —

@@ -1733,3 +1733,138 @@ def text_split_leakage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_jaccard"),
         )
     )
+
+
+# ---- dataset datasheet (one-frame corpus card) --------------------------
+
+_DATASHEET_QUALITY_MIN = 0.55  # matches text_curation_pipeline's gate
+
+
+def _datasheet_oracle() -> str:
+    from .textops import (
+        STOPWORDS,
+        TOKENS_DUCK,
+        _QUALITY_DUCK,
+        _dec6,
+        _sql_list,
+    )
+
+    q = _dec6(_QUALITY_DUCK.replace("STOP", _sql_list(STOPWORDS)))
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {TOKENS_DUCK} AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id, source, len(toks)::BIGINT AS n_toks, {q} AS q,
+             md5({NORM_DUCK}) AS fp
+      FROM t
+    ), agg AS (
+      SELECT
+        COUNT(*)::BIGINT AS n_docs,
+        SUM(n_toks)::BIGINT AS n_tokens,
+        COUNT(DISTINCT source)::BIGINT AS n_sources,
+        COUNT(DISTINCT fp)::BIGINT AS n_unique,
+        SUM(q) AS q_sum,
+        COUNT(*) FILTER (WHERE q >= {_DATASHEET_QUALITY_MIN})::BIGINT
+          AS n_keep,
+        quantile_cont(n_toks, 0.5) AS p50_toks
+      FROM scored
+    )
+    SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM agg
+    UNION ALL
+    SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM agg
+    UNION ALL
+    SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM agg
+    UNION ALL
+    SELECT 'exact_dup_share',
+           CAST(CAST((n_docs - n_unique) * 1.0 / n_docs
+                AS DECIMAL(18,6)) AS DOUBLE) FROM agg
+    UNION ALL
+    SELECT 'avg_quality',
+           CAST(CAST(CAST(q_sum AS DOUBLE) / n_docs
+                AS DECIMAL(18,6)) AS DOUBLE) FROM agg
+    UNION ALL
+    SELECT 'quality_keep_share',
+           CAST(CAST(n_keep * 1.0 / n_docs AS DECIMAL(18,6)) AS DOUBLE)
+    FROM agg
+    UNION ALL
+    SELECT 'p50_tokens', CAST(p50_toks AS DOUBLE) FROM agg
+    """
+
+
+@query("text_dataset_datasheet", oracle=_datasheet_oracle())
+def text_dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-frame corpus card ("datasheets for datasets"): the seven
+    headline numbers a dataset release ships — size (docs/tokens/
+    sources), exact-duplicate share, mean quality, quality-gate keep
+    share, and median document length — as a tall (metric, value)
+    frame ready for a registry table or a release diff.
+
+    Every number reuses the shared expression constants of its
+    standalone operator (tokenizer, quality blend, curation gate,
+    exact-dedup normalization), so the datasheet cannot drift from
+    the queries it summarizes.
+
+    Plan: ONE documents scan computes tokens/quality/fingerprint in
+    the projection; one aggregate folds all seven statistics
+    (count-distincts and the exact median ride the same pass); the
+    tall shape is a 7-row union over the 1-row aggregate — at 100 TB
+    this is a single-pass summary, not seven queries."""
+    from .textops import (
+        STOPWORDS,
+        TOKENS_SPARK,
+        _QUALITY_SPARK,
+        _sql_list,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ql = _QUALITY_SPARK.replace("TOKS", "toks").replace(
+        "STOP", _sql_list(STOPWORDS)
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.expr(TOKENS_SPARK).alias("toks"),
+        F.md5(F.expr(NORM_SPARK)).alias("fp"),
+    ).select(
+        "source",
+        "fp",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.expr(ql).cast("decimal(18,6)").alias("q"),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.sum("q").alias("q_sum"),
+        F.count_if(F.col("q") >= _DATASHEET_QUALITY_MIN).alias("n_keep"),
+        F.expr("percentile(n_toks, 0.5D)").alias("p50_toks"),
+    )
+    # One projection computes the seven finished doubles, then a
+    # single stack() unpivots the 1-row frame to the tall shape — a
+    # UNION of per-metric SELECTs over a temp view was measured to
+    # re-execute the whole aggregate per arm (7 scans).
+    finished = agg.select(
+        F.col("n_docs").cast("double").alias("v_docs"),
+        F.col("n_tokens").cast("double").alias("v_tokens"),
+        F.col("n_sources").cast("double").alias("v_sources"),
+        F.expr(
+            "CAST(CAST((n_docs - n_unique) * 1.0 / n_docs"
+            " AS DECIMAL(18,6)) AS DOUBLE)"
+        ).alias("v_dup"),
+        F.expr(
+            "CAST(CAST(CAST(q_sum AS DOUBLE) / n_docs"
+            " AS DECIMAL(18,6)) AS DOUBLE)"
+        ).alias("v_q"),
+        F.expr(
+            "CAST(CAST(n_keep * 1.0 / n_docs AS DECIMAL(18,6)) AS DOUBLE)"
+        ).alias("v_keep"),
+        F.col("p50_toks").cast("double").alias("v_p50"),
+    )
+    return finished.selectExpr(
+        "stack(7,"
+        " 'n_docs', v_docs, 'n_tokens', v_tokens,"
+        " 'n_sources', v_sources, 'exact_dup_share', v_dup,"
+        " 'avg_quality', v_q, 'quality_keep_share', v_keep,"
+        " 'p50_tokens', v_p50) AS (metric, value)"
+    )

@@ -1661,3 +1661,113 @@ def customer_nation_herfindahl(
             ).alias("effective_n"),
         )
     )
+
+
+# ---- association rules (confidence / lift over the pair mine) ----------
+
+RULES_MIN_PAIR_SUPPORT = 2  # pairs seen in >= this many orders qualify
+RULES_TOP_K = 25
+
+
+@query(
+    "market_basket_rules",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_baskets AS (
+      SELECT COUNT(DISTINCT l_orderkey)::BIGINT AS nb FROM items
+    ), supp AS (
+      SELECT l_partkey, COUNT(*)::BIGINT AS n FROM items GROUP BY 1
+    ), pairs AS (
+      SELECT a.l_partkey AS a_part, b.l_partkey AS b_part,
+             COUNT(*)::BIGINT AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {RULES_MIN_PAIR_SUPPORT}
+    ), rules AS (
+      SELECT p.a_part AS antecedent, p.b_part AS consequent,
+             p.n_both, sa.n AS n_antecedent,
+             CAST(CAST(p.n_both * 1.0 / sa.n AS DECIMAL(18,6)) AS DOUBLE)
+               AS confidence,
+             CAST(CAST(p.n_both * 1.0 * MAX(nb.nb) / (sa.n * sb.n)
+                  AS DECIMAL(18,6)) AS DOUBLE) AS lift
+      FROM pairs p
+      JOIN supp sa ON sa.l_partkey = p.a_part
+      JOIN supp sb ON sb.l_partkey = p.b_part
+      CROSS JOIN n_baskets nb
+      GROUP BY p.a_part, p.b_part, p.n_both, sa.n, sb.n
+    )
+    SELECT antecedent, consequent, n_both, n_antecedent, confidence, lift
+    FROM rules
+    ORDER BY lift DESC, confidence DESC, antecedent ASC, consequent ASC
+    LIMIT {RULES_TOP_K}
+    """,
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the basket pair mine: confidence
+    P(B|A) = n(A∧B)/n(A) and lift n(A∧B)·N / (n(A)·n(B)) for every
+    supported pair (A < B as mined; the A→B direction reported), top-K
+    by lift — the actionable half of market-basket analysis that
+    ``market_basket_pairs`` (raw co-occurrence counts) feeds.
+
+    Exactness: supports and pair counts are exact BIGINTs from the
+    same DISTINCT (order, part) collapse; confidence and lift are
+    single pinned-decimal ratios of integers.
+
+    Plan: the pair self-join reuses the basket discipline (distinct
+    collapse bounds fan-out at lines-per-order²; min-support HAVING
+    prunes the rule frame before the support joins); per-item supports
+    are one hash aggregate joined back twice; the basket total rides
+    as a 1-row broadcast; top-K is TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    nb = items.agg(
+        F.countDistinct("l_orderkey").alias("nb")
+    )
+    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("a_part"),
+            F.col("b.l_partkey").alias("b_part"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= RULES_MIN_PAIR_SUPPORT)
+    )
+    sa = supp.select(
+        F.col("l_partkey").alias("sa_key"), F.col("n").alias("n_antecedent")
+    )
+    sb = supp.select(
+        F.col("l_partkey").alias("sb_key"), F.col("n").alias("n_consequent")
+    )
+    rules = (
+        pairs.join(sa, F.col("sa_key") == F.col("a_part"))
+        .join(sb, F.col("sb_key") == F.col("b_part"))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("a_part").alias("antecedent"),
+            F.col("b_part").alias("consequent"),
+            "n_both",
+            "n_antecedent",
+            F.expr(
+                "CAST(CAST(n_both * 1.0 / n_antecedent AS DECIMAL(18,6))"
+                " AS DOUBLE)"
+            ).alias("confidence"),
+            F.expr(
+                "CAST(CAST(n_both * 1.0 * nb / (n_antecedent * n_consequent)"
+                " AS DECIMAL(18,6)) AS DOUBLE)"
+            ).alias("lift"),
+        )
+    )
+    return rules.orderBy(
+        F.col("lift").desc(),
+        F.col("confidence").desc(),
+        F.col("antecedent").asc(),
+        F.col("consequent").asc(),
+    ).limit(RULES_TOP_K)

@@ -804,3 +804,12 @@ def test_ivm_reads_materialized_view_not_recompute(spark):
     plan = _plan(spark, "incremental_join_view_merge")
     outer = _outer_final(plan)
     assert "nation_view" in outer
+
+
+def test_datasheet_is_single_scan(spark):
+    """All seven datasheet statistics must fold into ONE documents
+    scan + one aggregate — seven separate sub-queries over the corpus
+    is exactly what the tall-union design avoids."""
+    plan = _plan(spark, "text_dataset_datasheet")
+    outer = _outer_final(plan)
+    assert outer.count("documents.parquet") == 1
