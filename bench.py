@@ -199,6 +199,8 @@ HEADLINE = [
     "incremental_join_view_merge",
     "market_basket_rules",
     "text_dataset_datasheet",
+    "streaming_session_window_counts",
+    "graph_degree_assortativity",
     # scan_text_log_parse: full-table text rewrite job — gate-checked
     # for lossless round-trip, excluded like the other rewrite jobs.
     # versioned_forget_customers: full-table versioned rewrite job —

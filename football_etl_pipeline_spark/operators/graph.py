@@ -1043,3 +1043,94 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("node_share"),
         )
     )
+
+
+# ---- degree assortativity ------------------------------------------------
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=_COACTIVITY_EDGES_DUCK
+    + """
+    , sym AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (SELECT src AS node, COUNT(*)::BIGINT AS d FROM sym GROUP BY 1),
+    de AS (
+      SELECT da.d AS x, db.d AS y
+      FROM sym s
+      JOIN deg da ON da.node = s.src
+      JOIN deg db ON db.node = s.dst
+    ),
+    mo AS (
+      SELECT COUNT(*)::BIGINT AS n,
+             SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+             SUM(x * x)::BIGINT AS sxx, SUM(y * y)::BIGINT AS syy,
+             SUM(x * y)::BIGINT AS sxy
+      FROM de
+    )
+    SELECT n AS n_directed_edges,
+           CAST(CAST(
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             AS DECIMAL(18,6)) AS DOUBLE) AS assortativity
+    FROM mo
+    """,
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity of the co-activity graph — Pearson r of
+    (deg(u), deg(v)) over every directed edge: do heavy users
+    co-occur with heavy users (r > 0, social-network-like) or with
+    light ones (r < 0, hub-and-spoke)? The one-number structure
+    summary that, with ``graph_degree_distribution``, tells you
+    whether hub mitigation (degree caps, salting) is load-bearing on
+    this graph.
+
+    Exactness: degrees are exact BIGINTs; the five correlation moments
+    are BIGINT sums (degree ≤ ~10³ here, so Σx·y ≤ 10⁶·|edges| — far
+    inside int64; a 100 TB graph lifts them to DECIMAL(38,0) like the
+    embedding moments); the final r is one fixed-order IEEE chain
+    pinned DECIMAL(18,6) — the ``lineitem_correlation_matrix``
+    discipline on a graph.
+
+    Plan: edge derivation shared with the whole graph family, one
+    degree aggregate, two hash joins to decorate edge ends, one
+    five-moment aggregate to a single row. No window, no driver math
+    beyond the final projection."""
+    from .events import events_interval_overlap_join
+
+    pairs = events_interval_overlap_join(spark, sf_dir)
+    edges = pairs.select(
+        F.col("user_a").alias("u"), F.col("user_b").alias("v")
+    ).distinct()
+    sym = edges.union(edges.select(F.col("v"), F.col("u"))).toDF(
+        "src", "dst"
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d")).toDF(
+        "node", "d"
+    )
+    da = deg.toDF("src", "x")
+    db = deg.toDF("dst", "y")
+    de = sym.join(da, "src").join(db, "dst")
+    mo = de.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return mo.select(
+        F.col("n").alias("n_directed_edges"),
+        F.expr(
+            "CAST(CAST("
+            " (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            " / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            "    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+            " AS DECIMAL(18,6)) AS DOUBLE)"
+        ).alias("assortativity"),
+    )

@@ -277,3 +277,87 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "streaming_session_window_counts",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(ts AS TIMESTAMP) AS ts,
+             -- strict > in exact microseconds: session_window MERGES
+             -- touching windows (the events_session_window_native
+             -- convention, already driver-verified)
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(CAST(ts AS TIMESTAMP))
+                       - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER w)
+                       > 300 * 1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+      FROM seq
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*)::BIGINT AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def streaming_session_window_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-window aggregation executed BY A STRUCTURED STREAM —
+    the fourth stateful operator class in the oracle gate (windowed
+    agg state, join state, dedup state, and now SESSION state, whose
+    merge-adjacent-windows machinery none of the others touch).
+    ``session_window(ts, '5 minutes')`` sessions per user in COMPLETE
+    mode over the finite backlog; the oracle derives the same sessions
+    with the batch gaps-and-islands construction (a >= 300 s gap opens
+    a session, exactly session_window's boundary convention: a gap
+    equal to the timeout starts a NEW session).
+
+    Scale: session state merges in-place per key as micro-batches
+    drain; a continuous deployment runs append mode + watermark so
+    closed sessions emit and evict (pinned in tests/test_streaming.py)
+    with this same dataflow."""
+    path = os.path.join(sf_dir, "events.parquet")
+    physical = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.format("parquet")
+        .schema(physical)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    ev = src.select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    agg = (
+        ev.groupBy(
+            F.session_window("ts", STREAM_WINDOW).alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    name = f"ssw_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(name)
