@@ -74,6 +74,11 @@ SHOWCASE = {
     "part_name_fuzzy_pairs": "distinct-entity collapse before blocking; token self-join behind the DF-cap gate; Levenshtein evaluated once per DISTINCT pair",
     "events_conversion_attribution": "three RANGE frames share one WindowExec (same partition/order/frame) after a single user_id shuffle",
     "text_quality_logreg_score": "logit folds as constants in the scan projection (one WholeStageCodegen span); partial agg before the one source shuffle",
+    "events_rolling_active_users": "sliding COUNT(DISTINCT) as linear explode fan-out (sequence + Generate) — no BETWEEN nested-loop join; two hash aggregates",
+    "text_dataset_datasheet": "seven release-card statistics in ONE documents scan + one aggregate; stack() unpivot over the 1-row frame (per-metric UNION re-executed the aggregate 7x)",
+    "incremental_join_view_merge": "standing view read from its materialized parquet; delta group joined to customer once; full-outer coalesce-sum merge — per-batch cost |delta| not |orders|",
+    "graph_link_prediction": "center cap joined BEFORE the wedge self-join (capped pairs never generate); equi wedge join; TakeOrdered top-K",
+    "stats_anova_priority_price": "five groups' exact moments as conditional aggregates in one scan; the cross-group F is a 1-row fixed-order projection",
 }
 
 
