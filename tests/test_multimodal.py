@@ -308,3 +308,40 @@ def test_binaryfile_media_ingestion_roundtrip(spark, tmp_path):
     assert "img1.png" not in {
         os.path.basename(r.path) for r in small.collect()
     } or len(blobs["a/img1.png"]) <= len(blobs["a/img2.gif"])
+
+
+def test_magic_sniff_signatures_match_encoders():
+    """The JVM sniff CASE's magic constants must match what the stdlib
+    encoders actually emit — checked byte-for-byte in pure Python so a
+    signature typo can't hide behind the (also green) oracle row."""
+    from football_etl_pipeline_spark.operators.multimodal import (
+        make_gif,
+        make_jpeg,
+        make_mp4,
+        make_png,
+        make_wav,
+    )
+
+    png = make_png(8, 8)
+    assert png[:4].hex().upper() == "89504E47"
+    jpg = make_jpeg(8, 8)
+    assert jpg[:3].hex().upper() == "FFD8FF"
+    gif = make_gif(8, 8)
+    assert gif[:4].hex().upper() == "47494638"
+    wav = make_wav(160, 16000)
+    assert wav[:4].hex().upper() == "52494646"
+    assert wav[8:12].hex().upper() == "57415645"
+    mp4 = make_mp4(8, 8)
+    assert mp4[4:8].hex().upper() == "66747970"
+    # and no cross-format signature collides with another's prefix
+    payloads = {"png": png, "jpg": jpg, "gif": gif, "wav": wav, "mp4": mp4}
+    for name, p in payloads.items():
+        matches = [
+            p[:4].hex().upper() == "89504E47",
+            p[:3].hex().upper() == "FFD8FF",
+            p[:4].hex().upper() == "47494638",
+            p[:4].hex().upper() == "52494646"
+            and p[8:12].hex().upper() == "57415645",
+            p[4:8].hex().upper() == "66747970",
+        ]
+        assert sum(matches) == 1, (name, matches)

@@ -448,3 +448,22 @@ def test_session_window_boundary_semantics(spark):
             (s, e + dt.timedelta(seconds=GAP), n) for s, e, n in want
         )
         assert got == want, (offsets, got, want)
+
+
+def test_state_partitions_restores_on_exception(spark):
+    """The streaming-query state-sizing context manager must restore
+    the session shuffle-partition default even when the stream fails —
+    a leaked 8-partition conf would silently shrink every later batch
+    query's parallelism."""
+    from football_etl_pipeline_spark.operators.streaming_query import (
+        _state_partitions,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        with _state_partitions(spark, 8):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
