@@ -201,6 +201,8 @@ HEADLINE = [
     "text_dataset_datasheet",
     "streaming_session_window_counts",
     "graph_degree_assortativity",
+    "events_growth_accounting",
+    "events_interarrival_histogram",
     # scan_text_log_parse: full-table text rewrite job — gate-checked
     # for lossless round-trip, excluded like the other rewrite jobs.
     # versioned_forget_customers: full-table versioned rewrite job —

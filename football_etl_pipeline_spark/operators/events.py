@@ -2259,3 +2259,143 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
         .limit(PATH_TOP_K)
     )
+
+
+# ---- growth accounting (new / retained / resurrected) ------------------
+
+# A user active on day d is NEW (first-ever day), RETAINED (also
+# active on d-1), or RESURRECTED (gap from their previous active day
+# is >= 2 days). The daily triple is the canonical growth-accounting
+# decomposition (every active user falls in exactly one class).
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      FROM events
+    ), lagged AS (
+      SELECT user_id, d,
+             LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+      FROM ud
+    )
+    SELECT d AS day,
+           COUNT(*)::BIGINT AS n_active,
+           COUNT(*) FILTER (WHERE prev_d IS NULL)::BIGINT AS n_new,
+           COUNT(*) FILTER (WHERE prev_d = d - 1)::BIGINT AS n_retained,
+           COUNT(*) FILTER (WHERE prev_d IS NOT NULL
+                            AND prev_d < d - 1)::BIGINT AS n_resurrected
+    FROM lagged
+    GROUP BY d
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: every active user classified as NEW
+    (first-ever day), RETAINED (also active the previous calendar
+    day), or RESURRECTED (returned after a gap) — the
+    new/retained/resurrected decomposition product teams track, and
+    the per-day complement of the cohort triangle
+    (``events_daily_retention``) and the rolling-window pair
+    (``events_rolling_active_users``).
+
+    Plan: distinct (user, day) collapse, ONE lag window over the
+    per-user day sequence (same user_id shuffle), one hash aggregate
+    on day. Classes are exact date arithmetic — mutually exclusive
+    and exhaustive by construction, so n_active ≡ new + retained +
+    resurrected row-by-row (the oracle hash checks all four)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").cast("date").alias("d")
+    )
+    ud = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    lagged = ud.withColumn("prev_d", F.lag("d").over(w))
+    return lagged.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.count_if(F.col("prev_d").isNull()).alias("n_new"),
+        F.count_if(F.col("prev_d") == F.date_sub(F.col("d"), 1)).alias(
+            "n_retained"
+        ),
+        F.count_if(
+            F.col("prev_d").isNotNull()
+            & (F.col("prev_d") < F.date_sub(F.col("d"), 1))
+        ).alias("n_resurrected"),
+    )
+
+
+# ---- inter-arrival time histogram ---------------------------------------
+
+# Fixed power-of-ten microsecond buckets (CASE ladder — engine-exact,
+# no float log10): the operational latency profile of the event bus.
+_IAT_TOPS_US = (
+    1_000_000,        # < 1s
+    10_000_000,       # < 10s
+    60_000_000,       # < 1m
+    600_000_000,      # < 10m
+    3_600_000_000,    # < 1h
+)
+_IAT_LABELS = ("a_lt_1s", "b_lt_10s", "c_lt_1m", "d_lt_10m", "e_lt_1h")
+
+
+def _iat_bucket_case(col: str) -> str:
+    arms = " ".join(
+        f"WHEN {col} < {hi} THEN '{lab}'"
+        for hi, lab in zip(_IAT_TOPS_US, _IAT_LABELS)
+    )
+    return f"CASE {arms} ELSE 'f_ge_1h' END"
+
+
+@query(
+    "events_interarrival_histogram",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+             - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           {_iat_bucket_case('gap_us')} AS bucket,
+           COUNT(*)::BIGINT AS n_gaps,
+           MIN(gap_us)::BIGINT AS min_gap_us,
+           MAX(gap_us)::BIGINT AS max_gap_us
+    FROM seq
+    WHERE gap_us IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_interarrival_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user inter-arrival-time histogram by event type — the
+    operational profile that sizes session gaps, watermark delays,
+    and state TTLs (the measurement behind the 30-min session
+    constant and ``events_watermark_lateness_audit``'s bands).
+    Buckets are a fixed power-of-ten CASE ladder over EXACT event-time
+    microseconds — no float log, engine-identical.
+
+    Plan: one lag window on the user_id shuffle (ordered by ts,
+    event_id — the house total-order tiebreak), a codegen CASE in the
+    projection, one partial+final hash aggregate on a ≤ 6×|types| key
+    space."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "event_type",
+        (us - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+    return (
+        seq.filter(F.col("gap_us").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr(_iat_bucket_case("gap_us")).alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
