@@ -2399,3 +2399,111 @@ def events_interarrival_histogram(
             F.max("gap_us").alias("max_gap_us"),
         )
     )
+
+
+# ---- SCD2 point-in-time lookup join -------------------------------------
+
+
+@query(
+    "join_scd2_pit_status",
+    oracle="""
+    WITH dim_src AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE event_type <> 'purchase'
+    ), ordered AS (
+      SELECT user_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_type
+      FROM dim_src
+    ), islands AS (
+      SELECT user_id, event_type, MIN(ts) AS valid_from
+      FROM ordered GROUP BY user_id, event_type, rn - rn_type
+    ), dim AS (
+      SELECT user_id, event_type AS status, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from) AS valid_to
+      FROM islands
+    ), fact AS (
+      SELECT event_id AS purchase_id, user_id,
+             CAST(ts AS TIMESTAMP) AS purchase_ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.purchase_id, f.user_id, f.purchase_ts,
+           d.status, d.valid_from AS status_since,
+           CAST(f.value AS DOUBLE) AS amount
+    FROM fact f
+    JOIN dim d
+      ON d.user_id = f.user_id
+     AND d.valid_from <= f.purchase_ts
+     AND (d.valid_to IS NULL OR f.purchase_ts < d.valid_to)
+    """,
+)
+def join_scd2_pit_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 point-in-time LOOKUP join — the read side of the
+    type-2 dimension ``events_status_intervals`` builds: every
+    purchase event joined to the user's non-purchase status interval
+    valid AT purchase time ("what state was the user in when they
+    bought"), i.e. the ``FOR SYSTEM_TIME AS OF`` pattern every
+    temporal warehouse query uses against an SCD2 dimension.
+
+    Correctness: the intervals PARTITION each user's timeline from
+    their first non-purchase event (valid_from inclusive, valid_to
+    exclusive, NULL while current — the same convention the interval
+    builder pins), so every joined purchase matches EXACTLY one
+    version; purchases before a user's first status event drop out of
+    the inner join, deterministically.
+
+    Scale: the join is an EQUI join on user_id with the validity
+    range as a residual condition — fan-out bounded by
+    versions-per-user (never a nested loop; at 100 TB the dimension
+    side is the small one and broadcasts, or both sides co-shuffle on
+    the user key). The two row_number windows share one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    dim_src = ev.filter(F.col("event_type") != "purchase")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    ordered = dim_src.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(wo) - F.row_number().over(wt)).alias("grp"),
+    )
+    islands = ordered.groupBy("user_id", "event_type", "grp").agg(
+        F.min("ts").alias("valid_from")
+    )
+    wl = Window.partitionBy("user_id").orderBy("valid_from")
+    dim = islands.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("status"),
+        "valid_from",
+        F.lead("valid_from").over(wl).alias("valid_to"),
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    return (
+        fact.join(
+            dim,
+            (F.col("d_user") == F.col("user_id"))
+            & (F.col("valid_from") <= F.col("purchase_ts"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("purchase_ts") < F.col("valid_to"))
+            ),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            "status",
+            F.col("valid_from").alias("status_since"),
+            F.col("value").cast("double").alias("amount"),
+        )
+    )

@@ -813,3 +813,14 @@ def test_datasheet_is_single_scan(spark):
     plan = _plan(spark, "text_dataset_datasheet")
     outer = _outer_final(plan)
     assert outer.count("documents.parquet") == 1
+
+
+def test_scd2_pit_join_is_equi_with_residual_not_nested_loop(spark):
+    """The point-in-time lookup must plan as an EQUI join on user_id
+    with the validity range as a residual condition — a
+    BroadcastNestedLoopJoin means the equi key fell out and every
+    purchase scans every version."""
+    final = _final(_plan(spark, "join_scd2_pit_status"))
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "CartesianProduct" not in final
+    assert ("SortMergeJoin" in final) or ("BroadcastHashJoin" in final)
