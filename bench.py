@@ -203,6 +203,8 @@ HEADLINE = [
     "graph_degree_assortativity",
     "events_growth_accounting",
     "events_interarrival_histogram",
+    "join_scd2_pit_status",
+    "events_transition_contract",
     # scan_text_log_parse: full-table text rewrite job — gate-checked
     # for lossless round-trip, excluded like the other rewrite jobs.
     # versioned_forget_customers: full-table versioned rewrite job —

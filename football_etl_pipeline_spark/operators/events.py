@@ -2507,3 +2507,91 @@ def join_scd2_pit_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("double").alias("amount"),
         )
     )
+
+
+# ---- event-stream transition contract ------------------------------------
+
+# The allowed state machine for a user's event sequence — the
+# data-contract face of the Markov matrix (events_transition_matrix
+# MEASURES transition frequencies; this query ENFORCES which ones are
+# legal). 'error' is a legal target from anywhere but may only be
+# followed by a fresh 'view' (recovery restarts the funnel).
+_ALLOWED_TRANSITIONS = (
+    ("view", "view"), ("view", "click"), ("view", "purchase"),
+    ("view", "error"),
+    ("click", "view"), ("click", "click"), ("click", "purchase"),
+    ("click", "error"),
+    ("purchase", "view"), ("purchase", "error"),
+    ("error", "view"),
+    ("signup", "view"), ("view", "signup"), ("signup", "error"),
+)
+
+
+def _allowed_pairs_sql() -> str:
+    return ", ".join(f"('{a}', '{b}')" for a, b in _ALLOWED_TRANSITIONS)
+
+
+@query(
+    "events_transition_contract",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS to_state,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_state
+      FROM events
+    ), pairs AS (
+      SELECT from_state, to_state FROM seq WHERE from_state IS NOT NULL
+    ), allowed AS (
+      SELECT * FROM (VALUES {_allowed_pairs_sql()})
+        AS t(from_state, to_state)
+    )
+    SELECT p.from_state, p.to_state,
+           COUNT(*)::BIGINT AS n_transitions,
+           a.from_state IS NOT NULL AS is_allowed
+    FROM pairs p
+    LEFT JOIN allowed a
+      ON a.from_state = p.from_state AND a.to_state = p.to_state
+    GROUP BY 1, 2, 4
+    """,
+)
+def events_transition_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Event-stream transition CONTRACT: every observed consecutive
+    (from → to) event-type pair per user, counted and flagged against
+    the declared legal state machine — the stream-quality gate that
+    catches instrumentation bugs (double-fired purchases, error loops)
+    the moment they ship, the enforcement face of
+    ``events_transition_matrix``'s measurement.
+
+    Plan: one lag window on the user_id shuffle, a hash aggregate on
+    the ≤ |types|² key space, and the allowed set as a broadcast
+    LEFT-JOINed literal VALUES table (identical table in the oracle) —
+    at 100 TB the contract check is one extra broadcast probe on a
+    frame that is already tiny after aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("to_state"),
+        F.lag("event_type").over(w).alias("from_state"),
+    ).filter(F.col("from_state").isNotNull())
+    counted = seq.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    allowed = spark.createDataFrame(
+        list(_ALLOWED_TRANSITIONS), "a_from string, a_to string"
+    )
+    return (
+        counted.join(
+            F.broadcast(allowed),
+            (F.col("a_from") == F.col("from_state"))
+            & (F.col("a_to") == F.col("to_state")),
+            "left",
+        )
+        .select(
+            "from_state",
+            "to_state",
+            "n_transitions",
+            F.col("a_from").isNotNull().alias("is_allowed"),
+        )
+    )
