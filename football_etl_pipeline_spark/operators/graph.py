@@ -777,18 +777,22 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", "d"
     )
     centers = deg.filter(F.col("d") <= LP_CENTER_DEG_CAP).select("node")
-    # Cap one side BEFORE the self-join: the inner equi-join on the
-    # center key then never GENERATES a hot-hub wedge (measured at
-    # sf0.1: 20.0M capped vs 29.7M uncapped pairs, SCALE.md) — joining
-    # centers after pairing would materialize the uncapped volume
-    # first and drop it, paying ~50% extra pair generation.
-    a = sym.join(
-        centers.withColumnRenamed("node", "src"), "src"
-    ).toDF("c", "u")
+    # Cap ordering, MEASURED (sf0.1, GC-separated A/B ×3): capping a
+    # side BEFORE the self-join avoids generating the hot-hub wedges
+    # (20.0M capped vs 29.7M uncapped pairs, SCALE.md) but makes the
+    # two sides DIFFERENT frames, losing the ReusedExchange on sym —
+    # 10.0-11.0s vs 7.8-8.5s for this cap-after form, where both
+    # sides share one shuffle and the centers join prunes the ~33%
+    # excess pairs pre-aggregation. On a cluster whose hub tail is
+    # fatter than the cap (where excess generation is unbounded, not
+    # 33%), flip to the pre-join cap: the dial is which dominates,
+    # exchange reuse or generation volume.
+    a = sym.toDF("c", "u")
     b = sym.toDF("c", "w")
     wed = (
         a.join(b, "c")
         .filter(F.col("u") < F.col("w"))
+        .join(centers.withColumnRenamed("node", "c"), "c")
         .groupBy("u", "w")
         .agg(F.count(F.lit(1)).alias("cn"))
     )
