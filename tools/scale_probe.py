@@ -327,6 +327,13 @@ def main() -> None:
         "graph_label_propagation",
         "graph_link_prediction",
         "graph_modularity_report",
+        # events-family joins riding the same synthetic corpus: the
+        # SCD2 point-in-time lookup's output is one row per matched
+        # purchase and its fan-out is versions-per-user, so both rows
+        # and wall must grow ~linearly; rolling actives must grow its
+        # day grid linearly (the corpus is time-shifted).
+        "join_scd2_pit_status",
+        "events_rolling_active_users",
     ]
     graph_composed_rows = []
     for name in GRAPH_COMPOSED:
