@@ -205,6 +205,8 @@ HEADLINE = [
     "events_interarrival_histogram",
     "join_scd2_pit_status",
     "events_transition_contract",
+    "lineitem_leadtime_percentiles",
+    "dedup_cluster_size_histogram",
     # scan_text_log_parse: full-table text rewrite job — gate-checked
     # for lossless round-trip, excluded like the other rewrite jobs.
     # versioned_forget_customers: full-table versioned rewrite job —

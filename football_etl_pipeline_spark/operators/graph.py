@@ -1138,3 +1138,48 @@ def graph_degree_assortativity(
             " AS DECIMAL(18,6)) AS DOUBLE)"
         ).alias("assortativity"),
     )
+
+
+# ---- dedup cluster-size histogram ---------------------------------------
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle="WITH comp AS ("
+    + _COMPONENTS_ORACLE
+    + """)
+    , sizes AS (
+      SELECT component, COUNT(*)::BIGINT AS size
+      FROM comp GROUP BY component
+    )
+    SELECT size,
+           COUNT(*)::BIGINT AS n_clusters,
+           (size * COUNT(*))::BIGINT AS n_docs
+    FROM sizes GROUP BY size
+    """,
+)
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-size distribution of the near-dup components — the
+    dedup observability readout the shrinkage funnel doesn't give:
+    how many pairs/triples/blobs exist, and whether a mega-cluster is
+    forming (boilerplate or a hash collision chaining unrelated docs —
+    the classic web-dedup pathology where one bad shingle glues the
+    corpus into one component and "dedup" deletes it).
+
+    Composes the verified star-contraction rung
+    (``connected_components_star``) and aggregates its labels twice
+    (component → size, size → count); the oracle wraps the identical
+    recursive-CTE fixpoint. Scale: both aggregates are partial+final
+    hash aggs over |clustered docs| — the histogram is the cheap part;
+    the rung's candidate volume is already probed in SCALE.md."""
+    from .dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    comp = connected_components_star(pairs)
+    sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )

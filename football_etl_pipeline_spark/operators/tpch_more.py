@@ -1771,3 +1771,57 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("antecedent").asc(),
         F.col("consequent").asc(),
     ).limit(RULES_TOP_K)
+
+
+# ---- order-to-ship lead time (SLA percentiles) --------------------------
+
+
+@query(
+    "lineitem_leadtime_percentiles",
+    oracle="""
+    WITH lt AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           COUNT(*)::BIGINT AS n_lines,
+           quantile_cont(days, 0.5) AS p50_days,
+           quantile_cont(days, 0.9) AS p90_days,
+           quantile_cont(days, 0.99) AS p99_days
+    FROM lt GROUP BY o_orderpriority
+    """,
+)
+def lineitem_leadtime_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship lead time SLA: exact p50/p90/p99 of the
+    (ship date − order date) day gap per order priority — the
+    operational percentile readout every fulfillment warehouse runs,
+    and the lead-time face of the percentile machinery
+    (``agg_exact_percentiles`` anchors the type-7 convention both
+    engines share; gaps are exact integer days, so the interpolation
+    inputs are bit-identical).
+
+    Plan: one join shuffle (lineitem⋈orders on the order key — at
+    production scale co-bucketed and shuffle-free, the
+    tests/test_connectors.py bucketed-join pin), then one grouped
+    sort-agg over five bounded groups. No window."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lt = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "days"
+        ),
+    )
+    return lt.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.expr("percentile(days, 0.5D)").alias("p50_days"),
+        F.expr("percentile(days, 0.9D)").alias("p90_days"),
+        F.expr("percentile(days, 0.99D)").alias("p99_days"),
+    )
