@@ -2018,3 +2018,375 @@ def stats_brown_forsythe_variance(
         {_anova_final_select()}
         """
     )
+
+
+# ---- Spearman rank correlation ------------------------------------------
+
+# One fixed IEEE chain shared verbatim by both dialects: exact moment
+# sums in, correlation out, pinned DECIMAL(18,6). `n/sx/...` are the
+# column names both sides expose from their moment row.
+_PEARSON_CHAIN = """CAST(CAST(
+      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      AS DECIMAL(18,6)) AS DOUBLE)"""
+
+
+@query(
+    "stats_spearman_price_quantity",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_quantity, l_extendedprice FROM lineitem
+    ), qm AS (
+      SELECT l_quantity, COUNT(*)::BIGINT AS c FROM li GROUP BY 1
+    ), qc AS (
+      SELECT l_quantity, c, SUM(c) OVER (ORDER BY l_quantity) AS cum
+      FROM qm
+    ), qr AS (
+      SELECT l_quantity, 2 * (cum - c) + c + 1 AS rx2 FROM qc
+    ), pm AS (
+      SELECT l_extendedprice, COUNT(*)::BIGINT AS c FROM li GROUP BY 1
+    ), pc AS (
+      SELECT l_extendedprice, c,
+             SUM(c) OVER (ORDER BY l_extendedprice) AS cum
+      FROM pm
+    ), pr AS (
+      SELECT l_extendedprice, 2 * (cum - c) + c + 1 AS ry2 FROM pc
+    ), j AS (
+      SELECT rx2, ry2
+      FROM li JOIN qr USING (l_quantity) JOIN pr USING (l_extendedprice)
+    ), mo AS (
+      SELECT COUNT(*)::BIGINT AS n,
+             SUM(CAST(rx2 AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(ry2 AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(rx2 AS DECIMAL(38,0)) * rx2) AS sxx,
+             SUM(CAST(ry2 AS DECIMAL(38,0)) * ry2) AS syy,
+             SUM(CAST(rx2 AS DECIMAL(38,0)) * ry2) AS sxy
+      FROM j
+    )
+    SELECT n AS n_rows, {_PEARSON_CHAIN} AS spearman_rho FROM mo
+    """,
+)
+def stats_spearman_price_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation between line quantity and extended
+    price — the monotone-association readout that survives the heavy
+    price tail where Pearson (``lineitem_correlation_matrix``) is
+    leverage-dominated. Ranks are tie-averaged (fractional ranks), the
+    standard Spearman-with-ties estimator: rho = Pearson on the rank
+    pairs.
+
+    Exactness: ranks stay INTEGRAL via the 2×avg_rank identity from
+    ``stats_mannwhitney_value`` (2·r = 2·cum_before + t + 1; the 2×
+    scale cancels in the correlation), all six moment sums are exact
+    DECIMAL(38,0) reductions (order-insensitive), and the correlation
+    is ONE fixed IEEE chain pinned DECIMAL(18,6) — the
+    ``graph_degree_assortativity`` discipline applied to ranks.
+
+    Plan: two rank maps — quantity (≤50 distinct values BY
+    CONSTRUCTION of the TPC-H domain: plain tiny-frame window) and
+    price (corpus-scale distinct: range-exchange prefix, NO
+    single-partition window) — joined back to the row frame (the
+    quantity map broadcasts; the price map joins on its own
+    group key, one shuffle), then a single-row moment aggregate.
+    At 100 TB the per-term BIGINT products (≤ (2n)²) are why the
+    sums run in DECIMAL(38,0), not BIGINT."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+    qm = li.groupBy("l_quantity").agg(F.count(F.lit(1)).alias("c"))
+    wq = Window.orderBy("l_quantity").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    qr = qm.withColumn("cum", F.sum("c").over(wq)).select(
+        "l_quantity",
+        (2 * (F.col("cum") - F.col("c")) + F.col("c") + 1).alias("rx2"),
+    )
+    pm = li.groupBy("l_extendedprice").agg(F.count(F.lit(1)).alias("c"))
+    pc = _range_prefix(pm, ["l_extendedprice"], ["c"])
+    pr = pc.select(
+        "l_extendedprice",
+        (2 * (F.col("cum_c") - F.col("c")) + F.col("c") + 1).alias("ry2"),
+    )
+    j = li.join(F.broadcast(qr), "l_quantity").join(pr, "l_extendedprice")
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mo = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38("rx2")).alias("sx"),
+        F.sum(d38("ry2")).alias("sy"),
+        F.sum(d38("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(d38("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(d38("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    return mo.select(
+        F.col("n").alias("n_rows"),
+        F.expr(_PEARSON_CHAIN).alias("spearman_rho"),
+    )
+
+
+# ---- Kendall tau-b trend test on the daily revenue series ---------------
+
+
+@query(
+    "stats_kendall_tau_daily",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ), p AS (
+      SELECT a.rev AS ra, b.rev AS rb FROM d a JOIN d b ON a.day < b.day
+    ), mo AS (
+      SELECT COUNT(*)::BIGINT AS n0,
+             SUM(CASE WHEN rb > ra THEN 1
+                      WHEN rb < ra THEN -1 ELSE 0 END)::BIGINT AS s,
+             SUM(CASE WHEN rb = ra THEN 1 ELSE 0 END)::BIGINT AS t1
+      FROM p
+    ), nn AS (SELECT COUNT(*)::BIGINT AS n FROM d)
+    SELECT n AS n_days,
+           s AS nc_minus_nd,
+           t1 AS n_tied_pairs,
+           CAST(CAST(
+             CAST(s AS DOUBLE)
+             / (sqrt(CAST(n0 AS DOUBLE))
+                * sqrt(CAST(n0 - t1 AS DOUBLE)))
+             AS DECIMAL(18,6)) AS DOUBLE) AS kendall_tau_b
+    FROM mo, nn
+    """,
+)
+def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b monotone-trend test on the daily order-revenue
+    series — the rank cousin of ``stats_theil_sen_trend`` (same
+    concordant/discordant machinery; Theil–Sen gives the slope, tau
+    gives the strength and a distribution-free significance handle).
+    Days are unique, so the tie correction reduces to the revenue-tie
+    term: tau_b = S / (√n0 · √(n0 − t_rev)).
+
+    Exactness: daily revenue is a DECIMAL(18,2)-exact sum, so every
+    pairwise comparison is exact; S and the tie count are exact
+    integers; ONE fixed IEEE chain pinned DECIMAL(18,6).
+
+    Plan & scale: the quadratic pair join runs over the DAILY
+    AGGREGATE — series length grows with the time horizon, not the
+    corpus (the ``events_cusum_changepoint`` exception), so the
+    broadcast nested-loop pair join is bounded (~2.4k days → ~3M
+    comparisons) no matter the row count. The corpus-sized work is
+    the one scan into the daily aggregate."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    a = d.select(F.col("day").alias("da"), F.col("rev").alias("ra"))
+    b = d.select(F.col("day").alias("db"), F.col("rev").alias("rb"))
+    p = a.join(b, F.col("da") < F.col("db"))
+    mo = p.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(
+            F.when(F.col("rb") > F.col("ra"), 1)
+            .when(F.col("rb") < F.col("ra"), -1)
+            .otherwise(0)
+        ).alias("s"),
+        F.sum(
+            F.when(F.col("rb") == F.col("ra"), 1).otherwise(0)
+        ).alias("t1"),
+    )
+    nn = d.agg(F.count(F.lit(1)).alias("n"))
+    return mo.crossJoin(F.broadcast(nn)).select(
+        F.col("n").alias("n_days"),
+        F.col("s").alias("nc_minus_nd"),
+        F.col("t1").alias("n_tied_pairs"),
+        F.expr(
+            "CAST(CAST("
+            " CAST(s AS DOUBLE)"
+            " / (sqrt(CAST(n0 AS DOUBLE))"
+            "    * sqrt(CAST(n0 - t1 AS DOUBLE)))"
+            " AS DECIMAL(18,6)) AS DOUBLE)"
+        ).alias("kendall_tau_b"),
+    )
+
+
+# ---- two-group log-rank survival test -----------------------------------
+
+
+@query(
+    "stats_logrank_weekday_cohort",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             min(CAST(ts AS TIMESTAMP)) AS f_ts,
+             CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS f,
+             max(CAST(ts AS TIMESTAMP)) AS l
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT max(l) AS end_ts FROM u),
+    obs AS (
+      SELECT datediff('day', f, CAST(l AS DATE)) AS dur,
+             CASE WHEN l < end_ts - INTERVAL {KM_SILENCE_DAYS} DAY
+                  THEN 1 ELSE 0 END AS churned,
+             CASE WHEN isodow(f_ts) <= 5 THEN 1 ELSE 0 END AS grp
+      FROM u, horizon
+    ),
+    byd AS (
+      SELECT dur,
+             SUM(churned * grp)::BIGINT AS d1,
+             SUM(churned * (1 - grp))::BIGINT AS d0,
+             SUM(grp)::BIGINT AS n1,
+             SUM(1 - grp)::BIGINT AS n0
+      FROM obs GROUP BY dur
+    ),
+    tot AS (
+      SELECT SUM(n1)::BIGINT AS t1, SUM(n0)::BIGINT AS t0 FROM byd
+    ),
+    cum AS (
+      SELECT dur, d1, d0, n1, n0,
+             SUM(n1) OVER (ORDER BY dur) AS c1,
+             SUM(n0) OVER (ORDER BY dur) AS c0
+      FROM byd
+    ),
+    r AS (
+      SELECT dur, d1, d0, d1 + d0 AS d,
+             t1 - (c1 - n1) AS ar1,
+             (t1 - (c1 - n1)) + (t0 - (c0 - n0)) AS ar
+      FROM cum, tot
+      WHERE d1 + d0 > 0 AND (t1 - (c1 - n1)) + (t0 - (c0 - n0))
+            > d1 + d0
+    ),
+    terms AS (
+      SELECT d1,
+             CAST(CAST(d AS DOUBLE) * ar1 / ar
+                  AS DECIMAL(18,9)) AS e1,
+             CAST(CAST(d AS DOUBLE) * (CAST(ar1 AS DOUBLE) / ar)
+                  * (CAST(1 AS DOUBLE) - CAST(ar1 AS DOUBLE) / ar)
+                  * (CAST(ar - d AS DOUBLE) / CAST(ar - 1 AS DOUBLE))
+                  AS DECIMAL(18,9)) AS v
+      FROM r
+    ),
+    mo AS (
+      SELECT SUM(d1)::BIGINT AS o1, SUM(e1) AS e, SUM(v) AS vv
+      FROM terms
+    )
+    SELECT tot.t1 AS n_weekday_users,
+           tot.t0 AS n_weekend_users,
+           mo.o1 AS observed_weekday_churn,
+           CAST(CAST(mo.e AS DECIMAL(18,6)) AS DOUBLE)
+             AS expected_weekday_churn,
+           CAST(CAST(
+             (CAST(mo.o1 AS DOUBLE) - CAST(mo.e AS DOUBLE))
+             / sqrt(CAST(mo.vv AS DOUBLE))
+             AS DECIMAL(18,6)) AS DOUBLE) AS logrank_z
+    FROM mo, tot
+    """,
+)
+def stats_logrank_weekday_cohort(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-group log-rank test: do users acquired on a WEEKDAY churn
+    at the same hazard as users acquired on a WEEKEND? The hypothesis
+    test that pairs with ``users_kaplan_meier`` — KM draws each
+    group's survival curve; log-rank says whether the curves differ
+    beyond chance, honoring right-censoring (a still-active user
+    contributes to the risk set but never to the death count, exactly
+    the censoring rule the KM operator established).
+
+    Semantics shared with ``users_kaplan_meier`` verbatim: duration =
+    days from first to last event, churn = silent ≥ KM_SILENCE_DAYS
+    before the horizon. At each event time with d > 0 deaths: the
+    weekday group's expected deaths under the pooled hazard are
+    d·n₁/n, the hypergeometric variance d·(n₁/n)(1−n₁/n)(n−d)/(n−1),
+    and z = (O₁−E₁)/√ΣV.
+
+    Exactness: death counts and risk sets are exact integers
+    (grouped cumsum complements — no float ECDF); each E/V term is
+    ONE fixed IEEE chain over exact ints pinned DECIMAL(18,9) (the KM
+    ln-term precedent), summed exactly; the final z is one more fixed
+    chain pinned DECIMAL(18,6). Rows where the whole risk set dies
+    are excluded by the same ar > d guard in both dialects (they
+    contribute zero variance and undefined (n−1) terms).
+
+    Plan: one scan → per-user agg; everything downstream runs over
+    the ~#distinct-durations frame — tiny BY CONSTRUCTION (≤ horizon
+    days), so the global cumsum windows are not a scale hazard. The
+    horizon and the group totals are 1-row broadcasts."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("f_ts"),
+            F.min("ts").cast("date").alias("f"),
+            F.max("ts").alias("l"),
+        )
+    )
+    horizon = u.agg(F.max("l").alias("end_ts"))
+    obs = u.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(F.col("l").cast("date"), F.col("f")).alias("dur"),
+        F.when(
+            F.col("l")
+            < F.col("end_ts") - F.expr(f"INTERVAL {KM_SILENCE_DAYS} DAY"),
+            1,
+        )
+        .otherwise(0)
+        .alias("churned"),
+        F.when(F.weekday("f_ts") <= 4, 1).otherwise(0).alias("grp"),
+    )
+    byd = obs.groupBy("dur").agg(
+        F.sum(F.col("churned") * F.col("grp")).alias("d1"),
+        F.sum(F.col("churned") * (1 - F.col("grp"))).alias("d0"),
+        F.sum("grp").alias("n1"),
+        F.sum(1 - F.col("grp")).alias("n0"),
+    )
+    tot = byd.agg(
+        F.sum("n1").alias("t1"), F.sum("n0").alias("t0")
+    )
+    wall = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        byd.withColumn("c1", F.sum("n1").over(wall))
+        .withColumn("c0", F.sum("n0").over(wall))
+        .crossJoin(F.broadcast(tot))
+    )
+    r = cum.select(
+        "d1",
+        (F.col("d1") + F.col("d0")).alias("d"),
+        (F.col("t1") - (F.col("c1") - F.col("n1"))).alias("ar1"),
+        (
+            (F.col("t1") - (F.col("c1") - F.col("n1")))
+            + (F.col("t0") - (F.col("c0") - F.col("n0")))
+        ).alias("ar"),
+    ).filter((F.col("d") > 0) & (F.col("ar") > F.col("d")))
+    terms = r.select(
+        "d1",
+        F.expr(
+            "CAST(CAST(d AS DOUBLE) * ar1 / ar AS DECIMAL(18,9))"
+        ).alias("e1"),
+        F.expr(
+            "CAST(CAST(d AS DOUBLE) * (CAST(ar1 AS DOUBLE) / ar)"
+            " * (CAST(1 AS DOUBLE) - CAST(ar1 AS DOUBLE) / ar)"
+            " * (CAST(ar - d AS DOUBLE) / CAST(ar - 1 AS DOUBLE))"
+            " AS DECIMAL(18,9))"
+        ).alias("v"),
+    )
+    mo = terms.agg(
+        F.sum("d1").alias("o1"),
+        F.sum("e1").alias("e"),
+        F.sum("v").alias("vv"),
+    )
+    return mo.crossJoin(F.broadcast(tot)).select(
+        F.col("t1").alias("n_weekday_users"),
+        F.col("t0").alias("n_weekend_users"),
+        F.col("o1").alias("observed_weekday_churn"),
+        _d6(F.col("e")).alias("expected_weekday_churn"),
+        F.expr(
+            "CAST(CAST("
+            " (CAST(o1 AS DOUBLE) - CAST(e AS DOUBLE))"
+            " / sqrt(CAST(vv AS DOUBLE))"
+            " AS DECIMAL(18,6)) AS DOUBLE)"
+        ).alias("logrank_z"),
+    )
