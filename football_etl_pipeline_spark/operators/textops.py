@@ -2907,3 +2907,321 @@ def eval_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ct.createOrReplaceTempView("kappa_ct")
     return spark.sql(f"WITH ct AS (SELECT * FROM kappa_ct) {_kappa_final_select()}")
+
+
+# ---- DSIR-style hashed-ngram importance reweighting ---------------------
+
+DSIR_BUCKETS = 256  # hashed feature space (generalized n-gram buckets)
+DSIR_TARGET_LANG = "en"  # the "target distribution" corpus slice
+
+
+@query(
+    "text_dsir_importance_weights",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, lang, {TOKENS_DUCK} AS toks FROM documents
+    ), occ0 AS (
+      SELECT doc_id, source, lang, unnest(toks) AS w FROM t
+    ), occ AS (
+      SELECT doc_id, source, lang,
+             {hash60_duck("w")} % {DSIR_BUCKETS} AS b
+      FROM occ0 WHERE length(w) > 0
+    ), db AS (
+      SELECT doc_id, source, b, COUNT(*)::BIGINT AS cnt
+      FROM occ GROUP BY 1, 2, 3
+    ), raw AS (
+      SELECT b, COUNT(*)::BIGINT AS cr FROM occ GROUP BY b
+    ), tgt AS (
+      SELECT b, COUNT(*)::BIGINT AS ct FROM occ
+      WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+    ), tots AS (
+      SELECT (SELECT COUNT(*) FROM occ)::BIGINT AS tr,
+             (SELECT COUNT(*) FROM occ
+              WHERE lang = '{DSIR_TARGET_LANG}')::BIGINT AS tt
+    ), lr AS (
+      SELECT raw.b,
+             CAST(ln(
+               CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+                 * (tr + {DSIR_BUCKETS})
+               / (CAST(raw.cr + 1 AS DOUBLE) * (tt + {DSIR_BUCKETS}))
+             ) AS DECIMAL(18,9)) AS lw
+      FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tots
+    ), docw AS (
+      SELECT doc_id, source,
+             SUM(CAST(cnt AS DECIMAL(18,0)) * lw) AS logw
+      FROM db JOIN lr USING (b) GROUP BY 1, 2
+    )
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN logw > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_selected,
+           CAST(CAST(
+             CAST(SUM(logw) AS DOUBLE) / COUNT(*)
+             AS DECIMAL(18,9)) AS DOUBLE) AS mean_log_weight
+    FROM docw GROUP BY source
+    """,
+)
+def text_dsir_importance_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR-style data selection via hashed-feature importance
+    resampling (Xie et al., "Data Selection for Language Models via
+    Importance Resampling", NeurIPS'23 — public paper): train two
+    bag-of-hashed-ngram models — the TARGET distribution (here the
+    '{en}' slice, standing in for a high-quality reference corpus)
+    and the RAW distribution (everything) — and score each document
+    with its log importance weight Σ_b count_b · ln(p̂_t[b]/p̂_r[b])
+    under add-1 smoothing over the hashed buckets. Positive weight =
+    looks more like the target than the raw pool = keep candidate.
+    Readout: per-source doc counts, how many docs each source would
+    contribute to an importance-selected corpus, and the mean log
+    weight — the "which sources resemble the target" planning table.
+
+    Exactness: bucket counts are exact integers; each bucket's log
+    ratio is ONE fixed IEEE chain over exact ints, ln'd once, pinned
+    DECIMAL(18,9) (the ``users_kaplan_meier`` ln-term precedent); the
+    per-doc weight is an exact DECIMAL dot product of BIGINT counts
+    with those pinned terms (order-insensitive); the per-source mean
+    is one double division pinned DECIMAL(18,9).
+
+    Plan & scale: one token explode reduced immediately by the
+    (doc, bucket) partial aggregate; the two distribution models are
+    {DSIR_BUCKETS}-row aggregates of that frame; the log-ratio map is a
+    {DSIR_BUCKETS}-row BROADCAST join back onto the doc-bucket frame; the
+    final rollups shuffle on doc then source. No driver math, no
+    per-row Python — at 100 TB the only corpus-sized exchanges are
+    the two hash aggregates the scoring needs anyway."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.explode(F.expr(TOKENS_SPARK)).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.expr(f"{hash60_spark('w')} % {DSIR_BUCKETS}").alias("b"),
+        )
+    )
+    occ = persist_tracked(occ)
+    db = occ.groupBy("doc_id", "source", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    raw = occ.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        occ.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tots = occ.agg(
+        F.count(F.lit(1)).alias("tr"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("tt"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.expr(
+                f"CAST(ln("
+                f" CAST(COALESCE(ct, 0) + 1 AS DOUBLE)"
+                f"   * (tr + {DSIR_BUCKETS})"
+                f" / (CAST(cr + 1 AS DOUBLE) * (tt + {DSIR_BUCKETS}))"
+                f") AS DECIMAL(18,9))"
+            ).alias("lw"),
+        )
+    )
+    docw = (
+        db.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.col("cnt").cast("decimal(18,0)") * F.col("lw")).alias(
+                "logw"
+            )
+        )
+    )
+    return docw.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("logw") > 0, 1).otherwise(0)).alias(
+            "n_selected"
+        ),
+        F.expr(
+            "CAST(CAST(CAST(SUM(logw) AS DOUBLE) / COUNT(*)"
+            " AS DECIMAL(18,9)) AS DOUBLE)"
+        ).alias("mean_log_weight"),
+    )
+
+
+# ---- CCNet-style per-language quality buckets ---------------------------
+
+# The bucket rule, shared verbatim by both dialects: ascending LM
+# score (ties broken by doc_id) → first third = tail (worst), middle
+# third = middle, top third = head. Integral comparisons only.
+_CCNET_BUCKET_CASE = """CASE WHEN rn * 3 <= n THEN 'tail'
+           WHEN rn * 3 <= 2 * n THEN 'middle'
+           ELSE 'head' END"""
+
+from .registry import ORACLES as _ORACLES  # noqa: E402
+
+@query(
+    "text_ccnet_quality_buckets",
+    oracle=f"""
+    WITH lm AS ({_ORACLES["text_unigram_lm_quality"]}),
+    d AS (
+      SELECT lm.doc_id, lm.lm_score, documents.lang
+      FROM lm JOIN documents USING (doc_id)
+    ),
+    r AS (
+      SELECT lang, lm_score,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY lm_score, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM d
+    )
+    SELECT lang,
+           {_CCNET_BUCKET_CASE} AS bucket,
+           COUNT(*)::BIGINT AS n_docs,
+           CAST(CAST(
+             CAST(SUM(CAST(lm_score AS DECIMAL(18,9))) AS DOUBLE)
+               / COUNT(*)
+             AS DECIMAL(18,9)) AS DOUBLE) AS mean_lm_score,
+           MIN(lm_score) AS min_lm_score,
+           MAX(lm_score) AS max_lm_score
+    FROM r GROUP BY 1, 2
+    """,
+)
+def text_ccnet_quality_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al.,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data", LREC'20 — public paper): score every document with
+    the corpus-trained LM (``text_unigram_lm_quality``'s exact
+    unigram score standing in for KenLM perplexity), then split EACH
+    LANGUAGE into head/middle/tail terciles — the partition CCNet
+    publishes and trainers mix from. Bucketing per language matters:
+    a global cut would put all of a low-resource language in the
+    tail just because its unigram mass is thinner.
+
+    Determinism: tercile boundaries are rank-based with doc_id
+    tiebreak — integral comparisons (rn·3 vs n), no percentile
+    interpolation — so both engines bucket identically even if
+    scores tie. Bucket means sum the already-pinned scores as exact
+    DECIMAL(18,9); min/max are order-insensitive picks of
+    bit-identical doubles.
+
+    Plan & scale: reuses the LM operator's two-pass plan, then ranks
+    within language. The rank here is a per-language window — fine
+    while languages are few and balanced, but one mega-language at
+    100 TB would funnel through one task; the scale path is the
+    grouped range-exchange prefix (``_range_prefix(group_cols=
+    ['lang'])`` in stattests.py) exactly as ``stats_ks_source_drift``
+    ranks per source. Kept as the window form here because the
+    grouped-prefix machinery needs the (score, doc_id) frame
+    pre-aggregated, which the LM output already is — swapping in the
+    prefix is a one-line change documented for the cluster profile."""
+    lm = text_unigram_lm_quality(spark, sf_dir).select(
+        "doc_id", "lm_score"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    d = lm.join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy("lm_score", "doc_id")
+    r = d.select(
+        "lang",
+        "lm_score",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang"))
+        .alias("n"),
+    )
+    return r.groupBy(
+        "lang", F.expr(_CCNET_BUCKET_CASE).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            "CAST(CAST(CAST(SUM(CAST(lm_score AS DECIMAL(18,9)))"
+            " AS DOUBLE) / COUNT(*) AS DECIMAL(18,9)) AS DOUBLE)"
+        ).alias("mean_lm_score"),
+        F.min("lm_score").alias("min_lm_score"),
+        F.max("lm_score").alias("max_lm_score"),
+    )
+
+
+# ---- deterministic weighted sample (Efraimidis-Spirakis) -----------------
+
+WEIGHTED_SAMPLE_K = 200
+_TWO_POW_60 = 1152921504606846976  # hash60 range
+
+
+def _es_key(dialect: str) -> str:
+    """The Efraimidis–Spirakis exponential key −ln(u)/w as one fixed
+    IEEE chain: u = (hash60(doc_id)+1)/2^60 ∈ (0,1], w = n_chars.
+    ln(u) is pinned DECIMAL(18,9) before the division (a final-ulp
+    libm/JVM ln disagreement at the 1e-16 scale cannot survive the
+    1e-9 rounding), the key itself DECIMAL(18,12)."""
+    h = (
+        hash60_spark("CAST(doc_id AS STRING)")
+        if dialect == "spark"
+        else hash60_duck("CAST(doc_id AS VARCHAR)")
+    )
+    return (
+        f"CAST(-CAST(CAST(ln(CAST({h} + 1 AS DOUBLE)"
+        f" / CAST({_TWO_POW_60} AS DOUBLE)) AS DECIMAL(18,9))"
+        f" AS DOUBLE) / n_chars AS DECIMAL(18,12))"
+    )
+
+
+@query(
+    "text_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, source, n_chars, CAST(es_key AS DOUBLE) AS es_key
+    FROM (
+      SELECT doc_id, source, n_chars,
+             {_es_key("duck")} AS es_key
+      FROM documents
+    )
+    ORDER BY es_key ASC, doc_id ASC
+    LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+)
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LENGTH-WEIGHTED sample without replacement —
+    Efraimidis–Spirakis exponential keys (Efraimidis & Spirakis,
+    IPL'06, the weighted-reservoir classic): each doc draws
+    u ∈ (0,1] from a content-independent hash of its id and is ranked
+    by −ln(u)/w with w = n_chars; the K smallest keys ARE a weighted
+    sample without replacement (longer docs proportionally likelier —
+    the token-budget-aware sibling of ``text_uniform_sample``, for
+    eval sets that should reflect token mass rather than doc count).
+
+    Reproducible by construction: same hash → same sample on every
+    run, engine, and partitioning; adding docs perturbs the sample
+    only by the newcomers' own keys — the property that makes the
+    sample auditable (the uniform-sample contract, now weighted).
+
+    Determinism across engines: ln is the only libm call; its input
+    is a correctly-rounded double of exact ints (identical bits both
+    sides) and its output is pinned DECIMAL(18,9) before the one
+    further division, so a final-ulp ln disagreement is rounded away;
+    ties (astronomically unlikely at 12 decimals) break on doc_id in
+    both dialects.
+
+    Plan: per-row key projection → TakeOrderedAndProject(K) — one
+    scan, no shuffle, K·P driver rows at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.expr(_es_key("spark")).cast("double").alias("es_key"),
+        )
+        .orderBy(F.col("es_key").asc(), F.col("doc_id").asc())
+        .limit(WEIGHTED_SAMPLE_K)
+    )
