@@ -1183,3 +1183,136 @@ def dedup_cluster_size_histogram(
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
     )
+
+
+# ---- average local clustering coefficient --------------------------------
+
+
+@query(
+    "graph_local_clustering",
+    oracle=_COACTIVITY_EDGES_DUCK
+    + """
+    , tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+    ), pn AS (
+      SELECT node, COUNT(*)::BIGINT AS t FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    ), deg AS (
+      SELECT node, COUNT(*)::BIGINT AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    ), loc AS (
+      SELECT deg.node, deg.d,
+             CAST(CAST(2 AS DOUBLE) * COALESCE(pn.t, 0)
+                  / (CAST(deg.d AS DOUBLE) * (deg.d - 1))
+                  AS DECIMAL(18,9)) AS cc
+      FROM deg LEFT JOIN pn USING (node)
+      WHERE deg.d >= 2
+    )
+    SELECT COUNT(*)::BIGINT AS n_nodes_deg2,
+           SUM(CASE WHEN cc > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_closed_nodes,
+           CAST(CAST(
+             CAST(SUM(cc) AS DOUBLE) / COUNT(*)
+             AS DECIMAL(18,6)) AS DOUBLE) AS avg_local_clustering
+    FROM loc
+    """,
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGE LOCAL clustering coefficient (Watts–Strogatz) of the
+    user co-activity graph — the per-node complement of
+    ``graph_triangle_count``'s global transitivity: C̄ = mean over
+    nodes (d ≥ 2) of 2·t(v)/(d(v)(d(v)−1)). The two disagree exactly
+    when closure is unevenly distributed (a clique-of-hubs graph has
+    high global, low average-local) — the readout community detection
+    sanity checks lean on.
+
+    Spark side reuses the DEGREE-ORIENTED triangle enumeration (each
+    triangle materialized once, out-degrees O(√m) under skew — the
+    compact-forward design the triangle op documents), then credits
+    each triangle to all THREE corners via explode and aggregates
+    per node. Per-node cc is an exact-int ratio through one fixed
+    IEEE chain pinned DECIMAL(18,9); the average is an exact DECIMAL
+    sum over nodes divided once, pinned DECIMAL(18,6). Nodes with
+    d < 2 are excluded (cc undefined), the convention both dialects
+    apply identically.
+
+    Plan: the same two equi-joins as the triangle count, one explode
+    (3 rows per triangle), two hash aggregates — no new shuffle class
+    beyond the verified triangle plan."""
+    from .events import events_interval_overlap_join
+
+    pairs = events_interval_overlap_join(spark, sf_dir)
+    edges = persist_tracked(
+        pairs.select(
+            F.col("user_a").alias("u"), F.col("user_b").alias("v")
+        ).distinct()
+    )
+    deg = persist_tracked(
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ranked = edges.join(du, "u").join(dv, "v")
+    fwd = F.col("du") < F.col("dv")
+    tie = (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    oriented = persist_tracked(
+        ranked.select(
+            F.when(fwd | tie, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd | tie, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(fwd | tie, F.col("dv"))
+            .otherwise(F.col("du"))
+            .alias("dst_d"),
+        )
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    o3 = oriented.select("src", "dst").alias("o3")
+    rank_lt = (F.col("o1.dst_d") < F.col("o2.dst_d")) | (
+        (F.col("o1.dst_d") == F.col("o2.dst_d"))
+        & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    wedges = o1.join(
+        o2, (F.col("o1.src") == F.col("o2.src")) & rank_lt
+    ).select(
+        F.col("o1.src").alias("w"),
+        F.col("o1.dst").alias("x"),
+        F.col("o2.dst").alias("y"),
+    )
+    tri = wedges.join(
+        o3,
+        (F.col("o3.src") == F.col("x")) & (F.col("o3.dst") == F.col("y")),
+    ).select("w", "x", "y")
+    pn = (
+        tri.select(F.explode(F.array("w", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    loc = (
+        deg.join(pn, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.expr(
+                "CAST(CAST(2 AS DOUBLE) * COALESCE(t, 0)"
+                " / (CAST(d AS DOUBLE) * (d - 1)) AS DECIMAL(18,9))"
+            ).alias("cc")
+        )
+    )
+    return loc.agg(
+        F.count(F.lit(1)).alias("n_nodes_deg2"),
+        F.sum(F.when(F.col("cc") > 0, 1).otherwise(0)).alias(
+            "n_closed_nodes"
+        ),
+        F.expr(
+            "CAST(CAST(CAST(SUM(cc) AS DOUBLE) / COUNT(*)"
+            " AS DECIMAL(18,6)) AS DOUBLE)"
+        ).alias("avg_local_clustering"),
+    )

@@ -340,3 +340,64 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("s", "[aeiou]", "*").alias("devoweled"),
     )
 
+
+
+# ---- bitwise function family --------------------------------------------
+
+
+@query(
+    "scalar_bitwise_funcs",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus,
+             o_orderkey,
+             ((o_orderkey & 255) << 8) | (o_custkey & 255) AS mask,
+             xor(o_orderkey & 65535, o_custkey & 65535) AS xr
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           COUNT(*)::BIGINT AS n,
+           bit_and(o_orderkey)::BIGINT AS key_and,
+           bit_or(o_orderkey)::BIGINT AS key_or,
+           bit_xor(o_orderkey)::BIGINT AS key_xor,
+           bit_xor(mask)::BIGINT AS mask_xor,
+           SUM(bit_count(CAST(o_orderkey AS BIGINT)))::BIGINT
+             AS total_popcount,
+           SUM(bit_count(CAST(xr AS BIGINT)))::BIGINT
+             AS total_xor_popcount
+    FROM m GROUP BY o_orderstatus
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family — row-level AND/OR/XOR/shift masking,
+    popcount, and the BIT_AND/BIT_OR/BIT_XOR aggregates — grouped by
+    order status. The surface a bitmap/fingerprint workload leans on
+    (``dedup_simhash``'s Hamming machinery uses popcount-over-XOR;
+    this query pins the primitive family itself cross-engine,
+    including the aggregate forms the simhash path doesn't touch).
+
+    Everything is exact integer arithmetic on BIGINT — bit-identical
+    across engines by definition; XOR-aggregates are order-insensitive
+    (commutative group), AND/OR idempotent, so no determinism pinning
+    is needed anywhere.
+
+    Plan: a pure codegen mask projection into one partial+final hash
+    aggregate on a 3-value key — one scan, one tiny shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.expr(
+            "shiftleft(o_orderkey & 255, 8) | (o_custkey & 255)"
+        ).alias("mask"),
+        F.expr("(o_orderkey & 65535) ^ (o_custkey & 65535)").alias("xr"),
+    )
+    return m.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+        F.bit_xor("mask").alias("mask_xor"),
+        F.sum(F.bit_count("o_orderkey")).alias("total_popcount"),
+        F.sum(F.bit_count("xr")).alias("total_xor_popcount"),
+    )
