@@ -2390,3 +2390,243 @@ def stats_logrank_weekday_cohort(
             " AS DECIMAL(18,6)) AS DOUBLE)"
         ).alias("logrank_z"),
     )
+
+
+# ---- bias-corrected Cramér's V ------------------------------------------
+
+
+def _cramers_sql(table: str, bigint: str) -> str:
+    """Shared dialect-neutral text for the chi²→V chain; only the
+    source table name and the BIGINT cast spelling differ. The chi²
+    terms reuse ``orders_chi2_priority_status``'s DECIMAL(18,6) pin,
+    so the two readouts cannot drift."""
+    return f"""
+    WITH obs AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st,
+             COUNT(*) AS o
+      FROM {table} GROUP BY 1, 2
+    ),
+    rt AS (SELECT pri, SUM(o) AS r FROM obs GROUP BY pri),
+    ct AS (SELECT st, SUM(o) AS c FROM obs GROUP BY st),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    dims AS (
+      SELECT CAST(COUNT(DISTINCT pri) AS {bigint}) AS r_dim,
+             CAST(COUNT(DISTINCT st) AS {bigint}) AS c_dim
+      FROM obs
+    ),
+    terms AS (
+      SELECT CAST(
+        (obs.o - (rt.r * ct.c * 1.0 / n.n))
+        * (obs.o - (rt.r * ct.c * 1.0 / n.n))
+        / (rt.r * ct.c * 1.0 / n.n) AS DECIMAL(18,6)) AS term
+      FROM obs JOIN rt ON rt.pri = obs.pri
+               JOIN ct ON ct.st = obs.st
+               CROSS JOIN n
+    ),
+    chi AS (SELECT SUM(term) AS chi2 FROM terms)
+    SELECT CAST(n.n AS {bigint}) AS n,
+           dims.r_dim AS n_rows_dim,
+           dims.c_dim AS n_cols_dim,
+           CAST(chi.chi2 AS DOUBLE) AS chi2,
+           CAST(CAST(sqrt(
+             CAST(chi.chi2 AS DOUBLE) / n.n
+             / (CASE WHEN dims.r_dim < dims.c_dim
+                     THEN dims.r_dim ELSE dims.c_dim END - 1)
+           ) AS DECIMAL(18,6)) AS DOUBLE) AS cramers_v,
+           CAST(CAST(sqrt(
+             (CASE WHEN CAST(chi.chi2 AS DOUBLE) / n.n
+                        - CAST((dims.r_dim - 1) * (dims.c_dim - 1)
+                               AS DOUBLE) / (n.n - 1) > CAST(0 AS DOUBLE)
+                   THEN CAST(chi.chi2 AS DOUBLE) / n.n
+                        - CAST((dims.r_dim - 1) * (dims.c_dim - 1)
+                               AS DOUBLE) / (n.n - 1)
+                   ELSE CAST(0 AS DOUBLE) END)
+             / (CASE WHEN
+                  CAST(dims.r_dim AS DOUBLE)
+                    - CAST((dims.r_dim - 1) * (dims.r_dim - 1)
+                           AS DOUBLE) / (n.n - 1)
+                  < CAST(dims.c_dim AS DOUBLE)
+                    - CAST((dims.c_dim - 1) * (dims.c_dim - 1)
+                           AS DOUBLE) / (n.n - 1)
+                THEN CAST(dims.r_dim AS DOUBLE)
+                     - CAST((dims.r_dim - 1) * (dims.r_dim - 1)
+                            AS DOUBLE) / (n.n - 1)
+                ELSE CAST(dims.c_dim AS DOUBLE)
+                     - CAST((dims.c_dim - 1) * (dims.c_dim - 1)
+                            AS DOUBLE) / (n.n - 1) END - 1)
+           ) AS DECIMAL(18,6)) AS DOUBLE) AS cramers_v_corrected
+    FROM chi CROSS JOIN n CROSS JOIN dims
+    """
+
+
+@query(
+    "orders_cramers_v",
+    oracle=_cramers_sql("orders", "BIGINT"),
+)
+def orders_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bias-corrected Cramér's V between order priority and status —
+    the EFFECT SIZE companion to ``orders_chi2_priority_status``: chi²
+    says "dependent beyond chance" on any big table (everything is
+    significant at n=millions); V says "how strongly", on a 0–1 scale
+    comparable across tables, and the Bergsma-corrected variant
+    removes the small-sample inflation (V̄ = √(φ̃²/min(r̃,c̃)−1) with
+    φ̃² = max(0, φ² − (r−1)(c−1)/(n−1)) — public correction from
+    Bergsma 2013). This is the feature-screening number a curation
+    pipeline actually thresholds on.
+
+    Exactness: identical chi² DECIMAL(18,6) terms as the chi²
+    operator (shared text), then ONE fixed dialect-neutral IEEE
+    chain (CASE-based max/min — GREATEST/LEAST argument typing
+    differs across engines) pinned DECIMAL(18,6).
+
+    Plan: one contingency aggregate over a 15-cell key, broadcast
+    row/col margins, 1-row finish."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("cramers_orders")
+    return spark.sql(_cramers_sql("cramers_orders", "BIGINT"))
+
+
+# ---- two-sample Poisson rate test ---------------------------------------
+
+
+def _poisson_sql(table: str, isodow_wd: str, bigint: str) -> str:
+    return f"""
+    WITH days AS (
+      SELECT CAST(ts AS DATE) AS day,
+             MAX(CASE WHEN {isodow_wd} THEN 1 ELSE 0 END) AS is_wd
+      FROM {table} GROUP BY 1
+    ),
+    expo AS (
+      SELECT CAST(SUM(is_wd) AS {bigint}) AS t1,
+             CAST(SUM(1 - is_wd) AS {bigint}) AS t2
+      FROM days
+    ),
+    err AS (
+      SELECT CAST(SUM(CASE WHEN {isodow_wd} THEN 1 ELSE 0 END)
+                  AS {bigint}) AS x1,
+             CAST(SUM(CASE WHEN {isodow_wd} THEN 0 ELSE 1 END)
+                  AS {bigint}) AS x2
+      FROM {table} WHERE event_type = 'error'
+    )
+    SELECT x1 AS n_weekday_errors, x2 AS n_weekend_errors,
+           t1 AS n_weekday_days, t2 AS n_weekend_days,
+           CAST(CAST(
+             (CAST(x1 AS DOUBLE) / t1) / (CAST(x2 AS DOUBLE) / t2)
+             AS DECIMAL(18,6)) AS DOUBLE) AS rate_ratio,
+           CAST(CAST(
+             (CAST(x1 AS DOUBLE)
+                - (x1 + x2) * (CAST(t1 AS DOUBLE) / (t1 + t2)))
+             / sqrt((x1 + x2) * (CAST(t1 AS DOUBLE) / (t1 + t2))
+                    * (CAST(1 AS DOUBLE)
+                       - CAST(t1 AS DOUBLE) / (t1 + t2)))
+             AS DECIMAL(18,6)) AS DOUBLE) AS poisson_z
+    FROM err CROSS JOIN expo
+    """
+
+
+@query(
+    "events_poisson_rate_test",
+    oracle=_poisson_sql(
+        "events", "isodow(CAST(ts AS TIMESTAMP)) <= 5", "BIGINT"
+    ),
+)
+def events_poisson_rate_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Poisson rate test: is the ERROR-event rate per
+    observed day different on weekdays vs weekends? The COUNT-rate
+    sibling of ``events_error_rate_wilson`` (a proportion of events)
+    and ``events_ab_test_lift`` (a mean of values): here the unit of
+    exposure is TIME, so the right model is Poisson counts over t₁ vs
+    t₂ observed days, and the classic conditional test applies —
+    given the total X₁+X₂, the weekday count is Binomial(n, t₁/(t₁+t₂)),
+    z = (X₁ − n·p₀)/√(n·p₀(1−p₀)) (the binomial test for comparing
+    two Poisson rates, Przyborowski & Wilenski 1940 — public).
+
+    Exactness: exposures and counts are exact integers (calendar
+    days observed, via one distinct-day aggregate); the z and the
+    rate ratio are each ONE fixed IEEE chain pinned DECIMAL(18,6).
+
+    Plan: two scans of the events table (one day-distinct aggregate,
+    one filtered count), each a partial+final hash agg; 1-row cross
+    joins to finish. Nothing scales past the day count."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("poisson_events")
+    return spark.sql(
+        _poisson_sql("poisson_events", "weekday(ts) <= 4", "BIGINT")
+    )
+
+
+# ---- Wald–Wolfowitz runs test on the daily revenue series ---------------
+
+
+def _runs_sql(table: str, median_fn: str, bigint: str) -> str:
+    return f"""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS rev
+      FROM {table} GROUP BY 1
+    ),
+    med AS (SELECT {median_fn} AS m FROM d),
+    s AS (
+      SELECT day, CASE WHEN rev > m THEN 1 ELSE 0 END AS above
+      FROM d CROSS JOIN med
+      WHERE rev <> m
+    ),
+    runs AS (
+      SELECT above,
+             CASE WHEN LAG(above) OVER (ORDER BY day) IS NULL
+                    OR LAG(above) OVER (ORDER BY day) <> above
+                  THEN 1 ELSE 0 END AS new_run
+      FROM s
+    ),
+    mo AS (
+      SELECT CAST(SUM(above) AS {bigint}) AS n1,
+             CAST(SUM(1 - above) AS {bigint}) AS n2,
+             CAST(SUM(new_run) AS {bigint}) AS r
+      FROM runs
+    )
+    SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+           CAST(CAST(
+             (CAST(r AS DOUBLE)
+                - (CAST(1 AS DOUBLE)
+                   + CAST(2 AS DOUBLE) * n1 * n2 / (n1 + n2)))
+             / sqrt(
+                 (CAST(2 AS DOUBLE) * n1 * n2
+                    * (CAST(2 AS DOUBLE) * n1 * n2 - n1 - n2))
+                 / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                    * (n1 + n2 - 1)))
+             AS DECIMAL(18,6)) AS DOUBLE) AS runs_z
+    FROM mo
+    """
+
+
+@query(
+    "stats_runs_test_daily",
+    oracle=_runs_sql("orders", "quantile_cont(rev, 0.5)", "BIGINT"),
+)
+def stats_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily order-revenue series:
+    are above-median and below-median days RANDOMLY interleaved, or
+    does revenue streak (regimes/momentum)? Complements the trend
+    tests (``stats_theil_sen_trend``, ``stats_kendall_tau_daily``) —
+    a series can be trendless yet strongly streaky, and streakiness
+    is what breaks iid assumptions in bootstrap CIs.
+
+    Median-split with exact-tie exclusion (days exactly at the
+    median drop, the standard convention, applied identically in
+    both dialects: daily revenue is a DECIMAL-exact sum cast once to
+    DOUBLE, the median is the shared type-7 interpolation, and both
+    the > and <> comparisons see bit-identical doubles). Run count
+    via LAG over the day order; z from the exact n₁/n₂/R integers
+    through ONE fixed chain pinned DECIMAL(18,6).
+
+    Plan: one scan → daily aggregate; the LAG window is global but
+    over the ~#days frame — tiny BY CONSTRUCTION (the
+    ``events_cusum_changepoint`` exception)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("runs_orders")
+    return spark.sql(
+        _runs_sql("runs_orders", "percentile(rev, 0.5D)", "BIGINT")
+    )
