@@ -361,3 +361,108 @@ def streaming_session_window_counts(
         )
         q.awaitTermination(300)
     return spark.table(name)
+
+
+HOP_W_MIN = 60  # hopping window width (shared with events.py geometry)
+HOP_S_MIN = 30  # slide
+_HOP_S_US = HOP_S_MIN * 60 * 1_000_000
+
+
+@query(
+    "streaming_hopping_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+             unnest([
+               make_timestamp(
+                 (epoch_us(CAST(ts AS TIMESTAMP))
+                  // {_HOP_S_US} - i) * {_HOP_S_US})
+               for i in range({HOP_W_MIN // HOP_S_MIN})
+             ]) AS win_start
+      FROM events
+    )
+    SELECT win_start::TIMESTAMP AS window_start,
+           (win_start + INTERVAL {HOP_W_MIN} MINUTES)::TIMESTAMP
+             AS window_end,
+           COUNT(*)::BIGINT AS n_events,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+             AS n_errors,
+           CAST(CAST(
+             CAST(SUM(CASE WHEN event_type = 'error'
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS DECIMAL(18,9)) AS DOUBLE) AS error_rate
+    FROM g
+    WHERE ts >= win_start
+      AND ts < win_start + INTERVAL {HOP_W_MIN} MINUTES
+    GROUP BY win_start
+    """,
+)
+def streaming_hopping_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HOPPING-window error-rate monitor run as a real structured
+    stream: 60-minute windows sliding every 30 (each event lands in
+    two windows — the overlapping-assignment state the tumbling row
+    ``streaming_windowed_counts`` never exercises), emitting per
+    window the event count, error count, and pinned error rate — the
+    alerting readout an on-call burn-rate monitor would stream.
+
+    Same determinism contract as the other streaming rows: file
+    source over the events parquet, ``availableNow`` backlog drain,
+    COMPLETE output mode (finite run emits every window in state →
+    result equals the batch hopping GROUP BY, which is exactly what
+    the DuckDB oracle computes via explicit window enumeration); the
+    rate is exact-int division pinned DECIMAL(18,9).
+
+    Scale: sliding windows multiply state rows by width/slide (2×
+    here) — the state-sizing note in ``streaming/``'s watermark
+    tests; production would run append mode + watermark so state
+    stays bounded by the lateness horizon, same dataflow."""
+    path = os.path.join(sf_dir, "events.parquet")
+    physical = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.format("parquet")
+        .schema(physical)
+        .option("maxFilesPerTrigger", 64)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    ev = src.select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    agg = (
+        ev.groupBy(
+            F.window(
+                "ts", f"{HOP_W_MIN} minutes", f"{HOP_S_MIN} minutes"
+            ).alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("n_errors"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "n_errors",
+            F.expr(
+                "CAST(CAST(CAST(n_errors AS DOUBLE) / n_events"
+                " AS DECIMAL(18,9)) AS DOUBLE)"
+            ).alias("error_rate"),
+        )
+    )
+    name = f"shc_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(name)
