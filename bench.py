@@ -207,6 +207,21 @@ HEADLINE = [
     "events_transition_contract",
     "lineitem_leadtime_percentiles",
     "dedup_cluster_size_histogram",
+    # round-9 continuation additions (same comparability rule: shared
+    # prefix comparable across rounds; totals comparable once a full
+    # bench lands with them)
+    "stats_spearman_price_quantity",
+    "stats_kendall_tau_daily",
+    "stats_logrank_weekday_cohort",
+    "text_dsir_importance_weights",
+    "text_ccnet_quality_buckets",
+    "text_weighted_sample",
+    "scalar_bitwise_funcs",
+    "graph_local_clustering",
+    "orders_cramers_v",
+    "events_poisson_rate_test",
+    "stats_runs_test_daily",
+    "streaming_hopping_counts",
     # scan_text_log_parse: full-table text rewrite job — gate-checked
     # for lossless round-trip, excluded like the other rewrite jobs.
     # versioned_forget_customers: full-table versioned rewrite job —

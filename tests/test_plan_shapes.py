@@ -824,3 +824,45 @@ def test_scd2_pit_join_is_equi_with_residual_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in final
     assert "CartesianProduct" not in final
     assert ("SortMergeJoin" in final) or ("BroadcastHashJoin" in final)
+
+
+def test_spearman_price_ranks_ride_range_exchange(spark):
+    """The price-side rank map (corpus-scale distinct values) must
+    cumsum through the range-exchange prefix — a single-partition
+    window over distinct prices is the 100× funnel. The quantity map
+    (≤50 values by TPC-H domain) is the one allowed tiny global
+    window."""
+    final = _final(_plan(spark, "stats_spearman_price_quantity"))
+    assert "rangepartitioning" in final.lower()
+    assert len(_windows_fed_by_single_partition(final)) <= 1
+
+
+def test_dsir_logratio_map_is_broadcast_one_token_pass(spark):
+    """The 256-bucket log-ratio map must BROADCAST onto the doc-bucket
+    frame (shuffling the corpus frame to meet 256 rows is the bug),
+    and the token explode must run once into the persisted frame —
+    the two distribution models and the scoring all read the cache."""
+    plan = _plan(spark, "text_dsir_importance_weights")
+    outer = _outer_final(plan)
+    assert "BroadcastHashJoin" in outer
+    assert outer.count("documents.parquet") == 0  # all reads via cache
+    assert "InMemoryTableScan" in outer
+
+
+def test_weighted_sample_is_takeordered(spark):
+    """Efraimidis–Spirakis selection must plan as
+    TakeOrderedAndProject (per-partition top-K, driver merge) — a
+    global Sort before the limit would shuffle the corpus."""
+    final = _final(_plan(spark, "text_weighted_sample"))
+    assert "TakeOrderedAndProject" in final
+    assert "Exchange" not in final
+
+
+def test_local_clustering_joins_stay_equi(spark):
+    """The wedge and closure joins of the local-clustering triangle
+    enumeration must stay EQUI joins (hash/sort-merge on src and
+    (x,y)) — a BroadcastNestedLoopJoin means the rank-canonical
+    orientation fell out and the join is quadratic in neighbors."""
+    final = _final(_plan(spark, "graph_local_clustering"))
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "CartesianProduct" not in final
