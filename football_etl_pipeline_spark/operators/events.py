@@ -2595,3 +2595,75 @@ def events_transition_contract(
             F.col("a_from").isNotNull().alias("is_allowed"),
         )
     )
+
+
+# ---- DAU/MAU stickiness ---------------------------------------------------
+
+
+@query(
+    "events_user_stickiness",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             COUNT(DISTINCT user_id)::BIGINT AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month,
+             COUNT(DISTINCT user_id)::BIGINT AS mau
+      FROM events GROUP BY 1
+    ),
+    dm AS (
+      SELECT month, SUM(dau)::BIGINT AS dau_sum,
+             COUNT(*)::BIGINT AS n_days
+      FROM d GROUP BY month
+    )
+    SELECT CAST(dm.month AS TIMESTAMP) AS month,
+           dm.n_days, dm.dau_sum, m.mau,
+           CAST(CAST(
+             CAST(dm.dau_sum AS DOUBLE) / dm.n_days / m.mau
+             AS DECIMAL(18,9)) AS DOUBLE) AS stickiness
+    FROM dm JOIN m USING (month)
+    """,
+)
+def events_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — mean daily-active users divided
+    by monthly-active users, the engagement ratio product analytics
+    tracks next to the growth-accounting flows
+    (``events_growth_accounting``): retention says users come BACK,
+    stickiness says how much of the month they stay.
+
+    Exactness: both actives are exact DISTINCT counts; the ratio is
+    one fixed double chain over exact ints pinned DECIMAL(18,9).
+
+    Plan & scale: two exact count-distincts — (month, day, user) and
+    (month, user) — each a two-level hash aggregate that partials on
+    the composite key before counting (Spark rewrites count(DISTINCT)
+    through the grouped expand), then a ~#months join. No window, no
+    driver math; the day-level frame is the bigger shuffle and is
+    bounded by days × daily actives, not events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("month", "ts").alias("month"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    d = ev.groupBy("month", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    m = ev.groupBy("month").agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    dm = d.groupBy("month").agg(
+        F.sum("dau").alias("dau_sum"), F.count(F.lit(1)).alias("n_days")
+    )
+    return dm.join(m, "month").select(
+        "month",
+        "n_days",
+        "dau_sum",
+        "mau",
+        F.expr(
+            "CAST(CAST(CAST(dau_sum AS DOUBLE) / n_days / mau"
+            " AS DECIMAL(18,9)) AS DOUBLE)"
+        ).alias("stickiness"),
+    )

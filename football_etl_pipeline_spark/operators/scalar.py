@@ -401,3 +401,70 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("o_orderkey")).alias("total_popcount"),
         F.sum(F.bit_count("xr")).alias("total_xor_popcount"),
     )
+
+
+# ---- URL function family --------------------------------------------------
+
+
+@query(
+    "scalar_url_funcs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+               || '&rev=2' AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           url,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '^([a-z]+):', 1) AS protocol,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           regexp_extract(url, '[?&]rev=([^&#]*)', 1) AS rev_param
+    FROM t
+    """,
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing family — host/path/protocol extraction and query-
+    parameter lookup via Spark's native ``parse_url`` (the JVM-side
+    java.net parser web-crawl curation pipelines lean on for
+    domain-level filtering and dedup keys). URLs are synthesized
+    deterministically from document attributes (the testdata carries
+    no URL column), which also pins the generation expression
+    cross-engine.
+
+    The oracle can't call parse_url (no DuckDB analog), so it
+    re-derives each component with anchored regexes — equivalence
+    holds on this URL shape because the synthesized URLs are
+    RFC-plain (no userinfo/port/fragment corner cases where
+    java.net and a regex would diverge).
+
+    Plan: pure codegen projection — one scan, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            F.col("lang"),
+            F.lit("&rev=2"),
+        ).alias("url"),
+    )
+    return t.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias(
+            "lang_param"
+        ),
+        F.parse_url("url", F.lit("QUERY"), F.lit("rev")).alias(
+            "rev_param"
+        ),
+    )
