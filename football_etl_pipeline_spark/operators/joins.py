@@ -513,3 +513,126 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("revenue"),
     )
+
+
+@query(
+    "join_asof_nearest_purchase",
+    oracle="""
+    SELECT event_id, user_id, ts, nearest_purchase_ts, direction, gap_us
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             CASE
+               WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+               WHEN prev_ts IS NULL THEN next_ts
+               WHEN next_ts IS NULL THEN prev_ts
+               WHEN epoch_us(ts) - epoch_us(prev_ts)
+                    <= epoch_us(next_ts) - epoch_us(ts) THEN prev_ts
+               ELSE next_ts
+             END AS nearest_purchase_ts,
+             CASE
+               WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+               WHEN prev_ts IS NULL THEN 'next'
+               WHEN next_ts IS NULL THEN 'prev'
+               WHEN epoch_us(ts) - epoch_us(prev_ts)
+                    <= epoch_us(next_ts) - epoch_us(ts) THEN 'prev'
+               ELSE 'next'
+             END AS direction,
+             CASE
+               WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+               WHEN prev_ts IS NULL
+                 THEN epoch_us(next_ts) - epoch_us(ts)
+               WHEN next_ts IS NULL
+                 THEN epoch_us(ts) - epoch_us(prev_ts)
+               WHEN epoch_us(ts) - epoch_us(prev_ts)
+                    <= epoch_us(next_ts) - epoch_us(ts)
+                 THEN epoch_us(ts) - epoch_us(prev_ts)
+               ELSE epoch_us(next_ts) - epoch_us(ts)
+             END AS gap_us
+      FROM (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               event_type,
+               LAST_VALUE(CASE WHEN event_type = 'purchase'
+                               THEN CAST(ts AS TIMESTAMP) END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_ts,
+               FIRST_VALUE(CASE WHEN event_type = 'purchase'
+                                THEN CAST(ts AS TIMESTAMP) END
+                           IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING
+                                AND UNBOUNDED FOLLOWING) AS next_ts
+        FROM events
+      )
+    )
+    WHERE event_type = 'click'
+    """,
+)
+def join_asof_nearest_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NEAREST-direction as-of join: for every click, the purchase by
+    the same user closest in time in EITHER direction (ties go to the
+    earlier/backward match — the deterministic convention pandas'
+    ``merge_asof(direction='nearest')`` uses). Completes the as-of
+    family: ``join_asof_last_purchase`` is backward,
+    ``join_asof_next_purchase`` forward, this is nearest — three
+    semantics, one implementation pattern.
+
+    Same scalable shape as its siblings: union-stream window over
+    (user_id, ts) — the backward frame (last ignore-nulls preceding)
+    and forward frame (first ignore-nulls following) share ONE
+    exchange and ONE sort; the nearest pick is a pure projection on
+    exact microsecond integers (no float time math). A range
+    self-join would be quadratic per user; this is one sort per user
+    partition at any scale.
+
+    Exactness: gaps are exact BIGINT microsecond differences; the
+    tie rule (≤ keeps backward) is spelled identically in both
+    dialects; no rounding anywhere."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wb = base.rowsBetween(Window.unboundedPreceding, -1)
+    wf = base.rowsBetween(1, Window.unboundedFollowing)
+    pts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(pts, ignorenulls=True).over(wb).alias("prev_ts"),
+        F.first(pts, ignorenulls=True).over(wf).alias("next_ts"),
+    )
+    back_gap = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    fwd_gap = F.unix_micros("next_ts") - F.unix_micros("ts")
+    both_null = F.col("prev_ts").isNull() & F.col("next_ts").isNull()
+    take_prev = back_gap <= fwd_gap
+    return (
+        marked.filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(both_null, F.lit(None).cast("timestamp"))
+            .when(F.col("prev_ts").isNull(), F.col("next_ts"))
+            .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+            .when(take_prev, F.col("prev_ts"))
+            .otherwise(F.col("next_ts"))
+            .alias("nearest_purchase_ts"),
+            F.when(both_null, F.lit(None).cast("string"))
+            .when(F.col("prev_ts").isNull(), F.lit("next"))
+            .when(F.col("next_ts").isNull(), F.lit("prev"))
+            .when(take_prev, F.lit("prev"))
+            .otherwise(F.lit("next"))
+            .alias("direction"),
+            F.when(both_null, F.lit(None).cast("bigint"))
+            .when(F.col("prev_ts").isNull(), fwd_gap)
+            .when(F.col("next_ts").isNull(), back_gap)
+            .when(take_prev, back_gap)
+            .otherwise(fwd_gap)
+            .alias("gap_us"),
+        )
+    )
