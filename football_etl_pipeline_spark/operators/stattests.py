@@ -2707,3 +2707,81 @@ def features_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("woe_orders")
     return spark.sql(_woe_sql("woe_orders", "BIGINT"))
+
+
+# ---- XmR (individuals / moving-range) control chart ----------------------
+
+
+def _xmr_sql(table: str, bigint: str) -> str:
+    """Shared dialect-neutral XmR text. The 2.66 constant is d2-scaled
+    (3/1.128), the standard individuals-chart factor; spelled as one
+    CAST literal so both engines see identical bits."""
+    return f"""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM {table} GROUP BY 1
+    ),
+    mr AS (
+      SELECT day, rev,
+             abs(rev - LAG(rev) OVER (ORDER BY day)) AS mrange
+      FROM d
+    ),
+    mo AS (
+      SELECT CAST(COUNT(*) AS {bigint}) AS n_days,
+             CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS mean_rev,
+             CAST(SUM(mrange) AS DOUBLE) / (COUNT(*) - 1) AS mean_mr
+      FROM mr
+    ),
+    lim AS (
+      SELECT n_days, mean_rev, mean_mr,
+             mean_rev + CAST(2.66 AS DOUBLE) * mean_mr AS ucl,
+             mean_rev - CAST(2.66 AS DOUBLE) * mean_mr AS lcl
+      FROM mo
+    ),
+    fl AS (
+      SELECT CAST(SUM(CASE WHEN CAST(rev AS DOUBLE) > ucl
+                           THEN 1 ELSE 0 END) AS {bigint}) AS n_above,
+             CAST(SUM(CASE WHEN CAST(rev AS DOUBLE) < lcl
+                           THEN 1 ELSE 0 END) AS {bigint}) AS n_below
+      FROM mr CROSS JOIN lim
+    )
+    SELECT lim.n_days,
+           CAST(CAST(lim.mean_rev AS DECIMAL(18,6)) AS DOUBLE)
+             AS mean_rev,
+           CAST(CAST(lim.mean_mr AS DECIMAL(18,6)) AS DOUBLE)
+             AS mean_moving_range,
+           CAST(CAST(lim.ucl AS DECIMAL(18,6)) AS DOUBLE) AS ucl,
+           CAST(CAST(lim.lcl AS DECIMAL(18,6)) AS DOUBLE) AS lcl,
+           fl.n_above AS n_above_ucl,
+           fl.n_below AS n_below_lcl
+    FROM lim CROSS JOIN fl
+    """
+
+
+@query(
+    "stats_xmr_control_chart",
+    oracle=_xmr_sql("orders", "BIGINT"),
+)
+def stats_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals & moving-range) control chart over daily
+    order revenue — Shewhart's process-behavior limits, mean ±
+    2.66·mean(MR): the ops-review screen that separates routine
+    variation from special-cause days. Complements the detectors the
+    repo already has: CUSUM finds a persistent SHIFT, MAD flags
+    outliers against a static distribution, XmR gives running
+    CONTROL LIMITS calibrated by short-term (day-to-day) variation —
+    the classic trio.
+
+    Exactness: daily revenue and moving ranges are DECIMAL(18,2)
+    exact (abs-difference of exact decimals); the means are exact
+    sums divided once; limits are one fixed IEEE chain, and every
+    day's over/under comparison sees bit-identical doubles in both
+    engines, so the flag counts are exact integers. Reported values
+    are pinned DECIMAL(18,6) at the end only.
+
+    Plan: one scan → daily aggregate; LAG and the limit comparison
+    run over the ~#days frame — tiny BY CONSTRUCTION."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("xmr_orders")
+    return spark.sql(_xmr_sql("xmr_orders", "BIGINT"))

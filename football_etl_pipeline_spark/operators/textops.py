@@ -3225,3 +3225,143 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").asc(), F.col("doc_id").asc())
         .limit(WEIGHTED_SAMPLE_K)
     )
+
+
+# ---- Gopher quality-rule gate --------------------------------------------
+
+_GOPHER_STOPS = "'the','and','of','to','a','in','is','that'"
+
+
+@query(
+    "text_gopher_quality_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {TOKENS_DUCK} AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+             len(list_filter(toks, w -> length(w) > 0)) AS words,
+             list_sum(list_transform(toks, w -> length(w))) AS sum_len,
+             len(list_filter(toks,
+                 w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) // 3
+               AS symbols,
+             len(list_filter([{_GOPHER_STOPS}],
+                 s -> list_contains(toks, s))) AS stops
+      FROM t
+    ), r AS (
+      SELECT source,
+             CASE WHEN words >= 50 AND words <= 100000
+                  THEN 0 ELSE 1 END AS f_wc,
+             CASE WHEN words > 0 AND sum_len >= 3 * words
+                       AND sum_len <= 10 * words
+                  THEN 0 ELSE 1 END AS f_mwl,
+             CASE WHEN symbols * 10 <= words THEN 0 ELSE 1 END AS f_sym,
+             CASE WHEN alpha_words * 10 >= words * 8
+                  THEN 0 ELSE 1 END AS f_alpha,
+             CASE WHEN stops >= 2 THEN 0 ELSE 1 END AS f_stop
+      FROM m
+    )
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN f_wc + f_mwl + f_sym + f_alpha + f_stop = 0
+                    THEN 1 ELSE 0 END)::BIGINT AS n_pass_all,
+           SUM(f_wc)::BIGINT AS n_fail_word_count,
+           SUM(f_mwl)::BIGINT AS n_fail_mean_word_len,
+           SUM(f_sym)::BIGINT AS n_fail_symbol_ratio,
+           SUM(f_alpha)::BIGINT AS n_fail_alpha_ratio,
+           SUM(f_stop)::BIGINT AS n_fail_stopwords
+    FROM r GROUP BY source
+    """,
+)
+def text_gopher_quality_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gopher rule-based quality gate (Rae et al., "Scaling Language
+    Models: ... Gopher", 2021, Appendix A — the public rule set
+    MassiveWeb used): per document, the five core repetition-free
+    rules — word count in [50, 100k], mean word length in [3, 10],
+    symbol-to-word ratio (# and ellipsis) ≤ 0.1, ≥80% of words
+    contain an alphabetic character, ≥2 distinct stop words — rolled
+    up per source as pass/violation counts, the pre-training filter
+    report run before any model-based scoring
+    (``text_quality_logreg_score``) is spent on hopeless docs.
+
+    Exactness: every rule is an INTEGER comparison (ratios are
+    cross-multiplied — alpha_words·10 ≥ words·8 — never floats), so
+    both engines agree bit-for-bit with no pinning at all.
+
+    Plan: one scan; per-doc token statistics fold INSIDE the array
+    expressions (JVM-side higher-order functions — no explode, no
+    per-token shuffle; the whole rule block is one codegen
+    projection), then a 20-group hash aggregate. The explode-free
+    form is the 100 TB design: token counting via lambda keeps the
+    row count at |docs|, not |tokens|."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", "text", F.expr(TOKENS_SPARK).alias("toks")
+    )
+    m = t.select(
+        "source",
+        F.expr(
+            "size(filter(toks, w -> length(w) > 0))"
+        ).alias("words"),
+        F.expr(
+            "aggregate(toks, 0L, (a, w) -> a + length(w))"
+        ).alias("sum_len"),
+        F.expr(
+            "size(filter(toks, w -> w rlike '[a-z]'))"
+        ).alias("alpha_words"),
+        F.expr(
+            "(length(text) - length(replace(text, '#', '')))"
+            " + CAST((length(text) - length(replace(text, '...', '')))"
+            " / 3 AS INT)"
+        ).alias("symbols"),
+        F.expr(
+            f"size(filter(array({_GOPHER_STOPS}),"
+            " s -> array_contains(toks, s)))"
+        ).alias("stops"),
+    )
+    r = m.select(
+        "source",
+        F.when(
+            (F.col("words") >= 50) & (F.col("words") <= 100000), 0
+        )
+        .otherwise(1)
+        .alias("f_wc"),
+        F.when(
+            (F.col("words") > 0)
+            & (F.col("sum_len") >= 3 * F.col("words"))
+            & (F.col("sum_len") <= 10 * F.col("words")),
+            0,
+        )
+        .otherwise(1)
+        .alias("f_mwl"),
+        F.when(F.col("symbols") * 10 <= F.col("words"), 0)
+        .otherwise(1)
+        .alias("f_sym"),
+        F.when(F.col("alpha_words") * 10 >= F.col("words") * 8, 0)
+        .otherwise(1)
+        .alias("f_alpha"),
+        F.when(F.col("stops") >= 2, 0).otherwise(1).alias("f_stop"),
+    )
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("f_wc")
+                + F.col("f_mwl")
+                + F.col("f_sym")
+                + F.col("f_alpha")
+                + F.col("f_stop")
+                == 0,
+                1,
+            ).otherwise(0)
+        ).alias("n_pass_all"),
+        F.sum("f_wc").alias("n_fail_word_count"),
+        F.sum("f_mwl").alias("n_fail_mean_word_len"),
+        F.sum("f_sym").alias("n_fail_symbol_ratio"),
+        F.sum("f_alpha").alias("n_fail_alpha_ratio"),
+        F.sum("f_stop").alias("n_fail_stopwords"),
+    )
