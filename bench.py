@@ -222,6 +222,12 @@ HEADLINE = [
     "events_poisson_rate_test",
     "stats_runs_test_daily",
     "streaming_hopping_counts",
+    "features_woe_iv",
+    "events_user_stickiness",
+    "scalar_url_funcs",
+    "join_asof_nearest_purchase",
+    "text_gopher_quality_rules",
+    "stats_xmr_control_chart",
     # scan_text_log_parse: full-table text rewrite job — gate-checked
     # for lossless round-trip, excluded like the other rewrite jobs.
     # versioned_forget_customers: full-table versioned rewrite job —
