@@ -1447,3 +1447,64 @@ def embedding_halves_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("smd").desc(), F.col("dim").asc())
         .limit(DRIFT_TOP_DIMS)
     )
+
+
+# ---- k-anonymity profile ---------------------------------------------------
+
+KANON_THRESHOLDS = (2, 5, 11)  # the k levels the report slices at
+
+
+def _kanon_sql(table: str, bigint: str) -> str:
+    """Shared dialect-neutral k-anonymity text: quasi-identifier =
+    (nation, market segment, account-balance band of 1000)."""
+    ladder = ",\n".join(
+        f"""           CAST(SUM(CASE WHEN eq_size < {k}
+                         THEN eq_size ELSE 0 END) AS {bigint})
+             AS n_below_k{k}"""
+        for k in KANON_THRESHOLDS
+    )
+    return f"""
+    WITH qi AS (
+      SELECT c_nationkey AS nation,
+             c_mktsegment AS segment,
+             CAST(FLOOR(c_acctbal / 1000) AS {bigint}) AS bal_band
+      FROM {table}
+    ),
+    eq AS (
+      SELECT nation, segment, bal_band,
+             CAST(COUNT(*) AS {bigint}) AS eq_size
+      FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS {bigint}) AS n_classes,
+           CAST(SUM(eq_size) AS {bigint}) AS n_records,
+           CAST(MIN(eq_size) AS {bigint}) AS k_anonymity,
+{ladder}
+    FROM eq
+    """
+
+
+@query(
+    "customer_k_anonymity",
+    oracle=_kanon_sql("customer", "BIGINT"),
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity profile of the customer table under the
+    (nation, market segment, account-balance band) quasi-identifier —
+    the re-identification risk readout that pairs with
+    ``text_pii_redact`` (redaction hides direct identifiers;
+    k-anonymity measures whether the INDIRECT ones still single
+    people out, Sweeney's classic metric — public method). Reports
+    the table's k (smallest equivalence class) and how many RECORDS
+    sit in classes below each disclosure threshold — the number a
+    release review actually gates on.
+
+    Exactness: pure integer counting end-to-end (the balance band is
+    FLOOR of an exact double division by a power of 10 — identical
+    in both engines); no pinning needed anywhere.
+
+    Plan: one scan → hash aggregate on the quasi-identifier → 1-row
+    rollup of class sizes. At 100 TB both aggregates partial
+    map-side; nothing is driver-bound."""
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("kanon_customer")
+    return spark.sql(_kanon_sql("kanon_customer", "BIGINT"))
