@@ -228,6 +228,8 @@ HEADLINE = [
     "join_asof_nearest_purchase",
     "text_gopher_quality_rules",
     "stats_xmr_control_chart",
+    "customer_k_anonymity",
+    "events_markov_entropy_rate",
     # scan_text_log_parse: full-table text rewrite job — gate-checked
     # for lossless round-trip, excluded like the other rewrite jobs.
     # versioned_forget_customers: full-table versioned rewrite job —

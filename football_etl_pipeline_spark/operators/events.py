@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum
 from ..sources.testdata import load_table
-from .registry import query
+from .registry import persist_tracked, query
 
 SESSION_GAP_SEC = 1800  # 30 min
 
@@ -2667,3 +2667,94 @@ def events_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(18,9)) AS DOUBLE)"
         ).alias("stickiness"),
     )
+
+
+# ---- Markov entropy rate ----------------------------------------------------
+
+
+@query(
+    "events_markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), c AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*)::BIGINT AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT prev_type, SUM(n)::BIGINT AS row_total FROM c GROUP BY 1
+    ), g AS (SELECT SUM(n)::BIGINT AS grand FROM c),
+    terms AS (
+      SELECT c.n,
+             CAST(CAST(c.n AS DOUBLE) / g.grand
+               * CAST(CAST(ln(CAST(c.n AS DOUBLE) / t.row_total)
+                      AS DECIMAL(18,9)) AS DOUBLE)
+               AS DECIMAL(18,9)) AS h_term
+      FROM c JOIN tot t USING (prev_type) CROSS JOIN g
+    )
+    SELECT (SELECT grand FROM g) AS n_transitions,
+           (SELECT COUNT(*)::BIGINT FROM c) AS n_observed_cells,
+           CAST(CAST(-SUM(h_term) AS DECIMAL(18,9)) AS DOUBLE)
+             AS entropy_rate_nats
+    FROM terms
+    """,
+)
+def events_markov_entropy_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Entropy rate of the first-order behavior Markov chain —
+    H = −Σ_{ij} π̂_i P̂_ij ln P̂_ij with the empirical stationary
+    weights (π̂_i P̂_ij = c_ij / C), i.e. the average per-step
+    unpredictability of user behavior in nats. The one-number
+    compression of ``events_transition_matrix``: a falling entropy
+    rate means behavior is becoming scripted (bots, loops); rising
+    means navigation chaos — the drift alarm for behavioral models
+    trained on yesterday's matrix.
+
+    Exactness: counts exact; each cell contributes ONE fixed chain —
+    ratio-to-grand × pinned ln(ratio-to-row) — pinned DECIMAL(18,9)
+    per term (the KM ln-term precedent), summed exactly, negated
+    once. Zero-probability cells simply don't exist in the empirical
+    counts, so no log-of-zero guards are needed in either dialect.
+
+    Plan: the SAME one window pass + |types|² aggregate as the
+    transition matrix (lag over the user timeline), then 1-row
+    finishes — scale cost identical to the matrix it summarizes."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    c = persist_tracked(c)
+    tot = c.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    g = c.agg(F.sum("n").alias("grand"))
+    cells = c.agg(F.count(F.lit(1)).alias("n_observed_cells"))
+    terms = (
+        c.join(tot, "prev_type")
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.expr(
+                "CAST(CAST(n AS DOUBLE) / grand"
+                " * CAST(CAST(ln(CAST(n AS DOUBLE) / row_total)"
+                "   AS DECIMAL(18,9)) AS DOUBLE)"
+                " AS DECIMAL(18,9))"
+            ).alias("h_term")
+        )
+    )
+    out = (
+        terms.agg(
+            F.expr(
+                "CAST(CAST(-SUM(h_term) AS DECIMAL(18,9)) AS DOUBLE)"
+            ).alias("entropy_rate_nats")
+        )
+        .crossJoin(F.broadcast(g.select(F.col("grand").alias("n_transitions"))))
+        .crossJoin(F.broadcast(cells))
+        .select("n_transitions", "n_observed_cells", "entropy_rate_nats")
+    )
+    return out
