@@ -2414,14 +2414,22 @@ def _cramers_sql(table: str, bigint: str) -> str:
              CAST(COUNT(DISTINCT st) AS {bigint}) AS c_dim
       FROM obs
     ),
+    -- FULL r x c grid: a sparse contingency's ZERO cells still
+    -- contribute e_ij to chi-square (observed-cells-only summation
+    -- understates chi2 -- caught by test_stats_property2, invisible
+    -- to the dual-engine gate because both dialects shared the slip).
+    grid AS (
+      SELECT rt.pri, ct.st, rt.r, ct.c,
+             COALESCE(obs.o, 0) AS o
+      FROM rt CROSS JOIN ct
+      LEFT JOIN obs ON obs.pri = rt.pri AND obs.st = ct.st
+    ),
     terms AS (
       SELECT CAST(
-        (obs.o - (rt.r * ct.c * 1.0 / n.n))
-        * (obs.o - (rt.r * ct.c * 1.0 / n.n))
-        / (rt.r * ct.c * 1.0 / n.n) AS DECIMAL(18,6)) AS term
-      FROM obs JOIN rt ON rt.pri = obs.pri
-               JOIN ct ON ct.st = obs.st
-               CROSS JOIN n
+        (grid.o - (grid.r * grid.c * 1.0 / n.n))
+        * (grid.o - (grid.r * grid.c * 1.0 / n.n))
+        / (grid.r * grid.c * 1.0 / n.n) AS DECIMAL(18,6)) AS term
+      FROM grid CROSS JOIN n
     ),
     chi AS (SELECT SUM(term) AS chi2 FROM terms)
     SELECT CAST(n.n AS {bigint}) AS n,

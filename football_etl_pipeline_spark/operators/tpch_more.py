@@ -1053,14 +1053,17 @@ def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt AS (SELECT pri, SUM(o) AS r FROM obs GROUP BY pri),
     ct AS (SELECT st, SUM(o) AS c FROM obs GROUP BY st),
     n AS (SELECT SUM(o) AS n FROM obs),
+    grid AS (
+      SELECT rt.pri, ct.st, rt.r, ct.c, COALESCE(obs.o, 0) AS o
+      FROM rt CROSS JOIN ct
+      LEFT JOIN obs ON obs.pri = rt.pri AND obs.st = ct.st
+    ),
     terms AS (
       SELECT CAST(
-        (obs.o - (rt.r * ct.c * 1.0 / n.n))
-        * (obs.o - (rt.r * ct.c * 1.0 / n.n))
-        / (rt.r * ct.c * 1.0 / n.n) AS DECIMAL(18,6)) AS term
-      FROM obs JOIN rt ON rt.pri = obs.pri
-               JOIN ct ON ct.st = obs.st
-               CROSS JOIN n
+        (grid.o - (grid.r * grid.c * 1.0 / n.n))
+        * (grid.o - (grid.r * grid.c * 1.0 / n.n))
+        / (grid.r * grid.c * 1.0 / n.n) AS DECIMAL(18,6)) AS term
+      FROM grid CROSS JOIN n
     )
     SELECT
       (SELECT (COUNT(DISTINCT pri) - 1) * (COUNT(DISTINCT st) - 1)
@@ -1096,15 +1099,20 @@ def orders_chi2_priority_status(
     ct = obs.groupBy("st").agg(F.sum("o").alias("c"))
     n = obs.agg(F.sum("o").alias("n"))
     exp = F.col("r") * F.col("c") * F.lit(1.0) / F.col("n")
-    terms = (
-        obs.join(F.broadcast(rt), "pri")
-        .join(F.broadcast(ct), "st")
-        .crossJoin(F.broadcast(n))
-        .select(
-            ((F.col("o") - exp) * (F.col("o") - exp) / exp)
-            .cast("decimal(18,6)")
-            .alias("term")
-        )
+    # FULL r x c grid: zero cells still contribute e_ij to chi-square
+    # (observed-cells-only summation understates the statistic on
+    # sparse contingencies -- caught by test_stats_property2 on the
+    # Cramer's V twin; identical on this corpus where every cell is
+    # occupied, but the formula must not depend on that).
+    grid = (
+        rt.crossJoin(ct)
+        .join(obs, ["pri", "st"], "left")
+        .select("pri", "st", "r", "c", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    terms = grid.crossJoin(F.broadcast(n)).select(
+        ((F.col("o") - exp) * (F.col("o") - exp) / exp)
+        .cast("decimal(18,6)")
+        .alias("term")
     )
     dof = obs.agg(
         (
