@@ -230,6 +230,7 @@ HEADLINE = [
     "stats_xmr_control_chart",
     "customer_k_anonymity",
     "events_markov_entropy_rate",
+    "text_curation_report",
     # scan_text_log_parse: full-table text rewrite job — gate-checked
     # for lossless round-trip, excluded like the other rewrite jobs.
     # versioned_forget_customers: full-table versioned rewrite job —

@@ -2915,9 +2915,10 @@ DSIR_BUCKETS = 256  # hashed feature space (generalized n-gram buckets)
 DSIR_TARGET_LANG = "en"  # the "target distribution" corpus slice
 
 
-@query(
-    "text_dsir_importance_weights",
-    oracle=f"""
+# Doc-level DSIR CTE chain (through `docw`: doc_id, source, logw) —
+# shared by the per-source rollup below and the composed curation
+# report.
+_DSIR_DOCW_CTE = f"""
     WITH t AS (
       SELECT doc_id, source, lang, {TOKENS_DUCK} AS toks FROM documents
     ), occ0 AS (
@@ -2950,20 +2951,10 @@ DSIR_TARGET_LANG = "en"  # the "target distribution" corpus slice
       SELECT doc_id, source,
              SUM(CAST(cnt AS DECIMAL(18,0)) * lw) AS logw
       FROM db JOIN lr USING (b) GROUP BY 1, 2
-    )
-    SELECT source,
-           COUNT(*)::BIGINT AS n_docs,
-           SUM(CASE WHEN logw > 0 THEN 1 ELSE 0 END)::BIGINT
-             AS n_selected,
-           CAST(CAST(
-             CAST(SUM(logw) AS DOUBLE) / COUNT(*)
-             AS DECIMAL(18,9)) AS DOUBLE) AS mean_log_weight
-    FROM docw GROUP BY source
-    """,
-)
-def text_dsir_importance_weights(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+    )"""
+
+
+def _dsir_docw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection via hashed-feature importance
     resampling (Xie et al., "Data Selection for Language Models via
     Importance Resampling", NeurIPS'23 — public paper): train two
@@ -3046,7 +3037,30 @@ def text_dsir_importance_weights(
             )
         )
     )
-    return docw.groupBy("source").agg(
+    return docw
+
+
+@query(
+    "text_dsir_importance_weights",
+    oracle=f"""{_DSIR_DOCW_CTE}
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN logw > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_selected,
+           CAST(CAST(
+             CAST(SUM(logw) AS DOUBLE) / COUNT(*)
+             AS DECIMAL(18,9)) AS DOUBLE) AS mean_log_weight
+    FROM docw GROUP BY source
+    """,
+)
+def text_dsir_importance_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source rollup of the doc-level DSIR log importance weights
+    (see ``_dsir_docw`` for the full method + scale story): doc
+    counts, how many docs each source contributes to an
+    importance-selected corpus, and the mean log weight."""
+    return _dsir_docw(spark, sf_dir).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("logw") > 0, 1).otherwise(0)).alias(
             "n_selected"
@@ -3232,9 +3246,10 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOPHER_STOPS = "'the','and','of','to','a','in','is','that'"
 
 
-@query(
-    "text_gopher_quality_rules",
-    oracle=f"""
+# Doc-level Gopher rule-flag CTE chain (through `r`: doc_id, source,
+# five violation flags) — shared by the rollup below and the composed
+# curation report.
+_GOPHER_DOC_CTE = f"""
     WITH t AS (
       SELECT doc_id, source, text, {TOKENS_DUCK} AS toks
       FROM documents
@@ -3251,7 +3266,7 @@ _GOPHER_STOPS = "'the','and','of','to','a','in','is','that'"
                  s -> list_contains(toks, s))) AS stops
       FROM t
     ), r AS (
-      SELECT source,
+      SELECT doc_id, source,
              CASE WHEN words >= 50 AND words <= 100000
                   THEN 0 ELSE 1 END AS f_wc,
              CASE WHEN words > 0 AND sum_len >= 3 * words
@@ -3262,7 +3277,12 @@ _GOPHER_STOPS = "'the','and','of','to','a','in','is','that'"
                   THEN 0 ELSE 1 END AS f_alpha,
              CASE WHEN stops >= 2 THEN 0 ELSE 1 END AS f_stop
       FROM m
-    )
+    )"""
+
+
+@query(
+    "text_gopher_quality_rules",
+    oracle=f"""{_GOPHER_DOC_CTE}
     SELECT source,
            COUNT(*)::BIGINT AS n_docs,
            SUM(CASE WHEN f_wc + f_mwl + f_sym + f_alpha + f_stop = 0
@@ -3298,11 +3318,37 @@ def text_gopher_quality_rules(
     projection), then a 20-group hash aggregate. The explode-free
     form is the 100 TB design: token counting via lambda keeps the
     row count at |docs|, not |tokens|."""
+    r = _gopher_doc_flags(spark, sf_dir)
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("f_wc")
+                + F.col("f_mwl")
+                + F.col("f_sym")
+                + F.col("f_alpha")
+                + F.col("f_stop")
+                == 0,
+                1,
+            ).otherwise(0)
+        ).alias("n_pass_all"),
+        F.sum("f_wc").alias("n_fail_word_count"),
+        F.sum("f_mwl").alias("n_fail_mean_word_len"),
+        F.sum("f_sym").alias("n_fail_symbol_ratio"),
+        F.sum("f_alpha").alias("n_fail_alpha_ratio"),
+        F.sum("f_stop").alias("n_fail_stopwords"),
+    )
+
+
+def _gopher_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level Gopher rule flags (doc_id, source, f_wc..f_stop) —
+    the shared frame behind the rollup and the curation report."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", "source", "text", F.expr(TOKENS_SPARK).alias("toks")
     )
     m = t.select(
+        "doc_id",
         "source",
         F.expr(
             "size(filter(toks, w -> length(w) > 0))"
@@ -3323,7 +3369,8 @@ def text_gopher_quality_rules(
             " s -> array_contains(toks, s)))"
         ).alias("stops"),
     )
-    r = m.select(
+    return m.select(
+        "doc_id",
         "source",
         F.when(
             (F.col("words") >= 50) & (F.col("words") <= 100000), 0
@@ -3346,22 +3393,144 @@ def text_gopher_quality_rules(
         .alias("f_alpha"),
         F.when(F.col("stops") >= 2, 0).otherwise(1).alias("f_stop"),
     )
-    return r.groupBy("source").agg(
+
+
+# ---- composed curation decision report -----------------------------------
+
+
+@query(
+    "text_curation_report",
+    oracle=f"""{_GOPHER_DOC_CTE},
+    g AS (
+      SELECT doc_id, source,
+             CASE WHEN f_wc + f_mwl + f_sym + f_alpha + f_stop = 0
+                  THEN 1 ELSE 0 END AS pass_gopher
+      FROM r
+    ),
+    lm AS ({_ORACLES["text_unigram_lm_quality"]}),
+    rk AS (
+      SELECT lm.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY documents.lang
+               ORDER BY lm.lm_score, lm.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY documents.lang) AS n
+      FROM lm JOIN documents USING (doc_id)
+    ),
+    q AS (
+      SELECT doc_id,
+             CASE WHEN rn * 3 <= n THEN 0 ELSE 1 END AS pass_quality
+      FROM rk
+    ),
+    dsir AS (
+      SELECT doc_id, logw
+      FROM ({_DSIR_DOCW_CTE} SELECT doc_id, logw FROM docw)
+    ),
+    verdict AS (
+      SELECT g.source,
+             g.pass_gopher,
+             COALESCE(q.pass_quality, 0) AS pass_quality,
+             CASE WHEN dsir.logw > 0 THEN 1 ELSE 0 END AS pass_dsir
+      FROM g
+      LEFT JOIN q ON q.doc_id = g.doc_id
+      LEFT JOIN dsir ON dsir.doc_id = g.doc_id
+    )
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(pass_gopher)::BIGINT AS n_pass_gopher,
+           SUM(pass_quality)::BIGINT AS n_pass_quality,
+           SUM(pass_dsir)::BIGINT AS n_pass_dsir,
+           SUM(pass_gopher * pass_quality * pass_dsir)::BIGINT
+             AS n_keep,
+           CAST(CAST(
+             CAST(SUM(pass_gopher * pass_quality * pass_dsir)
+                  AS DOUBLE) / COUNT(*)
+             AS DECIMAL(18,9)) AS DOUBLE) AS keep_rate
+    FROM verdict GROUP BY source
+    """,
+)
+def text_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation DECISION table — the text twin of
+    ``dedup_pipeline_e2e``: every document runs all three production
+    screens — the Gopher rule gate (``_gopher_doc_flags``), the CCNet
+    per-language LM terciles (keep = middle/head, drop = tail), and
+    DSIR importance selection (keep = positive log weight) — and the
+    report shows, per source, how many docs survive each screen and
+    the intersection keep rate a training-data run would actually
+    apply. Sources whose keep rate collapses under one screen but not
+    the others are exactly the mixtures worth re-weighting.
+
+    Composition reuses the verified doc-level frames (gopher flags,
+    LM scores, DSIR weights) unchanged — no re-implementation, so
+    this report cannot drift from the standalone operators; docs too
+    short to score (no tokens) fail the model screens by COALESCE
+    convention in both dialects.
+
+    Plan & scale: one documents scan feeds the gopher flags; the LM
+    and DSIR screens share the exploded-token aggregates their
+    standalone operators use; the three doc-level frames join on
+    doc_id (co-partitioned hash joins) into a 20-group rollup.
+    Everything partial-aggregates; nothing is driver-bound."""
+    gop = _gopher_doc_flags(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("f_wc")
+            + F.col("f_mwl")
+            + F.col("f_sym")
+            + F.col("f_alpha")
+            + F.col("f_stop")
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("pass_gopher"),
+    )
+    lm = text_unigram_lm_quality(spark, sf_dir).select(
+        "doc_id", "lm_score"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    w = Window.partitionBy("lang").orderBy("lm_score", "doc_id")
+    q = (
+        lm.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("lang"))
+            .alias("n"),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("rn") * 3 <= F.col("n"), 0)
+            .otherwise(1)
+            .alias("pass_quality"),
+        )
+    )
+    dsir = _dsir_docw(spark, sf_dir).select("doc_id", "logw")
+    verdict = (
+        gop.join(q, "doc_id", "left")
+        .join(dsir, "doc_id", "left")
+        .select(
+            "source",
+            "pass_gopher",
+            F.coalesce("pass_quality", F.lit(0)).alias("pass_quality"),
+            F.when(F.col("logw") > 0, 1).otherwise(0).alias("pass_dsir"),
+        )
+    )
+    return verdict.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pass_gopher").alias("n_pass_gopher"),
+        F.sum("pass_quality").alias("n_pass_quality"),
+        F.sum("pass_dsir").alias("n_pass_dsir"),
         F.sum(
-            F.when(
-                F.col("f_wc")
-                + F.col("f_mwl")
-                + F.col("f_sym")
-                + F.col("f_alpha")
-                + F.col("f_stop")
-                == 0,
-                1,
-            ).otherwise(0)
-        ).alias("n_pass_all"),
-        F.sum("f_wc").alias("n_fail_word_count"),
-        F.sum("f_mwl").alias("n_fail_mean_word_len"),
-        F.sum("f_sym").alias("n_fail_symbol_ratio"),
-        F.sum("f_alpha").alias("n_fail_alpha_ratio"),
-        F.sum("f_stop").alias("n_fail_stopwords"),
+            F.col("pass_gopher")
+            * F.col("pass_quality")
+            * F.col("pass_dsir")
+        ).alias("n_keep"),
+        F.expr(
+            "CAST(CAST(CAST(SUM(pass_gopher * pass_quality * pass_dsir)"
+            " AS DOUBLE) / COUNT(*) AS DECIMAL(18,9)) AS DOUBLE)"
+        ).alias("keep_rate"),
     )
