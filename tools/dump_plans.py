@@ -79,6 +79,11 @@ SHOWCASE = {
     "incremental_join_view_merge": "standing view read from its materialized parquet; delta group joined to customer once; full-outer coalesce-sum merge — per-batch cost |delta| not |orders|",
     "graph_link_prediction": "center cap joined BEFORE the wedge self-join (capped pairs never generate); equi wedge join; TakeOrdered top-K",
     "stats_anova_priority_price": "five groups' exact moments as conditional aggregates in one scan; the cross-group F is a 1-row fixed-order projection",
+    "stats_spearman_price_quantity": "price-side rank map cumsums through the range exchange (no SinglePartition window over distinct prices); quantity map broadcasts; one moment aggregate",
+    "text_dsir_importance_weights": "one token explode into the persisted (doc,bucket) frame read 3x from cache; 256-row log-ratio map BROADCAST back; rollups shuffle on doc then source",
+    "text_weighted_sample": "per-row ES-key projection into TakeOrderedAndProject(K) — no Exchange anywhere",
+    "graph_local_clustering": "degree-oriented wedge + closure equi-joins (no nested loop); explode credits 3 corners; two hash aggregates",
+    "text_curation_report": "three doc-level screen frames (gopher flags, LM tercile, DSIR weight) equi-join on doc_id into a 20-group rollup — composition reuses the standalone operators' cached subtrees",
 }
 
 
