@@ -231,6 +231,11 @@ HEADLINE = [
     "customer_k_anonymity",
     "events_markov_entropy_rate",
     "text_curation_report",
+    "events_ab_effect_sizes",
+    "stats_permutation_test",
+    # scan_parquet_schema_evolution: full-table rewrite job — gate-
+    # checked for merge-by-name losslessness, excluded from the query
+    # bench like the other scratch-write round-trip jobs.
     # scan_text_log_parse: full-table text rewrite job — gate-checked
     # for lossless round-trip, excluded like the other rewrite jobs.
     # versioned_forget_customers: full-table versioned rewrite job —

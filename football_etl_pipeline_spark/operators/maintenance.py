@@ -868,3 +868,78 @@ def incremental_join_view_merge(
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "scan_parquet_schema_evolution",
+    oracle="""
+    SELECT
+      COUNT(*)::BIGINT AS n_rows,
+      SUM(CASE WHEN o_orderpriority = '1-URGENT'
+               THEN 0 ELSE 1 END)::BIGINT AS n_with_status,
+      SUM(CASE WHEN o_orderpriority = '1-URGENT'
+               THEN 1 ELSE 0 END)::BIGINT AS n_null_status,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        AS revenue,
+      CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0
+               ELSE CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE)
+        AS revenue_with_status
+    FROM orders
+    """,
+)
+def scan_parquet_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parquet SCHEMA EVOLUTION round-trip: land ``orders`` in two
+    generations — generation 1 (the urgent orders) with the original
+    narrow schema (key + price), generation 2 (everything else) after
+    the table grew ``o_orderstatus`` and ``o_orderdate`` columns —
+    then read the directory with ``mergeSchema=true`` and aggregate.
+    The union-by-name semantics every long-lived lake table depends
+    on: old files surface the new columns as NULLs, no rewrite of
+    generation-1 files. The oracle derives every expected number from
+    the parquet original (urgent rows are exactly the narrow-schema
+    generation), so the gate proves rows survived, columns aligned by
+    NAME (not position), and NULL-fill hit exactly the old files.
+
+    Scale: mergeSchema reconciles footers at planning time (one
+    metadata pass over file schemas — on a 100 TB table you enable it
+    per-read or pin the merged schema in a catalog; the data files
+    are never rewritten either way).
+
+    Plan: two straight parquet writes, one merged scan, one
+    single-row aggregate."""
+    import os
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = _run_scratch_dir("schevo", sf_dir)
+    dst = os.path.join(root, "orders_evo")
+    gen1 = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_totalprice")
+    gen2 = orders.filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate")
+    gen1.write.mode("append").parquet(dst)
+    gen2.write.mode("append").parquet(dst)
+    back = spark.read.option("mergeSchema", "true").parquet(dst)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isNotNull(), 1).otherwise(0)
+        ).alias("n_with_status"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)
+        ).alias("n_null_status"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus").isNotNull(),
+                F.col("o_totalprice").cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        )
+        .cast("double")
+        .alias("revenue_with_status"),
+    )

@@ -2793,3 +2793,225 @@ def stats_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("xmr_orders")
     return spark.sql(_xmr_sql("xmr_orders", "BIGINT"))
+
+
+# ---- A/B effect sizes + minimum detectable effect -------------------------
+
+
+def _effect_sql(h_expr: str, bigint: str) -> str:
+    """Shared effect-size text; only the 60-bit hash spelling and the
+    BIGINT cast differ by dialect. z-constants are fixed literals:
+    1.959964 (alpha=.05 two-sided) and 0.841621 (80% power)."""
+    return f"""
+    WITH per_user AS (
+      SELECT user_id, SUM(CAST(value AS DECIMAL(18,6))) AS rev
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY user_id
+    ),
+    armed AS (
+      SELECT rev, {h_expr} % 2 AS arm FROM per_user
+    ),
+    mo AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS {bigint})
+               AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS {bigint})
+               AS n1,
+             SUM(CASE WHEN arm = 0 THEN rev ELSE CAST(0 AS DECIMAL(18,6))
+                 END) AS s0,
+             SUM(CASE WHEN arm = 1 THEN rev ELSE CAST(0 AS DECIMAL(18,6))
+                 END) AS s1,
+             SUM(CASE WHEN arm = 0
+                 THEN CAST(rev AS DECIMAL(38,6)) * rev
+                 ELSE CAST(0 AS DECIMAL(38,6)) END) AS q0,
+             SUM(CASE WHEN arm = 1
+                 THEN CAST(rev AS DECIMAL(38,6)) * rev
+                 ELSE CAST(0 AS DECIMAL(38,6)) END) AS q1
+      FROM armed
+    ),
+    d AS (
+      SELECT n0, n1,
+             CAST(s0 AS DOUBLE) / n0 AS m0,
+             CAST(s1 AS DOUBLE) / n1 AS m1,
+             sqrt(((CAST(q0 AS DOUBLE)
+                     - (CAST(s0 AS DOUBLE) / n0) * CAST(s0 AS DOUBLE))
+                   + (CAST(q1 AS DOUBLE)
+                     - (CAST(s1 AS DOUBLE) / n1) * CAST(s1 AS DOUBLE)))
+                  / (n0 + n1 - 2)) AS sp
+      FROM mo
+    )
+    SELECT n0 AS n_arm_a, n1 AS n_arm_b,
+           CAST(CAST(m0 AS DECIMAL(18,6)) AS DOUBLE) AS mean_a,
+           CAST(CAST(m1 AS DECIMAL(18,6)) AS DOUBLE) AS mean_b,
+           CAST(CAST((m1 - m0) / sp AS DECIMAL(18,6)) AS DOUBLE)
+             AS cohens_d,
+           CAST(CAST(
+             (CAST(1 AS DOUBLE)
+              - CAST(3 AS DOUBLE) / (4 * (n0 + n1 - 2) - 1))
+             * ((m1 - m0) / sp)
+             AS DECIMAL(18,6)) AS DOUBLE) AS hedges_g,
+           CAST(CAST(
+             (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+             * sp * sqrt(CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)
+             AS DECIMAL(18,6)) AS DOUBLE) AS mde_80_power
+    FROM d
+    """
+
+
+def _ab_effect_oracle() -> str:
+    from .textops import hash60_duck
+
+    return _effect_sql(
+        hash60_duck("CAST(user_id AS VARCHAR)"), "BIGINT"
+    )
+
+
+@query("events_ab_effect_sizes", oracle=_ab_effect_oracle())
+def events_ab_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes for the hash-bucketed A/B experiment
+    — the DECISION-layer companion to ``events_ab_test_lift``'s Welch
+    z: Cohen's d (pooled-SD standardized lift), Hedges' g (the
+    small-sample bias correction J = 1 − 3/(4·df − 1)), and the
+    minimum detectable effect at alpha=.05 / 80% power for the
+    CURRENT arm sizes ((z_α + z_β)·s_p·√(1/n₀+1/n₁)) — the number
+    that says whether the experiment was even capable of seeing the
+    lift it reports. Same deterministic 60-bit arm assignment as the
+    lift readout, so the two rows describe the same experiment.
+
+    Exactness: per-user revenues are exact decimal sums; arm moments
+    are conditional DECIMAL aggregates in ONE pass (n, Σx as
+    DECIMAL(18,6), Σx² as DECIMAL(38,6) — the r8 overflow-pin
+    precedent); every statistic is one fixed IEEE chain over those
+    exact moments, pinned DECIMAL(18,6). z-constants are shared
+    literals, not an erf approximation (Spark has no erf; a CDF
+    would diverge cross-engine).
+
+    Plan: one scan → per-user agg → single-row conditional moment
+    aggregate; the finishing arithmetic is a 1-row projection."""
+    from .textops import hash60_spark
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("effect_events")
+    return spark.sql(
+        _effect_sql(
+            hash60_spark("CAST(user_id AS STRING)"), "BIGINT"
+        ).replace("FROM events", "FROM effect_events")
+    )
+
+
+# ---- deterministic permutation test ---------------------------------------
+
+PERM_REPS = 32
+
+
+def _perm_sql(h_obs: str, h_perm: str, bigint: str, b_src: str) -> str:
+    """Shared permutation-test text. ``h_obs`` hashes the user alone
+    (the real A/B assignment), ``h_perm`` hashes (user, b) — each
+    replicate relabels every user independently; ``b_src`` is the
+    dialect's 0..B-1 generator."""
+    diff = """ABS(
+        CAST(CAST(CAST(s1 AS DOUBLE) / n1 AS DECIMAL(18,6)) AS DOUBLE)
+        - CAST(CAST(CAST(s0 AS DOUBLE) / n0 AS DECIMAL(18,6)) AS DOUBLE)
+      )"""
+    return f"""
+    WITH per_user AS (
+      SELECT user_id, SUM(CAST(value AS DECIMAL(18,6))) AS rev
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY user_id
+    ),
+    obs_mo AS (
+      SELECT SUM(CASE WHEN {h_obs} % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+             SUM(CASE WHEN {h_obs} % 2 = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN {h_obs} % 2 = 0 THEN rev
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS s0,
+             SUM(CASE WHEN {h_obs} % 2 = 1 THEN rev
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS s1
+      FROM per_user
+    ),
+    obs AS (SELECT {diff} AS d_obs FROM obs_mo),
+    reps AS (
+      SELECT u.user_id, u.rev, b.b, {h_perm} % 2 AS arm
+      FROM per_user u, ({b_src}) b
+    ),
+    rep_mo AS (
+      SELECT b,
+             SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN arm = 0 THEN rev
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS s0,
+             SUM(CASE WHEN arm = 1 THEN rev
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS s1
+      FROM reps GROUP BY b
+    ),
+    rep_d AS (
+      SELECT b, {diff} AS d_b FROM rep_mo WHERE n0 > 0 AND n1 > 0
+    )
+    SELECT (SELECT CAST(COUNT(*) AS {bigint}) FROM rep_d) AS n_perms,
+           CAST(CAST((SELECT d_obs FROM obs) AS DECIMAL(18,6))
+                AS DOUBLE) AS observed_abs_diff,
+           CAST((SELECT CAST(SUM(CASE WHEN d_b >= d_obs THEN 1 ELSE 0 END)
+                 AS {bigint})
+            FROM rep_d CROSS JOIN obs) AS {bigint}) AS n_as_extreme,
+           CAST(CAST(
+             (CAST(1 AS DOUBLE)
+              + (SELECT SUM(CASE WHEN d_b >= d_obs THEN 1 ELSE 0 END)
+                 FROM rep_d CROSS JOIN obs))
+             / (CAST(1 AS DOUBLE) + (SELECT COUNT(*) FROM rep_d))
+             AS DECIMAL(18,6)) AS DOUBLE) AS p_value
+    """
+
+
+def _perm_oracle() -> str:
+    from .textops import hash60_duck
+
+    return _perm_sql(
+        hash60_duck("CAST(user_id AS VARCHAR)"),
+        hash60_duck(
+            "CAST(u.user_id AS VARCHAR) || '|' || CAST(b.b AS VARCHAR)"
+        ),
+        "BIGINT",
+        f"SELECT unnest(range({PERM_REPS})) AS b",
+    )
+
+
+@query("stats_permutation_test", oracle=_perm_oracle())
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic permutation test for the A/B lift: is the
+    observed |arm-mean difference| explainable by labeling alone?
+    Each of the {PERM_REPS} replicates relabels EVERY user by a
+    60-bit hash of (user, replicate) — the distribution-free
+    significance check that needs no normality assumption, completing
+    the experimentation kit (Welch z asserts asymptotics,
+    ``events_ab_effect_sizes`` sizes the effect, this tests it
+    exactly; p uses the add-one convention (1+k)/(1+B) so a zero
+    count never claims p=0). Reproducible by construction: the same
+    permutations on every run and engine — the
+    ``stats_bootstrap_ci_mean`` hash-keyed-resampling pattern with
+    relabeling instead of subsampling.
+
+    Exactness: per-user revenues and per-replicate conditional sums
+    are DECIMAL-exact; each mean is pinned DECIMAL(18,6) BEFORE the
+    difference, so every d_b ≥ d_obs comparison sees bit-identical
+    doubles in both engines — the count of as-extreme replicates is
+    an exact integer.
+
+    Plan: one scan → per-user agg → a ×{PERM_REPS} replicate explode
+    of the per-user frame (|users|·B rows, partial-aggregated to B
+    moment rows before anything wide) → 1-row finish. At 100 TB the
+    explode rides the already-reduced per-user frame, never raw
+    events."""
+    from .textops import hash60_spark
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("perm_events")
+    return spark.sql(
+        _perm_sql(
+            hash60_spark("CAST(user_id AS STRING)"),
+            hash60_spark(
+                "CAST(u.user_id AS STRING) || '|' || CAST(b.b AS STRING)"
+            ),
+            "BIGINT",
+            f"SELECT explode(sequence(0, {PERM_REPS - 1})) AS b",
+        ).replace("FROM events", "FROM perm_events")
+    )
