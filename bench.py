@@ -233,6 +233,8 @@ HEADLINE = [
     "text_curation_report",
     "events_ab_effect_sizes",
     "stats_permutation_test",
+    "orders_dow_adjusted_anomalies",
+    "events_bot_score",
     # scan_parquet_schema_evolution: full-table rewrite job — gate-
     # checked for merge-by-name losslessness, excluded from the query
     # bench like the other scratch-write round-trip jobs.

@@ -2758,3 +2758,114 @@ def events_markov_entropy_rate(
         .select("n_transitions", "n_observed_cells", "entropy_rate_nats")
     )
     return out
+
+
+# ---- bot-detection heuristic screen ----------------------------------------
+
+
+def _bot_sql(table: str, bigint: str) -> str:
+    """Shared bot-screen text: three per-user heuristics — event
+    rate (> 20/day via integer cross-multiplication), inter-arrival
+    REGULARITY (pinned CV < 0.5 with ≥ 10 gaps: human traffic is
+    bursty, schedulers are metronomes), and low event-type entropy
+    (pinned < 0.5 nats with ≥ 10 events: single-action loops)."""
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts,
+             LAG(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM {table}
+    ),
+    gaps AS (
+      SELECT user_id,
+             CAST(SUM(epoch_us(ts) - epoch_us(prev_ts)) AS DECIMAL(38,0))
+               AS s,
+             SUM(CAST(epoch_us(ts) - epoch_us(prev_ts) AS DECIMAL(38,0))
+                 * (epoch_us(ts) - epoch_us(prev_ts))) AS q,
+             CAST(COUNT(*) AS {bigint}) AS n_gaps
+      FROM seq WHERE prev_ts IS NOT NULL
+      GROUP BY user_id
+    ),
+    activity AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS {bigint}) AS n_events,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS {bigint})
+               AS active_days
+      FROM seq GROUP BY user_id
+    ),
+    tc AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS {bigint}) AS c
+      FROM seq GROUP BY 1, 2
+    ),
+    ent AS (
+      SELECT tc.user_id,
+             SUM(CAST(
+               -(CAST(tc.c AS DOUBLE) / a.n_events)
+               * CAST(CAST(ln(CAST(tc.c AS DOUBLE) / a.n_events)
+                      AS DECIMAL(18,9)) AS DOUBLE)
+               AS DECIMAL(18,9))) AS h
+      FROM tc JOIN activity a ON a.user_id = tc.user_id
+      GROUP BY tc.user_id
+    ),
+    flags AS (
+      SELECT a.user_id,
+             CASE WHEN a.n_events > 20 * a.active_days
+                  THEN 1 ELSE 0 END AS f_rate,
+             CASE WHEN g.n_gaps >= 10 AND g.s > 0 AND CAST(CAST(
+                    sqrt((CAST(g.q AS DOUBLE)
+                          - (CAST(g.s AS DOUBLE) / g.n_gaps)
+                            * CAST(g.s AS DOUBLE))
+                         / (g.n_gaps - 1))
+                    / (CAST(g.s AS DOUBLE) / g.n_gaps)
+                    AS DECIMAL(18,6)) AS DOUBLE)
+                    < CAST(0.5 AS DOUBLE)
+                  THEN 1 ELSE 0 END AS f_regular,
+             CASE WHEN a.n_events >= 10 AND CAST(CAST(ent.h
+                    AS DECIMAL(18,6)) AS DOUBLE) < CAST(0.5 AS DOUBLE)
+                  THEN 1 ELSE 0 END AS f_lowentropy
+      FROM activity a
+      LEFT JOIN gaps g ON g.user_id = a.user_id
+      LEFT JOIN ent ON ent.user_id = a.user_id
+    )
+    SELECT CAST(COUNT(*) AS {bigint}) AS n_users,
+           CAST(SUM(f_rate) AS {bigint}) AS n_rate_flagged,
+           CAST(SUM(f_regular) AS {bigint}) AS n_regular_flagged,
+           CAST(SUM(f_lowentropy) AS {bigint}) AS n_lowentropy_flagged,
+           CAST(SUM(CASE WHEN f_rate + f_regular + f_lowentropy >= 2
+                    THEN 1 ELSE 0 END) AS {bigint}) AS n_bot_suspects
+    FROM flags
+    """
+
+
+@query(
+    "events_bot_score",
+    oracle=_bot_sql("events", "BIGINT"),
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-detection heuristic screen — the behavioral hygiene filter
+    a web-scale training-data pipeline runs BEFORE its text filters
+    (bot sessions produce exactly the repetitive content the dedup
+    ladder then has to delete): per user, three cheap tells — event
+    rate over 20/day, metronome-regular inter-arrivals (CV < 0.5
+    over ≥ 10 gaps), and low action entropy (< 0.5 nats over ≥ 10
+    events) — rolled up as flag counts plus the ≥2-of-3 suspect
+    count. Composes the repo's measurement primitives
+    (``events_interarrival_histogram``'s exact-µs gaps,
+    ``events_markov_entropy_rate``'s pinned ln terms) into a verdict.
+
+    Exactness: counts and µs gap moments are exact integers (Σx² in
+    DECIMAL(38,0) — month-scale gaps square past BIGINT); the CV and
+    entropy are fixed chains over exact moments, PINNED DECIMAL(18,6)
+    before their threshold comparison, so every flag is bit-agreed.
+
+    Plan: one user-partitioned window pass (shared sort for lag)
+    feeds three per-user aggregates joined on user_id, then a 1-row
+    rollup — nothing wider than the per-user frame after the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("bot_events")
+    return spark.sql(
+        _bot_sql("bot_events", "BIGINT").replace(
+            "epoch_us(ts)", "unix_micros(ts)"
+        ).replace("epoch_us(prev_ts)", "unix_micros(prev_ts)")
+    )

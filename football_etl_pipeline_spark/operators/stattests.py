@@ -3015,3 +3015,92 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"SELECT explode(sequence(0, {PERM_REPS - 1})) AS b",
         ).replace("FROM events", "FROM perm_events")
     )
+
+
+# ---- day-of-week-adjusted anomaly screen -----------------------------------
+
+
+def _dow_anom_sql(
+    table: str, median_fn: str, med_res_fn: str, dow_fn: str, bigint: str
+) -> str:
+    """Shared seasonal-residual anomaly text: residual = daily rev −
+    same-weekday median; fences = residual median ± 3·(1.4826·MAD)."""
+    return f"""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             {dow_fn} AS dow,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS rev
+      FROM {table} GROUP BY 1, 2
+    ),
+    seas AS (
+      SELECT dow, {median_fn} AS dow_med FROM d GROUP BY dow
+    ),
+    res AS (
+      SELECT d.day, d.rev, d.rev - s.dow_med AS r
+      FROM d JOIN seas s ON s.dow = d.dow
+    ),
+    center AS (SELECT {med_res_fn.replace('XCOL', 'r')} AS med_r FROM res),
+    absdev AS (
+      SELECT res.day, res.rev, res.r,
+             ABS(res.r - center.med_r) AS ad
+      FROM res CROSS JOIN center
+    ),
+    mad AS (SELECT {med_res_fn.replace('XCOL', 'ad')} AS mad_r FROM absdev),
+    fl AS (
+      SELECT a.day, a.rev, a.r
+      FROM absdev a CROSS JOIN center CROSS JOIN mad
+      WHERE ABS(a.r - center.med_r)
+            > CAST(3 AS DOUBLE) * (CAST(1.4826 AS DOUBLE) * mad.mad_r)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS {bigint}) FROM res) AS n_days,
+           (SELECT CAST(COUNT(*) AS {bigint}) FROM fl) AS n_anomalies,
+           CAST(CAST((SELECT med_r FROM center) AS DECIMAL(18,6))
+                AS DOUBLE) AS residual_median,
+           CAST(CAST((SELECT mad_r FROM mad) AS DECIMAL(18,6))
+                AS DOUBLE) AS residual_mad
+    """
+
+
+@query(
+    "orders_dow_adjusted_anomalies",
+    oracle=_dow_anom_sql(
+        "orders",
+        "quantile_cont(rev, 0.5)",
+        "quantile_cont(XCOL, 0.5)",
+        "isodow(CAST(o_orderdate AS DATE))",
+        "BIGINT",
+    ),
+)
+def orders_dow_adjusted_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEASONALLY-ADJUSTED anomaly screen on daily revenue: subtract
+    each weekday's median (the day-of-week seasonal component — a
+    Monday is only anomalous relative to Mondays), then apply robust
+    MAD fences to the residuals. The missing middle between
+    ``events_anomaly_mad`` (no seasonality — weekends flag as
+    anomalies forever) and ``orders_seasonal_index`` (monthly shape,
+    no anomaly verdict): the STL-lite screen an ops review actually
+    runs on business metrics.
+
+    Exactness: daily revenue is DECIMAL-exact cast once; weekday
+    medians, the residual median, and the MAD are all the shared
+    type-7 interpolation over bit-identical doubles; the fence
+    comparison is a fixed chain with shared CAST literals (3,
+    1.4826), so the flag count is an exact integer in both dialects.
+
+    Plan: one scan → daily aggregate; everything downstream runs on
+    the ~#days frame (tiny by construction) — two grouped medians and
+    two global medians over ≤ n_days rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("dowanom_orders")
+    return spark.sql(
+        _dow_anom_sql(
+            "dowanom_orders",
+            "percentile(rev, 0.5D)",
+            "percentile(XCOL, 0.5D)",
+            "weekday(o_orderdate) + 1",
+            "BIGINT",
+        )
+    )
