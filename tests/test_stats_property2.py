@@ -244,8 +244,12 @@ def test_cramers_oracle_matches_direct(rows):
     # chi2 through the DECIMAL(18,6)-pinned per-cell terms: compare
     # loosely (each of up to r*c terms rounds at 1e-6).
     assert abs(got[3] - chi2) <= 1e-4 * max(1.0, chi2)
-    assert abs(got[4] - v) <= 1e-4
-    assert abs(got[5] - vc) <= 1e-4
+    # Compare squared Vs: sqrt amplifies the DECIMAL(18,6) per-term
+    # rounding unboundedly near the max(0, .) clip (a 1e-7 phi2
+    # difference is a 3e-4 V difference), so the linear-domain
+    # tolerance belongs on V^2.
+    assert abs(got[4] ** 2 - v ** 2) <= 1e-6
+    assert abs(got[5] ** 2 - vc ** 2) <= 1e-6
 
 
 # ---- WOE / IV ---------------------------------------------------------------

@@ -229,6 +229,10 @@ def main() -> None:
         "dedup_method_agreement",
         "similarity_ann_recall_report",
         "similarity_ann_ivf_adc",
+        # the text-curation capstone: gopher flags + LM terciles +
+        # DSIR weights joined per doc -- no pair joins anywhere, so
+        # wall growth must track the token volume linearly.
+        "text_curation_report",
     ]
     composed_rows = []
     for name in COMPOSED:
