@@ -235,6 +235,7 @@ HEADLINE = [
     "stats_permutation_test",
     "orders_dow_adjusted_anomalies",
     "events_bot_score",
+    "lineitem_laspeyres_price_index",
     # scan_parquet_schema_evolution: full-table rewrite job — gate-
     # checked for merge-by-name losslessness, excluded from the query
     # bench like the other scratch-write round-trip jobs.

@@ -1833,3 +1833,86 @@ def lineitem_leadtime_percentiles(
         F.expr("percentile(days, 0.9D)").alias("p90_days"),
         F.expr("percentile(days, 0.99D)").alias("p99_days"),
     )
+
+
+# ---- Laspeyres price index ------------------------------------------------
+
+
+def _laspeyres_sql(li: str, bigint: str, yr: str) -> str:
+    """Shared Laspeyres text: base year = first year in the data;
+    per (part, year) unit price = mean of the row-level
+    extendedprice/quantity ratio pinned DECIMAL(18,6) per row."""
+    return f"""
+    WITH u AS (
+      SELECT l_partkey, {yr} AS yr,
+             CAST(CAST(l_extendedprice AS DOUBLE) / l_quantity
+                  AS DECIMAL(18,6)) AS unit_price,
+             CAST(l_quantity AS DECIMAL(18,2)) AS qty
+      FROM {li}
+    ),
+    py AS (
+      SELECT l_partkey, yr,
+             CAST(CAST(CAST(SUM(unit_price) AS DOUBLE) / COUNT(*)
+                  AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS p,
+             SUM(qty) AS q
+      FROM u GROUP BY 1, 2
+    ),
+    base_yr AS (SELECT MIN(yr) AS b FROM py),
+    base AS (
+      SELECT py.l_partkey, py.p AS p0, py.q AS q0
+      FROM py JOIN base_yr ON py.yr = base_yr.b
+    ),
+    terms AS (
+      SELECT py.yr,
+             SUM(CAST(py.p AS DECIMAL(38,8)) * base.q0) AS num,
+             SUM(CAST(base.p0 AS DECIMAL(38,8)) * base.q0) AS den,
+             CAST(COUNT(*) AS {bigint}) AS n_parts
+      FROM py JOIN base ON base.l_partkey = py.l_partkey
+      GROUP BY py.yr
+    )
+    SELECT yr AS year, n_parts,
+           CAST(CAST(
+             CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 100
+             AS DECIMAL(18,6)) AS DOUBLE) AS laspeyres_index
+    FROM terms
+    """
+
+
+@query(
+    "lineitem_laspeyres_price_index",
+    oracle=_laspeyres_sql(
+        "lineitem",
+        "BIGINT",
+        "EXTRACT(year FROM CAST(l_shipdate AS DATE))::INT",
+    ),
+)
+def lineitem_laspeyres_price_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Laspeyres price index of the parts basket by ship year — the
+    classic fixed-basket inflation measure (Σp_t·q₀ / Σp₀·q₀, base =
+    first year, ×100): are the SAME goods getting dearer, holding the
+    basket at base-year quantities so mix shift can't masquerade as
+    inflation? The econ-index face of the revenue trend family
+    (``orders_seasonal_index`` shapes within the year, this compares
+    across years). Only parts traded in the base year enter — the
+    standard fixed-basket rule, applied identically via the base
+    join in both dialects.
+
+    Exactness: each row's unit price (extendedprice/quantity) is ONE
+    correctly-rounded double division pinned DECIMAL(18,6); per
+    (part, year) mean prices are exact-decimal sums divided once and
+    re-pinned; the index numerator/denominator are exact
+    DECIMAL(38,8) dot products with base-year quantities; one final
+    double division ×100, pinned.
+
+    Plan: one scan → (part, year) hash aggregate; the base-year frame
+    broadcasts back onto the per-year frame (|parts| rows); a
+    ~#years-row finish. No window, no driver math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("laspeyres_lineitem")
+    return spark.sql(
+        _laspeyres_sql(
+            "laspeyres_lineitem", "BIGINT", "year(l_shipdate)"
+        )
+    )
