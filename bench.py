@@ -236,6 +236,8 @@ HEADLINE = [
     "orders_dow_adjusted_anomalies",
     "events_bot_score",
     "lineitem_laspeyres_price_index",
+    "eval_average_precision",
+    "profile_freshness_report",
     # scan_parquet_schema_evolution: full-table rewrite job — gate-
     # checked for merge-by-name losslessness, excluded from the query
     # bench like the other scratch-write round-trip jobs.

@@ -1508,3 +1508,83 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     cust.createOrReplaceTempView("kanon_customer")
     return spark.sql(_kanon_sql("kanon_customer", "BIGINT"))
+
+
+# ---- cross-table freshness report ------------------------------------------
+
+
+@query(
+    "profile_freshness_report",
+    oracle="""
+    WITH per_table AS (
+      SELECT 'orders' AS table_name, COUNT(*)::BIGINT AS n_rows,
+             max(CAST(o_orderdate AS TIMESTAMP)) AS max_ts
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', COUNT(*)::BIGINT,
+             max(CAST(l_shipdate AS TIMESTAMP))
+      FROM lineitem
+      UNION ALL
+      SELECT 'events', COUNT(*)::BIGINT,
+             max(CAST(ts AS TIMESTAMP))
+      FROM events
+    ),
+    horizon AS (SELECT max(max_ts) AS h FROM per_table)
+    SELECT t.table_name, t.n_rows,
+           CAST(t.max_ts AS TIMESTAMP) AS max_ts,
+           CAST(datediff('day', CAST(t.max_ts AS DATE),
+                         CAST(h.h AS DATE)) AS BIGINT)
+             AS staleness_days
+    FROM per_table t CROSS JOIN horizon h
+    """,
+)
+def profile_freshness_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table FRESHNESS report — per fact table, its row count,
+    newest business timestamp, and staleness in days behind the
+    lake-wide horizon (the newest timestamp anywhere). The first
+    dashboard an on-call opens when a pipeline "ran green but loaded
+    nothing": a table whose staleness jumps while its neighbors
+    advance is a silently-stuck feed, which row counts alone never
+    show. Complements the single-table expectation gate
+    (``profile_expectations_report``) with the cross-table freshness
+    axis.
+
+    Exactness: pure max/count aggregates and exact day arithmetic —
+    no pinning needed.
+
+    Plan: one partial+final aggregate per table (3 scans of exactly
+    one column each — columnar pruning makes these metadata-cheap),
+    a 3-row union, and a broadcast horizon. At 100 TB each max/count
+    rides parquet footer statistics where available; nothing wide."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    per = (
+        orders.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(F.col("o_orderdate").cast("timestamp")).alias("max_ts"),
+        ).select(F.lit("orders").alias("table_name"), "n_rows", "max_ts")
+    ).union(
+        lineitem.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(F.col("l_shipdate").cast("timestamp")).alias("max_ts"),
+        ).select(
+            F.lit("lineitem").alias("table_name"), "n_rows", "max_ts"
+        )
+    ).union(
+        events.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(F.col("ts").cast("timestamp")).alias("max_ts"),
+        ).select(F.lit("events").alias("table_name"), "n_rows", "max_ts")
+    )
+    horizon = per.agg(F.max("max_ts").alias("h"))
+    return per.crossJoin(F.broadcast(horizon)).select(
+        "table_name",
+        "n_rows",
+        "max_ts",
+        F.datediff(F.col("h").cast("date"), F.col("max_ts").cast("date"))
+        .cast("bigint")
+        .alias("staleness_days"),
+    )

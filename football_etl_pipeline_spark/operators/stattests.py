@@ -3104,3 +3104,82 @@ def orders_dow_adjusted_anomalies(
             "BIGINT",
         )
     )
+
+
+# ---- exact average precision (PR-AUC companion) ----------------------------
+
+
+def _ap_oracle() -> str:
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, {_en_score_duck()} AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    ranked AS (
+      SELECT y,
+             SUM(1) OVER (ORDER BY s DESC, doc_id) AS k,
+             SUM(y) OVER (ORDER BY s DESC, doc_id) AS cum_y
+      FROM scored
+    ),
+    terms AS (
+      SELECT CAST(CAST(cum_y AS DOUBLE) / k AS DECIMAL(18,9)) AS p_at_k
+      FROM ranked WHERE y = 1
+    ),
+    tot AS (SELECT SUM(y)::BIGINT AS r, COUNT(*)::BIGINT AS n FROM scored)
+    SELECT tot.n AS n_docs,
+           tot.r AS n_relevant,
+           CAST(CAST(
+             CAST(SUM(t.p_at_k) AS DOUBLE) / tot.r
+             AS DECIMAL(18,9)) AS DOUBLE) AS average_precision
+    FROM terms t CROSS JOIN tot
+    GROUP BY tot.n, tot.r
+    """
+
+
+@query("eval_average_precision", oracle=_ap_oracle())
+def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AVERAGE PRECISION (the area under the precision-recall
+    curve by the step-function convention) of the en-marker detector —
+    the eval that matters when positives are rare and ROC-AUC
+    (``eval_auc_language_detector``) flatters: AP weights each
+    relevant doc by the precision AT ITS OWN RANK, so early false
+    positives cost visibly. Deterministic total order (score DESC,
+    doc_id) makes every rank — and therefore AP itself — exact and
+    engine-agreed, the same tie policy as the calibration bins.
+
+    Exactness: ranks and cumulative-relevant counts are exact
+    integers from the range-exchange prefix; each P@k term is one
+    exact-int division pinned DECIMAL(18,9); their sum is exact; one
+    final division by R, pinned.
+
+    Plan: tokenize scan → range-exchange prefix over the (−score,
+    doc_id) order carrying (1, y) weights — per-doc rank WITHOUT a
+    single-partition window — then a 1-row reduce. The corpus-scale
+    frame passes through exactly one range exchange."""
+    d = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"-({_en_score_spark()}) AS neg_s",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y",
+    ).withColumn("one", F.lit(1))
+    cum = _range_prefix(d, ["neg_s", "doc_id"], ["one", "y"])
+    terms = cum.filter(F.col("y") == 1).select(
+        F.expr(
+            "CAST(CAST(cum_y AS DOUBLE) / cum_one AS DECIMAL(18,9))"
+        ).alias("p_at_k")
+    )
+    tot = d.agg(
+        F.sum("y").alias("r"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        terms.agg(F.sum("p_at_k").alias("sp"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("r").alias("n_relevant"),
+            F.expr(
+                "CAST(CAST(CAST(sp AS DOUBLE) / r AS DECIMAL(18,9))"
+                " AS DOUBLE)"
+            ).alias("average_precision"),
+        )
+    )
