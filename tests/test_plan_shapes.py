@@ -866,3 +866,21 @@ def test_local_clustering_joins_stay_equi(spark):
     final = _final(_plan(spark, "graph_local_clustering"))
     assert "BroadcastNestedLoopJoin" not in final
     assert "CartesianProduct" not in final
+
+
+def test_average_precision_ranks_ride_range_exchange(spark):
+    """Per-doc ranks for AP must come from the range-exchange prefix
+    (corpus-scale total order) — a single-partition rank window over
+    all documents is the 100× funnel."""
+    final = _final(_plan(spark, "eval_average_precision"))
+    assert "rangepartitioning" in final.lower()
+    assert _windows_fed_by_single_partition(final) == []
+
+
+def test_permutation_test_explodes_then_reduces(spark):
+    """The ×32 relabeling must ride a Generate (explode) of the
+    per-user frame and partial-aggregate to 32 moment rows — never a
+    cartesian or a join against the raw events."""
+    final = _final(_plan(spark, "stats_permutation_test"))
+    assert "Generate" in final
+    assert "CartesianProduct" not in final
