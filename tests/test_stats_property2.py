@@ -401,3 +401,113 @@ def test_logrank_oracle_matches_direct(spec):
     assert (got[0], got[1]) == (t1, t0)
     assert got[2] == int(o1)
     _close(got[4], round(want_z, 6))
+
+
+# ---- average precision ------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # marker-word count
+        st.integers(min_value=1, max_value=6),  # filler-word count
+        st.booleans(),  # lang == 'en'
+    ),
+    min_size=3,
+    max_size=40,
+)
+
+
+@given(docs_strategy)
+@settings(max_examples=30, deadline=None)
+def test_average_precision_oracle_matches_direct(spec):
+    rows = []
+    scores = []
+    for doc_id, (nm, nf, is_en) in enumerate(spec):
+        text = " ".join(["the"] * nm + ["zzz"] * nf)
+        rows.append((doc_id, text, "en" if is_en else "de"))
+        scores.append((nm / (nm + nf), doc_id, 1 if is_en else 0))
+    docs = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    r = sum(y for (_, _, y) in scores)
+    if r == 0:
+        return  # AP undefined with zero relevant docs
+    ranked = sorted(scores, key=lambda t: (-t[0], t[1]))
+    cum = 0
+    terms = []
+    for k, (_, _, y) in enumerate(ranked, start=1):
+        cum += y
+        if y:
+            terms.append(round(cum / k, 9))
+    want = sum(terms) / r
+    got = _run(ORACLES["eval_average_precision"], documents=docs)
+    assert (got[0], got[1]) == (len(spec), r)
+    _close(got[2], round(want, 9))
+
+
+# ---- Laspeyres price index --------------------------------------------------
+
+baskets = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # part
+        st.integers(min_value=0, max_value=2),  # year offset
+        st.integers(min_value=1, max_value=9),  # quantity
+        st.integers(min_value=1, max_value=500),  # unit cents
+    ),
+    min_size=4,
+    max_size=60,
+)
+
+
+@given(baskets)
+@settings(max_examples=30, deadline=None)
+def test_laspeyres_oracle_matches_direct(spec):
+    rows = []
+    for part, yoff, q, cents in spec:
+        rows.append(
+            (
+                part,
+                pd.Timestamp(f"{1995 + yoff}-06-15"),
+                float(q),
+                float(q) * cents / 100.0,
+            )
+        )
+    li = pd.DataFrame(
+        rows,
+        columns=["l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"],
+    )
+    # direct computation mirroring the declared roundings
+    from collections import defaultdict
+
+    acc = defaultdict(list)
+    qty = defaultdict(float)
+    for part, yoff, q, cents in spec:
+        yr = 1995 + yoff
+        up = round((float(q) * cents / 100.0) / q, 6)
+        acc[(part, yr)].append(up)
+        qty[(part, yr)] += q
+    p = {k: round(sum(v) / len(v), 6) for k, v in acc.items()}
+    base_yr = min(yr for (_, yr) in p)
+    base = {
+        part: (p[(part, yr)], qty[(part, yr)])
+        for (part, yr) in p
+        if yr == base_yr
+    }
+    want = {}
+    for (part, yr) in p:
+        if part not in base:
+            continue
+        num, den = want.get(yr, (0.0, 0.0))
+        want[yr] = (
+            num + p[(part, yr)] * base[part][1],
+            den + base[part][0] * base[part][1],
+        )
+    con = duckdb.connect()
+    con.register("lineitem", li)
+    out = con.execute(
+        ORACLES["lineitem_laspeyres_price_index"]
+    ).fetchall()
+    assert len(out) == len(want)
+    for yr, n_parts, idx in out:
+        num, den = want[yr]
+        assert n_parts == sum(
+            1 for (pt, y) in p if y == yr and pt in base
+        )
+        _close(idx, round(num / den * 100, 6))
