@@ -238,6 +238,7 @@ HEADLINE = [
     "lineitem_laspeyres_price_index",
     "eval_average_precision",
     "profile_freshness_report",
+    "events_cohort_retention_matrix",
     # scan_parquet_schema_evolution: full-table rewrite job — gate-
     # checked for merge-by-name losslessness, excluded from the query
     # bench like the other scratch-write round-trip jobs.

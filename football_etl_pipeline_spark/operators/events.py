@@ -2869,3 +2869,107 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epoch_us(ts)", "unix_micros(ts)"
         ).replace("epoch_us(prev_ts)", "unix_micros(prev_ts)")
     )
+
+
+# ---- weekly cohort retention triangle ---------------------------------------
+
+
+def _cohort_sql(table: str, bigint: str, weekstart: str) -> str:
+    """Shared cohort-triangle text: cohort = ISO week of a user's
+    first event; cell (cohort, weeks_since) = distinct users active."""
+    return f"""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             {weekstart.replace('XCOL', 'ts')} AS wk
+      FROM {table}
+    ),
+    first_wk AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id
+    ),
+    cohort_n AS (
+      SELECT cohort_wk, CAST(COUNT(*) AS {bigint}) AS cohort_size
+      FROM first_wk GROUP BY cohort_wk
+    ),
+    active AS (
+      SELECT f.cohort_wk,
+             CAST(datediff('day', CAST(f.cohort_wk AS DATE),
+                           CAST(e.wk AS DATE)) / 7 AS {bigint})
+               AS weeks_since,
+             CAST(COUNT(DISTINCT e.user_id) AS {bigint}) AS n_active
+      FROM ev e JOIN first_wk f ON f.user_id = e.user_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(a.cohort_wk AS TIMESTAMP) AS cohort_week,
+           a.weeks_since,
+           c.cohort_size,
+           a.n_active,
+           CAST(CAST(
+             CAST(a.n_active AS DOUBLE) / c.cohort_size
+             AS DECIMAL(18,9)) AS DOUBLE) AS retention_rate
+    FROM active a JOIN cohort_n c ON c.cohort_wk = a.cohort_wk
+    """
+
+
+@query(
+    "events_cohort_retention_matrix",
+    oracle=_cohort_sql(
+        "events",
+        "BIGINT",
+        "date_trunc('week', CAST(XCOL AS TIMESTAMP))",
+    ),
+)
+def events_cohort_retention_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The weekly COHORT RETENTION TRIANGLE — every user assigned to
+    the ISO week of their first event, every (cohort, weeks-since)
+    cell counting distinct users still active — the canonical
+    retention readout (``events_daily_retention`` is one diagonal of
+    this matrix; ``events_growth_accounting`` is its day-over-day
+    flow derivative; this is the full triangle a growth review pins
+    on the wall).
+
+    Exactness: cohorts and week offsets are exact date arithmetic
+    (both engines truncate to the ISO Monday); cell counts are exact
+    DISTINCT aggregates; the rate is one exact-int division pinned
+    DECIMAL(18,9).
+
+    Plan: one scan → per-user MIN (first week), joined back on
+    user_id (co-partitioned with the distinct aggregate's shuffle),
+    then a (cohort × weeks) distinct count — the cohort dimension is
+    bounded by the horizon in weeks, so the output is tiny while
+    every aggregate partials map-side."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("week", "ts").alias("wk"),
+    )
+    first_wk = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    cohort_n = first_wk.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    active = (
+        ev.join(first_wk, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (
+                F.datediff(
+                    F.col("wk").cast("date"),
+                    F.col("cohort_wk").cast("date"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return active.join(F.broadcast(cohort_n), "cohort_wk").select(
+        F.col("cohort_wk").alias("cohort_week"),
+        "weeks_since",
+        "cohort_size",
+        "n_active",
+        F.expr(
+            "CAST(CAST(CAST(n_active AS DOUBLE) / cohort_size"
+            " AS DECIMAL(18,9)) AS DOUBLE)"
+        ).alias("retention_rate"),
+    )
