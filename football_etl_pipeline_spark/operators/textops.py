@@ -3178,7 +3178,11 @@ def _es_key(dialect: str) -> str:
     IEEE chain: u = (hash60(doc_id)+1)/2^60 ∈ (0,1], w = n_chars.
     ln(u) is pinned DECIMAL(18,9) before the division (a final-ulp
     libm/JVM ln disagreement at the 1e-16 scale cannot survive the
-    1e-9 rounding), the key itself DECIMAL(18,12)."""
+    1e-9 rounding), the key itself DECIMAL(18,12). The weight is
+    GREATEST(n_chars, 1): an empty doc must not produce a NULL key
+    (÷0 → NULL sorts FIRST in Spark ASC but LAST in DuckDB, a silent
+    cross-engine divergence) — clamping to 1 keeps the key finite
+    and identical in both dialects."""
     h = (
         hash60_spark("CAST(doc_id AS STRING)")
         if dialect == "spark"
@@ -3187,7 +3191,7 @@ def _es_key(dialect: str) -> str:
     return (
         f"CAST(-CAST(CAST(ln(CAST({h} + 1 AS DOUBLE)"
         f" / CAST({_TWO_POW_60} AS DOUBLE)) AS DECIMAL(18,9))"
-        f" AS DOUBLE) / n_chars AS DECIMAL(18,12))"
+        f" AS DOUBLE) / GREATEST(n_chars, 1) AS DECIMAL(18,12))"
     )
 
 

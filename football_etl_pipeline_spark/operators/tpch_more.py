@@ -1889,15 +1889,22 @@ def _laspeyres_sql(li: str, bigint: str, yr: str) -> str:
 def lineitem_laspeyres_price_index(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Laspeyres price index of the parts basket by ship year — the
-    classic fixed-basket inflation measure (Σp_t·q₀ / Σp₀·q₀, base =
-    first year, ×100): are the SAME goods getting dearer, holding the
-    basket at base-year quantities so mix shift can't masquerade as
-    inflation? The econ-index face of the revenue trend family
+    """Laspeyres-style price index of the parts basket by ship year
+    (Σp_t·q₀ / Σp₀·q₀, base = first year, ×100), under the
+    **matched-basket (intersection) convention**: year t's basket is
+    the set of parts traded in BOTH the base year and year t — the
+    inner join with the base frame drops base-year parts absent in
+    year t from numerator AND denominator alike, so the basket can
+    shrink per year (n_parts reports its size) while quantities stay
+    frozen at base-year levels. This is the standard matched-model
+    treatment of disappearing items, not the textbook full-basket
+    Laspeyres (which is undefined whenever a base part has no price
+    in year t); within the matched set, quantity weights are held at
+    q₀, so price change is measured on comparable goods. The
+    econ-index face of the revenue trend family
     (``orders_seasonal_index`` shapes within the year, this compares
-    across years). Only parts traded in the base year enter — the
-    standard fixed-basket rule, applied identically via the base
-    join in both dialects.
+    across years). The convention is applied identically via the
+    base join in both dialects.
 
     Exactness: each row's unit price (extendedprice/quantity) is ONE
     correctly-rounded double division pinned DECIMAL(18,6); per
