@@ -239,6 +239,9 @@ HEADLINE = [
     "eval_average_precision",
     "profile_freshness_report",
     "events_cohort_retention_matrix",
+    "stats_kruskal_wallis_priority",
+    "stats_jarque_bera_value",
+    "stats_bh_fdr_event_rates",
     # scan_parquet_schema_evolution: full-table rewrite job — gate-
     # checked for merge-by-name losslessness, excluded from the query
     # bench like the other scratch-write round-trip jobs.

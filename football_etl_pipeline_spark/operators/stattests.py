@@ -3183,3 +3183,373 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("average_precision"),
         )
     )
+
+
+# ---- Kruskal–Wallis k-group rank test --------------------------------------
+
+
+def _kw_sql(table: str, bigint: str) -> str:
+    """Shared Kruskal–Wallis text. The rank machinery is the
+    ``stats_mannwhitney_value`` integral-tie trick generalized to k
+    groups: per distinct value, 2×avg_rank = 2·cum_before + t + 1
+    exactly, so each group's doubled rank sum 2R_g is an exact
+    BIGINT; (2R_g)² is squared in DOUBLE (correctly rounded on
+    identical inputs), each group's term pinned DECIMAL(18,9) before
+    the k-row sum so the 5-term addition is order-insensitive."""
+    return f"""
+    WITH byv AS (
+      SELECT o_totalprice AS v, o_orderpriority AS grp,
+             CAST(COUNT(*) AS {bigint}) AS n_gv
+      FROM {table} GROUP BY 1, 2
+    ),
+    byval AS (
+      SELECT v, CAST(SUM(n_gv) AS {bigint}) AS t FROM byv GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, t, SUM(t) OVER (ORDER BY v) AS cum_t FROM byval
+    ),
+    terms AS (
+      SELECT byv.grp,
+             byv.n_gv,
+             byv.n_gv * (2 * (cum.cum_t - cum.t) + cum.t + 1)
+               AS r2_term
+      FROM byv JOIN cum ON byv.v = cum.v
+    ),
+    g AS (
+      SELECT grp,
+             CAST(SUM(n_gv) AS {bigint}) AS n_g,
+             CAST(SUM(r2_term) AS {bigint}) AS r2_g
+      FROM terms GROUP BY grp
+    ),
+    gterm AS (
+      SELECT grp, n_g,
+             CAST(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)
+                  / (4 * CAST(n_g AS DOUBLE)) AS DECIMAL(38,9))
+               AS sq_over_n
+      FROM g
+    ),
+    ties AS (
+      SELECT CAST(SUM(t) AS {bigint}) AS n,
+             CAST(SUM(t * t * t - t) AS {bigint}) AS tie3
+      FROM byval
+    ),
+    mo AS (
+      SELECT CAST(COUNT(*) AS {bigint}) AS k,
+             CAST(SUM(sq_over_n) AS DOUBLE) AS s
+      FROM gterm
+    )
+    SELECT ties.n AS n_total, mo.k AS n_groups,
+           mo.k - 1 AS df,
+           CAST(CAST(
+             (CAST(12 AS DOUBLE) * mo.s
+                / (CAST(ties.n AS DOUBLE) * (ties.n + 1))
+              - CAST(3 AS DOUBLE) * (ties.n + 1))
+             / (CAST(1 AS DOUBLE)
+                - CAST(ties.tie3 AS DOUBLE)
+                  / (CAST(ties.n AS DOUBLE) * CAST(ties.n AS DOUBLE)
+                     * CAST(ties.n AS DOUBLE) - ties.n))
+             AS DECIMAL(18,6)) AS DOUBLE) AS h_stat
+    FROM mo CROSS JOIN ties
+    """
+
+
+@query(
+    "stats_kruskal_wallis_priority",
+    oracle=_kw_sql("orders", "BIGINT"),
+)
+def stats_kruskal_wallis_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tie-corrected Kruskal–Wallis H: do the five order priorities
+    draw total price from the same distribution? The k-group
+    rank-based sibling of ``stats_anova_priority_price`` (which
+    compares MEANS and is tail-sensitive) and the generalization of
+    ``stats_mannwhitney_value`` from 2 to k groups — the standard
+    screen before trusting a parametric ANOVA on skewed money.
+    H = 12/(N(N+1)) · Σ R_g²/n_g − 3(N+1), divided by the tie
+    correction 1 − Σ(t³−t)/(N³−N); H ~ χ²(k−1) under the null.
+
+    Exactness: doubled rank sums 2R_g stay exact BIGINTs via the
+    2·cum_before + t + 1 identity; each (2R_g)²/(4n_g) is one double
+    product pinned DECIMAL(38,9) so the k-term sum is
+    order-insensitive; N³−N is computed in DOUBLE (N³ would overflow
+    BIGINT at TPC-H sf10's 1.5e8 orders).
+
+    Plan: one scan → (value, grp) hash agg; running rank totals via
+    the range-exchange prefix (distinct prices are corpus-scale — a
+    global window here would be the scale bug); a value-keyed join
+    back; k-row and 1-row finishes."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        F.col("o_orderpriority").alias("grp"),
+    )
+    byv = o.groupBy("v", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gv")
+    )
+    byval = byv.groupBy("v").agg(
+        F.sum("n_gv").cast("bigint").alias("t")
+    )
+    cum = _range_prefix(byval, ["v"], ["t"])
+    terms = byv.join(cum.select("v", "t", "cum_t"), "v").select(
+        "grp",
+        "n_gv",
+        (
+            F.col("n_gv")
+            * (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1)
+        ).alias("r2_term"),
+    )
+    g = terms.groupBy("grp").agg(
+        F.sum("n_gv").cast("bigint").alias("n_g"),
+        F.sum("r2_term").cast("bigint").alias("r2_g"),
+    )
+    gterm = g.select(
+        "grp",
+        "n_g",
+        F.expr(
+            "CAST(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)"
+            " / (4 * CAST(n_g AS DOUBLE)) AS DECIMAL(38,9))"
+        ).alias("sq_over_n"),
+    )
+    ties = byval.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    mo = gterm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("sq_over_n").cast("double").alias("s"),
+    )
+    return mo.crossJoin(F.broadcast(ties)).selectExpr(
+        "n AS n_total",
+        "k AS n_groups",
+        "k - 1 AS df",
+        """CAST(CAST(
+             (CAST(12 AS DOUBLE) * s
+                / (CAST(n AS DOUBLE) * (n + 1))
+              - CAST(3 AS DOUBLE) * (n + 1))
+             / (CAST(1 AS DOUBLE)
+                - CAST(tie3 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     * CAST(n AS DOUBLE) - n))
+             AS DECIMAL(18,6)) AS DOUBLE) AS h_stat""",
+    )
+
+
+# ---- Jarque–Bera normality test --------------------------------------------
+
+
+def _jb_sql(table: str, bigint: str) -> str:
+    """Shared Jarque–Bera text: raw power sums are exact DECIMALs
+    (each row's v², v³, v⁴ is a correctly-rounded double product
+    pinned to a fixed scale before summing, so the sums are
+    order-insensitive); the central-moment / skewness / kurtosis
+    algebra is ONE fixed IEEE chain written identically in both
+    dialects, each output pinned DECIMAL(18,6)."""
+    return f"""
+    WITH x AS (
+      SELECT CAST(value AS DOUBLE) AS v
+      FROM {table}
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS {bigint}) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(v * v * v AS DECIMAL(38,6))) AS DOUBLE)
+               AS s3,
+             CAST(SUM(CAST(v * v * v * v AS DECIMAL(38,6)))
+                  AS DOUBLE) AS s4
+      FROM x
+    ),
+    m AS (
+      SELECT n,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n
+               - CAST(3 AS DOUBLE) * (s1 / n) * (s2 / n)
+               + CAST(2 AS DOUBLE) * (s1 / n) * (s1 / n) * (s1 / n)
+               AS m3,
+             s4 / n
+               - CAST(4 AS DOUBLE) * (s1 / n) * (s3 / n)
+               + CAST(6 AS DOUBLE) * (s1 / n) * (s1 / n) * (s2 / n)
+               - CAST(3 AS DOUBLE) * (s1 / n) * (s1 / n)
+                 * (s1 / n) * (s1 / n)
+               AS m4
+      FROM s
+    ),
+    gg AS (
+      SELECT n,
+             CAST(CAST(m3 / (sqrt(m2) * m2) AS DECIMAL(18,9))
+                  AS DOUBLE) AS g1,
+             CAST(CAST(m4 / (m2 * m2) - 3 AS DECIMAL(18,9))
+                  AS DOUBLE) AS g2
+      FROM m
+    )
+    SELECT n AS n_values,
+           CAST(CAST(g1 AS DECIMAL(18,6)) AS DOUBLE) AS skewness,
+           CAST(CAST(g2 AS DECIMAL(18,6)) AS DOUBLE)
+             AS excess_kurtosis,
+           CAST(CAST(
+             CAST(n AS DOUBLE) / 6
+               * (g1 * g1 + g2 * g2 / 4)
+             AS DECIMAL(18,6)) AS DOUBLE) AS jb_stat
+    FROM gg
+    """
+
+
+@query(
+    "stats_jarque_bera_value",
+    oracle=_jb_sql("events", "BIGINT"),
+)
+def stats_jarque_bera_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jarque–Bera normality test on purchase values: JB =
+    n/6·(g₁² + g₂²/4) with g₁ the moment skewness and g₂ the excess
+    kurtosis — JB ~ χ²(2) under normality (Jarque & Bera 1980, the
+    standard regression-residual normality screen). The
+    moments-based gate that tells you whether the Welch/z machinery
+    elsewhere (``events_ab_test_lift``) leans on a normality
+    assumption the data visibly violates — purchase values are
+    price-like and right-skewed, exactly what this flags.
+
+    Exactness: four raw power sums as exact DECIMAL aggregates (each
+    row's power is one correctly-rounded double product pinned to a
+    fixed scale BEFORE summing — the ``events_ab_test_lift``
+    DECIMAL(38,6) overflow pin, extended to cubes and fourth
+    powers); the central-moment algebra is one fixed IEEE chain on
+    those identical doubles; g₁ and g₂ are pinned DECIMAL(18,9)
+    before they feed JB so the squaring sees identical inputs.
+
+    Plan: ONE scan → a single partial+final hash aggregate carrying
+    the four power sums — no shuffle wider than one row, no second
+    pass (the textbook mean-then-deviations formulation would scan
+    twice). Scale-free finish."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("jb_events")
+    return spark.sql(_jb_sql("jb_events", "BIGINT"))
+
+
+# ---- Benjamini–Hochberg FDR screen ------------------------------------------
+
+
+def _norm_p_two_sided(z_col: str) -> str:
+    """Two-sided normal p-value 2·(1−Φ(|z|)) = 1 − erf(|z|/√2) as a
+    fixed SQL chain, identical in both dialects. erf uses the
+    Abramowitz–Stegun 7.1.26 polynomial (|error| < 1.5e-7, far below
+    the DECIMAL(18,9) pin): t = 1/(1+0.3275911·x),
+    erf(x) ≈ 1 − poly(t)·e^{−x²}. exp is the one libm call — its
+    output is pinned DECIMAL(18,12) before the polynomial multiply so
+    a final-ulp exp disagreement is rounded away (the ln-pin rule,
+    applied to exp)."""
+    x = f"(abs({z_col}) / sqrt(CAST(2 AS DOUBLE)))"
+    t = f"(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(0.3275911 AS DOUBLE) * {x}))"
+    poly = (
+        f"((((( CAST(1.061405429 AS DOUBLE) * {t}"
+        f" + CAST(-1.453152027 AS DOUBLE)) * {t}"
+        f" + CAST(1.421413741 AS DOUBLE)) * {t}"
+        f" + CAST(-0.284496736 AS DOUBLE)) * {t}"
+        f" + CAST(0.254829592 AS DOUBLE)) * {t})"
+    )
+    e = f"CAST(CAST(exp(-({x} * {x})) AS DECIMAL(18,12)) AS DOUBLE)"
+    return f"CAST(CAST({poly} * {e} AS DECIMAL(18,9)) AS DOUBLE)"
+
+
+def _bhfdr_sql(table: str, isodow_wd: str, bigint: str) -> str:
+    return f"""
+    WITH days AS (
+      SELECT CAST(ts AS DATE) AS day,
+             MAX(CASE WHEN {isodow_wd} THEN 1 ELSE 0 END) AS is_wd
+      FROM {table} GROUP BY 1
+    ),
+    expo AS (
+      SELECT CAST(SUM(is_wd) AS {bigint}) AS t1,
+             CAST(SUM(1 - is_wd) AS {bigint}) AS t2
+      FROM days
+    ),
+    cnt AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN {isodow_wd} THEN 1 ELSE 0 END)
+                  AS {bigint}) AS x1,
+             CAST(SUM(CASE WHEN {isodow_wd} THEN 0 ELSE 1 END)
+                  AS {bigint}) AS x2
+      FROM {table} GROUP BY 1
+    ),
+    zs AS (
+      SELECT event_type, x1, x2,
+             CAST(CAST(
+               (CAST(x1 AS DOUBLE)
+                  - (x1 + x2) * (CAST(t1 AS DOUBLE) / (t1 + t2)))
+               / sqrt((x1 + x2) * (CAST(t1 AS DOUBLE) / (t1 + t2))
+                      * (CAST(1 AS DOUBLE)
+                         - CAST(t1 AS DOUBLE) / (t1 + t2)))
+               AS DECIMAL(18,6)) AS DOUBLE) AS z
+      FROM cnt CROSS JOIN expo
+    ),
+    ps AS (
+      SELECT event_type, x1, x2, z,
+             {_norm_p_two_sided('z')} AS p_value,
+             CAST(COUNT(*) OVER () AS {bigint}) AS m
+      FROM zs
+    ),
+    ranked AS (
+      SELECT event_type, x1, x2, z, p_value, m,
+             CAST(ROW_NUMBER() OVER (ORDER BY p_value, event_type)
+                  AS {bigint}) AS i
+      FROM ps
+    ),
+    stepped AS (
+      SELECT event_type, x1, x2, z, p_value, i, m,
+             MIN(p_value * m / i) OVER (
+               ORDER BY i DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS q_raw
+      FROM ranked
+    )
+    SELECT event_type,
+           x1 AS n_weekday, x2 AS n_weekend, z AS z_stat,
+           p_value,
+           CAST(CAST(
+             CASE WHEN q_raw > 1 THEN CAST(1 AS DOUBLE) ELSE q_raw END
+             AS DECIMAL(18,9)) AS DOUBLE) AS q_value,
+           CAST(CASE WHEN q_raw <= CAST(0.05 AS DOUBLE)
+                THEN 1 ELSE 0 END AS INT) AS reject_05
+    FROM stepped
+    """
+
+
+@query(
+    "stats_bh_fdr_event_rates",
+    oracle=_bhfdr_sql(
+        "events", "isodow(CAST(ts AS TIMESTAMP)) <= 5", "BIGINT"
+    ),
+)
+def stats_bh_fdr_event_rates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benjamini–Hochberg FDR correction across a FAMILY of tests —
+    one weekday-vs-weekend Poisson rate z-test per event type
+    (the ``events_poisson_rate_test`` machinery, fanned out), then
+    the BH step-up: rank p-values ascending, qᵢ = min_{j≥i} pⱼ·m/j
+    capped at 1 (Benjamini & Hochberg 1995). The multiple-testing
+    face the per-test operators lack: run 5 screens at α=.05 and
+    ~1-in-4 null families produce a false alarm; BH controls the
+    expected false-discovery RATE instead, which is what a
+    curation pipeline monitoring dozens of segment drifts needs.
+
+    Exactness: counts and exposures are exact integers; each z is
+    one pinned chain; the normal p-value goes through the shared
+    erf polynomial (A&S 7.1.26, error ≪ the pin) with the exp
+    output pinned DECIMAL(18,12) — the ln-pin house rule applied to
+    exp; the BH step-up is pure arithmetic + running min on pinned
+    doubles, identical both sides.
+
+    Plan: one scan for the day-exposure aggregate, one for per-type
+    counts (partial+final hash aggs); everything after is over m =
+    |event types| rows, so the global windows run on a frame tiny by
+    construction (documented single-partition exception)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("bhfdr_events")
+    return spark.sql(
+        _bhfdr_sql("bhfdr_events", "weekday(ts) <= 4", "BIGINT")
+    )

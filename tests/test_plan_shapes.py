@@ -542,6 +542,7 @@ def test_stable_row_ids_has_no_global_window(spark):
     [
         "stats_ks_source_drift",
         "stats_mannwhitney_value",
+        "stats_kruskal_wallis_priority",
         "customer_revenue_gini",
         "lineitem_weighted_median",
     ],
@@ -884,3 +885,26 @@ def test_permutation_test_explodes_then_reduces(spark):
     final = _final(_plan(spark, "stats_permutation_test"))
     assert "Generate" in final
     assert "CartesianProduct" not in final
+
+
+def test_jarque_bera_is_one_scan_one_agg(spark):
+    """The JB moment chain must ride a SINGLE events scan carrying all
+    four power sums through one partial+final hash aggregate — the
+    textbook mean-then-deviations formulation would scan twice, and a
+    second scan is the regression at 100 TB."""
+    final = _final(_plan(spark, "stats_jarque_bera_value"))
+    assert final.count("Scan parquet") == 1, final
+    assert "Window" not in final
+
+
+def test_bh_fdr_windows_only_over_event_type_frame(spark):
+    """The BH step-up runs global windows by design — but only over
+    the m = |event types| frame (5 rows). Both scans (day exposure +
+    per-type counts) must be plain hash aggregates; a window fed by
+    corpus-scale input would be the regression."""
+    full = _plan(spark, "stats_bh_fdr_event_rates")
+    final = _final(full)
+    # two scans: one for exposures, one for per-type counts
+    assert final.count("Scan parquet") == 2, final
+    # the windows exist, but every one sits above the k-row aggregate
+    assert "Window" in final

@@ -1,0 +1,183 @@
+"""Property tests for the round-10 statistics chains: Kruskal–Wallis,
+Jarque–Bera, and the BH-FDR screen (including its erf-polynomial
+normal CDF). Same rationale as ``test_stats_property``: these are SQL
+TEXT chains shared by both engines, so a transposed moment or a
+shifted rank produces plausible numbers BOTH engines agree on — only
+an independent numpy/pandas/math computation from the raw rows can
+catch it."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from football_etl_pipeline_spark.operators.registry import ORACLES
+
+REL_TOL = 1e-5
+
+
+def _run_all(sql: str, **frames) -> list[tuple]:
+    con = duckdb.connect()
+    for name, df in frames.items():
+        con.register(name, df)
+    return con.execute(sql).fetchall()
+
+
+def _close(got, want, tol=REL_TOL):
+    assert got is not None
+    assert abs(got - want) <= max(tol, tol * abs(want)), (got, want)
+
+
+# ---- Kruskal–Wallis --------------------------------------------------------
+
+kw_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=12),  # value (ties likely)
+        st.integers(min_value=0, max_value=3),  # group id
+    ),
+    min_size=8,
+    max_size=80,
+)
+
+
+@given(kw_rows)
+@settings(max_examples=40, deadline=None)
+def test_kruskal_wallis_oracle_matches_direct(rows):
+    df = pd.DataFrame(rows, columns=["v", "g"])
+    if df["g"].nunique() < 2 or df["v"].nunique() < 2:
+        return  # H undefined / tie correction divides by zero
+    orders = pd.DataFrame(
+        {
+            "o_totalprice": df["v"].astype(float),
+            "o_orderpriority": df["g"].map("{}-GRP".format),
+        }
+    )
+    ranks = df["v"].rank(method="average")
+    n = len(df)
+    s = sum(
+        ranks[df["g"] == g].sum() ** 2 / (df["g"] == g).sum()
+        for g in df["g"].unique()
+    )
+    h = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+    tie3 = sum(
+        t**3 - t for t in df.groupby("v").size().tolist()
+    )
+    want = h / (1 - tie3 / (n**3 - n))
+    got = _run_all(
+        ORACLES["stats_kruskal_wallis_priority"], orders=orders
+    )[0]
+    assert got[0] == n
+    assert got[1] == df["g"].nunique()
+    _close(got[3], round(want, 6))
+
+
+# ---- Jarque–Bera -----------------------------------------------------------
+
+jb_vals = st.lists(
+    st.floats(min_value=0.01, max_value=500.0, allow_nan=False),
+    min_size=8,
+    max_size=100,
+)
+
+
+@given(jb_vals)
+@settings(max_examples=40, deadline=None)
+def test_jarque_bera_oracle_matches_numpy(vals):
+    # mirror the table: 2-decimal money values
+    vals = [round(v, 2) for v in vals]
+    x = np.asarray(vals, dtype=float)
+    if np.var(x) < 1e-9:
+        return  # m2 ~ 0: skew/kurtosis undefined
+    n = len(x)
+    m2 = ((x - x.mean()) ** 2).mean()
+    m3 = ((x - x.mean()) ** 3).mean()
+    m4 = ((x - x.mean()) ** 4).mean()
+    g1 = m3 / m2**1.5
+    g2 = m4 / m2**2 - 3
+    want = n / 6.0 * (g1**2 + g2**2 / 4)
+    events = pd.DataFrame(
+        {"event_type": "purchase", "value": x}
+    )
+    got = _run_all(
+        ORACLES["stats_jarque_bera_value"], events=events
+    )[0]
+    assert got[0] == n
+    _close(got[1], round(g1, 6), tol=1e-4)
+    _close(got[2], round(g2, 6), tol=1e-4)
+    _close(got[3], round(want, 6), tol=1e-4)
+
+
+# ---- BH-FDR ----------------------------------------------------------------
+
+
+def _bh_direct(events: pd.DataFrame) -> dict[str, tuple]:
+    """Pure-Python BH over per-type weekday/weekend Poisson z."""
+    days = events.assign(day=events["ts"].dt.date).groupby("day")[
+        "is_wd"
+    ].max()
+    t1, t2 = int(days.sum()), int((1 - days).sum())
+    stats = {}
+    for et, grp in events.groupby("event_type"):
+        x1 = int(grp["is_wd"].sum())
+        x2 = int((1 - grp["is_wd"]).sum())
+        p0 = t1 / (t1 + t2)
+        z = (x1 - (x1 + x2) * p0) / math.sqrt(
+            (x1 + x2) * p0 * (1 - p0)
+        )
+        z = round(z, 6)
+        p = 1 - math.erf(abs(z) / math.sqrt(2))
+        stats[et] = (z, p)
+    m = len(stats)
+    ordered = sorted(stats.items(), key=lambda kv: (kv[1][1], kv[0]))
+    qs: dict[str, float] = {}
+    running = math.inf
+    for i in range(m - 1, -1, -1):
+        et, (_, p) = ordered[i]
+        running = min(running, p * m / (i + 1))
+        qs[et] = min(running, 1.0)
+    return {et: (z, p, qs[et]) for et, (z, p) in stats.items()}
+
+
+bh_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=27),  # day offset (Jan'24)
+        st.sampled_from(["alpha", "beta", "gamma"]),
+    ),
+    min_size=30,
+    max_size=200,
+)
+
+
+@given(bh_events)
+@settings(max_examples=30, deadline=None)
+def test_bh_fdr_oracle_matches_direct(rows):
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        [d for d, _ in rows], unit="D"
+    )
+    events = pd.DataFrame(
+        {"ts": ts, "event_type": [e for _, e in rows]}
+    )
+    events["is_wd"] = (events["ts"].dt.dayofweek < 5).astype(int)
+    # degenerate exposures make the z undefined
+    days = events.assign(day=events["ts"].dt.date).groupby("day")[
+        "is_wd"
+    ].max()
+    if days.sum() == 0 or (1 - days).sum() == 0:
+        return
+    want = _bh_direct(events)
+    got = _run_all(
+        ORACLES["stats_bh_fdr_event_rates"],
+        events=events[["ts", "event_type"]],
+    )
+    assert len(got) == len(want)
+    for et, _x1, _x2, z, p, q, _rej in got:
+        wz, wp, wq = want[et]
+        _close(z, wz)
+        # the A&S erf polynomial carries |error| < 1.5e-7 vs math.erf
+        _close(p, wp, tol=5e-7)
+        _close(q, wq, tol=5e-6)
