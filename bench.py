@@ -242,6 +242,9 @@ HEADLINE = [
     "stats_kruskal_wallis_priority",
     "stats_jarque_bera_value",
     "stats_bh_fdr_event_rates",
+    "stats_pettitt_changepoint",
+    "stats_ljung_box_daily",
+    "customer_theil_inequality",
     # scan_parquet_schema_evolution: full-table rewrite job — gate-
     # checked for merge-by-name losslessness, excluded from the query
     # bench like the other scratch-write round-trip jobs.

@@ -908,3 +908,13 @@ def test_bh_fdr_windows_only_over_event_type_frame(spark):
     assert final.count("Scan parquet") == 2, final
     # the windows exist, but every one sits above the k-row aggregate
     assert "Window" in final
+
+
+def test_theil_decomposition_has_no_window(spark):
+    """Theil rides pure aggregates: per-customer collapse, 25-row
+    group frame, pinned per-term sums. A Window (e.g. a rank-based
+    reformulation) or a SinglePartition funnel over the per-customer
+    frame would be the scale regression."""
+    final = _final(_plan(spark, "customer_theil_inequality"))
+    assert "Window" not in final
+    assert _windows_fed_by_single_partition(final) == []

@@ -181,3 +181,154 @@ def test_bh_fdr_oracle_matches_direct(rows):
         # the A&S erf polynomial carries |error| < 1.5e-7 vs math.erf
         _close(p, wp, tol=5e-7)
         _close(q, wq, tol=5e-6)
+
+
+# ---- Pettitt ----------------------------------------------------------------
+
+pettitt_counts = st.lists(
+    st.integers(min_value=1, max_value=9), min_size=5, max_size=60
+)
+
+
+@given(pettitt_counts)
+@settings(max_examples=40, deadline=None)
+def test_pettitt_oracle_matches_naive_double_sum(counts):
+    """The oracle uses the integral rank identity; the reference is
+    the O(n²) definition Uₜ = Σ_{i≤t}Σ_{j>t} sgn(xⱼ−xᵢ)."""
+    n = len(counts)
+    days = pd.date_range("2020-01-01", periods=n, freq="D")
+    # one orders row per unit of count so the daily agg reproduces it
+    orders = pd.DataFrame(
+        {
+            "o_orderdate": [
+                d for d, c in zip(days, counts) for _ in range(c)
+            ]
+        }
+    )
+    x = counts
+    best_k, best_day = -1, None
+    # build U_t from the raw O(n²) double sum — the rank recurrence
+    # is the identity under test, so it must not appear here
+    us = []
+    for t in range(n):
+        u_t = 0
+        for i in range(t + 1):
+            for j in range(t + 1, n):
+                u_t += (
+                    1 if x[j] > x[i] else -1 if x[j] < x[i] else 0
+                )
+        us.append(u_t)
+    for t in range(n):
+        if abs(us[t]) > best_k:
+            best_k, best_day = abs(us[t]), days[t].date()
+    want_p = min(
+        1.0, 2 * math.exp(-6 * best_k**2 / (n**3 + n**2))
+    )
+    got = _run_all(
+        ORACLES["stats_pettitt_changepoint"], orders=orders
+    )[0]
+    assert got[0] == n
+    assert got[1] == best_k
+    assert got[2] == best_day
+    _close(got[3], want_p, tol=1e-6)
+
+
+# ---- Ljung–Box --------------------------------------------------------------
+
+
+@given(pettitt_counts)
+@settings(max_examples=30, deadline=None)
+def test_ljung_box_oracle_matches_direct(counts):
+    from football_etl_pipeline_spark.operators.stattests import (
+        LJUNG_BOX_MAX_LAG,
+    )
+
+    n = len(counts)
+    if n <= LJUNG_BOX_MAX_LAG + 1:
+        return
+    days = pd.date_range("2020-01-01", periods=n, freq="D")
+    orders = pd.DataFrame(
+        {
+            "o_orderdate": [
+                d for d, c in zip(days, counts) for _ in range(c)
+            ]
+        }
+    )
+    x = np.asarray(counts, dtype=float)
+    q = 0.0
+    for k in range(1, LJUNG_BOX_MAX_LAG + 1):
+        a, b = x[:-k], x[k:]
+        va = (len(a) * (a * a).sum() - a.sum() ** 2)
+        vb = (len(b) * (b * b).sum() - b.sum() ** 2)
+        if va <= 0 or vb <= 0:
+            return  # a constant window: r_k undefined
+        r = (len(a) * (a * b).sum() - a.sum() * b.sum()) / math.sqrt(
+            va * vb
+        )
+        q += round(r, 9) ** 2 / (n - k)
+    want = n * (n + 2) * q
+    got = _run_all(ORACLES["stats_ljung_box_daily"], orders=orders)[0]
+    assert got[0] == n
+    _close(got[3], round(want, 6), tol=1e-5)
+
+
+# ---- Theil decomposition -----------------------------------------------------
+
+theil_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=30),  # custkey
+        st.integers(min_value=0, max_value=3),  # nation of that cust
+        st.integers(min_value=100, max_value=99999),  # order cents
+    ),
+    min_size=6,
+    max_size=80,
+)
+
+
+@given(theil_rows)
+@settings(max_examples=30, deadline=None)
+def test_theil_oracle_matches_numpy_and_decomposes(rows):
+    # nation must be functionally dependent on custkey
+    nation_of = {}
+    fixed = []
+    for ck, nk, cents in rows:
+        nation_of.setdefault(ck, nk)
+        fixed.append((ck, nation_of[ck], cents))
+    orders = pd.DataFrame(
+        {
+            "o_custkey": [ck for ck, _, _ in fixed],
+            "o_totalprice": [c / 100.0 for _, _, c in fixed],
+        }
+    )
+    customer = pd.DataFrame(
+        sorted(nation_of.items()), columns=["c_custkey", "c_nationkey"]
+    )
+    percust = orders.groupby("o_custkey")["o_totalprice"].sum()
+    x = percust.to_numpy()
+    g = customer.set_index("c_custkey").loc[percust.index][
+        "c_nationkey"
+    ].to_numpy()
+    n, mu = len(x), x.mean()
+    t_total = float(np.mean(x / mu * np.log(x / mu)))
+    t_within = 0.0
+    t_between = 0.0
+    for nk in np.unique(g):
+        xg = x[g == nk]
+        mug = xg.mean()
+        sg = xg.sum() / x.sum()
+        t_within += sg * float(
+            np.mean(xg / mug * np.log(xg / mug))
+        )
+        t_between += sg * math.log(mug / mu)
+    got = _run_all(
+        ORACLES["customer_theil_inequality"],
+        orders=orders,
+        customer=customer,
+    )[0]
+    assert got[0] == n
+    assert got[1] == len(np.unique(g))
+    _close(got[2], t_total, tol=1e-5)
+    _close(got[3], t_within, tol=1e-5)
+    _close(got[4], t_between, tol=1e-5)
+    # the decomposition identity, on the oracle's own outputs
+    assert abs(got[5] - got[2]) < 5e-6
