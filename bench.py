@@ -245,6 +245,9 @@ HEADLINE = [
     "stats_pettitt_changepoint",
     "stats_ljung_box_daily",
     "customer_theil_inequality",
+    "join_null_safe_buckets",
+    "text_vocab_overlap_sources",
+    "orders_robust_stl_decompose",
     # scan_parquet_schema_evolution: full-table rewrite job — gate-
     # checked for merge-by-name losslessness, excluded from the query
     # bench like the other scratch-write round-trip jobs.

@@ -636,3 +636,56 @@ def join_asof_nearest_purchase(
             .alias("gap_us"),
         )
     )
+
+
+# ---- null-safe equality join ------------------------------------------
+
+
+@query(
+    "join_null_safe_buckets",
+    oracle="""
+    WITH l AS (
+      SELECT NULLIF(o_orderstatus, 'P') AS status_key,
+             COUNT(*)::BIGINT AS n_all
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT NULLIF(o_orderstatus, 'P') AS status_key,
+             COUNT(*)::BIGINT AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+    )
+    SELECT l.status_key, l.n_all, r.n_urgent
+    FROM l JOIN r ON l.status_key IS NOT DISTINCT FROM r.status_key
+    """,
+)
+def join_null_safe_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NULL-safe equality join (Spark ``<=>`` / SQL IS NOT DISTINCT
+    FROM): two keyed aggregates whose bucket key is deliberately
+    NULLable (NULLIF folds status 'P' to NULL) are joined so that the
+    NULL buckets MATCH — under plain ``=`` the NULL row silently
+    drops from both sides, the classic lost-bucket bug when joining
+    summaries whose group key carries "unknown" as NULL. The
+    remaining face of the join-surface family (inner/left/right/
+    full/semi/anti/range/as-of/bloom are covered; this is the
+    equality-semantics variant).
+
+    Plan: both sides collapse to ≤3-row aggregates before the join,
+    which broadcasts; the null-safe predicate is a hash-join key in
+    Spark (``<=>`` is an equi-join condition, not a filter), so the
+    same plan holds when the sides are corpus-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.expr("NULLIF(o_orderstatus, 'P')")
+    left = o.groupBy(key.alias("status_key")).agg(
+        F.count(F.lit(1)).alias("n_all")
+    )
+    right = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(key.alias("status_key"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    return left.join(
+        F.broadcast(right.withColumnRenamed("status_key", "rk")),
+        F.col("status_key").eqNullSafe(F.col("rk")),
+    ).select("status_key", "n_all", "n_urgent")

@@ -3884,3 +3884,139 @@ def customer_theil_inequality(
     return spark.sql(
         _theil_sql("theil_orders", "theil_customer", "BIGINT")
     )
+
+
+# ---- robust seasonal decomposition (median-based STL-lite) ------------------
+
+
+def _rstl_sql(
+    table: str, bigint: str, offsets_src: str, median: str, dow: str
+) -> str:
+    """Shared robust-decomposition text: trend = centered 7-day
+    MEDIAN of the daily revenue (exact-percentile convention shared
+    by Spark percentile / DuckDB quantile_cont, the
+    ``agg_exact_percentiles`` anchor), seasonal = per-day-of-week
+    median of the detrended series, remainder = the rest. Each
+    component is pinned DECIMAL(18,6) the moment it is born so the
+    downstream subtractions see identical doubles."""
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                  AS DOUBLE) AS revenue
+      FROM {table} GROUP BY 1
+    ),
+    offsets AS ({offsets_src}),
+    neigh AS (
+      SELECT a.day, b.revenue AS nb_rev
+      FROM daily a
+      JOIN offsets o ON TRUE
+      JOIN daily b ON b.day = a.day + o.off * INTERVAL 1 DAY
+    ),
+    trend AS (
+      SELECT day,
+             CAST(COUNT(*) AS {bigint}) AS n_window,
+             CAST(CAST({median.format(x="nb_rev")} AS DECIMAL(18,6))
+                  AS DOUBLE) AS trend
+      FROM neigh GROUP BY day
+    ),
+    detr AS (
+      SELECT d.day, d.revenue, t.trend, t.n_window,
+             CAST(CAST(d.revenue - t.trend AS DECIMAL(18,6))
+                  AS DOUBLE) AS detrended
+      FROM daily d JOIN trend t ON t.day = d.day
+    ),
+    seas AS (
+      SELECT {dow} AS dow,
+             CAST(CAST({median.format(x="detrended")}
+                  AS DECIMAL(18,6)) AS DOUBLE) AS seasonal
+      FROM detr GROUP BY 1
+    )
+    SELECT detr.day, detr.n_window, detr.revenue, detr.trend,
+           seas.seasonal,
+           CAST(CAST(detr.detrended - seas.seasonal AS DECIMAL(18,6))
+                AS DOUBLE) AS remainder
+    FROM detr JOIN seas ON seas.dow = {dow}
+    """
+
+
+@query(
+    "orders_robust_stl_decompose",
+    oracle=_rstl_sql(
+        "orders",
+        "BIGINT",
+        "SELECT unnest(range(-3, 4))::BIGINT AS off",
+        "quantile_cont({x}, 0.5)",
+        "isodow(detr.day)",
+    ),
+)
+def orders_robust_stl_decompose(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust seasonal decomposition of the daily revenue series —
+    the median-based STL-lite: trend = centered 7-day rolling MEDIAN
+    (edge days use their available window; ``n_window`` reports it),
+    seasonal = per-day-of-week median of the detrended series,
+    remainder = what's left. Medians, not means, so one
+    flash-sale day bends neither the trend nor its weekday's
+    seasonal (the robust counterpart of ``orders_seasonal_index``'s
+    mean-ratio months, and the decomposition behind
+    ``orders_dow_adjusted_anomalies``'s residual screen — here the
+    components themselves are the output, per day).
+
+    Exactness: daily revenues are exact DECIMAL sums; both medians
+    ride the shared exact-percentile convention (Spark percentile ≡
+    DuckDB quantile_cont, type-7 interpolation — the
+    ``agg_exact_percentiles`` anchor); every component is pinned
+    DECIMAL(18,6) before the next subtraction.
+
+    Plan: the corpus collapses to ~#days rows in one scan+agg
+    (persisted — the window join reads it twice); the ±3-offset
+    expansion is 7 calendar equi-joins on that tiny frame (the ACF
+    pattern — no range join, no window), the seasonal frame is 7
+    rows broadcast back. Output ~#days rows, corpus-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = persist_tracked(
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))"
+                " AS DOUBLE)"
+            ).alias("revenue")
+        )
+    )
+    daily.createOrReplaceTempView("rstl_daily")
+    return spark.sql(
+        f"""
+    WITH offsets AS (SELECT CAST(id AS BIGINT) AS off FROM range(-3, 4)),
+    neigh AS (
+      SELECT a.day, b.revenue AS nb_rev
+      FROM rstl_daily a
+      JOIN offsets o ON TRUE
+      JOIN rstl_daily b ON b.day = a.day + o.off * INTERVAL 1 DAY
+    ),
+    trend AS (
+      SELECT day,
+             CAST(COUNT(*) AS BIGINT) AS n_window,
+             CAST(CAST(percentile(nb_rev, 0.5D) AS DECIMAL(18,6))
+                  AS DOUBLE) AS trend
+      FROM neigh GROUP BY day
+    ),
+    detr AS (
+      SELECT d.day, d.revenue, t.trend, t.n_window,
+             CAST(CAST(d.revenue - t.trend AS DECIMAL(18,6))
+                  AS DOUBLE) AS detrended
+      FROM rstl_daily d JOIN trend t ON t.day = d.day
+    ),
+    seas AS (
+      SELECT weekday(detr.day) + 1 AS dow,
+             CAST(CAST(percentile(detrended, 0.5D)
+                  AS DECIMAL(18,6)) AS DOUBLE) AS seasonal
+      FROM detr GROUP BY 1
+    )
+    SELECT detr.day, detr.n_window, detr.revenue, detr.trend,
+           seas.seasonal,
+           CAST(CAST(detr.detrended - seas.seasonal AS DECIMAL(18,6))
+                AS DOUBLE) AS remainder
+    FROM detr JOIN seas ON seas.dow = weekday(detr.day) + 1
+    """
+    )

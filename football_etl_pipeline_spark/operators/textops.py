@@ -3538,3 +3538,138 @@ def text_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE) / COUNT(*) AS DECIMAL(18,9)) AS DOUBLE)"
         ).alias("keep_rate"),
     )
+
+
+# ---- per-source vocabulary overlap matrix ---------------------------------
+
+VOCAB_OVERLAP_K = 200
+
+
+@query(
+    "text_vocab_overlap_sources",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({TOKENS_DUCK}) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT source, w, COUNT(*)::BIGINT AS freq
+      FROM tok WHERE length(w) > 0 GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT source, w FROM (
+        SELECT source, w,
+               ROW_NUMBER() OVER (
+                 PARTITION BY source ORDER BY freq DESC, w ASC
+               ) AS rn
+        FROM vocab
+      ) WHERE rn <= {VOCAB_OVERLAP_K}
+    ),
+    sizes AS (
+      SELECT source, COUNT(*)::BIGINT AS k_sz FROM topk GROUP BY 1
+    ),
+    common AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*)::BIGINT AS n_common
+      FROM topk a JOIN topk b
+        ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT sa.source AS source_a, sb.source AS source_b,
+           sa.k_sz AS k_a, sb.k_sz AS k_b,
+           COALESCE(c.n_common, 0)::BIGINT AS n_common,
+           CAST(CAST(
+             CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+               / (sa.k_sz + sb.k_sz - COALESCE(c.n_common, 0))
+             AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
+    FROM sizes sa
+    JOIN sizes sb ON sa.source < sb.source
+    LEFT JOIN common c
+      ON c.source_a = sa.source AND c.source_b = sb.source
+    """,
+)
+def text_vocab_overlap_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise lexical-style similarity of SOURCES: Jaccard overlap
+    of each source pair's top-200 vocabularies (house tokenizer,
+    tie-break freq DESC then word ASC so both engines pick identical
+    sets). The corpus-mixing diagnostic the doc-level ladder doesn't
+    give: ``dedup_source_overlap_matrix`` says which sources share
+    literal DOCUMENTS; this says which share a REGISTER (high vocab
+    overlap with no shared docs = same domain from different crawls —
+    exactly what domain-mixture weighting needs to know), and its
+    complement flags the source whose vocabulary is alien (wrong
+    language, boilerplate, spam). All C(20,2)=190 pairs are emitted,
+    zero-overlap included — an absent pair reads as "not measured",
+    a 0.0 reads as "measured, disjoint".
+
+    Plan: one tokenize scan → (source, word) hash agg; the top-K
+    rank window partitions BY SOURCE over the Heaps-small per-source
+    vocab (never single-partition); the word-keyed self-join runs on
+    20·K rows; the 20-row size frame broadcast-joins the 190-pair
+    finish."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "source", F.explode(F.expr(TOKENS_SPARK)).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wsrc = Window.partitionBy("source").orderBy(
+        F.col("freq").desc(), F.col("w").asc()
+    )
+    topk = persist_tracked(
+        vocab.withColumn("rn", F.row_number().over(wsrc))
+        .filter(F.col("rn") <= VOCAB_OVERLAP_K)
+        .select("source", "w")
+    )
+    sizes = topk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_sz")
+    )
+    common = (
+        topk.alias("a")
+        .join(
+            topk.alias("b"),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("ca"),
+            F.col("b.source").alias("cb"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("k_sz").alias("k_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("k_sz").alias("k_b")
+    )
+    return (
+        sa.join(F.broadcast(sb), F.col("source_a") < F.col("source_b"))
+        .join(
+            F.broadcast(common),
+            (F.col("ca") == F.col("source_a"))
+            & (F.col("cb") == F.col("source_b")),
+            "left",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "k_a",
+            "k_b",
+            F.coalesce(F.col("n_common"), F.lit(0))
+            .cast("bigint")
+            .alias("n_common"),
+            F.expr(
+                "CAST(CAST("
+                " CAST(COALESCE(n_common, 0) AS DOUBLE)"
+                " / (k_a + k_b - COALESCE(n_common, 0))"
+                " AS DECIMAL(18,6)) AS DOUBLE)"
+            ).alias("jaccard"),
+        )
+    )

@@ -918,3 +918,33 @@ def test_theil_decomposition_has_no_window(spark):
     final = _final(_plan(spark, "customer_theil_inequality"))
     assert "Window" not in final
     assert _windows_fed_by_single_partition(final) == []
+
+
+def test_null_safe_join_is_hash_join_not_filter(spark):
+    """``<=>`` must compile as an equi-join KEY (hash/broadcast
+    join), not a post-cartesian filter — a BroadcastNestedLoopJoin
+    here would go quadratic when the joined summaries are
+    corpus-sized."""
+    final = _final(_plan(spark, "join_null_safe_buckets"))
+    assert "BroadcastHashJoin" in final or "SortMergeJoin" in final
+    assert "NestedLoop" not in final
+
+
+def test_vocab_overlap_rank_window_is_partitioned(spark):
+    """The per-source top-K rank must partition BY SOURCE — a global
+    rank over the pooled vocab would funnel the Heaps-small-but-
+    growing frame through one task."""
+    final = _final(_plan(spark, "text_vocab_overlap_sources"))
+    assert "Window" in final
+    assert _windows_fed_by_single_partition(final) == []
+
+
+def test_robust_stl_has_no_window_and_reuses_daily(spark):
+    """The decomposition rides calendar equi-joins over the persisted
+    ~#days frame: no Window anywhere (a rolling-median window over
+    raw orders would be the regression) and the daily aggregate is
+    cached, not recomputed per CTE reference."""
+    full = _plan(spark, "orders_robust_stl_decompose")
+    outer = _outer_final(full)
+    assert "Window" not in outer
+    assert "InMemoryTableScan" in full

@@ -332,3 +332,44 @@ def test_theil_oracle_matches_numpy_and_decomposes(rows):
     _close(got[4], t_between, tol=1e-5)
     # the decomposition identity, on the oracle's own outputs
     assert abs(got[5] - got[2]) < 5e-6
+
+
+# ---- robust STL decomposition -------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.integers(min_value=100, max_value=99999),
+        min_size=10,
+        max_size=60,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_robust_stl_oracle_matches_pandas(cents):
+    n = len(cents)
+    days = pd.date_range("2021-03-01", periods=n, freq="D")
+    rev = pd.Series([c / 100.0 for c in cents], index=days)
+    orders = pd.DataFrame(
+        {"o_orderdate": days, "o_totalprice": rev.to_numpy()}
+    )
+    trend = rev.rolling(7, center=True, min_periods=1).median()
+    trend = trend.round(6)
+    detr = (rev - trend).round(6)
+    seas = detr.groupby(days.dayofweek + 1).median().round(6)
+    got = _run_all(
+        ORACLES["orders_robust_stl_decompose"], orders=orders
+    )
+    assert len(got) == n
+    for day, n_window, revenue, t, s, r in got:
+        idx = pd.Timestamp(day)
+        assert n_window == min(3, (idx - days[0]).days) + 1 + min(
+            3, (days[-1] - idx).days
+        )
+        _close(revenue, rev[idx])
+        _close(t, trend[idx], tol=1e-6)
+        _close(s, seas[idx.dayofweek + 1], tol=1e-6)
+        _close(
+            r,
+            round(detr[idx] - seas[idx.dayofweek + 1], 6),
+            tol=1e-6,
+        )
