@@ -248,6 +248,9 @@ HEADLINE = [
     "join_null_safe_buckets",
     "text_vocab_overlap_sources",
     "orders_robust_stl_decompose",
+    "stats_friedman_dow_revenue",
+    "embedding_participation_ratio",
+    "eval_langid_prf",
     # scan_parquet_schema_evolution: full-table rewrite job — gate-
     # checked for merge-by-name losslessness, excluded from the query
     # bench like the other scratch-write round-trip jobs.

@@ -1588,3 +1588,186 @@ def profile_freshness_report(
         .cast("bigint")
         .alias("staleness_days"),
     )
+
+
+# ---- embedding participation ratio (effective dimensionality) --------
+
+
+@query(
+    "embedding_participation_ratio",
+    oracle=f"""
+    WITH comps AS (
+      SELECT
+        e.vec_id,
+        u.dim,
+        CAST(FLOOR((e.embedding::DOUBLE[])[u.dim + 1] * {NANO})
+             AS BIGINT) AS nano
+      FROM embeddings e,
+        LATERAL (
+          SELECT generate_series AS dim
+          FROM generate_series(0, {DIM - 1})
+        ) u
+    ),
+    dimsums AS (
+      SELECT dim, CAST(SUM(CAST(nano AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s
+      FROM comps GROUP BY dim
+    ),
+    nn AS (SELECT COUNT(*)::BIGINT AS n FROM embeddings),
+    prods AS (
+      SELECT a.dim AS i, b.dim AS j,
+             CAST(SUM(CAST(a.nano * b.nano AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS p
+      FROM comps a JOIN comps b
+        ON b.vec_id = a.vec_id AND a.dim <= b.dim
+      GROUP BY 1, 2
+    ),
+    cov AS (
+      SELECT p.i, p.j,
+             CAST(nn.n * p.p - si.s * sj.s AS DOUBLE)
+               / (CAST(nn.n AS DOUBLE) * nn.n * {NANO} * {NANO})
+               AS c
+      FROM prods p
+      JOIN dimsums si ON si.dim = p.i
+      JOIN dimsums sj ON sj.dim = p.j
+      CROSS JOIN nn
+    ),
+    terms AS (
+      SELECT
+        CAST(CASE WHEN i = j THEN c ELSE 0 END AS DECIMAL(18,12))
+          AS tr_term,
+        CAST(CASE WHEN i = j THEN c * c ELSE 2 * (c * c) END
+             AS DECIMAL(18,12)) AS tr2_term
+      FROM cov
+    ),
+    fin AS (
+      SELECT CAST(SUM(tr_term) AS DOUBLE) AS trace_c,
+             CAST(SUM(tr2_term) AS DOUBLE) AS trace_c2
+      FROM terms
+    )
+    SELECT nn.n AS n_vectors,
+           CAST({DIM} AS BIGINT) AS dim,
+           CAST(CAST(fin.trace_c AS DECIMAL(18,9)) AS DOUBLE)
+             AS trace_c,
+           CAST(CAST(fin.trace_c2 AS DECIMAL(18,9)) AS DOUBLE)
+             AS trace_c2,
+           CAST(CAST(fin.trace_c * fin.trace_c / fin.trace_c2
+                AS DECIMAL(18,6)) AS DOUBLE) AS participation_ratio,
+           CAST(CAST(fin.trace_c * fin.trace_c / fin.trace_c2 / {DIM}
+                AS DECIMAL(18,6)) AS DOUBLE) AS effective_dim_fraction
+    FROM fin CROSS JOIN nn
+    """,
+)
+def embedding_participation_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Effective dimensionality of the embedding space via the
+    participation ratio PR = tr(C)² / tr(C²) of the covariance matrix
+    — the eigendecomposition-free identity tr(C²) = Σᵢⱼ Cᵢⱼ², so PR =
+    (Σλ)²/Σλ² without ever forming an eigenproblem (the standard
+    effective-rank readout in representation-learning analysis; PR ≈
+    DIM for isotropic embeddings, PR ≪ DIM for collapsed ones). The
+    whole-matrix companion of ``embedding_dim_stats`` (marginal
+    per-dim variances can look healthy while dimensions are
+    near-duplicates of each other — exactly what the off-diagonal
+    mass here exposes) and the health gate for the PCA/ANN family.
+
+    Exactness: components enter as nano-unit BIGINTs (the
+    ``embedding_dim_stats`` fixed-point pattern); every covariance
+    NUMERATOR n·Σxy − Σx·Σy is exact DECIMAL(38,0) integer
+    arithmetic (a 1e9-vector corpus still fits with digits to
+    spare), one double division per entry; the 64 trace terms and
+    2080 squared terms are pinned DECIMAL(18,12) before their sums.
+
+    Plan: ONE scan expands each vector against the broadcast
+    2080-row (i≤j) index grid — no self-join, no shuffle before the
+    partial aggregate collapses every partition to ≤2080 rows; the
+    finish is grid-sized. Scale cost is a map-side expansion ×2080,
+    the price of all-pairs covariance in one pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    grid = (
+        spark.range(DIM)
+        .alias("a")
+        .join(spark.range(DIM).alias("b"), F.expr("a.id <= b.id"))
+        .select(
+            F.col("a.id").cast("int").alias("i"),
+            F.col("b.id").cast("int").alias("j"),
+        )
+    )
+    pairs = emb.crossJoin(F.broadcast(grid)).select(
+        "i",
+        "j",
+        F.floor(
+            F.expr("CAST(element_at(embedding, i + 1) AS DOUBLE)")
+            * NANO
+        )
+        .cast("bigint")
+        .alias("ni"),
+        F.floor(
+            F.expr("CAST(element_at(embedding, j + 1) AS DOUBLE)")
+            * NANO
+        )
+        .cast("bigint")
+        .alias("nj"),
+    )
+    prods = pairs.groupBy("i", "j").agg(
+        F.sum((F.col("ni") * F.col("nj")).cast("decimal(38,0)")).alias(
+            "p"
+        ),
+        F.sum(F.col("ni").cast("decimal(38,0)")).alias("si_part"),
+    )
+    # per-dim sums from the diagonal rows (i == j reads dim i once)
+    dimsums = (
+        prods.filter(F.col("i") == F.col("j"))
+        .select(F.col("i").alias("dim"), F.col("si_part").alias("s"))
+    )
+    nn = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cov = (
+        prods.join(
+            F.broadcast(
+                dimsums.select(
+                    F.col("dim").alias("di"), F.col("s").alias("si")
+                )
+            ),
+            F.col("di") == F.col("i"),
+        )
+        .join(
+            F.broadcast(
+                dimsums.select(
+                    F.col("dim").alias("dj"), F.col("s").alias("sj")
+                )
+            ),
+            F.col("dj") == F.col("j"),
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "CAST(n * p - si * sj AS DOUBLE)"
+                f" / (CAST(n AS DOUBLE) * n * {NANO} * {NANO})"
+            ).alias("c"),
+        )
+    )
+    terms = cov.select(
+        F.expr(
+            "CAST(CASE WHEN i = j THEN c ELSE 0 END AS DECIMAL(18,12))"
+        ).alias("tr_term"),
+        F.expr(
+            "CAST(CASE WHEN i = j THEN c * c ELSE 2 * (c * c) END"
+            " AS DECIMAL(18,12))"
+        ).alias("tr2_term"),
+    )
+    fin = terms.agg(
+        F.sum("tr_term").cast("double").alias("trace_c"),
+        F.sum("tr2_term").cast("double").alias("trace_c2"),
+    )
+    return fin.crossJoin(F.broadcast(nn)).selectExpr(
+        "n AS n_vectors",
+        f"CAST({DIM} AS BIGINT) AS dim",
+        "CAST(CAST(trace_c AS DECIMAL(18,9)) AS DOUBLE) AS trace_c",
+        "CAST(CAST(trace_c2 AS DECIMAL(18,9)) AS DOUBLE) AS trace_c2",
+        "CAST(CAST(trace_c * trace_c / trace_c2 AS DECIMAL(18,6))"
+        " AS DOUBLE) AS participation_ratio",
+        f"CAST(CAST(trace_c * trace_c / trace_c2 / {DIM}"
+        " AS DECIMAL(18,6)) AS DOUBLE) AS effective_dim_fraction",
+    )

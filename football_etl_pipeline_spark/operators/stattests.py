@@ -4020,3 +4020,98 @@ def orders_robust_stl_decompose(
     FROM detr JOIN seas ON seas.dow = weekday(detr.day) + 1
     """
     )
+
+
+# ---- Friedman blocked rank test ---------------------------------------------
+
+
+def _friedman_sql(table: str, bigint: str, dow: str) -> str:
+    """Shared Friedman text: blocks = complete ISO weeks (all 7 days
+    traded) of the daily revenue series, treatments = the 7 weekdays.
+    Within-block doubled ranks come from the 7×7 in-block sign
+    comparison (2rᵢ = Σⱼ[xⱼ<xᵢ]·2 + Σⱼ[xⱼ=xᵢ] + 1, exact BIGINTs,
+    tie-averaged by construction); the tie-general statistic
+    Q = (k−1)·Σⱼ(2Rⱼ − n(k+1))² / (Σ(2r)² − nk(k+1)²) stays INTEGRAL
+    until one final double division."""
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(date_trunc('week', CAST(o_orderdate AS DATE))
+                  AS DATE) AS wk,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                  AS DOUBLE) AS revenue
+      FROM {table} GROUP BY 1, 2
+    ),
+    complete AS (
+      SELECT wk FROM daily GROUP BY wk
+      HAVING CAST(COUNT(*) AS {bigint}) = 7
+    ),
+    blocked AS (
+      SELECT d.wk, {dow} AS dow, d.revenue
+      FROM daily d JOIN complete c ON c.wk = d.wk
+    ),
+    ranked AS (
+      SELECT a.wk, a.dow,
+             CAST(SUM(CASE WHEN b.revenue < a.revenue THEN 2
+                           WHEN b.revenue = a.revenue THEN 1
+                           ELSE 0 END) + 1 AS {bigint}) AS r2
+      FROM blocked a JOIN blocked b ON b.wk = a.wk
+      GROUP BY a.wk, a.dow
+    ),
+    colsums AS (
+      SELECT dow, CAST(SUM(r2) AS {bigint}) AS r2_j
+      FROM ranked GROUP BY dow
+    ),
+    nb AS (
+      SELECT CAST(COUNT(*) AS {bigint}) AS n FROM complete
+    ),
+    num AS (
+      SELECT CAST(SUM((r2_j - nb.n * 8) * (r2_j - nb.n * 8))
+                  AS {bigint}) AS s_num
+      FROM colsums CROSS JOIN nb GROUP BY nb.n
+    ),
+    den AS (
+      SELECT CAST(SUM(r2 * r2) AS {bigint}) AS sum_r2sq FROM ranked
+    )
+    SELECT nb.n AS n_weeks,
+           CAST(7 AS {bigint}) AS k_treatments,
+           CAST(6 AS {bigint}) AS df,
+           CAST(CAST(
+             CAST(6 AS DOUBLE) * num.s_num
+             / (den.sum_r2sq - nb.n * 7 * 64)
+             AS DECIMAL(18,6)) AS DOUBLE) AS q_stat
+    FROM num CROSS JOIN den CROSS JOIN nb
+    """
+
+
+@query(
+    "stats_friedman_dow_revenue",
+    oracle=_friedman_sql("orders", "BIGINT", "isodow(d.day)"),
+)
+def stats_friedman_dow_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Friedman blocked rank test: does revenue depend on the DAY OF
+    WEEK, treating each complete ISO week as a block? (Friedman 1937
+    — the repeated-measures sibling of ``stats_kruskal_wallis``:
+    KW pools all days, so a year-over-year level trend masquerades
+    as a weekday effect; Friedman ranks WITHIN each week, so only
+    the within-week shape counts.) Q ~ χ²(6) under "no weekday
+    effect"; the tie-corrected general form is used (with no ties it
+    reduces to the textbook 12n/(k(k+1))·Σ(R̄ⱼ−(k+1)/2)²).
+
+    Exactness: ranks never leave the integers — the in-block 7×7
+    sign comparison gives doubled tie-averaged ranks directly (no
+    window, no sort), column sums and both quadratic forms are exact
+    BIGINTs, one final double division pinned DECIMAL(18,6). With
+    k=7: n(k+1) = 8n, nk(k+1)² = 448n.
+
+    Plan: the corpus collapses to ~#days rows in one scan+agg; the
+    block completeness filter, in-block 7×7 comparison (49 rows per
+    week), and 7-row column sums all run on the tiny daily frame —
+    corpus-independent beyond the first aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("friedman_orders")
+    return spark.sql(
+        _friedman_sql("friedman_orders", "BIGINT", "weekday(d.day) + 1")
+    )

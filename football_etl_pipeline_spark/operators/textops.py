@@ -3673,3 +3673,102 @@ def text_vocab_overlap_sources(
             ).alias("jaccard"),
         )
     )
+
+
+# ---- language-ID per-class precision/recall/F1 -----------------------------
+
+
+def _langid_prf_sql(conf_src: str, bigint: str) -> str:
+    """Shared PRF finish over a (lang, predicted_lang, n_docs)
+    confusion frame: per declared class, tp / fp / fn from row and
+    column marginals; P/R/F1 are single divisions of exact counts,
+    each pinned DECIMAL(18,6). F1 uses the tp-form
+    2tp/(2tp+fp+fn) — no P·R/(P+R) float compounding."""
+    return f"""
+    WITH conf AS ({conf_src}),
+    row_m AS (
+      SELECT lang,
+             CAST(SUM(n_docs) AS {bigint}) AS n_class,
+             CAST(SUM(CASE WHEN predicted_lang = lang
+                      THEN n_docs ELSE 0 END) AS {bigint}) AS tp
+      FROM conf GROUP BY lang
+    ),
+    col_m AS (
+      SELECT predicted_lang AS lang,
+             CAST(SUM(n_docs) AS {bigint}) AS n_pred
+      FROM conf GROUP BY predicted_lang
+    )
+    SELECT r.lang,
+           r.n_class,
+           COALESCE(c.n_pred, 0) AS n_predicted,
+           r.tp,
+           COALESCE(c.n_pred, 0) - r.tp AS fp,
+           r.n_class - r.tp AS fn,
+           CAST(CAST(CASE WHEN COALESCE(c.n_pred, 0) = 0
+                THEN CAST(0 AS DOUBLE)
+                ELSE CAST(r.tp AS DOUBLE) / c.n_pred END
+                AS DECIMAL(18,6)) AS DOUBLE) AS precision_,
+           CAST(CAST(CAST(r.tp AS DOUBLE) / r.n_class
+                AS DECIMAL(18,6)) AS DOUBLE) AS recall_,
+           CAST(CAST(
+             CAST(2 * r.tp AS DOUBLE)
+             / (2 * r.tp + (COALESCE(c.n_pred, 0) - r.tp)
+                + (r.n_class - r.tp))
+             AS DECIMAL(18,6)) AS DOUBLE) AS f1
+    FROM row_m r LEFT JOIN col_m c ON c.lang = r.lang
+    """
+
+
+@query(
+    "eval_langid_prf",
+    oracle=_langid_prf_sql(
+        f"""
+      SELECT lang,
+             {_lang_case({lg: _marker_count("toks", lg, "duck") for lg in LANG_MARKERS},
+                         CJK_COUNT_DUCK)} AS predicted_lang,
+             COUNT(*)::BIGINT AS n_docs
+      FROM (SELECT lang, {TOKENS_DUCK} AS toks, text FROM documents)
+      GROUP BY 1, 2
+    """,
+        "BIGINT",
+    ),
+)
+def eval_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the marker-token language
+    detector against the declared label — the classifier REPORT CARD
+    on top of ``text_language_id``'s raw confusion rollup (which
+    says who got confused with whom; this says which class's gate to
+    distrust) and the per-class complement of
+    ``eval_auc_language_detector``'s single threshold-free number.
+    F1 is computed in the 2tp/(2tp+fp+fn) form so no float ratio
+    ever feeds another division. Classes with zero predictions
+    report precision 0 by convention (stated here, identical both
+    engines).
+
+    Plan: one tokenize scan → 25-cell confusion aggregate; marginals
+    and PRF run on that tiny frame. The scan is the whole cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    counted = docs.select(
+        "lang", "text", F.expr(TOKENS_SPARK).alias("toks")
+    ).select(
+        "lang",
+        *[
+            F.expr(_marker_count("toks", lg, "spark")).alias(f"c_{lg}")
+            for lg in LANG_MARKERS
+        ],
+        F.expr(CJK_COUNT_SPARK).alias("c_cjk"),
+    )
+    pred = _lang_case({lg: f"c_{lg}" for lg in LANG_MARKERS}, "c_cjk")
+    conf = (
+        counted.select("lang", F.expr(pred).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    conf.createOrReplaceTempView("langid_prf_conf")
+    return spark.sql(
+        _langid_prf_sql(
+            "SELECT lang, predicted_lang, n_docs FROM langid_prf_conf",
+            "BIGINT",
+        )
+    )

@@ -948,3 +948,15 @@ def test_robust_stl_has_no_window_and_reuses_daily(spark):
     outer = _outer_final(full)
     assert "Window" not in outer
     assert "InMemoryTableScan" in full
+
+
+def test_participation_ratio_grid_is_broadcast_no_self_join(spark):
+    """The all-pairs covariance must ride the broadcast 2080-row
+    (i≤j) grid — a vec_id self-join of the exploded components
+    would shuffle the corpus twice; here the partial aggregate
+    collapses every partition to ≤2080 rows before the only
+    exchange."""
+    final = _final(_plan(spark, "embedding_participation_ratio"))
+    assert "SortMergeJoin" not in final
+    assert "BroadcastNestedLoopJoin" in final  # the grid cross join
+    assert _windows_fed_by_single_partition(final) == []

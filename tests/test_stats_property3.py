@@ -373,3 +373,87 @@ def test_robust_stl_oracle_matches_pandas(cents):
             round(detr[idx] - seas[idx.dayofweek + 1], 6),
             tol=1e-6,
         )
+
+
+# ---- Friedman ------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(*[st.integers(min_value=1, max_value=60)] * 7),
+        min_size=3,
+        max_size=25,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_friedman_oracle_matches_direct(weeks):
+    """Reference: rank within each block with pandas average ranks,
+    tie-general Q = (k−1)·Σ(Rⱼ−n(k+1)/2)² / (Σr²−nk(k+1)²/4)."""
+    k = 7
+    n = len(weeks)
+    # build one order per revenue unit on consecutive Mon..Sun days
+    mondays = pd.date_range("2021-01-04", periods=n, freq="7D")
+    rows = []
+    for wi, rev7 in enumerate(weeks):
+        for d, r in enumerate(rev7):
+            rows.extend(
+                [mondays[wi] + pd.Timedelta(days=d)] * r
+            )
+    orders = pd.DataFrame(
+        {"o_orderdate": rows, "o_totalprice": 1.0}
+    )
+    ranks = np.zeros((n, k))
+    for wi, rev7 in enumerate(weeks):
+        ranks[wi] = pd.Series(rev7, dtype=float).rank(
+            method="average"
+        )
+    colsums = ranks.sum(axis=0)
+    s_num = ((colsums - n * (k + 1) / 2) ** 2).sum()
+    s_den = (ranks**2).sum() - n * k * (k + 1) ** 2 / 4
+    if s_den == 0:
+        return  # all-tied blocks: Q undefined
+    want = (k - 1) * s_num / s_den
+    got = _run_all(
+        ORACLES["stats_friedman_dow_revenue"], orders=orders
+    )[0]
+    assert got[0] == n
+    _close(got[3], round(want, 6))
+
+
+# ---- participation ratio ---------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-999, max_value=999),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=5,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_participation_ratio_oracle_matches_numpy(milli):
+    x = np.asarray(milli, dtype=float) / 1000.0
+    c = np.cov(x, rowvar=False, bias=True)
+    tr = np.trace(c)
+    tr2 = (c * c).sum()
+    if tr2 < 1e-12:
+        return  # zero-variance corpus: PR undefined
+    want = tr * tr / tr2
+    emb = pd.DataFrame(
+        {
+            "vec_id": range(len(milli)),
+            "embedding": [list(map(float, row)) for row in x],
+        }
+    )
+    got = _run_all(
+        ORACLES["embedding_participation_ratio"], embeddings=emb
+    )[0]
+    assert got[0] == len(milli)
+    assert got[1] == 64
+    _close(got[2], tr, tol=1e-5)
+    _close(got[3], tr2, tol=1e-5)
+    _close(got[4], want, tol=1e-4)
