@@ -251,6 +251,9 @@ HEADLINE = [
     "stats_friedman_dow_revenue",
     "embedding_participation_ratio",
     "eval_langid_prf",
+    "stats_cmh_error_weekday",
+    "stats_dunn_posthoc_priority",
+    "eval_gate_mcnemar",
     # scan_parquet_schema_evolution: full-table rewrite job — gate-
     # checked for merge-by-name losslessness, excluded from the query
     # bench like the other scratch-write round-trip jobs.

@@ -4115,3 +4115,294 @@ def stats_friedman_dow_revenue(
     return spark.sql(
         _friedman_sql("friedman_orders", "BIGINT", "weekday(d.day) + 1")
     )
+
+
+# ---- Cochran–Mantel–Haenszel stratified 2x2 test ----------------------------
+
+
+def _cmh_sql(table: str, bigint: str, isodow_wd: str, month: str) -> str:
+    """Shared CMH text over month-stratified 2×2 tables
+    (weekday × error). Per-stratum cells are exact BIGINTs; each
+    stratum's E, V, and the Mantel–Haenszel R/S odds terms are ONE
+    double chain pinned DECIMAL(18,9) before the 12-row sums, so the
+    stratum summation is order-insensitive. No continuity
+    correction (stated convention, identical both sides)."""
+    return f"""
+    WITH cells AS (
+      SELECT {month} AS stratum,
+             CAST(SUM(CASE WHEN {isodow_wd} AND event_type = 'error'
+                      THEN 1 ELSE 0 END) AS {bigint}) AS a,
+             CAST(SUM(CASE WHEN {isodow_wd} AND event_type <> 'error'
+                      THEN 1 ELSE 0 END) AS {bigint}) AS b,
+             CAST(SUM(CASE WHEN NOT {isodow_wd} AND event_type = 'error'
+                      THEN 1 ELSE 0 END) AS {bigint}) AS c,
+             CAST(SUM(CASE WHEN NOT {isodow_wd} AND event_type <> 'error'
+                      THEN 1 ELSE 0 END) AS {bigint}) AS d
+      FROM {table} GROUP BY 1
+    ),
+    terms AS (
+      SELECT stratum, a, b, c, d,
+             a + b + c + d AS nk,
+             CAST(CAST((a + b) AS DOUBLE) * (a + c) / (a + b + c + d)
+                  AS DECIMAL(18,9)) AS e_k,
+             CAST(
+               CAST((a + b) AS DOUBLE) * (c + d) * (a + c) * (b + d)
+               / (CAST((a + b + c + d) AS DOUBLE)
+                  * (a + b + c + d) * (a + b + c + d - 1))
+               AS DECIMAL(18,9)) AS v_k,
+             CAST(CAST(a AS DOUBLE) * d / (a + b + c + d)
+                  AS DECIMAL(18,9)) AS r_k,
+             CAST(CAST(b AS DOUBLE) * c / (a + b + c + d)
+                  AS DECIMAL(18,9)) AS s_k
+      FROM cells
+      WHERE a + b + c + d > 1
+    ),
+    mo AS (
+      SELECT CAST(COUNT(*) AS {bigint}) AS k_strata,
+             CAST(SUM(nk) AS {bigint}) AS n_events,
+             CAST(SUM(a) AS {bigint}) AS sum_a,
+             CAST(SUM(e_k) AS DOUBLE) AS sum_e,
+             CAST(SUM(v_k) AS DOUBLE) AS sum_v,
+             CAST(SUM(r_k) AS DOUBLE) AS sum_r,
+             CAST(SUM(s_k) AS DOUBLE) AS sum_s
+      FROM terms
+    )
+    SELECT k_strata, n_events, sum_a,
+           CAST(CAST(sum_e AS DECIMAL(18,6)) AS DOUBLE) AS sum_e,
+           CAST(CAST(
+             (sum_a - sum_e) * (sum_a - sum_e) / sum_v
+             AS DECIMAL(18,6)) AS DOUBLE) AS cmh_chi2,
+           CAST(CAST(sum_r / sum_s AS DECIMAL(18,6)) AS DOUBLE)
+             AS mh_odds_ratio
+    FROM mo
+    """
+
+
+@query(
+    "stats_cmh_error_weekday",
+    oracle=_cmh_sql(
+        "events",
+        "BIGINT",
+        "isodow(CAST(ts AS TIMESTAMP)) <= 5",
+        "CAST(month(CAST(ts AS TIMESTAMP)) AS BIGINT)",
+    ),
+)
+def stats_cmh_error_weekday(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel test of the weekday ↔ error-rate
+    association STRATIFIED BY MONTH, plus the Mantel–Haenszel common
+    odds ratio (Mantel & Haenszel 1959). The confounder-aware
+    sibling of ``events_poisson_rate_test``/``orders_chi2``: a raw
+    pooled 2×2 can manufacture an association out of seasonality
+    alone (Simpson's paradox — months with more traffic AND more
+    weekend share); CMH tests the association WITHIN each month and
+    pools the evidence, so a verdict here survives the monthly mix.
+
+    Exactness: per-stratum cells are exact integer counts from one
+    scan; E_k, V_k, R_k, S_k are each one double chain pinned
+    DECIMAL(18,9) before the 12-row sums; χ² and the MH odds ratio
+    are single closing chains pinned DECIMAL(18,6). Degenerate
+    strata (nk ≤ 1) are excluded by rule in both dialects.
+
+    Plan: ONE scan → a 12-group hash aggregate carrying four
+    conditional counts; everything after runs on 12 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("cmh_events")
+    return spark.sql(
+        _cmh_sql(
+            "cmh_events",
+            "BIGINT",
+            "weekday(ts) <= 4",
+            "CAST(month(ts) AS BIGINT)",
+        )
+    )
+
+
+# ---- Dunn post-hoc pairwise comparisons (after Kruskal–Wallis) --------------
+
+
+def _dunn_sql(table: str, bigint: str) -> str:
+    """Shared Dunn text: pooled tie-averaged ranks via the integral
+    2R machinery (the ``stats_kruskal_wallis_priority`` CTEs), then
+    for each group pair z = (R̄ᵢ − R̄ⱼ)/√((N(N+1)/12 − T)(1/nᵢ+1/nⱼ))
+    with T = Σ(t³−t)/(12(N−1)); two-sided p through the shared
+    pinned-erf normal CDF; Benjamini–Hochberg step-up across the
+    C(k,2) pairs (the ``stats_bh_fdr_event_rates`` machinery)."""
+    p_expr = _norm_p_two_sided("z")
+    return f"""
+    WITH byv AS (
+      SELECT o_totalprice AS v, o_orderpriority AS grp,
+             CAST(COUNT(*) AS {bigint}) AS n_gv
+      FROM {table} GROUP BY 1, 2
+    ),
+    byval AS (
+      SELECT v, CAST(SUM(n_gv) AS {bigint}) AS t FROM byv GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, t, SUM(t) OVER (ORDER BY v) AS cum_t FROM byval
+    ),
+    g AS (
+      SELECT byv.grp,
+             CAST(SUM(byv.n_gv) AS {bigint}) AS n_g,
+             CAST(SUM(byv.n_gv
+                  * (2 * (cum.cum_t - cum.t) + cum.t + 1))
+                  AS {bigint}) AS r2_g
+      FROM byv JOIN cum ON byv.v = cum.v
+      GROUP BY byv.grp
+    ),
+    ties AS (
+      SELECT CAST(SUM(t) AS {bigint}) AS n,
+             CAST(SUM(t * t * t - t) AS {bigint}) AS tie3
+      FROM byval
+    ),
+    zs AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b,
+             a.n_g AS n_a, b.n_g AS n_b,
+             CAST(CAST(
+               (CAST(a.r2_g AS DOUBLE) / (2 * CAST(a.n_g AS DOUBLE))
+                - CAST(b.r2_g AS DOUBLE) / (2 * CAST(b.n_g AS DOUBLE)))
+               / sqrt(
+                   (CAST(ties.n AS DOUBLE) * (ties.n + 1) / 12
+                    - CAST(ties.tie3 AS DOUBLE) / (12 * (ties.n - 1)))
+                   * (CAST(1 AS DOUBLE) / a.n_g
+                      + CAST(1 AS DOUBLE) / b.n_g))
+               AS DECIMAL(18,6)) AS DOUBLE) AS z
+      FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN ties
+    ),
+    ps AS (
+      SELECT grp_a, grp_b, n_a, n_b, z,
+             {p_expr} AS p_value,
+             CAST(COUNT(*) OVER () AS {bigint}) AS m
+      FROM zs
+    ),
+    ranked AS (
+      SELECT grp_a, grp_b, n_a, n_b, z, p_value, m,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY p_value, grp_a, grp_b) AS {bigint}) AS i
+      FROM ps
+    ),
+    stepped AS (
+      SELECT grp_a, grp_b, n_a, n_b, z, p_value, i, m,
+             MIN(p_value * m / i) OVER (
+               ORDER BY i DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS q_raw
+      FROM ranked
+    )
+    SELECT grp_a, grp_b, n_a, n_b, z, p_value,
+           CAST(CAST(
+             CASE WHEN q_raw > 1 THEN CAST(1 AS DOUBLE) ELSE q_raw END
+             AS DECIMAL(18,9)) AS DOUBLE) AS q_value,
+           CAST(CASE WHEN q_raw <= CAST(0.05 AS DOUBLE)
+                THEN 1 ELSE 0 END AS INT) AS reject_05
+    FROM stepped
+    """
+
+
+@query(
+    "stats_dunn_posthoc_priority",
+    oracle=_dunn_sql("orders", "BIGINT"),
+)
+def stats_dunn_posthoc_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons after the Kruskal–Wallis
+    omnibus (Dunn 1964): KW says "SOME priority differs in total
+    price"; this says WHICH pairs, using the same pooled tie-averaged
+    ranks (so the two can never disagree about the ranking) with
+    z = (R̄ᵢ−R̄ⱼ)/√((N(N+1)/12 − T)(1/nᵢ+1/nⱼ)), corrected across
+    all C(5,2)=10 pairs by Benjamini–Hochberg — the multiple-testing
+    discipline ``stats_bh_fdr_event_rates`` established, now applied
+    to post-hoc pairs (Dunn's classic Bonferroni is strictly more
+    conservative; BH is the stated house convention).
+
+    Exactness: doubled rank sums stay exact BIGINTs (the KW
+    machinery, verbatim CTEs); each z is one pinned chain; p-values
+    ride the shared pinned-erf CDF; the BH step-up is arithmetic on
+    pinned doubles over 10 rows.
+
+    Plan: identical scan profile to KW — one (value, grp) aggregate,
+    the range-exchange rank prefix on the Spark side, a value-keyed
+    join back, then everything runs on k=5 / 10-pair frames (the BH
+    windows sit above the 10-row frame — documented tiny-frame
+    exception)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        F.col("o_orderpriority").alias("grp"),
+    )
+    byv = o.groupBy("v", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gv")
+    )
+    byval = byv.groupBy("v").agg(
+        F.sum("n_gv").cast("bigint").alias("t")
+    )
+    cum = _range_prefix(byval, ["v"], ["t"])
+    g = (
+        byv.join(cum.select("v", "t", "cum_t"), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("n_gv").cast("bigint").alias("n_g"),
+            F.sum(
+                F.col("n_gv")
+                * (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1)
+            )
+            .cast("bigint")
+            .alias("r2_g"),
+        )
+    )
+    ties = byval.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    g.crossJoin(F.broadcast(ties)).createOrReplaceTempView(
+        "dunn_g_ties"
+    )
+    p_expr = _norm_p_two_sided("z")
+    return spark.sql(
+        f"""
+    WITH zs AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b,
+             a.n_g AS n_a, b.n_g AS n_b,
+             CAST(CAST(
+               (CAST(a.r2_g AS DOUBLE) / (2 * CAST(a.n_g AS DOUBLE))
+                - CAST(b.r2_g AS DOUBLE) / (2 * CAST(b.n_g AS DOUBLE)))
+               / sqrt(
+                   (CAST(a.n AS DOUBLE) * (a.n + 1) / 12
+                    - CAST(a.tie3 AS DOUBLE) / (12 * (a.n - 1)))
+                   * (CAST(1 AS DOUBLE) / a.n_g
+                      + CAST(1 AS DOUBLE) / b.n_g))
+               AS DECIMAL(18,6)) AS DOUBLE) AS z
+      FROM dunn_g_ties a JOIN dunn_g_ties b ON a.grp < b.grp
+    ),
+    ps AS (
+      SELECT grp_a, grp_b, n_a, n_b, z,
+             {p_expr} AS p_value,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM zs
+    ),
+    ranked AS (
+      SELECT grp_a, grp_b, n_a, n_b, z, p_value, m,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY p_value, grp_a, grp_b) AS BIGINT) AS i
+      FROM ps
+    ),
+    stepped AS (
+      SELECT grp_a, grp_b, n_a, n_b, z, p_value, i, m,
+             MIN(p_value * m / i) OVER (
+               ORDER BY i DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS q_raw
+      FROM ranked
+    )
+    SELECT grp_a, grp_b, n_a, n_b, z, p_value,
+           CAST(CAST(
+             CASE WHEN q_raw > 1 THEN CAST(1 AS DOUBLE) ELSE q_raw END
+             AS DECIMAL(18,9)) AS DOUBLE) AS q_value,
+           CAST(CASE WHEN q_raw <= CAST(0.05 AS DOUBLE)
+                THEN 1 ELSE 0 END AS INT) AS reject_05
+    FROM stepped
+    """
+    )

@@ -3772,3 +3772,94 @@ def eval_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "BIGINT",
         )
     )
+
+
+# ---- gate disagreement (McNemar's test) -------------------------------------
+
+
+def _mcnemar_final_select() -> str:
+    """Fixed chain from the discordant cells: χ² = (b−c)²/(b+c),
+    exact integers until one double division, pinned. No continuity
+    correction (stated convention, identical both dialects)."""
+    return """
+      SELECT
+        n AS n_docs,
+        n10 AS n_model_only, n01 AS n_heuristic_only,
+        n10 + n01 AS n_discordant,
+        CAST(CAST(
+          CAST((n10 - n01) * (n10 - n01) AS DOUBLE) / (n10 + n01)
+          AS DECIMAL(18,6)) AS DOUBLE) AS mcnemar_chi2
+      FROM ct"""
+
+
+@query(
+    "eval_gate_mcnemar",
+    oracle=f"""
+    WITH t AS (
+      SELECT {TOKENS_DUCK} AS toks FROM documents
+    ), gates AS (
+      SELECT
+        {_dec6(_LOGREG_DUCK.replace("STOP", _sql_list(STOPWORDS)))}
+          >= {LOGREG_GATE} AS keep_model,
+        {_dec6(_QUALITY_DUCK.replace("STOP", _sql_list(STOPWORDS)))}
+          >= {CURATION_QUALITY_MIN} AS keep_heuristic
+      FROM t
+    ), ct AS (
+      SELECT
+        COUNT(*)::BIGINT AS n,
+        COUNT(*) FILTER (WHERE keep_model AND NOT keep_heuristic)::BIGINT AS n10,
+        COUNT(*) FILTER (WHERE NOT keep_model AND keep_heuristic)::BIGINT AS n01
+      FROM gates
+    )
+    {_mcnemar_final_select()}
+    """,
+)
+def eval_gate_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on the SAME gate pair ``eval_gate_agreement_
+    kappa`` scores: kappa asks "do the two gates agree beyond
+    chance?"; McNemar asks the orthogonal question — "is one gate
+    systematically STRICTER?" — by testing the two discordant cells
+    for symmetry, χ² = (b−c)²/(b+c) ~ χ²(1) (McNemar 1947). Two
+    gates can have high kappa yet fail McNemar badly (one keeps a
+    consistent superset), and that asymmetry — not the agreement —
+    is what decides whether swapping gates shifts corpus volume.
+
+    Exactness: the gate decisions are the same pinned DECIMAL(18,6)
+    scores as the kappa/standalone queries (shared expression
+    constants); discordant counts are exact BIGINTs in one scan; the
+    statistic is exact-integer arithmetic until one pinned division.
+
+    Plan: scan → tokenize once → two constant-folded scores → one
+    partial+final aggregate of three conditional counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    lg = _LOGREG_SPARK.replace("TOKS", "toks").replace(
+        "STOP", _sql_list(STOPWORDS)
+    )
+    ql = _QUALITY_SPARK.replace("TOKS", "toks").replace(
+        "STOP", _sql_list(STOPWORDS)
+    )
+    gates = docs.select(F.expr(TOKENS_SPARK).alias("toks")).select(
+        (F.expr(lg).cast("decimal(18,6)") >= LOGREG_GATE).alias(
+            "keep_model"
+        ),
+        (F.expr(ql).cast("decimal(18,6)") >= CURATION_QUALITY_MIN).alias(
+            "keep_heuristic"
+        ),
+    )
+    ct = gates.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(
+            F.col("keep_model") & ~F.col("keep_heuristic")
+        )
+        .cast("bigint")
+        .alias("n10"),
+        F.count_if(
+            ~F.col("keep_model") & F.col("keep_heuristic")
+        )
+        .cast("bigint")
+        .alias("n01"),
+    )
+    ct.createOrReplaceTempView("mcnemar_ct")
+    return spark.sql(
+        _mcnemar_final_select().replace("FROM ct", "FROM mcnemar_ct")
+    )

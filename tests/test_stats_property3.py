@@ -457,3 +457,121 @@ def test_participation_ratio_oracle_matches_numpy(milli):
     _close(got[2], tr, tol=1e-5)
     _close(got[3], tr2, tol=1e-5)
     _close(got[4], want, tol=1e-4)
+
+
+# ---- CMH --------------------------------------------------------------------
+
+cmh_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=89),  # day offset (3 months)
+        st.sampled_from(["error", "view"]),
+    ),
+    min_size=40,
+    max_size=300,
+)
+
+
+@given(cmh_rows)
+@settings(max_examples=30, deadline=None)
+def test_cmh_oracle_matches_direct(rows):
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        [d for d, _ in rows], unit="D"
+    )
+    events = pd.DataFrame(
+        {"ts": ts, "event_type": [e for _, e in rows]}
+    )
+    wd = events["ts"].dt.dayofweek < 5
+    err = events["event_type"] == "error"
+    month = events["ts"].dt.month
+    sum_a = sum_e = sum_v = sum_r = sum_s = 0.0
+    k = 0
+    n_ev = 0
+    for mo in sorted(month.unique()):
+        m = month == mo
+        a = int((m & wd & err).sum())
+        b = int((m & wd & ~err).sum())
+        c = int((m & ~wd & err).sum())
+        d = int((m & ~wd & ~err).sum())
+        nk = a + b + c + d
+        if nk <= 1:
+            continue
+        k += 1
+        n_ev += nk
+        sum_a += a
+        sum_e += round((a + b) * (a + c) / nk, 9)
+        sum_v += round(
+            (a + b) * (c + d) * (a + c) * (b + d) / (nk**2 * (nk - 1)),
+            9,
+        )
+        sum_r += round(a * d / nk, 9)
+        sum_s += round(b * c / nk, 9)
+    if sum_v == 0 or sum_s == 0:
+        return  # degenerate family: chi2 / OR undefined
+    want_chi2 = (sum_a - sum_e) ** 2 / sum_v
+    want_or = sum_r / sum_s
+    got = _run_all(ORACLES["stats_cmh_error_weekday"], events=events)[
+        0
+    ]
+    assert got[0] == k
+    assert got[1] == n_ev
+    assert got[2] == sum_a
+    _close(got[4], round(want_chi2, 6), tol=1e-5)
+    _close(got[5], round(want_or, 6), tol=1e-5)
+
+
+# ---- Dunn post-hoc -----------------------------------------------------------
+
+
+@given(kw_rows)
+@settings(max_examples=30, deadline=None)
+def test_dunn_posthoc_oracle_matches_direct(rows):
+    df = pd.DataFrame(rows, columns=["v", "g"])
+    if df["g"].nunique() < 2 or df["v"].nunique() < 2:
+        return
+    # every group needs >= 1 row and the variance term n > 1
+    if len(df) < 3:
+        return
+    orders = pd.DataFrame(
+        {
+            "o_totalprice": df["v"].astype(float),
+            "o_orderpriority": df["g"].map("{}-GRP".format),
+        }
+    )
+    ranks = df["v"].rank(method="average")
+    n = len(df)
+    tie3 = sum(t**3 - t for t in df.groupby("v").size().tolist())
+    var_base = n * (n + 1) / 12 - tie3 / (12 * (n - 1))
+    if var_base <= 0:
+        return  # all values tied: z undefined
+    groups = sorted(df["g"].unique())
+    want = {}
+    for ai in range(len(groups)):
+        for bi in range(ai + 1, len(groups)):
+            ga, gb = groups[ai], groups[bi]
+            na = int((df["g"] == ga).sum())
+            nb = int((df["g"] == gb).sum())
+            z = (
+                ranks[df["g"] == ga].mean()
+                - ranks[df["g"] == gb].mean()
+            ) / math.sqrt(var_base * (1 / na + 1 / nb))
+            z = round(z, 6)
+            p = 1 - math.erf(abs(z) / math.sqrt(2))
+            want[(f"{ga}-GRP", f"{gb}-GRP")] = (z, p)
+    got = _run_all(
+        ORACLES["stats_dunn_posthoc_priority"], orders=orders
+    )
+    assert len(got) == len(want)
+    # BH q-values: recompute from the wanted p's
+    m = len(want)
+    ordered = sorted(want.items(), key=lambda kv: (kv[1][1], kv[0]))
+    qs = {}
+    running = math.inf
+    for i in range(m - 1, -1, -1):
+        pair, (_, p) = ordered[i]
+        running = min(running, p * m / (i + 1))
+        qs[pair] = min(running, 1.0)
+    for ga, gb, _na, _nb, z, p, q, _rej in got:
+        wz, wp = want[(ga, gb)]
+        _close(z, wz)
+        _close(p, wp, tol=5e-7)
+        _close(q, qs[(ga, gb)], tol=5e-6)
