@@ -254,6 +254,9 @@ HEADLINE = [
     "stats_cmh_error_weekday",
     "stats_dunn_posthoc_priority",
     "eval_gate_mcnemar",
+    "users_nelson_aalen",
+    "text_kfold_assignment",
+    "join_bloom_fpr_audit",
     # scan_parquet_schema_evolution: full-table rewrite job — gate-
     # checked for merge-by-name losslessness, excluded from the query
     # bench like the other scratch-write round-trip jobs.

@@ -689,3 +689,140 @@ def join_null_safe_buckets(
         F.broadcast(right.withColumnRenamed("status_key", "rk")),
         F.col("status_key").eqNullSafe(F.col("rk")),
     ).select("status_key", "n_all", "n_urgent")
+
+
+# ---- bloom-filter false-positive-rate audit ---------------------------
+
+
+def _bloom_audit_sql(
+    customer: str, orders: str, bigint: str, h60
+) -> str:
+    """Shared bloom-FPR-audit text. The audited filter has the SAME
+    geometry as the production bloom (m = BLOOM_BITS bits, k = 2
+    probes) but uses the portable hash60 family (md5-based,
+    bit-identical in both engines) so the audit itself is exactly
+    reproducible cross-engine — xxhash64, the production probe, has
+    no DuckDB twin; FPR is a property of (m, k, n) and hash
+    uniformity, so the portable family measures the same geometry.
+    Membership simulation is position-set based: a probe key passes
+    iff BOTH its bit positions appear in the build side's position
+    set — identical semantics to testing bits in the word table."""
+
+    def pos(key: str, seed: int) -> str:
+        return (
+            h60(f"CONCAT(CAST({key} AS VARCHAR), '|b{seed}')")
+            + f" % {BLOOM_BITS}"
+        )
+
+    return f"""
+    WITH build_keys AS (
+      SELECT DISTINCT c_custkey AS k FROM {customer}
+      WHERE c_mktsegment = 'AUTOMOBILE'
+    ),
+    bits AS (
+      SELECT DISTINCT p FROM (
+        SELECT {pos("k", 0)} AS p FROM build_keys
+        UNION ALL
+        SELECT {pos("k", 1)} AS p FROM build_keys
+      )
+    ),
+    probe_keys AS (
+      SELECT DISTINCT o_custkey AS k FROM {orders}
+    ),
+    negatives AS (
+      SELECT p.k FROM probe_keys p
+      WHERE p.k NOT IN (SELECT k FROM build_keys)
+    ),
+    fp AS (
+      SELECT n.k FROM negatives n
+      WHERE {pos("n.k", 0)} IN (SELECT p FROM bits)
+        AND {pos("n.k", 1)} IN (SELECT p FROM bits)
+    ),
+    counts AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS {bigint}) FROM build_keys) AS n_build,
+        (SELECT CAST(COUNT(*) AS {bigint}) FROM bits) AS n_bits_set,
+        (SELECT CAST(COUNT(*) AS {bigint}) FROM negatives) AS n_neg,
+        (SELECT CAST(COUNT(*) AS {bigint}) FROM fp) AS n_fp
+    )
+    SELECT n_build AS n_build_keys,
+           n_bits_set,
+           n_neg AS n_probe_negatives,
+           n_fp AS n_false_positives,
+           CAST(CAST(CAST(n_fp AS DOUBLE) / n_neg AS DECIMAL(18,6))
+                AS DOUBLE) AS measured_fpr,
+           CAST(CAST(
+             (CAST(n_bits_set AS DOUBLE) / {BLOOM_BITS})
+               * (CAST(n_bits_set AS DOUBLE) / {BLOOM_BITS})
+             AS DECIMAL(18,6)) AS DOUBLE) AS expected_fpr_from_load,
+           CAST(CAST(
+             (CAST(1 AS DOUBLE)
+                - CAST(CAST(exp(
+                    CAST(-2 AS DOUBLE) * n_build / {BLOOM_BITS}
+                  ) AS DECIMAL(18,12)) AS DOUBLE))
+             * (CAST(1 AS DOUBLE)
+                - CAST(CAST(exp(
+                    CAST(-2 AS DOUBLE) * n_build / {BLOOM_BITS}
+                  ) AS DECIMAL(18,12)) AS DOUBLE))
+             AS DECIMAL(18,6)) AS DOUBLE) AS theoretical_fpr
+    FROM counts
+    """
+
+
+@query(
+    "join_bloom_fpr_audit",
+    oracle=None,  # set below — needs the duck hash spelled
+)
+def join_bloom_fpr_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """False-positive-rate audit of the bloom pre-filter geometry
+    ``join_bloom_prefilter`` runs in production (m = 131072 bits,
+    k = 2 probes): build the filter over the AUTOMOBILE-segment
+    customer keys, probe every customer key orders actually carry,
+    and count TRUE negatives that still pass — the measured FPR —
+    against two references: the load-based expectation
+    (bits_set/m)² (exact for the realized filter) and the textbook
+    (1−e^{−kn/m})² (the sizing formula). A drifting gap between
+    measured and expected is how a pipeline notices its bloom is
+    undersized for a grown dimension BEFORE the downstream join
+    starts shuffling garbage. Audit hashes are the portable hash60
+    family (stated in the shared text; xxhash64 has no DuckDB twin)
+    — FPR is a property of the geometry and hash uniformity, so the
+    portable family audits the same design point.
+
+    Exactness: every count is an exact integer over position sets;
+    the two expectation chains pin the exp output DECIMAL(18,12)
+    (the ln-pin rule) and the final rates DECIMAL(18,6).
+
+    Plan: the position set is a ≤2n-row DISTINCT aggregate that
+    broadcast-joins the probe side twice (IN over ≤2048 distinct
+    words' worth of positions); negatives come from one broadcast
+    anti-join. Nothing wider than the distinct-key frames ever
+    shuffles."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("bloom_audit_customer")
+    o.createOrReplaceTempView("bloom_audit_orders")
+    from ..operators.textops import hash60_spark
+
+    return spark.sql(
+        _bloom_audit_sql(
+            "bloom_audit_customer",
+            "bloom_audit_orders",
+            "BIGINT",
+            lambda e: hash60_spark(e.replace("VARCHAR", "STRING")),
+        )
+    )
+
+
+def _register_bloom_audit_oracle() -> None:
+    from ..operators.textops import hash60_duck
+    from .registry import ORACLES
+
+    ORACLES["join_bloom_fpr_audit"] = _bloom_audit_sql(
+        "customer", "orders", "BIGINT", hash60_duck
+    )
+
+
+_register_bloom_audit_oracle()

@@ -4406,3 +4406,110 @@ def stats_dunn_posthoc_priority(
     FROM stepped
     """
     )
+
+
+# ---- Nelson–Aalen cumulative hazard -----------------------------------
+
+
+def _nelson_aalen_sql(table: str, bigint: str, dd: str) -> str:
+    """Shared Nelson–Aalen text over time-to-first-purchase
+    observations: duration = days from a user's first event to their
+    first purchase (the "death"); users who never purchase are
+    right-censored at their last observed event. H(t) = Σ dᵢ/nᵢ over
+    death times ≤ t, each increment an exact-int ratio pinned
+    DECIMAL(18,9), summed exactly; the Breslow survivor exp(−H) is
+    pinned at the end. ``dd`` is the dialect's datediff(a → b)
+    spelled dd(a, b)."""
+    dur_death = dd.format(a="f", b="fp")
+    dur_cens = dd.format(a="f", b="l")
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS f,
+             CAST(max(CAST(ts AS TIMESTAMP)) AS DATE) AS l,
+             CAST(min(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS TIMESTAMP) END) AS DATE) AS fp
+      FROM {table} GROUP BY user_id
+    ),
+    obs AS (
+      SELECT CASE WHEN fp IS NOT NULL THEN {dur_death}
+                  ELSE {dur_cens} END AS dur,
+             CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS converted
+      FROM u
+    ),
+    byd AS (
+      SELECT dur, CAST(SUM(converted) AS {bigint}) AS d,
+             CAST(COUNT(*) AS {bigint}) AS n
+      FROM obs GROUP BY dur
+    ),
+    tot AS (SELECT CAST(SUM(n) AS {bigint}) AS t FROM byd),
+    r AS (
+      SELECT dur, d,
+             tot.t - (SUM(n) OVER (ORDER BY dur) - n) AS at_risk
+      FROM byd CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT dur, d, at_risk,
+             CAST(CAST(d AS DOUBLE) / at_risk AS DECIMAL(18,9))
+               AS inc,
+             CAST(CAST(d AS DOUBLE) / (CAST(at_risk AS DOUBLE)
+                  * at_risk) AS DECIMAL(18,12)) AS vinc
+      FROM r WHERE d > 0
+    ),
+    na AS (
+      SELECT dur, d, at_risk,
+             SUM(inc) OVER (ORDER BY dur) AS h,
+             SUM(vinc) OVER (ORDER BY dur) AS vh
+      FROM terms
+    )
+    SELECT dur AS duration_days,
+           CAST(at_risk AS {bigint}) AS n_at_risk,
+           d AS n_converted,
+           CAST(CAST(CAST(h AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+             AS cum_hazard,
+           CAST(CAST(CAST(vh AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE)
+             AS hazard_variance,
+           CAST(CAST(exp(-CAST(h AS DOUBLE)) AS DECIMAL(18,6))
+                AS DOUBLE) AS breslow_survival
+    FROM na
+    """
+
+
+@query(
+    "users_nelson_aalen",
+    oracle=_nelson_aalen_sql(
+        "events", "BIGINT", "datediff('day', {a}, {b})"
+    ),
+)
+def users_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator for TIME TO FIRST
+    PURCHASE: duration = days from a user's first event to their
+    first purchase, right-censored at the last observed event for
+    users who never convert — H(t) = Σ dᵢ/nᵢ with its standard
+    variance Σ dᵢ/nᵢ² and the Breslow survivor exp(−H(t)) (Nelson
+    1972, Aalen 1978). The censoring-honest survival face of
+    ``events_conversion_attribution``'s touch accounting:
+    ``users_kaplan_meier`` watches LIFETIME (churn), this watches
+    CONVERSION LATENCY — and the hazard's shape (front-loaded vs
+    flat increments) is the readout: do users convert in the first
+    session or on a constant trickle? H is the additive object —
+    its increments decompose per-day where KM's product doesn't.
+
+    Exactness: durations and risk sets are exact integers from one
+    per-user aggregate (first event, last event, first purchase in
+    a single conditional-min pass); each hazard increment is an
+    exact-int ratio pinned DECIMAL(18,9) (variance at 18,12);
+    running sums over pinned decimals are exact; exp pinned once.
+    NA is finite even where the whole risk set dies (unlike KM's
+    ln-zero rows), so every death time is emitted.
+
+    Plan: one scan → per-user conditional aggregate; all else runs
+    on the ~#distinct-durations frame, tiny by construction (the
+    KM/CUSUM exception)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("na_events")
+    return spark.sql(
+        _nelson_aalen_sql(
+            "na_events", "BIGINT", "datediff({b}, {a})"
+        )
+    )

@@ -3863,3 +3863,80 @@ def eval_gate_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _mcnemar_final_select().replace("FROM ct", "FROM mcnemar_ct")
     )
+
+
+# ---- deterministic k-fold assignment ----------------------------------------
+
+KFOLD_K = 5
+
+
+@query(
+    "text_kfold_assignment",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             {hash60_duck("CAST(doc_id AS VARCHAR)")} % {KFOLD_K}
+               AS fold
+      FROM documents
+    ),
+    per_fold AS (
+      SELECT fold,
+             COUNT(*)::BIGINT AS n_docs,
+             CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT)
+               AS n_chars,
+             COUNT(DISTINCT source)::BIGINT AS n_sources
+      FROM h GROUP BY fold
+    ),
+    tot AS (SELECT SUM(n_docs)::BIGINT AS t FROM per_fold)
+    SELECT fold, n_docs, n_chars, n_sources,
+           CAST(CAST(CAST(n_docs AS DOUBLE) / tot.t
+                AS DECIMAL(18,6)) AS DOUBLE) AS doc_share
+    FROM per_fold CROSS JOIN tot
+    """,
+)
+def text_kfold_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment by ID hash
+    (fold = hash60(doc_id) mod 5), summarized per fold with the
+    balance columns an eval harness checks before trusting the
+    folds: docs, total chars (token-mass proxy), distinct sources,
+    and each fold's share. The k-fold sibling of
+    ``text_train_val_test_split`` — that one ships ONE frozen
+    split; CV needs k rotations whose membership must be stable
+    across runs, engines, and cluster sizes, which the
+    content-independent ID hash guarantees (and, unlike a text
+    hash, survives later text edits — fold membership is an
+    identity property here, a leakage property there; near-dup
+    leakage ACROSS folds is ``text_split_leakage_fuzzy``'s job).
+
+    Plan: one projection + a 5-group hash aggregate; the assignment
+    is a codegen'd scan expression at any scale. Full per-doc
+    assignment = the same projection without the aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            F.expr(hash60_spark("CAST(doc_id AS STRING)")) % KFOLD_K
+        ).alias("fold"),
+    )
+    per_fold = h.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)"))
+        .cast("bigint")
+        .alias("n_chars"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    tot = per_fold.agg(F.sum("n_docs").cast("bigint").alias("t"))
+    return per_fold.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        "n_docs",
+        "n_chars",
+        "n_sources",
+        F.expr(
+            "CAST(CAST(CAST(n_docs AS DOUBLE) / t AS DECIMAL(18,6))"
+            " AS DOUBLE)"
+        ).alias("doc_share"),
+    )

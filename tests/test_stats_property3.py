@@ -575,3 +575,59 @@ def test_dunn_posthoc_oracle_matches_direct(rows):
         _close(z, wz)
         _close(p, wp, tol=5e-7)
         _close(q, qs[(ga, gb)], tol=5e-6)
+
+
+# ---- Nelson–Aalen -------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # first-event day
+            st.integers(min_value=0, max_value=15),  # extra days to purchase, or censor
+            st.booleans(),  # converts?
+        ),
+        min_size=4,
+        max_size=60,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_nelson_aalen_oracle_matches_direct(users):
+    rows = []
+    obs = []
+    base = pd.to_datetime("2024-02-01")
+    for uid, (d0, extra, conv) in enumerate(users):
+        f = base + pd.Timedelta(days=d0)
+        last = f + pd.Timedelta(days=extra)
+        rows.append((uid, f, "view"))
+        rows.append((uid, last, "view"))
+        if conv:
+            rows.append((uid, last, "purchase"))
+            obs.append((extra, 1))
+        else:
+            obs.append((extra, 0))
+    events = pd.DataFrame(
+        rows, columns=["user_id", "ts", "event_type"]
+    )
+    if not any(c for _, c in obs):
+        return  # no deaths: empty curve both sides, nothing to compare
+    df = pd.DataFrame(obs, columns=["dur", "d"])
+    want = {}
+    h = vh = 0.0
+    total = len(df)
+    for dur in sorted(df["dur"].unique()):
+        deaths = int(df.loc[df["dur"] == dur, "d"].sum())
+        at_risk = int((df["dur"] >= dur).sum())
+        if deaths == 0:
+            continue
+        h += round(deaths / at_risk, 9)
+        vh += round(deaths / at_risk**2, 12)
+        want[dur] = (at_risk, deaths, h, vh, math.exp(-h))
+    got = _run_all(ORACLES["users_nelson_aalen"], events=events)
+    assert len(got) == len(want)
+    for dur, at_risk, d, ch, hv, surv in got:
+        wr, wd, wh, wv, ws = want[dur]
+        assert (at_risk, d) == (wr, wd)
+        _close(ch, round(wh, 6), tol=1e-6)
+        _close(hv, round(wv, 9), tol=1e-9)
+        _close(surv, ws, tol=1e-6)
