@@ -257,6 +257,9 @@ HEADLINE = [
     "users_nelson_aalen",
     "text_kfold_assignment",
     "join_bloom_fpr_audit",
+    "events_ab_cuped_adjusted",
+    "orders_series_diagnostics",
+    "orders_seasonal_strength",
     # scan_parquet_schema_evolution: full-table rewrite job — gate-
     # checked for merge-by-name losslessness, excluded from the query
     # bench like the other scratch-write round-trip jobs.

@@ -2973,3 +2973,170 @@ def events_cohort_retention_matrix(
             " AS DECIMAL(18,9)) AS DOUBLE)"
         ).alias("retention_rate"),
     )
+
+
+# ---- CUPED variance-reduced A/B readout -------------------------------
+
+
+def _cuped_sql(
+    table: str, bigint: str, h60, epoch_us: str, intdiv: str
+) -> str:
+    """Shared CUPED text. Pre/post split at the integer-µs midpoint
+    of the observed time range (exact integer arithmetic); per-user
+    pre-period revenue x is the covariate, post-period revenue y the
+    metric; θ = cov(x,y)/var(x) POOLED (the standard CUPED
+    estimator), pinned DECIMAL(18,9); per-arm adjusted variances
+    var(y) − 2θcov(x,y) + θ²var(x) come from the six exact decimal
+    moments per arm through one fixed chain each."""
+    grp = f"{h60} % 2"
+    return f"""
+    WITH span AS (
+      SELECT (MIN({epoch_us}) + MAX({epoch_us})) {intdiv} 2 AS mid_us
+      FROM {table}
+    ),
+    per_user AS (
+      SELECT user_id, {grp} AS grp,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                       AND {epoch_us} < span.mid_us
+                       THEN CAST(value AS DECIMAL(18,6)) END),
+                      0) AS x,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                       AND {epoch_us} >= span.mid_us
+                       THEN CAST(value AS DECIMAL(18,6)) END),
+                      0) AS y
+      FROM {table} CROSS JOIN span
+      GROUP BY user_id, span.mid_us
+    ),
+    mo AS (
+      SELECT grp,
+             CAST(COUNT(*) AS {bigint}) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                      AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                      AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                      AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM per_user GROUP BY grp
+    ),
+    pooled AS (
+      SELECT CAST(SUM(n) AS {bigint}) AS np,
+             SUM(sx) AS px, SUM(sy) AS py,
+             SUM(sxx) AS pxx, SUM(syy) AS pyy, SUM(sxy) AS pxy
+      FROM mo
+    ),
+    theta AS (
+      SELECT np, px, py,
+             CAST((pxy - px * py / np) / (pxx - px * px / np)
+                  AS DECIMAL(18,9)) AS th,
+             CAST(CAST(
+               ((pxy - px * py / np) * (pxy - px * py / np))
+               / ((pxx - px * px / np) * (pyy - py * py / np))
+               AS DECIMAL(18,6)) AS DOUBLE) AS rho2
+      FROM pooled
+    ),
+    w AS (
+      SELECT
+        (SELECT n FROM mo WHERE grp = 0) AS n_a,
+        (SELECT n FROM mo WHERE grp = 1) AS n_b,
+        (SELECT sx FROM mo WHERE grp = 0) AS sx_a,
+        (SELECT sx FROM mo WHERE grp = 1) AS sx_b,
+        (SELECT sy FROM mo WHERE grp = 0) AS sy_a,
+        (SELECT sy FROM mo WHERE grp = 1) AS sy_b,
+        (SELECT sxx FROM mo WHERE grp = 0) AS sxx_a,
+        (SELECT sxx FROM mo WHERE grp = 1) AS sxx_b,
+        (SELECT syy FROM mo WHERE grp = 0) AS syy_a,
+        (SELECT syy FROM mo WHERE grp = 1) AS syy_b,
+        (SELECT sxy FROM mo WHERE grp = 0) AS sxy_a,
+        (SELECT sxy FROM mo WHERE grp = 1) AS sxy_b,
+        (SELECT CAST(th AS DOUBLE) FROM theta) AS th,
+        (SELECT rho2 FROM theta) AS rho2,
+        (SELECT pooled.px / pooled.np FROM pooled) AS xbar
+    )
+    SELECT n_a, n_b,
+           CAST(CAST(sy_b / n_b - sy_a / n_a AS DECIMAL(18,6))
+                AS DOUBLE) AS raw_diff,
+           CAST(CAST(th AS DECIMAL(18,6)) AS DOUBLE) AS theta,
+           rho2,
+           CAST(CAST(
+             (sy_b / n_b - th * (sx_b / n_b - xbar))
+             - (sy_a / n_a - th * (sx_a / n_a - xbar))
+             AS DECIMAL(18,6)) AS DOUBLE) AS cuped_diff,
+           CAST(CAST(
+             ((sy_b / n_b - th * (sx_b / n_b - xbar))
+              - (sy_a / n_a - th * (sx_a / n_a - xbar)))
+             / sqrt(
+                 (((syy_a - n_a * ((sy_a / n_a) * (sy_a / n_a)))
+                     / (n_a - 1)
+                   - 2 * th * ((sxy_a - n_a * ((sx_a / n_a)
+                       * (sy_a / n_a))) / (n_a - 1))
+                   + th * th * ((sxx_a - n_a * ((sx_a / n_a)
+                       * (sx_a / n_a))) / (n_a - 1))) / n_a)
+                 + (((syy_b - n_b * ((sy_b / n_b) * (sy_b / n_b)))
+                     / (n_b - 1)
+                   - 2 * th * ((sxy_b - n_b * ((sx_b / n_b)
+                       * (sy_b / n_b))) / (n_b - 1))
+                   + th * th * ((sxx_b - n_b * ((sx_b / n_b)
+                       * (sx_b / n_b))) / (n_b - 1))) / n_b))
+             AS DECIMAL(18,6)) AS DOUBLE) AS cuped_z
+    FROM w
+    """
+
+
+@query("events_ab_cuped_adjusted", oracle=None)
+def events_ab_cuped_adjusted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    WSDM'13): the same hash-bucketed arms as ``events_ab_test_lift``,
+    but the post-period per-user revenue is adjusted by the
+    PRE-period revenue covariate — y′ = y − θ(x − x̄),
+    θ = cov(x,y)/var(x) pooled — which removes the between-user
+    variance the experiment didn't randomize, shrinking the standard
+    error by the factor (1 − ρ²). The report carries both the raw
+    and the CUPED difference with the adjusted Welch z, and ρ² = the
+    fraction of metric variance the covariate explains (the
+    experimentation-platform knob: ρ² ≈ 0.5 means half the required
+    sample size).
+
+    Exactness: the pre/post boundary is the exact integer-µs
+    midpoint of the observed span (a 1-row broadcast); per-user x, y
+    are exact decimal sums from ONE conditional pass; the six
+    per-arm moments pin every float square/cross-product at
+    DECIMAL(38,6) (the r8 overflow rule); θ pinned DECIMAL(18,9)
+    before it enters any chain; raw/adjusted diffs and z are fixed
+    chains pinned DECIMAL(18,6).
+
+    Plan: one scan → per-user conditional aggregate (one shuffle) →
+    2-group moment aggregate → 1-row reshape. Identical scale shape
+    to the unadjusted readout — CUPED costs one extra column."""
+    from .textops import hash60_spark
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("cuped_events")
+    return spark.sql(
+        _cuped_sql(
+            "cuped_events",
+            "BIGINT",
+            hash60_spark("CAST(user_id AS STRING)"),
+            "unix_micros(ts)",
+            "DIV",
+        )
+    )
+
+
+def _register_cuped_oracle() -> None:
+    from .registry import ORACLES
+    from .textops import hash60_duck
+
+    ORACLES["events_ab_cuped_adjusted"] = _cuped_sql(
+        "events",
+        "BIGINT",
+        hash60_duck("CAST(user_id AS VARCHAR)"),
+        "epoch_us(CAST(ts AS TIMESTAMP))",
+        "//",
+    )
+
+
+_register_cuped_oracle()

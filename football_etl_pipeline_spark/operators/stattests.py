@@ -4513,3 +4513,153 @@ def users_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "na_events", "BIGINT", "datediff({b}, {a})"
         )
     )
+
+
+# ---- composed daily-series diagnostics report --------------------------------
+
+_SERIES_DIAG_PARTS = [
+    # (diagnostic, statistic, source query, column expression)
+    ("ljung_box", "q_stat", "stats_ljung_box_daily", "q_stat"),
+    ("pettitt", "k_stat", "stats_pettitt_changepoint", "k_stat"),
+    ("pettitt", "p_approx", "stats_pettitt_changepoint", "p_approx"),
+    ("friedman_dow", "q_stat", "stats_friedman_dow_revenue", "q_stat"),
+    ("runs", "z", "stats_runs_test_daily", "runs_z"),
+    ("kendall_trend", "tau_b", "stats_kendall_tau_daily",
+     "kendall_tau_b"),
+]
+
+
+def _series_diag_oracle() -> str:
+    from .registry import ORACLES
+
+    parts = [
+        f"""SELECT '{diag}' AS diagnostic, '{stat}' AS statistic,
+            CAST({col} AS DOUBLE) AS value
+            FROM ({ORACLES[src]})"""
+        for diag, stat, src, col in _SERIES_DIAG_PARTS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("orders_series_diagnostics", oracle=_series_diag_oracle())
+def orders_series_diagnostics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The one-call health report for the daily order series — five
+    verified diagnostics, each answering a different failure mode,
+    unioned to one tall (diagnostic, statistic, value) frame:
+    Ljung–Box (is there ANY autocorrelation structure), Pettitt (did
+    the level SHIFT, and how confidently), Friedman (is there a
+    day-of-week effect net of weekly level), runs test (are
+    up/down streaks non-random), Kendall tau (is there a monotone
+    trend). The time-series twin of ``text_curation_report`` /
+    ``text_dataset_datasheet``: compositions OF verified rungs are
+    themselves queries, so the monitoring dashboard is one engine
+    call, not five.
+
+    Exactness: each cell is produced by the component query's own
+    registered chain — this op adds only constant labels and a
+    UNION ALL, so it can never disagree with the standalone
+    diagnostics (the oracle composes the same registered texts).
+
+    Plan: the component plans run as written (each collapses the
+    corpus to the daily frame in one scan+agg; Spark does not fuse
+    the scans across UNION ALL branches, so the report costs the sum
+    of its parts — acceptable for a daily monitoring call, and the
+    parts are each scan-bound)."""
+    from .registry import QUERIES
+
+    parts = []
+    for diag, stat, src, col in _SERIES_DIAG_PARTS:
+        parts.append(
+            QUERIES[src](spark, sf_dir).selectExpr(
+                f"'{diag}' AS diagnostic",
+                f"'{stat}' AS statistic",
+                f"CAST({col} AS DOUBLE) AS value",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---- seasonal/trend strength summary ------------------------------------------
+
+
+@query(
+    "orders_seasonal_strength",
+    oracle=None,  # registered below from the STL oracle text
+)
+def orders_seasonal_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hyndman's seasonal/trend STRENGTH measures on the robust
+    decomposition: F_seasonal = max(0, 1 − Var(R)/Var(S+R)) and
+    F_trend = max(0, 1 − Var(R)/Var(T+R)) (Wang, Smith & Hyndman
+    2006) — the one-row verdict on ``orders_robust_stl_decompose``'s
+    per-day components: near 1 = that component dominates, near 0 =
+    it's noise. The quantitative answer to "is the weekday cycle
+    worth modeling" that the decomposition table only shows
+    qualitatively.
+
+    Exactness: the components are already pinned DECIMAL(18,6)
+    doubles, so casting them back to DECIMAL(18,6) is exact; both
+    variance NUMERATORS ride the exact n·Σx²−(Σx)² integer-decimal
+    form (squares pinned DECIMAL(38,9) per row before summing); each
+    F is one fixed chain pinned DECIMAL(18,6).
+
+    Plan: the STL plan (one scan to the daily frame, calendar
+    equi-joins) plus a single 1-row variance aggregate on its
+    output."""
+    stl = orders_robust_stl_decompose(spark, sf_dir)
+    stl.createOrReplaceTempView("seasonal_strength_stl")
+    return spark.sql(_seasonal_strength_finish("seasonal_strength_stl"))
+
+
+def _seasonal_strength_finish(src: str) -> str:
+    def var_terms(expr: str, tag: str) -> str:
+        return (
+            f"SUM(CAST({expr} AS DECIMAL(18,6))) AS s_{tag},"
+            f" SUM(CAST(CAST({expr} AS DOUBLE) * CAST({expr} AS DOUBLE)"
+            f" AS DECIMAL(38,9))) AS ss_{tag}"
+        )
+
+    def var_of(tag: str) -> str:
+        return (
+            f"(CAST(n * ss_{tag} - s_{tag} * s_{tag} AS DOUBLE)"
+            f" / (CAST(n AS DOUBLE) * n))"
+        )
+
+    return f"""
+    WITH mo AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             {var_terms("remainder", "r")},
+             {var_terms("seasonal + remainder", "sr")},
+             {var_terms("trend + remainder", "tr")}
+      FROM {src}
+    )
+    SELECT n AS n_days,
+           CAST(CAST(
+             CASE WHEN 1 - {var_of("r")} / {var_of("sr")} < 0
+                  THEN CAST(0 AS DOUBLE)
+                  ELSE 1 - {var_of("r")} / {var_of("sr")} END
+             AS DECIMAL(18,6)) AS DOUBLE) AS seasonal_strength,
+           CAST(CAST(
+             CASE WHEN 1 - {var_of("r")} / {var_of("tr")} < 0
+                  THEN CAST(0 AS DOUBLE)
+                  ELSE 1 - {var_of("r")} / {var_of("tr")} END
+             AS DECIMAL(18,6)) AS DOUBLE) AS trend_strength
+    FROM mo
+    """
+
+
+def _register_seasonal_strength_oracle() -> None:
+    from .registry import ORACLES
+
+    ORACLES["orders_seasonal_strength"] = _seasonal_strength_finish(
+        f"({ORACLES['orders_robust_stl_decompose']})"
+    )
+
+
+_register_seasonal_strength_oracle()

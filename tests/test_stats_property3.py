@@ -631,3 +631,70 @@ def test_nelson_aalen_oracle_matches_direct(users):
         _close(ch, round(wh, 6), tol=1e-6)
         _close(hv, round(wv, 9), tol=1e-9)
         _close(surv, ws, tol=1e-6)
+
+
+# ---- CUPED --------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),  # pre cents
+            st.integers(min_value=0, max_value=999),  # post cents
+        ),
+        min_size=6,
+        max_size=80,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_cuped_oracle_matches_numpy(users):
+    """Events: each user gets one pre-midpoint and one post-midpoint
+    purchase; arm = hash60(user_id) % 2 recomputed here via md5."""
+    import hashlib
+
+    def arm(uid: int) -> int:
+        h = hashlib.md5(str(uid).encode()).hexdigest()[:15]
+        return int(h, 16) % 2
+
+    rows = []
+    pre = pd.to_datetime("2024-01-05")
+    post = pd.to_datetime("2024-03-05")
+    for uid, (xc, yc) in enumerate(users):
+        rows.append((uid, pre, "purchase", xc / 100.0))
+        rows.append((uid, post, "purchase", yc / 100.0))
+    events = pd.DataFrame(
+        rows, columns=["user_id", "ts", "event_type", "value"]
+    )
+    x = np.array([xc / 100.0 for xc, _ in users])
+    y = np.array([yc / 100.0 for _, yc in users])
+    g = np.array([arm(u) for u in range(len(users))])
+    if g.min() == g.max() or (g == 0).sum() < 2 or (g == 1).sum() < 2:
+        return
+    # match the oracle: theta = cov/var in the (N-1)-free form
+    n = len(x)
+    cov = (x * y).sum() - x.sum() * y.sum() / n
+    varx = (x * x).sum() - x.sum() ** 2 / n
+    vary = (y * y).sum() - y.sum() ** 2 / n
+    if varx <= 0 or vary <= 0:
+        return
+    th = round(cov / varx, 9)
+    rho2 = cov**2 / (varx * vary)
+    xbar = x.mean()
+    adj = y - th * (x - xbar)
+    a, b = adj[g == 0], adj[g == 1]
+    ya, yb = y[g == 0], y[g == 1]
+    raw = yb.mean() - ya.mean()
+    diff = b.mean() - a.mean()
+    z = diff / math.sqrt(
+        a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    )
+    got = _run_all(
+        ORACLES["events_ab_cuped_adjusted"], events=events
+    )[0]
+    assert got[0] == int((g == 0).sum())
+    assert got[1] == int((g == 1).sum())
+    _close(got[2], round(raw, 6), tol=1e-5)
+    _close(got[3], round(th, 6), tol=1e-5)
+    _close(got[4], round(rho2, 6), tol=1e-5)
+    _close(got[5], round(diff, 6), tol=1e-5)
+    _close(got[6], round(z, 6), tol=1e-4)
