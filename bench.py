@@ -260,6 +260,9 @@ HEADLINE = [
     "events_ab_cuped_adjusted",
     "orders_series_diagnostics",
     "orders_seasonal_strength",
+    "similarity_hybrid_rrf",
+    "profile_column_entropy",
+    "customer_segment_migration",
     # scan_parquet_schema_evolution: full-table rewrite job — gate-
     # checked for merge-by-name losslessness, excluded from the query
     # bench like the other scratch-write round-trip jobs.

@@ -1771,3 +1771,107 @@ def embedding_participation_ratio(
         f"CAST(CAST(trace_c * trace_c / trace_c2 / {DIM}"
         " AS DECIMAL(18,6)) AS DOUBLE) AS effective_dim_fraction",
     )
+
+
+# ---- per-column entropy profile ---------------------------------------
+
+ENTROPY_COLS = (
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_custkey",
+    "o_totalprice",
+    "o_orderdate",
+)
+
+
+def _col_entropy_sql(unpivoted: str, bigint: str) -> str:
+    """Shared finish over an unpivoted (col_name, val) frame:
+    H = −Σ (c/n)·ln(c/n) per column, each value's term using the
+    ln-of-exact-ratio pin (DECIMAL(18,9) on the ln, the whole term
+    DECIMAL(18,12)) so the distinct-value summation — corpus-scale
+    for key-like columns — is order-insensitive."""
+    return f"""
+    WITH vals AS ({unpivoted}),
+    counts AS (
+      SELECT col_name, val, CAST(COUNT(*) AS {bigint}) AS c
+      FROM vals GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT col_name, CAST(SUM(c) AS {bigint}) AS n,
+             CAST(COUNT(*) AS {bigint}) AS n_distinct
+      FROM counts GROUP BY 1
+    ),
+    terms AS (
+      SELECT c.col_name,
+             CAST(-(CAST(c.c AS DOUBLE) / t.n)
+               * CAST(CAST(ln(CAST(c.c AS DOUBLE) / t.n)
+                      AS DECIMAL(18,9)) AS DOUBLE)
+               AS DECIMAL(18,12)) AS h_term
+      FROM counts c JOIN totals t ON t.col_name = c.col_name
+    )
+    SELECT t.col_name,
+           t.n AS n_rows,
+           t.n_distinct,
+           CAST(CAST(CAST(t.n_distinct AS DOUBLE) / t.n
+                AS DECIMAL(18,6)) AS DOUBLE) AS distinct_ratio,
+           CAST(CAST(CAST(s.h AS DOUBLE) AS DECIMAL(18,6))
+                AS DOUBLE) AS entropy_nats,
+           CAST(CAST(
+             CASE WHEN t.n_distinct = 1 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(s.h AS DOUBLE)
+                    / CAST(CAST(ln(CAST(t.n_distinct AS DOUBLE))
+                           AS DECIMAL(18,9)) AS DOUBLE) END
+             AS DECIMAL(18,6)) AS DOUBLE) AS normalized_entropy
+    FROM totals t
+    JOIN (SELECT col_name, SUM(h_term) AS h FROM terms GROUP BY 1) s
+      ON s.col_name = t.col_name
+    """
+
+
+@query(
+    "profile_column_entropy",
+    oracle=_col_entropy_sql(
+        "SELECT col_name, val FROM ("
+        + " SELECT "
+        + ", ".join(
+            f"CAST({c} AS VARCHAR) AS {c}" for c in ENTROPY_COLS
+        )
+        + " FROM orders"
+        + f") UNPIVOT (val FOR col_name IN ({', '.join(ENTROPY_COLS)}))",
+        "BIGINT",
+    ),
+)
+def profile_column_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-column Shannon entropy profile of the orders table —
+    H = −Σ p ln p over each column's value distribution, with the
+    distinct ratio and H/ln(distinct) normalization: the information-
+    density readout ``profile_table_onepass`` (counts and bounds)
+    doesn't give. Low normalized entropy on a key-like column means
+    skew a partitioner must care about (the scalar summary of
+    ``profile_key_skew``'s per-key table); near-zero entropy flags a
+    constant column a schema review should drop; entropy drop
+    release-over-release is silent-default-stuffing.
+
+    Exactness: counts are exact integers from one unpivoted
+    aggregate; each value's −p·ln p term rides the ln-of-exact-ratio
+    pin and is itself pinned DECIMAL(18,12) before the per-column
+    sum, so the corpus-scale distinct-value summation is
+    order-insensitive; the normalizing ln(n_distinct) is pinned the
+    same way.
+
+    Plan: ONE scan → native unpivot (5× row expansion, no shuffle)
+    → (column, value) partial+final hash aggregate — the only
+    corpus-scale shuffle; per-column finishes run on 5 rows. The
+    per-column-scan alternative would read the parquet 5×."""
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(
+        *[F.col(c).cast("string").alias(c) for c in ENTROPY_COLS]
+    ).unpivot([], list(ENTROPY_COLS), "col_name", "val")
+    vals.createOrReplaceTempView("colentropy_vals")
+    return spark.sql(
+        _col_entropy_sql(
+            "SELECT col_name, val FROM colentropy_vals", "BIGINT"
+        )
+    )

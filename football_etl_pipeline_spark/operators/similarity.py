@@ -1870,3 +1870,242 @@ def similarity_binary_quant_rerank(
             "rnk",
         )
     )
+
+
+# ---- hybrid retrieval: reciprocal-rank fusion -------------------------
+
+HYBRID_LIST_K = 20  # depth of each ranker's candidate list
+HYBRID_TOPK = 10  # fused results returned per query
+RRF_K = 60  # the standard RRF dampening constant
+
+
+def _rrf_oracle() -> str:
+    from .dedup import DF_CAP
+    from .textops import SHINGLES_DUCK, TOKENS_DUCK, hash60_duck
+
+    return f"""
+    WITH e AS ({_NORMED_DUCK}),
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    dense AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_dot_duck("q.v", "e.v")} / (q.nrm * e.nrm)
+                            DESC,
+                          e.vec_id ASC) AS rnk
+        FROM q JOIN e ON e.vec_id <> q.vec_id
+      ) WHERE rnk <= {HYBRID_LIST_K}
+    ),
+    toks AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform({SHINGLES_DUCK},
+                    s -> {hash60_duck('s')}))) AS h
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (
+      SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= {DF_CAP}
+    ),
+    qsh AS (
+      SELECT doc_id AS query_id, h FROM sh
+      WHERE doc_id < {N_QUERIES}
+    ),
+    overlap AS (
+      SELECT qsh.query_id, b.doc_id, COUNT(*) AS n_shared
+      FROM qsh
+      JOIN rare r ON r.h = qsh.h
+      JOIN sh b ON b.h = qsh.h AND b.doc_id <> qsh.query_id
+      GROUP BY 1, 2
+    ),
+    sparse AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT o.query_id, o.doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY o.query_id
+                 ORDER BY CAST(CAST(o.n_shared * 1.0
+                          / (sq.n + sd.n - o.n_shared)
+                          AS DECIMAL(18,6)) AS DOUBLE) DESC,
+                          o.doc_id ASC) AS rnk
+        FROM overlap o
+        JOIN sizes sq ON sq.doc_id = o.query_id
+        JOIN sizes sd ON sd.doc_id = o.doc_id
+      ) WHERE rnk <= {HYBRID_LIST_K}
+    ),
+    fused AS (
+      SELECT COALESCE(d.query_id, s.query_id) AS query_id,
+             COALESCE(d.doc_id, s.doc_id) AS doc_id,
+             d.rnk AS dense_rank_, s.rnk AS sparse_rank_,
+             (COALESCE(1000000000 // ({RRF_K} + d.rnk), 0)
+              + COALESCE(1000000000 // ({RRF_K} + s.rnk), 0))::BIGINT
+               AS rrf_micro
+      FROM dense d
+      FULL OUTER JOIN sparse s
+        ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id,
+           CAST(dense_rank_ AS BIGINT) AS dense_rank_,
+           CAST(sparse_rank_ AS BIGINT) AS sparse_rank_,
+           rrf_micro,
+           CAST(rrf_micro AS DOUBLE) / 1000000000 AS rrf_score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY rrf_micro DESC, doc_id ASC) AS frnk
+      FROM fused
+    ) WHERE frnk <= {HYBRID_TOPK}
+    """
+
+
+@query("similarity_hybrid_rrf", oracle=_rrf_oracle())
+def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
+    Büttcher, SIGIR'09 — the fusion rule behind most production
+    hybrid search): for each standing query document, a DENSE ranker
+    (exact cosine over embeddings, the ``similarity_topk_bruteforce``
+    anchor) and a SPARSE ranker (word-3-gram shingle Jaccard against
+    the query doc's text, the ``dedup_ngram_jaccard`` machinery
+    pointed at retrieval) each contribute a top-20 list; fused score
+    = Σ 1/(60 + rank), top-10 fused per query. Dense catches
+    paraphrases the lexical side misses; sparse catches exact
+    phrases embeddings blur — RRF needs no score calibration between
+    them, only RANKS, which is why it composes rankers that don't
+    share a scale.
+
+    Exactness: ranks are integers with pinned tie-breaks (cosine and
+    the pinned Jaccard are identical doubles both sides, doc_id
+    breaks ties); the fused score is computed in INTEGER nano units
+    (10⁹ div (60+r)) so fusion arithmetic is exact, with the double
+    projection derived from it.
+
+    Plan: dense side = broadcast(5 queries) nested-loop over one
+    corpus scan + the 5-key rank window (the brute-force anchor's
+    plan); sparse side = query shingles (5 docs) equi-join the
+    DF-capped corpus postings — candidates bounded by DF_CAP × |query
+    shingles|, so the sparse rank windows see bounded frames; the
+    fusion full-outer join runs on ≤ 2·5·20 rows."""
+    from .dedup import DF_CAP, _hashed_shingles
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", F.expr(_norm_spark("v")))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    cos = F.expr(_dot_spark("q.v", "e.v")) / (
+        F.col("q.nrm") * F.col("e.nrm")
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    dense = (
+        F.broadcast(q.alias("q"))
+        .join(e.alias("e"), F.col("e.vec_id") != F.col("q.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("e.vec_id").alias("doc_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(wd))
+        .filter(F.col("rnk") <= HYBRID_LIST_K)
+        .select("query_id", "doc_id", "rnk")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    sh = persist_tracked(_hashed_shingles(docs))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare = (
+        sh.groupBy("sh60")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("sh60")
+    )
+    qsh = sh.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("sh60").alias("qh")
+    )
+    overlap = (
+        qsh.join(rare, F.col("qh") == F.col("sh60"))
+        .join(
+            sh.alias("b"),
+            (F.col("b.sh60") == F.col("qh"))
+            & (F.col("b.doc_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", F.col("b.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.expr(
+        "CAST(CAST(n_shared * 1.0 / (qn + dn - n_shared)"
+        " AS DECIMAL(18,6)) AS DOUBLE)"
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("jaccard").desc(), F.col("doc_id").asc()
+    )
+    sparse = (
+        overlap.join(
+            sizes.select(
+                F.col("doc_id").alias("sq_id"), F.col("n").alias("qn")
+            ),
+            F.col("sq_id") == F.col("query_id"),
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("sd_id"), F.col("n").alias("dn")
+            ),
+            F.col("sd_id") == F.col("doc_id"),
+        )
+        .select("query_id", "doc_id", jac.alias("jaccard"))
+        .withColumn("rnk", F.row_number().over(ws))
+        .filter(F.col("rnk") <= HYBRID_LIST_K)
+        .select("query_id", "doc_id", "rnk")
+    )
+    fused = (
+        dense.alias("d")
+        .join(
+            sparse.alias("s"),
+            (F.col("s.query_id") == F.col("d.query_id"))
+            & (F.col("s.doc_id") == F.col("d.doc_id")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("d.query_id"), F.col("s.query_id")).alias(
+                "query_id"
+            ),
+            F.coalesce(F.col("d.doc_id"), F.col("s.doc_id")).alias(
+                "doc_id"
+            ),
+            F.col("d.rnk").cast("bigint").alias("dense_rank_"),
+            F.col("s.rnk").cast("bigint").alias("sparse_rank_"),
+            (
+                F.coalesce(
+                    F.expr(f"1000000000 div ({RRF_K} + d.rnk)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000000 div ({RRF_K} + s.rnk)"), F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_micro"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("frnk", F.row_number().over(wf))
+        .filter(F.col("frnk") <= HYBRID_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            "dense_rank_",
+            "sparse_rank_",
+            "rrf_micro",
+            (F.col("rrf_micro").cast("double") / 1000000000).alias(
+                "rrf_score"
+            ),
+        )
+    )

@@ -1923,3 +1923,107 @@ def lineitem_laspeyres_price_index(
             "laspeyres_lineitem", "BIGINT", "year(l_shipdate)"
         )
     )
+
+
+# ---- customer value-segment migration --------------------------------------
+
+
+def _segment_migration_sql(
+    table: str, bigint: str, intdiv: str, epoch_day: str, pct: str
+) -> str:
+    """Shared segment-migration text. Periods split at the exact
+    integer midpoint of the epoch-day range; per-(customer, period)
+    revenue is an exact DECIMAL sum; each period's quartile
+    boundaries come from the shared exact-percentile convention
+    (Spark percentile ≡ DuckDB quantile_cont) pinned DECIMAL(18,6),
+    and bucket assignment is a fixed <=-CASE against those pinned
+    boundaries — identical doubles, identical buckets."""
+    b = "CAST(CAST({p} AS DECIMAL(18,6)) AS DOUBLE)"
+    return f"""
+    WITH span AS (
+      SELECT (MIN({epoch_day}) + MAX({epoch_day})) {intdiv} 2 AS mid
+      FROM {table}
+    ),
+    per AS (
+      SELECT o_custkey AS custkey,
+             CASE WHEN {epoch_day} < span.mid THEN 0 ELSE 1 END
+               AS period,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                  AS DOUBLE) AS rev
+      FROM {table} CROSS JOIN span
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT period,
+             {b.format(p=pct.format(x="rev", q="0.25"))} AS b1,
+             {b.format(p=pct.format(x="rev", q="0.5"))} AS b2,
+             {b.format(p=pct.format(x="rev", q="0.75"))} AS b3
+      FROM per GROUP BY period
+    ),
+    seg AS (
+      SELECT per.custkey, per.period,
+             CASE WHEN per.rev <= bounds.b1 THEN 'q1_low'
+                  WHEN per.rev <= bounds.b2 THEN 'q2'
+                  WHEN per.rev <= bounds.b3 THEN 'q3'
+                  ELSE 'q4_high' END AS segment
+      FROM per JOIN bounds ON bounds.period = per.period
+    )
+    SELECT COALESCE(a.segment, 'absent') AS segment_before,
+           COALESCE(c.segment, 'absent') AS segment_after,
+           CAST(COUNT(*) AS {bigint}) AS n_customers
+    FROM (SELECT custkey, segment FROM seg WHERE period = 0) a
+    FULL OUTER JOIN
+         (SELECT custkey, segment FROM seg WHERE period = 1) c
+      ON c.custkey = a.custkey
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "customer_segment_migration",
+    oracle=_segment_migration_sql(
+        "orders",
+        "BIGINT",
+        "//",
+        "CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) // 86400",
+        "quantile_cont({x}, {q})",
+    ),
+)
+def customer_segment_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customer value-segment MIGRATION matrix: revenue quartile in
+    the first half of the order history × revenue quartile in the
+    second half (plus 'absent' for customers active in only one
+    period) — the dynamics readout the static ``customer_rfm_
+    segments`` snapshot can't give: a healthy book shows diagonal
+    mass (segments persist) with upward drift; heavy q4→absent is
+    silent churn of the best customers, the single most expensive
+    cell in the matrix. The customer-level face of
+    ``events_cohort_retention_matrix``'s user-count triangle.
+
+    Exactness: the period boundary is exact integer epoch-day
+    arithmetic from one 1-row aggregate; per-period revenues are
+    exact DECIMAL sums; quartile boundaries ride the shared
+    exact-percentile convention pinned DECIMAL(18,6); bucket
+    assignment is a fixed ≤-CASE on identical doubles; the matrix is
+    exact integer counts.
+
+    Plan: one scan → per-(customer, period) aggregate (one shuffle);
+    boundaries are a 2-row aggregate broadcast back; the period
+    self-alignment is one custkey-keyed full-outer join between the
+    two period slices of the SAME aggregated frame; the finish is a
+    ≤25-cell matrix. (The percentile aggregate is single-reduce per
+    period — 2 groups — the documented exact-percentile cost; the
+    approx twin pattern applies if boundaries may be sketched.)"""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("segmig_orders")
+    return spark.sql(
+        _segment_migration_sql(
+            "segmig_orders",
+            "BIGINT",
+            "DIV",
+            "unix_date(CAST(o_orderdate AS DATE))",
+            "percentile({x}, {q}D)",
+        )
+    )

@@ -960,3 +960,21 @@ def test_participation_ratio_grid_is_broadcast_no_self_join(spark):
     assert "SortMergeJoin" not in final
     assert "BroadcastNestedLoopJoin" in final  # the grid cross join
     assert _windows_fed_by_single_partition(final) == []
+
+
+def test_hybrid_rrf_broadcasts_queries_windows_partitioned(spark):
+    """Both rankers must stay partition-parallel: the dense side is a
+    broadcast(5 queries) nested-loop over one corpus scan, rank
+    windows partition BY QUERY, and the fusion join never shuffles a
+    corpus-sized frame through one task."""
+    final = _final(_plan(spark, "similarity_hybrid_rrf"))
+    assert "BroadcastNestedLoopJoin" in final  # dense scoring side
+    assert _windows_fed_by_single_partition(final) == []
+
+
+def test_column_entropy_is_one_scan(spark):
+    """The 5-column entropy profile must unpivot ONE scan (Expand),
+    not read the parquet once per column."""
+    final = _final(_plan(spark, "profile_column_entropy"))
+    assert final.count("Scan parquet") == 1, final
+    assert "Expand" in final
