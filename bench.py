@@ -263,6 +263,11 @@ HEADLINE = [
     "similarity_hybrid_rrf",
     "profile_column_entropy",
     "customer_segment_migration",
+    "graph_kcore",
+    "scalar_datetime_advanced",
+    # versioned_retention_expiry: full-table versioned rewrite +
+    # vacuum job — gate-checked for retention correctness, excluded
+    # from the query bench like the other rewrite jobs.
     # scan_parquet_schema_evolution: full-table rewrite job — gate-
     # checked for merge-by-name losslessness, excluded from the query
     # bench like the other scratch-write round-trip jobs.

@@ -1316,3 +1316,148 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(18,6)) AS DOUBLE)"
         ).alias("avg_local_clustering"),
     )
+
+
+# ---- k-core decomposition (fixed-round peel) ------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    """Unrolled fixed-round peel (the k-means/PCA trajectory-oracle
+    pattern): rᵢ₊₁ keeps edges whose BOTH endpoints have degree ≥ k
+    within rᵢ. The convergence flag is computed IN SQL (round-7 vs
+    round-8 node counts), so the whole readout — including "did 8
+    rounds suffice" — is engine-checked rather than driver-decided."""
+    # every CTE is MATERIALIZED: DuckDB's default inlining would
+    # re-expand each round's ~5 references to the previous round
+    # (the same 5^8 blowup the Spark side cuts with localCheckpoint,
+    # surfacing as "too many open files" on the events parquet)
+    parts = [
+        _COACTIVITY_EDGES_DUCK
+        + ", r0 AS MATERIALIZED (SELECT u, v FROM edges)"
+    ]
+    for i in range(KCORE_ROUNDS):
+        parts.append(
+            f"""
+    d{i + 1} AS MATERIALIZED (
+      SELECT node, COUNT(*)::BIGINT AS d FROM (
+        SELECT u AS node FROM r{i} UNION ALL SELECT v FROM r{i}
+      ) GROUP BY node
+    ),
+    n{i + 1} AS MATERIALIZED (
+      SELECT node FROM d{i + 1} WHERE d >= {KCORE_K}),
+    r{i + 1} AS MATERIALIZED (
+      SELECT r.u, r.v FROM r{i} r
+      JOIN n{i + 1} a ON a.node = r.u
+      JOIN n{i + 1} b ON b.node = r.v
+    )"""
+        )
+    n = KCORE_ROUNDS
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT node, d AS core_degree,
+           CAST((SELECT COUNT(*) FROM n{n})
+                = (SELECT COUNT(*) FROM n{n - 1}) AS INT) AS converged
+    FROM (
+      SELECT node, COUNT(*)::BIGINT AS d FROM (
+        SELECT u AS node FROM r{n} UNION ALL SELECT v FROM r{n}
+      ) GROUP BY node
+    )
+    """
+    )
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-core of the user co-activity graph — iterative peeling
+    (drop nodes of degree < k, with their edges, repeat) run for a
+    FIXED 8 rounds with an in-plan convergence flag, the same
+    trajectory-oracle discipline as ``embedding_kmeans_train``: both
+    engines execute exactly 8 peels, so the comparison is exact even
+    if the fixpoint needed fewer (typical) or more (the flag says
+    so). The k-core is the standard dense-subgraph screen — the
+    cohesive cluster that survives when hangers-on are peeled —
+    and, for the dedup graph family, the mega-cluster CORE that
+    tells boilerplate blobs from chains of pairwise coincidences
+    (``dedup_cluster_size_histogram`` sizes the components; the core
+    says which are dense).
+
+    Exactness: wholly integral — degrees, memberships, and the
+    convergence count comparison are exact integer frames; there is
+    no float anywhere.
+
+    Plan: each round is one degree aggregate + two semi-join-shaped
+    hash joins on the shrinking edge frame (monotone: |rᵢ₊₁| ≤
+    |rᵢ|), each round's edges persisted so lineage doesn't re-derive
+    round i for every later round; rounds are O(log) in practice and
+    FIXED here — bounded stage count, no driver-side data decisions
+    (the flag rides the plan)."""
+    from .events import events_interval_overlap_join
+
+    pairs = events_interval_overlap_join(spark, sf_dir)
+    edges = (
+        pairs.select(
+            F.col("user_a").alias("u"), F.col("user_b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()  # the components-loop lineage rule
+    )
+    r = edges
+    keeps = []
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            r.select(F.col("u").alias("node"))
+            .unionAll(r.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        )
+        keep = (
+            deg.filter(F.col("d") >= KCORE_K)
+            .select("node")
+            .localCheckpoint()
+        )
+        keeps.append(keep)
+        # localCheckpoint each round: every round references the
+        # previous one ~5x (degree union twice, two endpoint joins),
+        # so an uncut 8-round lineage is a ~5^8-node logical plan —
+        # measured as a planner/treeString hang even with caching
+        # (cache substitution shrinks the physical plan, not the
+        # logical tree the round-over-round builders keep copying).
+        r = (
+            r.join(
+                keep.withColumnRenamed("node", "ku"),
+                F.col("ku") == F.col("u"),
+            )
+            .join(
+                keep.withColumnRenamed("node", "kv"),
+                F.col("kv") == F.col("v"),
+            )
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    final_deg = (
+        r.select(F.col("u").alias("node"))
+        .unionAll(r.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+    )
+    n_last = keeps[-1].agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_last")
+    )
+    n_prev = keeps[-2].agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_prev")
+    )
+    return (
+        final_deg.crossJoin(F.broadcast(n_last))
+        .crossJoin(F.broadcast(n_prev))
+        .select(
+            "node",
+            "core_degree",
+            (F.col("c_last") == F.col("c_prev"))
+            .cast("int")
+            .alias("converged"),
+        )
+    )

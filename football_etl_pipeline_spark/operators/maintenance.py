@@ -943,3 +943,93 @@ def scan_parquet_schema_evolution(
         .cast("double")
         .alias("revenue_with_status"),
     )
+
+
+# ---- snapshot retention expiry (vacuum) -------------------------------
+
+
+@query(
+    "versioned_retention_expiry",
+    oracle=f"""
+    WITH updates AS ({_UPDATES_DUCK}),
+    merged AS (
+      SELECT b.o_orderkey, b.o_totalprice, b.o_orderpriority
+      FROM orders b
+      WHERE NOT EXISTS (SELECT 1 FROM updates u
+                        WHERE u.o_orderkey = b.o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM updates
+    ),
+    latest AS (
+      SELECT * FROM merged WHERE o_orderpriority <> '5-LOW'
+    )
+    SELECT CAST(3 AS BIGINT) AS n_versions_before,
+           CAST(2 AS BIGINT) AS n_versions_after,
+           (SELECT COUNT(*)::BIGINT FROM latest) AS n_rows_latest,
+           CAST((SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                 AS DOUBLE) FROM latest) AS DOUBLE) AS revenue_latest,
+           (SELECT COUNT(*)::BIGINT FROM merged) AS n_rows_prev
+    """,
+)
+def versioned_retention_expiry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snapshot retention driven end-to-end AS a query: commit three
+    versions of the orders table (v1 base load, v2 merge-upsert
+    overwrite, v3 retention-delete of the '5-LOW' slice), VACUUM to
+    the newest two, and report the state a warehouse SLA dashboard
+    watches — versions before/after expiry, the latest snapshot's
+    row count and exact revenue, and the still-time-travelable
+    previous version's row count. The oracle derives every number
+    independently from the same update/delete rules, so the whole
+    commit → delete_where → vacuum → time-travel-read protocol is
+    oracle-gated (file-level effects — orphan removal, manifest
+    drops — are pinned in ``tests/test_versioned_table.py``; row
+    counts here are the engine-visible contract).
+
+    Plan: three straight parquet commits (no history rewrite), one
+    manifest-only vacuum (driver-side file ops on a bounded
+    manifest list), then two snapshot reads feeding 1-row
+    aggregates."""
+    from ..sources.versioned_table import (
+        commit_version,
+        delete_where,
+        read_version,
+        vacuum,
+        versions,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    merged = merge_upsert(base, _updates_batch(spark, sf_dir), "o_orderkey")
+    root = _run_scratch_dir("retention", sf_dir)
+    commit_version(base, root, "append")
+    commit_version(merged, root, "overwrite")
+    delete_where(spark, root, "o_orderpriority", "5-LOW", "5-LOW")
+    n_before = len(versions(root))
+    vacuum(root, keep=2)
+    vs = versions(root)
+    latest = read_version(spark, root, vs[-1])
+    prev = read_version(spark, root, vs[-2])
+    lat = latest.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_latest"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("revenue_latest"),
+    )
+    prv = prev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_prev")
+    )
+    return lat.crossJoin(F.broadcast(prv)).select(
+        F.lit(n_before).cast("bigint").alias("n_versions_before"),
+        F.lit(len(vs)).cast("bigint").alias("n_versions_after"),
+        "n_rows_latest",
+        "revenue_latest",
+        "n_rows_prev",
+    )

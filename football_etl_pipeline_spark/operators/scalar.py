@@ -468,3 +468,66 @@ def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_param"
         ),
     )
+
+
+@query(
+    "scalar_datetime_advanced",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(week(o_orderdate) AS INT) AS wk_iso,
+      CAST(isoyear(o_orderdate) AS INT) AS iso_yr,
+      CAST(dayofyear(o_orderdate) AS INT) AS doy,
+      make_date(CAST(year(o_orderdate) AS INT),
+                CAST(month(o_orderdate) AS INT), 1) AS first_of_month,
+      CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2_months,
+      CAST(o_orderdate + CAST(
+        CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+             ELSE (8 - isodow(o_orderdate)) % 7 END
+        AS BIGINT) * INTERVAL 1 DAY AS DATE) AS next_monday,
+      CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+      CAST(epoch_ms(o_orderdate) AS BIGINT) AS epoch_ms
+    FROM orders
+    """,
+)
+def scalar_datetime_advanced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The calendar-arithmetic face of the datetime surface
+    (``scalar_date_funcs`` covers extraction): ISO week and ISO
+    year (the pair that disagrees with the calendar year at year
+    boundaries — the classic week-53 bug), day-of-year, month
+    anchoring via make_date, month addition with end-of-month
+    clamping (both engines clamp Jan 31 + 1 month to Feb's last
+    day), strictly-after next-Monday computed as EXPLICIT isodow
+    arithmetic (DuckDB has no next_day(); the same CASE text runs on
+    both sides, so the convention is pinned rather than
+    engine-defined), ISO week start via date_trunc, and epoch
+    milliseconds. Pure projection — one scan, codegen'd
+    expressions, no shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.weekofyear("o_orderdate").cast("int").alias("wk_iso"),
+        F.expr("extract(YEAROFWEEK FROM o_orderdate)")
+        .cast("int")
+        .alias("iso_yr"),
+        F.dayofyear("o_orderdate").cast("int").alias("doy"),
+        F.expr(
+            "make_date(CAST(year(o_orderdate) AS INT),"
+            " CAST(month(o_orderdate) AS INT), 1)"
+        ).alias("first_of_month"),
+        F.add_months(F.col("o_orderdate"), 2).alias("plus_2_months"),
+        F.expr(
+            "CAST(date_add(CAST(o_orderdate AS DATE), CAST("
+            " CASE WHEN (8 - (weekday(o_orderdate) + 1)) % 7 = 0"
+            " THEN 7 ELSE (8 - (weekday(o_orderdate) + 1)) % 7 END"
+            " AS INT)) AS DATE)"
+        ).alias("next_monday"),
+        F.date_trunc("week", "o_orderdate").cast("date").alias(
+            "week_start"
+        ),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+        .cast("bigint")
+        .alias("epoch_ms"),
+    )

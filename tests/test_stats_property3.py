@@ -698,3 +698,61 @@ def test_cuped_oracle_matches_numpy(users):
     _close(got[4], round(rho2, 6), tol=1e-5)
     _close(got[5], round(diff, 6), tol=1e-5)
     _close(got[6], round(z, 6), tol=1e-4)
+
+
+# ---- k-core ------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=5,
+        max_size=60,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_kcore_oracle_matches_python_peel(raw_edges):
+    """The oracle's fixed-round unrolled peel must agree with a plain
+    Python peel run to FIXPOINT whenever the flag says it converged
+    (8 rounds is far past fixpoint on these graphs)."""
+    from football_etl_pipeline_spark.operators.graph import KCORE_K
+
+    edges = {(min(u, v), max(u, v)) for u, v in raw_edges if u != v}
+    if not edges:
+        return
+    cur = set(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for u, v in cur:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= KCORE_K}
+        nxt = {(u, v) for u, v in cur if u in keep and v in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    want: dict[int, int] = {}
+    for u, v in cur:
+        want[u] = want.get(u, 0) + 1
+        want[v] = want.get(v, 0) + 1
+    # feed the oracle an events table whose co-activity graph IS this
+    # edge list: one overlapping session pair per edge, far apart
+    ts = []
+    for i, (u, v) in enumerate(sorted(edges)):
+        base = pd.to_datetime("2024-01-01") + pd.Timedelta(hours=4 * i)
+        # two events per user so each session is a 10-minute interval
+        # and the pair genuinely overlaps ([T,T+10] vs [T+1,T+11])
+        ts.append((int(u), base))
+        ts.append((int(u), base + pd.Timedelta(minutes=10)))
+        ts.append((int(v), base + pd.Timedelta(minutes=1)))
+        ts.append((int(v), base + pd.Timedelta(minutes=11)))
+    events = pd.DataFrame(ts, columns=["user_id", "ts"])
+    events["event_id"] = range(len(events))
+    got = _run_all(ORACLES["graph_kcore"], events=events)
+    got_deg = {int(n): int(d) for n, d, _c in got}
+    conv = all(bool(c) for _n, _d, c in got) if got else True
+    if conv:
+        assert got_deg == want
