@@ -265,6 +265,8 @@ HEADLINE = [
     "customer_segment_migration",
     "graph_kcore",
     "scalar_datetime_advanced",
+    "events_allen_interval_relations",
+    "events_burstiness_index",
     # versioned_retention_expiry: full-table versioned rewrite +
     # vacuum job — gate-checked for retention correctness, excluded
     # from the query bench like the other rewrite jobs.

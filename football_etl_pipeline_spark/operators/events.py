@@ -3140,3 +3140,188 @@ def _register_cuped_oracle() -> None:
 
 
 _register_cuped_oracle()
+
+
+# ---- Allen interval-relation census -----------------------------------
+
+
+_ALLEN_CASE = """CASE
+  WHEN a_s = b_s AND a_e = b_e THEN 'equals'
+  WHEN a_e = b_s THEN 'a_meets_b'
+  WHEN b_e = a_s THEN 'b_meets_a'
+  WHEN a_s = b_s AND a_e < b_e THEN 'a_starts_b'
+  WHEN a_s = b_s AND a_e > b_e THEN 'b_starts_a'
+  WHEN a_e = b_e AND a_s > b_s THEN 'a_finishes_b'
+  WHEN a_e = b_e AND a_s < b_s THEN 'b_finishes_a'
+  WHEN a_s > b_s AND a_e < b_e THEN 'a_during_b'
+  WHEN a_s < b_s AND a_e > b_e THEN 'b_during_a'
+  WHEN a_s < b_s THEN 'a_overlaps_b'
+  ELSE 'b_overlaps_a'
+END"""
+
+
+@query(
+    "events_allen_interval_relations",
+    oracle=_SESSIONS_IV_DUCK
+    + f"""
+    , pairs AS (
+      SELECT a.s_us AS a_s, a.e_us AS a_e,
+             b.s_us AS b_s, b.e_us AS b_e
+      FROM iv a JOIN iv b
+        ON a.user_id < b.user_id
+       AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+    )
+    SELECT {_ALLEN_CASE} AS relation,
+           COUNT(*)::BIGINT AS n_pairs,
+           CAST(SUM(LEAST(a_e, b_e) - GREATEST(a_s, b_s))
+                AS BIGINT) AS total_overlap_us
+    FROM pairs GROUP BY 1
+    """,
+)
+def events_allen_interval_relations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Census of ALLEN'S INTERVAL RELATIONS (Allen 1983 — the
+    thirteen-relation temporal algebra) over concurrently-active
+    session pairs: every overlapping pair is classified into
+    equals / meets / starts / finishes / during / overlaps (both
+    directions, pair ordered by user id), with pair counts and total
+    overlap time per relation. The semantic layer on top of
+    ``events_interval_overlap_join``'s raw pair list: 'during'-heavy
+    concurrency means short sessions nesting inside long ones
+    (background tabs), 'overlaps'-heavy means staggered live usage —
+    different capacity stories a single overlap count conflates.
+    Disjoint relations (before/after, and meets except at exact
+    microsecond adjacency) can't appear — the join keeps only
+    overlapping pairs; the CASE still names meets for boundary-exact
+    pairs so the census is honest about touching endpoints.
+
+    Exactness: bounds are exact epoch microseconds; the CASE ladder
+    has a fixed precedence written identically in both dialects;
+    counts and overlap sums are exact integers.
+
+    Plan: the pair list comes from the registered BUCKETED overlap
+    join (never a nested loop), re-decorated with interval bounds by
+    two (user, session)-keyed hash joins against the session frame;
+    the census is a ≤11-group aggregate."""
+    pairs = events_interval_overlap_join(spark, sf_dir)
+    iv = session_intervals(spark, sf_dir)
+    a = iv.select(
+        F.col("user_id").alias("ua"),
+        F.col("session_id").alias("sa"),
+        F.col("s_us").alias("a_s"),
+        F.col("e_us").alias("a_e"),
+    )
+    b = iv.select(
+        F.col("user_id").alias("ub"),
+        F.col("session_id").alias("sb"),
+        F.col("s_us").alias("b_s"),
+        F.col("e_us").alias("b_e"),
+    )
+    dec = (
+        pairs.join(
+            a,
+            (F.col("ua") == F.col("user_a"))
+            & (F.col("sa") == F.col("session_a")),
+        )
+        .join(
+            b,
+            (F.col("ub") == F.col("user_b"))
+            & (F.col("sb") == F.col("session_b")),
+        )
+        .select("a_s", "a_e", "b_s", "b_e")
+    )
+    return dec.groupBy(
+        F.expr(_ALLEN_CASE).alias("relation")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+        )
+        .cast("bigint")
+        .alias("total_overlap_us"),
+    )
+
+
+# ---- inter-arrival burstiness index -----------------------------------
+
+
+def _burstiness_sql(table: str, bigint: str, epoch_us: str) -> str:
+    """Shared burstiness text: per-(user, type) inter-arrival gaps in
+    exact integer microseconds (one lag pass), then per-type moments
+    as exact DECIMAL(38,0) sums; σ rides the exact n·Σx²−(Σx)²
+    integer numerator (the ``embedding_dim_stats`` variance rule) so
+    the only float ops are one sqrt and the closing ratios."""
+    return f"""
+    WITH gaps AS (
+      SELECT event_type,
+             {epoch_us} - LAG({epoch_us}) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id
+             ) AS gap_us
+      FROM {table}
+    ),
+    mo AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS {bigint}) AS n,
+             CAST(SUM(CAST(gap_us AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(CAST(gap_us AS DECIMAL(38,0))
+                      * CAST(gap_us AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS s2
+      FROM gaps WHERE gap_us IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type,
+           n AS n_gaps,
+           CAST(CAST(CAST(s1 AS DOUBLE) / n / 1000000
+                AS DECIMAL(18,6)) AS DOUBLE) AS mean_gap_sec,
+           CAST(CAST(
+             sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(s1 AS DOUBLE)
+             AS DECIMAL(18,6)) AS DOUBLE) AS cv,
+           CAST(CAST(
+             (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n
+                - CAST(s1 AS DOUBLE) / n)
+             / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n
+                + CAST(s1 AS DOUBLE) / n)
+             AS DECIMAL(18,6)) AS DOUBLE) AS burstiness
+    FROM mo
+    """
+
+
+@query(
+    "events_burstiness_index",
+    oracle=_burstiness_sql(
+        "events", "BIGINT", "epoch_us(CAST(ts AS TIMESTAMP))"
+    ),
+)
+def events_burstiness_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Burstiness of each event type's arrival process:
+    B = (σ−μ)/(σ+μ) over per-user inter-arrival gaps (Goh & Barabási
+    2008) with the coefficient of variation σ/μ alongside — B ≈ −1
+    for metronome-regular arrivals, 0 for Poisson, → 1 for heavy
+    bursts. The one-number process summary over
+    ``events_interarrival_histogram``'s banded table, and the
+    population-level complement of ``events_bot_score``'s per-user
+    regularity flag: a whole TYPE drifting toward −1 means
+    machine-generated traffic took over the stream; drifting toward
+    1 breaks the watermark/state-TTL sizing the histogram informed.
+
+    Exactness: gaps are exact integer microseconds from one lag
+    pass; per-type (n, Σx, Σx²) are exact DECIMAL(38,0) sums (a gap
+    of a year is ~3e13 µs, squared ~1e27 — inside 38 digits with
+    room); σ keeps the exact integer variance numerator so the float
+    path is one sqrt and two pinned ratios. Note σ here is the
+    POPULATION σ (÷n inside the ratio) — stated convention, same
+    text both sides.
+
+    Plan: one scan → per-(user, type) lag window (partitioned, the
+    sessionize exchange) → per-type moment aggregate — two shuffles
+    total, nothing wider than the 5-row finish after them."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("burst_events")
+    return spark.sql(
+        _burstiness_sql("burst_events", "BIGINT", "unix_micros(ts)")
+    )

@@ -756,3 +756,42 @@ def test_kcore_oracle_matches_python_peel(raw_edges):
     conv = all(bool(c) for _n, _d, c in got) if got else True
     if conv:
         assert got_deg == want
+
+
+# ---- burstiness ---------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=3600),  # gaps in seconds
+        min_size=3,
+        max_size=50,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_burstiness_oracle_matches_numpy(gaps):
+    ts = [pd.to_datetime("2024-01-01")]
+    for g in gaps:
+        ts.append(ts[-1] + pd.Timedelta(seconds=g))
+    events = pd.DataFrame(
+        {
+            "ts": ts,
+            "user_id": 1,
+            "event_type": "click",
+            "event_id": range(len(ts)),
+        }
+    )
+    x = np.asarray(gaps, dtype=float) * 1e6  # microseconds
+    mu = x.mean()
+    sigma = x.std(ddof=0)  # population sigma, the stated convention
+    if sigma + mu == 0:
+        return
+    want_b = (sigma - mu) / (sigma + mu)
+    want_cv = sigma / mu
+    got = _run_all(ORACLES["events_burstiness_index"], events=events)
+    assert len(got) == 1
+    et, n, mean_gap, cv, b = got[0]
+    assert n == len(gaps)
+    _close(mean_gap, round(mu / 1e6, 6), tol=1e-6)
+    _close(cv, want_cv, tol=1e-5)
+    _close(b, want_b, tol=1e-5)

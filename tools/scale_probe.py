@@ -233,6 +233,13 @@ def main() -> None:
         # DSIR weights joined per doc -- no pair joins anywhere, so
         # wall growth must track the token volume linearly.
         "text_curation_report",
+        # round-10: hybrid RRF composes the dense brute-force ranker
+        # (broadcast 5 queries x corpus) with the DF-capped sparse
+        # shingle-overlap ranker -- the sparse candidate volume is
+        # bounded by DF_CAP x |query shingles| (corpus-independent),
+        # the dense side is 5n scoring rows, so wall must grow
+        # ~linearly with the corpus.
+        "similarity_hybrid_rrf",
     ]
     composed_rows = []
     for name in COMPOSED:
@@ -338,6 +345,11 @@ def main() -> None:
         # day grid linearly (the corpus is time-shifted).
         "join_scd2_pit_status",
         "events_rolling_active_users",
+        # round-10: the fixed-8-round 3-core peel -- each round is a
+        # degree agg + two joins on a monotonically shrinking edge
+        # frame, so wall must track the edge volume ~linearly (the
+        # localCheckpoint per round makes stage count fixed).
+        "graph_kcore",
     ]
     graph_composed_rows = []
     for name in GRAPH_COMPOSED:
