@@ -267,6 +267,7 @@ HEADLINE = [
     "scalar_datetime_advanced",
     "events_allen_interval_relations",
     "events_burstiness_index",
+    "events_funnel_wilson_ci",
     # versioned_retention_expiry: full-table versioned rewrite +
     # vacuum job — gate-checked for retention correctness, excluded
     # from the query bench like the other rewrite jobs.

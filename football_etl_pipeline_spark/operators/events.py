@@ -3325,3 +3325,96 @@ def events_burstiness_index(
     return spark.sql(
         _burstiness_sql("burst_events", "BIGINT", "unix_micros(ts)")
     )
+
+
+# ---- funnel step conversions with Wilson bounds ------------------------
+
+
+def _funnel_wilson_sql(table: str, bigint: str) -> str:
+    """Shared text: the ``events_windowed_funnel`` per-user stage
+    minima reshaped to one row PER STEP TRANSITION, each with its
+    95% Wilson interval (the ``events_error_rate_wilson`` chain,
+    verbatim) — counts exact, the interval one fixed IEEE chain
+    pinned DECIMAL(18,6)."""
+    wilson = (
+        "((p + (z * z) / (2 * n)) {sign} z * sqrt(p * (1 - p) / n"
+        " + (z * z) / (4 * (CAST(n AS DOUBLE) * n))))"
+        " / (1 + (z * z) / n)"
+    )
+    return f"""
+    WITH stage_ts AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'view'
+            THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+        MIN(CASE WHEN event_type = 'click'
+            THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+        MIN(CASE WHEN event_type = 'purchase'
+            THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+      FROM {table} GROUP BY user_id
+    ),
+    counts AS (
+      SELECT
+        CAST(COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END)
+             AS {bigint}) AS n_viewed,
+        CAST(COUNT(CASE WHEN t_view IS NOT NULL
+                   AND t_click > t_view THEN 1 END)
+             AS {bigint}) AS n_clicked,
+        CAST(COUNT(CASE WHEN t_view IS NOT NULL
+                   AND t_click > t_view
+                   AND t_purchase > t_click THEN 1 END)
+             AS {bigint}) AS n_purchased
+      FROM stage_ts
+    ),
+    steps AS (
+      SELECT 'view_to_click' AS step, n_viewed AS n, n_clicked AS k
+      FROM counts
+      UNION ALL
+      SELECT 'click_to_purchase' AS step, n_clicked AS n,
+             n_purchased AS k
+      FROM counts
+    ),
+    w AS (
+      SELECT step, n, k,
+             CAST(k AS DOUBLE) / n AS p,
+             CAST(1.96 AS DOUBLE) AS z
+      FROM steps WHERE n > 0
+    )
+    SELECT step, n AS n_entered, k AS n_converted,
+           CAST(CAST(p AS DECIMAL(18,6)) AS DOUBLE) AS conversion,
+           CAST(CAST({wilson.format(sign="-")} AS DECIMAL(18,6))
+                AS DOUBLE) AS wilson_lo,
+           CAST(CAST({wilson.format(sign="+")} AS DECIMAL(18,6))
+                AS DOUBLE) AS wilson_hi
+    FROM w
+    """
+
+
+@query(
+    "events_funnel_wilson_ci",
+    oracle=_funnel_wilson_sql("events", "BIGINT"),
+)
+def events_funnel_wilson_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Funnel step conversions WITH 95% Wilson intervals — the
+    ``events_windowed_funnel`` counts reshaped to one row per step
+    transition and decorated with the ``events_error_rate_wilson``
+    interval chain: view→click and click→purchase each report
+    entered, converted, the rate, and honest small-n bounds. The
+    composition a growth dashboard actually renders — a step whose
+    interval straddles last week's rate is noise, not a regression;
+    the raw funnel counts can't say that. Steps with zero entrants
+    are dropped by rule (the rate is undefined), identically in both
+    dialects.
+
+    Exactness: per-user stage minima and step counts are exact (the
+    funnel query's own aggregate, textually reused); the Wilson
+    chain is the shared fixed IEEE expression pinned DECIMAL(18,6).
+
+    Plan: one scan → per-user conditional-min aggregate (the funnel
+    shuffle) → 1-row counts → a 2-row reshape + projection."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("funnel_wilson_events")
+    return spark.sql(
+        _funnel_wilson_sql("funnel_wilson_events", "BIGINT")
+    )
