@@ -3277,12 +3277,12 @@ def _burstiness_sql(table: str, bigint: str, epoch_us: str) -> str:
            CAST(CAST(CAST(s1 AS DOUBLE) / n / 1000000
                 AS DECIMAL(18,6)) AS DOUBLE) AS mean_gap_sec,
            CAST(CAST(
-             sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(s1 AS DOUBLE)
+             sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(s1 AS DOUBLE)
              AS DECIMAL(18,6)) AS DOUBLE) AS cv,
            CAST(CAST(
-             (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n
+             (sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n
                 - CAST(s1 AS DOUBLE) / n)
-             / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n
+             / (sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n
                 + CAST(s1 AS DOUBLE) / n)
              AS DECIMAL(18,6)) AS DOUBLE) AS burstiness
     FROM mo
@@ -3312,8 +3312,11 @@ def events_burstiness_index(
     Exactness: gaps are exact integer microseconds from one lag
     pass; per-type (n, Σx, Σx²) are exact DECIMAL(38,0) sums (a gap
     of a year is ~3e13 µs, squared ~1e27 — inside 38 digits with
-    room); σ keeps the exact integer variance numerator so the float
-    path is one sqrt and two pinned ratios. Note σ here is the
+    room); the variance numerator n·Σx²−(Σx)² is computed in DOUBLE
+    on those exact sums (the DECIMAL product would need ~2x38
+    digits at a 100x corpus — the ab-lift overflow class; identical
+    exact inputs give identical IEEE products), so the float path is
+    two products, one subtract, one sqrt, two pinned ratios. Note σ here is the
     POPULATION σ (÷n inside the ratio) — stated convention, same
     text both sides.
 
