@@ -268,6 +268,11 @@ HEADLINE = [
     "events_allen_interval_relations",
     "events_burstiness_index",
     "events_funnel_wilson_ci",
+    "events_retention_powerlaw_fit",
+    "lineitem_price_elasticity",
+    # events_holt_linear_recursive: ~30-step recursive CTE — same
+    # per-iteration job-scheduling overhead class as
+    # events_ewma_recursive; gate-checked, excluded from the bench.
     # versioned_retention_expiry: full-table versioned rewrite +
     # vacuum job — gate-checked for retention correctness, excluded
     # from the query bench like the other rewrite jobs.

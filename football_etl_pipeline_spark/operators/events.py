@@ -3421,3 +3421,147 @@ def events_funnel_wilson_ci(
     return spark.sql(
         _funnel_wilson_sql("funnel_wilson_events", "BIGINT")
     )
+
+
+# ---- retention power-law fit -------------------------------------------
+
+
+def _retention_fit_sql(table: str, bigint: str, datediff: str) -> str:
+    """Shared retention-decay fit: pooled day-k retention over the
+    OBSERVABLE triangle (cohorts whose horizon covers day k), then a
+    ln-ln OLS of retention on day offset. Retention ratios are exact
+    integer fractions; every ln is pinned DECIMAL(18,9) and every
+    moment term pinned before its sum (the zipf-fit discipline); the
+    fit runs on <= #days points. ``datediff`` spells days(a -> b)."""
+    dd_first = datediff.format(a="first_day", b="day")
+    dd_horizon = datediff.format(a="cohort_day", b="horizon_day")
+    ln9 = "CAST(CAST(ln({x}) AS DECIMAL(18,9)) AS DOUBLE)"
+    return f"""
+    WITH udays AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day
+      FROM {table}
+    ),
+    firsts AS (
+      SELECT user_id, MIN(day) AS first_day FROM udays GROUP BY 1
+    ),
+    actk AS (
+      SELECT f.first_day AS cohort_day,
+             CAST({dd_first} AS {bigint}) AS k,
+             CAST(COUNT(*) AS {bigint}) AS na
+      FROM udays u JOIN firsts f ON f.user_id = u.user_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort_day, na AS cohort_size FROM actk WHERE k = 0
+    ),
+    horizon AS (SELECT MAX(day) AS horizon_day FROM udays),
+    elig AS (
+      SELECT s.cohort_day, s.cohort_size,
+             CAST({dd_horizon} AS {bigint}) AS h
+      FROM sizes s CROSS JOIN horizon
+    ),
+    pooled AS (
+      SELECT ks.k,
+             CAST(SUM(COALESCE(a.na, 0)) AS {bigint}) AS n_active,
+             CAST(SUM(e.cohort_size) AS {bigint}) AS n_eligible
+      FROM (SELECT DISTINCT k FROM actk WHERE k >= 1) ks
+      JOIN elig e ON e.h >= ks.k
+      LEFT JOIN actk a
+        ON a.cohort_day = e.cohort_day AND a.k = ks.k
+      GROUP BY ks.k
+    ),
+    pts AS (
+      SELECT {ln9.format(x="CAST(k AS DOUBLE)")} AS x,
+             {ln9.format(x="CAST(n_active AS DOUBLE) / n_eligible")}
+               AS y
+      FROM pooled WHERE n_active > 0
+    ),
+    mo AS (
+      SELECT CAST(COUNT(*) AS {bigint}) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(18,12))) AS DOUBLE)
+               AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(18,12))) AS DOUBLE)
+               AS sxy,
+             CAST(SUM(CAST(y * y AS DECIMAL(18,12))) AS DOUBLE)
+               AS syy
+      FROM pts
+    ),
+    fit AS (
+      SELECT n,
+             CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                  AS DECIMAL(18,9)) AS slope9,
+             sx, sy, sxx, sxy, syy
+      FROM mo
+    )
+    SELECT n AS n_points,
+           CAST(slope9 AS DOUBLE) AS slope,
+           CAST(CAST(
+             (sy - CAST(slope9 AS DOUBLE) * sx) / n
+             AS DECIMAL(18,6)) AS DOUBLE) AS intercept,
+           CAST(CAST(
+             ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+             AS DECIMAL(18,6)) AS DOUBLE) AS r2,
+           CAST(CAST(exp(
+               CAST(CAST((sy - CAST(slope9 AS DOUBLE) * sx) / n
+                    AS DECIMAL(18,9)) AS DOUBLE)
+               + CAST(slope9 AS DOUBLE)
+                 * {ln9.format(x="CAST(90 AS DOUBLE)")}
+             ) AS DECIMAL(18,9)) AS DOUBLE)
+             AS projected_d90_retention
+    FROM fit
+    """
+
+
+@query(
+    "events_retention_powerlaw_fit",
+    oracle=None,  # registered below with the duck datediff spelling
+)
+def events_retention_powerlaw_fit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Power-law fit of the pooled retention curve: ln(retention_k) ~
+    a + b*ln(k) over the observable cohort triangle (only cohorts
+    whose horizon covers day k enter day k's ratio -- the same
+    censoring honesty as the KM/NA estimators, applied to the
+    retention decay), with the projected day-90 retention
+    exp(a + b*ln 90) as the headline number. Retention famously
+    decays as a power law, not an exponential (the
+    sticky-users-stick effect), so the ln-ln slope b is the
+    comparable "decay exponent" across products -- the one-number
+    summary of ``events_daily_retention``'s full (cohort, k) table,
+    and the forecast the cohort matrix can't state by itself.
+
+    Exactness: per-(cohort, k) actives and eligible-cohort sizes are
+    exact integers; each point's ln rides the ln-of-exact-ratio pin;
+    every OLS moment term is pinned before its sum; slope/intercept
+    are pinned before they feed the projection, whose exp output is
+    pinned ONCE at DECIMAL(18,9) and exposed at that native scale
+    (re-rounding a 12-decimal pin to 6 hits the HALF_UP/HALF_EVEN
+    tie divergence -- observed on this very value).
+
+    Plan: one distinct (user, day) collapse, a per-(cohort, k)
+    aggregate, then everything runs on <= #days-sized frames (the
+    eligibility join is days x cohorts, calendar-bounded)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("retfit_events")
+    return spark.sql(
+        _retention_fit_sql(
+            "retfit_events", "BIGINT", "datediff({b}, {a})"
+        )
+    )
+
+
+def _register_retention_fit_oracle() -> None:
+    from .registry import ORACLES
+
+    ORACLES["events_retention_powerlaw_fit"] = _retention_fit_sql(
+        "events", "BIGINT", "datediff('day', {a}, {b})"
+    )
+
+
+_register_retention_fit_oracle()

@@ -4663,3 +4663,90 @@ def _register_seasonal_strength_oracle() -> None:
 
 
 _register_seasonal_strength_oracle()
+
+
+# ---- Holt linear (double-exponential) smoothing ------------------------------
+
+HOLT_ALPHA = "CAST(0.5 AS DOUBLE)"
+HOLT_BETA = "CAST(0.3 AS DOUBLE)"
+
+
+def _holt_sql(limit_clause: str = "") -> str:
+    """IDENTICAL recursive text for both dialects (the
+    ``events_ewma_recursive`` contract, extended to a TWO-variable
+    linear recurrence): level lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁), trend
+    bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, initialized l₁ = x₁, b₁ = 0 (stated
+    convention — the x₂−x₁ init needs lookahead the recursion's base
+    case doesn't have; with β < 1 the influence of b₁ decays
+    geometrically). Recursion forces the same sequential multiply-add
+    chain in the same order on both engines, so every (lₜ, bₜ) is
+    bit-identical; only the outputs are pinned."""
+    a, b = HOLT_ALPHA, HOLT_BETA
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS rev
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    seq AS (
+      SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily
+    ),
+    holt AS (
+      SELECT t, day, rev,
+             CAST(rev AS DOUBLE) AS l,
+             CAST(0 AS DOUBLE) AS b
+      FROM seq WHERE t = 1
+      UNION ALL
+      SELECT d.t, d.day, d.rev,
+             {a} * CAST(d.rev AS DOUBLE)
+               + (CAST(1 AS DOUBLE) - {a}) * (h.l + h.b),
+             {b} * (({a} * CAST(d.rev AS DOUBLE)
+                     + (CAST(1 AS DOUBLE) - {a}) * (h.l + h.b)) - h.l)
+               + (CAST(1 AS DOUBLE) - {b}) * h.b
+      FROM seq d JOIN holt h ON d.t = h.t + 1
+    )
+    SELECT day,
+           CAST(rev AS DOUBLE) AS daily_rev,
+           CAST(CAST(l AS DECIMAL(18,6)) AS DOUBLE) AS holt_level,
+           CAST(CAST(b AS DECIMAL(18,6)) AS DOUBLE) AS holt_trend,
+           CAST(CAST(l + b AS DECIMAL(18,6)) AS DOUBLE)
+             AS forecast_next
+    FROM holt
+    ORDER BY day
+    {limit_clause}
+    """
+
+
+@query("events_holt_linear_recursive", oracle=_holt_sql())
+def events_holt_linear_recursive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing of daily purchase
+    revenue via a RECURSIVE CTE — the two-variable coupled recurrence
+    (level + trend) that neither window functions nor the
+    single-state EWMA can express: the trend term lets the one-step
+    forecast lₜ + bₜ FOLLOW a drifting series where EWMA lags it by
+    design (Holt 1957; the second rung of the
+    seasonal-naive → EWMA → Holt forecasting ladder, between
+    ``events_forecast_backtest``'s baseline and anything model-side).
+    Runs as the IDENTICAL query text on Spark 4 and DuckDB — the
+    engine-surface point: a user's Postgres/DuckDB recursion ports
+    verbatim.
+
+    Exactness: daily revenues are DECIMAL-exact; the recursion
+    applies the same multiply-add chain in the same t-order on both
+    engines (recursion forces sequential evaluation), so every
+    (lₜ, bₜ) pair is bit-identical before the output pins; α, β are
+    shared CAST literals; b₁ = 0 is the stated init convention.
+
+    Scale honesty: recursion depth = series length over the ~#days
+    frame (the EWMA caveat verbatim — raise
+    cteRecursionLevelLimit or segment for multi-year series); the
+    corpus-sized work is the one scan into the daily aggregate."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events"
+    )
+    return spark.sql(_holt_sql())

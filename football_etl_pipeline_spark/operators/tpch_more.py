@@ -2027,3 +2027,87 @@ def customer_segment_migration(
             "percentile({x}, {q}D)",
         )
     )
+
+
+# ---- log-log price elasticity of demand -------------------------------------
+
+
+def _elasticity_sql(table: str, bigint: str) -> str:
+    """Shared ln-ln OLS text: per-row ln(unit price) and ln(quantity)
+    each pinned DECIMAL(18,9) (ln of a correctly-rounded ratio /
+    exact int); every moment term pinned DECIMAL(18,12) before its
+    corpus-scale sum; the slope is pinned DECIMAL(18,9) once and
+    exposed at that native scale (re-rounding a 9dp pin to 6dp hits
+    the HALF_UP/HALF_EVEN tie — the retention-fit lesson)."""
+    lnp = (
+        "CAST(CAST(ln(CAST(l_extendedprice AS DOUBLE) / l_quantity)"
+        " AS DECIMAL(18,9)) AS DOUBLE)"
+    )
+    lnq = (
+        "CAST(CAST(ln(CAST(l_quantity AS DOUBLE))"
+        " AS DECIMAL(18,9)) AS DOUBLE)"
+    )
+    return f"""
+    WITH pts AS (
+      SELECT {lnp} AS x, {lnq} AS y FROM {table}
+      WHERE l_quantity > 0 AND l_extendedprice > 0
+    ),
+    mo AS (
+      SELECT CAST(COUNT(*) AS {bigint}) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(18,12))) AS DOUBLE)
+               AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(18,12))) AS DOUBLE)
+               AS sxy,
+             CAST(SUM(CAST(y * y AS DECIMAL(18,12))) AS DOUBLE)
+               AS syy
+      FROM pts
+    ),
+    fit AS (
+      SELECT n, sx, sy, sxx, sxy, syy,
+             CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                  AS DECIMAL(18,9)) AS slope9
+      FROM mo
+    )
+    SELECT n AS n_rows,
+           CAST(slope9 AS DOUBLE) AS elasticity,
+           CAST(CAST((sy - CAST(slope9 AS DOUBLE) * sx) / n
+                AS DECIMAL(18,6)) AS DOUBLE) AS intercept,
+           CAST(CAST(
+             ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+             AS DECIMAL(18,6)) AS DOUBLE) AS r2
+    FROM fit
+    """
+
+
+@query(
+    "lineitem_price_elasticity",
+    oracle=_elasticity_sql("lineitem", "BIGINT"),
+)
+def lineitem_price_elasticity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log-log price elasticity of demand: the OLS slope of
+    ln(quantity) on ln(unit price) across line items — the constant-
+    elasticity demand model ln q = a + ε·ln p whose slope IS the
+    elasticity (ε < −1 elastic, −1 < ε < 0 inelastic), the
+    econometric twin of ``lineitem_ols_price_quantity`` (that one
+    fits LEVELS, whose slope depends on units; the ln-ln slope is
+    the unit-free comparable) and the demand-side complement of the
+    Laspeyres price index's supply-side view. r² reports how much of
+    quantity variation price explains at all — on synthetic TPC-H
+    pricing it is honestly tiny, which is itself the correct reading
+    (quantity is drawn independently of price).
+
+    Exactness: per-row lns ride the ln-of-exact-ratio pin; all five
+    moment sums are pinned-per-term exact decimal aggregates
+    (order-insensitive at corpus scale); the slope is pinned once at
+    DECIMAL(18,9) and exposed natively.
+
+    Plan: ONE scan → a single partial+final moment aggregate — the
+    sufficient-statistics OLS shape, no shuffle wider than one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("elasticity_lineitem")
+    return spark.sql(_elasticity_sql("elasticity_lineitem", "BIGINT"))

@@ -795,3 +795,141 @@ def test_burstiness_oracle_matches_numpy(gaps):
     _close(mean_gap, round(mu / 1e6, 6), tol=1e-6)
     _close(cv, want_cv, tol=1e-5)
     _close(b, want_b, tol=1e-5)
+
+
+# ---- Holt linear ---------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.integers(min_value=100, max_value=99999),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_holt_oracle_matches_direct_recursion(cents):
+    days = pd.date_range("2024-01-01", periods=len(cents), freq="D")
+    events = pd.DataFrame(
+        {
+            "ts": days,
+            "event_type": "purchase",
+            "value": [c / 100.0 for c in cents],
+        }
+    )
+    a, b = 0.5, 0.3
+    x = [c / 100.0 for c in cents]
+    l, t = x[0], 0.0
+    want = [(l, t)]
+    for v in x[1:]:
+        nl = a * v + (1 - a) * (l + t)
+        nt = b * (nl - l) + (1 - b) * t
+        l, t = nl, nt
+        want.append((l, t))
+    got = _run_all(
+        ORACLES["events_holt_linear_recursive"], events=events
+    )
+    assert len(got) == len(x)
+    for (day, rev, lv, tr, fc), (wl, wt) in zip(got, want):
+        _close(lv, round(wl, 6), tol=1e-6)
+        _close(tr, round(wt, 6), tol=1e-6)
+        _close(fc, round(wl + wt, 6), tol=1e-6)
+
+
+# ---- price elasticity -----------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),  # quantity
+            st.integers(min_value=100, max_value=99999),  # ext price cents
+        ),
+        min_size=5,
+        max_size=80,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_elasticity_oracle_matches_numpy(rows):
+    q = np.array([r[0] for r in rows], dtype=float)
+    ep = np.array([r[1] / 100.0 for r in rows])
+    x = np.round(np.log(ep / q), 9)
+    y = np.round(np.log(q), 9)
+    n = len(rows)
+    vx = n * (x * x).sum() - x.sum() ** 2
+    vy = n * (y * y).sum() - y.sum() ** 2
+    if vx < 1e-9 or vy < 1e-9:
+        return  # degenerate: all prices or quantities equal
+    cov = n * (x * y).sum() - x.sum() * y.sum()
+    slope = cov / vx
+    intercept = (y.sum() - slope * x.sum()) / n
+    r2 = cov**2 / (vx * vy)
+    lineitem = pd.DataFrame(
+        {"l_quantity": q, "l_extendedprice": ep}
+    )
+    got = _run_all(
+        ORACLES["lineitem_price_elasticity"], lineitem=lineitem
+    )[0]
+    assert got[0] == n
+    _close(got[1], round(slope, 9), tol=1e-5)
+    _close(got[2], round(intercept, 6), tol=1e-5)
+    _close(got[3], round(r2, 6), tol=1e-5)
+
+
+# ---- retention power-law fit ------------------------------------------------------
+
+
+def test_retention_fit_matches_direct_on_synthetic():
+    """Deterministic synthetic cohorts with known decay: cohort A
+    starts day 0 (observes k=0..4), cohort B starts day 2 (observes
+    k=0..2); actives chosen so pooled ratios are exact."""
+    rows = []
+    # cohort A: 4 users first-seen day 0
+    for u in range(4):
+        rows.append((u, 0))
+    # A actives: day1 -> 3 users, day2 -> 2, day3 -> 2, day4 -> 1
+    for u, k in [(0, 1), (1, 1), (2, 1), (0, 2), (1, 2),
+                 (0, 3), (1, 3), (0, 4)]:
+        rows.append((u, k))
+    # cohort B: 2 users first-seen day 2
+    for u in (10, 11):
+        rows.append((u, 2))
+    # B actives: day3 (k=1) -> 1 user, day4 (k=2) -> 1 user
+    rows.append((10, 3))
+    rows.append((11, 4))
+    base = pd.to_datetime("2024-03-01")
+    events = pd.DataFrame(
+        {
+            "user_id": [u for u, _ in rows],
+            "ts": [base + pd.Timedelta(days=d) for _, d in rows],
+        }
+    )
+    # horizon = day 4: cohort A observes k<=4, cohort B k<=2
+    pooled = {
+        1: (3 + 1, 4 + 2),  # k=1: A 3/4, B 1/2
+        2: (2 + 1, 4 + 2),  # k=2: A 2/4, B 1/2
+        3: (2, 4),          # k=3: only A eligible
+        4: (1, 4),
+    }
+    xs = np.round(np.log(np.array(sorted(pooled))), 9).astype(float)
+    ys = np.round(
+        np.log(
+            np.array(
+                [pooled[k][0] / pooled[k][1] for k in sorted(pooled)]
+            )
+        ),
+        9,
+    )
+    n = len(xs)
+    vx = n * (xs * xs).sum() - xs.sum() ** 2
+    cov = n * (xs * ys).sum() - xs.sum() * ys.sum()
+    slope = round(cov / vx, 9)
+    intercept = (ys.sum() - slope * xs.sum()) / n
+    got = _run_all(
+        ORACLES["events_retention_powerlaw_fit"], events=events
+    )[0]
+    assert got[0] == n
+    _close(got[1], slope, tol=1e-6)
+    _close(got[2], round(intercept, 6), tol=1e-6)
+    proj = math.exp(round(intercept, 9) + slope * round(math.log(90), 9))
+    _close(got[4], round(proj, 9), tol=1e-6)
