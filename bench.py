@@ -270,6 +270,7 @@ HEADLINE = [
     "events_funnel_wilson_ci",
     "events_retention_powerlaw_fit",
     "lineitem_price_elasticity",
+    "events_rayleigh_hour_uniformity",
     # events_holt_linear_recursive: ~30-step recursive CTE — same
     # per-iteration job-scheduling overhead class as
     # events_ewma_recursive; gate-checked, excluded from the bench.

@@ -4750,3 +4750,98 @@ def events_holt_linear_recursive(
         "events"
     )
     return spark.sql(_holt_sql())
+
+
+# ---- Rayleigh circular-uniformity test --------------------------------------
+
+
+def _rayleigh_sql(table: str, bigint: str, hour: str) -> str:
+    """Shared Rayleigh text over the hour-of-day circle: per-hour
+    counts are exact; each hour's cos/sin factor is a libm call on
+    the same correctly-rounded angle (2π·h/24 — pi() is the same
+    double in both engines) pinned DECIMAL(18,12) BEFORE the count
+    multiplies it (the ln-pin rule for cos/sin); per-hour terms are
+    pinned DECIMAL(28,6) so the 24-term sums are order-insensitive;
+    atan2 (libm) is pinned DECIMAL(18,9) before the hour rescale."""
+    ang = "(CAST(2 AS DOUBLE) * pi() * h / 24)"
+    cospin = f"CAST(CAST(cos({ang}) AS DECIMAL(18,12)) AS DOUBLE)"
+    sinpin = f"CAST(CAST(sin({ang}) AS DECIMAL(18,12)) AS DOUBLE)"
+    return f"""
+    WITH hourly AS (
+      SELECT {hour} AS h, CAST(COUNT(*) AS {bigint}) AS n_h
+      FROM {table} GROUP BY 1
+    ),
+    terms AS (
+      SELECT n_h,
+             CAST(n_h * {cospin} AS DECIMAL(28,6)) AS c_term,
+             CAST(n_h * {sinpin} AS DECIMAL(28,6)) AS s_term
+      FROM (SELECT CAST(h AS DOUBLE) AS h, n_h FROM hourly)
+    ),
+    mo AS (
+      SELECT CAST(SUM(n_h) AS {bigint}) AS n,
+             CAST(SUM(c_term) AS DOUBLE) AS c,
+             CAST(SUM(s_term) AS DOUBLE) AS s
+      FROM terms
+    ),
+    r AS (
+      SELECT n, c, s,
+             sqrt(c * c + s * s) / n AS rbar
+      FROM mo
+    )
+    SELECT n AS n_events,
+           CAST(CAST(rbar AS DECIMAL(18,9)) AS DOUBLE)
+             AS resultant_length,
+           CAST(CAST(n * rbar * rbar AS DECIMAL(18,6)) AS DOUBLE)
+             AS rayleigh_z,
+           CAST(CAST(
+             CASE WHEN CAST(CAST(atan2(s, c) AS DECIMAL(18,9))
+                       AS DOUBLE) < 0
+                  THEN (CAST(CAST(atan2(s, c) AS DECIMAL(18,9))
+                        AS DOUBLE) + 2 * pi()) * 24 / (2 * pi())
+                  ELSE CAST(CAST(atan2(s, c) AS DECIMAL(18,9))
+                       AS DOUBLE) * 24 / (2 * pi()) END
+             AS DECIMAL(18,6)) AS DOUBLE) AS mean_hour
+    FROM r
+    """
+
+
+@query(
+    "events_rayleigh_hour_uniformity",
+    oracle=_rayleigh_sql(
+        "events",
+        "BIGINT",
+        "CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT)",
+    ),
+)
+def events_rayleigh_hour_uniformity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rayleigh test of hour-of-day uniformity — CIRCULAR statistics,
+    the family every linear test here gets wrong on a clock: hours
+    23 and 0 are neighbors, so a chi-square against uniform (which
+    ``orders_chi2`` machinery could do) detects ANY lumpiness but
+    can't say "traffic concentrates AROUND 14:00", and a linear mean
+    of hours is meaningless across midnight. The mean resultant
+    length R̄ = |Σe^{iθ}|/n measures concentration (0 = uniform,
+    1 = a single spike), z = nR̄² is Rayleigh's statistic (1919),
+    and atan2 of the resultant gives the MEAN HOUR the right way.
+    The diurnal-shape complement of ``events_by_hour``'s raw
+    histogram and the circadian face of the bot-screen family
+    (scripted traffic is either too flat or too spiked).
+
+    Exactness: per-hour counts are exact; cos/sin/atan2 are the only
+    libm calls — each pinned (DECIMAL(18,12) factors before the
+    count products, DECIMAL(18,9) on atan2) so a final-ulp libm
+    disagreement is rounded away; per-hour terms pinned
+    DECIMAL(28,6) (12 integer digits of count headroom beyond any
+    corpus) before the 24-term sums.
+
+    Plan: ONE scan → a 24-group hash aggregate; everything after is
+    a 24-row projection and a 1-row finish."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("rayleigh_events")
+    return spark.sql(
+        _rayleigh_sql(
+            "rayleigh_events", "BIGINT", "CAST(hour(ts) AS BIGINT)"
+        )
+    )

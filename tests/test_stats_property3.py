@@ -933,3 +933,47 @@ def test_retention_fit_matches_direct_on_synthetic():
     _close(got[2], round(intercept, 6), tol=1e-6)
     proj = math.exp(round(intercept, 9) + slope * round(math.log(90), 9))
     _close(got[4], round(proj, 9), tol=1e-6)
+
+
+# ---- Rayleigh ------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=23), min_size=5, max_size=200
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_rayleigh_oracle_matches_direct(hours):
+    ts = [
+        pd.to_datetime("2024-01-01") + pd.Timedelta(hours=h)
+        for h in hours
+    ]
+    events = pd.DataFrame({"ts": ts})
+    n = len(hours)
+    from collections import Counter
+
+    counts = Counter(hours)
+    # mirror the oracle's exact pin chain: pinned factor (12dp),
+    # per-hour term n_h*factor pinned 6dp, exact sums
+    c = sum(
+        round(nh * round(math.cos(2 * math.pi * h / 24), 12), 6)
+        for h, nh in counts.items()
+    )
+    s = sum(
+        round(nh * round(math.sin(2 * math.pi * h / 24), 12), 6)
+        for h, nh in counts.items()
+    )
+    rbar = math.sqrt(c * c + s * s) / n
+    z = n * rbar * rbar
+    theta = round(math.atan2(s, c), 9)
+    mean_hour = (theta + 2 * math.pi if theta < 0 else theta) * 24 / (
+        2 * math.pi
+    )
+    got = _run_all(
+        ORACLES["events_rayleigh_hour_uniformity"], events=events
+    )[0]
+    assert got[0] == n
+    _close(got[1], round(rbar, 9), tol=1e-8)
+    _close(got[2], round(z, 6), tol=1e-5)
+    _close(got[3], round(mean_hour, 6), tol=1e-5)
