@@ -1789,12 +1789,19 @@ def _col_entropy_sql(unpivoted: str, bigint: str) -> str:
     H = −Σ (c/n)·ln(c/n) per column, each value's term using the
     ln-of-exact-ratio pin (DECIMAL(18,9) on the ln, the whole term
     DECIMAL(18,12)) so the distinct-value summation — corpus-scale
-    for key-like columns — is order-insensitive."""
+    for key-like columns — is order-insensitive.
+
+    NULL convention: NULLs are EXCLUDED from the distribution
+    (``WHERE val IS NOT NULL`` in the counts stage). Spark's native
+    DataFrame.unpivot retains NULL cells while SQL-standard UNPIVOT
+    (the DuckDB oracle) drops them; filtering here makes both
+    dialects compute the same n_rows/n_distinct/entropy regardless
+    of column nullability."""
     return f"""
     WITH vals AS ({unpivoted}),
     counts AS (
       SELECT col_name, val, CAST(COUNT(*) AS {bigint}) AS c
-      FROM vals GROUP BY 1, 2
+      FROM vals WHERE val IS NOT NULL GROUP BY 1, 2
     ),
     totals AS (
       SELECT col_name, CAST(SUM(c) AS {bigint}) AS n,

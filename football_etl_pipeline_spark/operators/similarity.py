@@ -1926,7 +1926,7 @@ def _rrf_oracle() -> str:
         SELECT o.query_id, o.doc_id,
                ROW_NUMBER() OVER (
                  PARTITION BY o.query_id
-                 ORDER BY CAST(CAST(o.n_shared * 1.0
+                 ORDER BY CAST(CAST(CAST(o.n_shared AS DOUBLE)
                           / (sq.n + sd.n - o.n_shared)
                           AS DECIMAL(18,6)) AS DOUBLE) DESC,
                           o.doc_id ASC) AS rnk
@@ -1941,7 +1941,7 @@ def _rrf_oracle() -> str:
              d.rnk AS dense_rank_, s.rnk AS sparse_rank_,
              (COALESCE(1000000000 // ({RRF_K} + d.rnk), 0)
               + COALESCE(1000000000 // ({RRF_K} + s.rnk), 0))::BIGINT
-               AS rrf_micro
+               AS rrf_nano
       FROM dense d
       FULL OUTER JOIN sparse s
         ON s.query_id = d.query_id AND s.doc_id = d.doc_id
@@ -1949,12 +1949,12 @@ def _rrf_oracle() -> str:
     SELECT query_id, doc_id,
            CAST(dense_rank_ AS BIGINT) AS dense_rank_,
            CAST(sparse_rank_ AS BIGINT) AS sparse_rank_,
-           rrf_micro,
-           CAST(rrf_micro AS DOUBLE) / 1000000000 AS rrf_score
+           rrf_nano,
+           CAST(rrf_nano AS DOUBLE) / 1000000000 AS rrf_score
     FROM (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY query_id
-        ORDER BY rrf_micro DESC, doc_id ASC) AS frnk
+        ORDER BY rrf_nano DESC, doc_id ASC) AS frnk
       FROM fused
     ) WHERE frnk <= {HYBRID_TOPK}
     """
@@ -2039,7 +2039,7 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     jac = F.expr(
-        "CAST(CAST(n_shared * 1.0 / (qn + dn - n_shared)"
+        "CAST(CAST(CAST(n_shared AS DOUBLE) / (qn + dn - n_shared)"
         " AS DECIMAL(18,6)) AS DOUBLE)"
     )
     ws = Window.partitionBy("query_id").orderBy(
@@ -2089,11 +2089,11 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             .cast("bigint")
-            .alias("rrf_micro"),
+            .alias("rrf_nano"),
         )
     )
     wf = Window.partitionBy("query_id").orderBy(
-        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+        F.col("rrf_nano").desc(), F.col("doc_id").asc()
     )
     return (
         fused.withColumn("frnk", F.row_number().over(wf))
@@ -2103,8 +2103,8 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "dense_rank_",
             "sparse_rank_",
-            "rrf_micro",
-            (F.col("rrf_micro").cast("double") / 1000000000).alias(
+            "rrf_nano",
+            (F.col("rrf_nano").cast("double") / 1000000000).alias(
                 "rrf_score"
             ),
         )

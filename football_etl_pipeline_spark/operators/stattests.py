@@ -825,8 +825,10 @@ def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 EWMA_ALPHA = "CAST(0.3 AS DOUBLE)"  # shared literal, both dialects
 
 
-def _ewma_sql(limit_clause: str = "") -> str:
-    """The IDENTICAL recursive query text for both dialects — the
+def _ewma_sql(table: str = "events", limit_clause: str = "") -> str:
+    """The IDENTICAL recursive query text for both dialects (up to
+    the source-view name, parameterized like the other dual-dialect
+    builders so the Spark side can use an op-scoped view) — the
     point of the operator: Spark 4's WITH RECURSIVE runs a user's
     DuckDB/Postgres recursion verbatim. s₁ = x₁;
     sₜ = α·xₜ + (1−α)·sₜ₋₁ — a linear recurrence no plain window
@@ -837,7 +839,7 @@ def _ewma_sql(limit_clause: str = "") -> str:
       SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
                AS day,
              SUM(CAST(value AS DECIMAL(18,6))) AS rev
-      FROM events
+      FROM {table}
       WHERE event_type = 'purchase' AND value IS NOT NULL
       GROUP BY 1
     ),
@@ -883,8 +885,10 @@ def events_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     limit or fall back to the segmented-scan/applyInPandas form for
     multi-year series). The corpus-sized work is the one scan into
     the daily aggregate; the recursion runs on the aggregate."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_ewma_sql())
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "ewma_events"
+    )
+    return spark.sql(_ewma_sql("ewma_events"))
 
 
 # ---- Kaplan–Meier churn survival curve ---------------------------------
@@ -3273,7 +3277,8 @@ def stats_kruskal_wallis_priority(
     2·cum_before + t + 1 identity; each (2R_g)²/(4n_g) is one double
     product pinned DECIMAL(38,9) so the k-term sum is
     order-insensitive; N³−N is computed in DOUBLE (N³ would overflow
-    BIGINT at TPC-H sf10's 1.5e8 orders).
+    BIGINT already at TPC-H sf10's 1.5e7 orders: N³ ≈ 3.4e21 >
+    BIGINT's 9.2e18).
 
     Plan: one scan → (value, grp) hash agg; running rank totals via
     the range-exchange prefix (distinct prices are corpus-scale — a
@@ -4671,8 +4676,9 @@ HOLT_ALPHA = "CAST(0.5 AS DOUBLE)"
 HOLT_BETA = "CAST(0.3 AS DOUBLE)"
 
 
-def _holt_sql(limit_clause: str = "") -> str:
-    """IDENTICAL recursive text for both dialects (the
+def _holt_sql(table: str = "events", limit_clause: str = "") -> str:
+    """IDENTICAL recursive text for both dialects, up to the
+    parameterized source-view name (the
     ``events_ewma_recursive`` contract, extended to a TWO-variable
     linear recurrence): level lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁), trend
     bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, initialized l₁ = x₁, b₁ = 0 (stated
@@ -4687,7 +4693,7 @@ def _holt_sql(limit_clause: str = "") -> str:
       SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
                AS day,
              SUM(CAST(value AS DECIMAL(18,6))) AS rev
-      FROM events
+      FROM {table}
       WHERE event_type = 'purchase' AND value IS NOT NULL
       GROUP BY 1
     ),
@@ -4747,9 +4753,9 @@ def events_holt_linear_recursive(
     cteRecursionLevelLimit or segment for multi-year series); the
     corpus-sized work is the one scan into the daily aggregate."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "events"
+        "holt_events"
     )
-    return spark.sql(_holt_sql())
+    return spark.sql(_holt_sql("holt_events"))
 
 
 # ---- Rayleigh circular-uniformity test --------------------------------------
