@@ -302,11 +302,143 @@ HEADLINE = [
 # per-query A/Bs without paying the full sweep.
 FAST_TIER_N = 46
 
+# ---- mechanized contamination protocol (round-11 hardening) ----------
+#
+# Rounds 9-10 hand-discarded bench runs as host/page-cache contention;
+# the judgment was corroborated each time but "builder discards
+# unfavorable runs" must not be judgment. Every run now records
+# telemetry and auto-tags itself:
+#
+#   official     — load1 < LOAD_CEILING at process start, AND
+#                  >= COOLDOWN_SEC since the last heavy sweep (newest
+#                  GATE_r*.json / BENCH_DETAIL*.json / .sweep_stamp
+#                  mtime), AND the frozen r5-anchor subtotal within
+#                  ANCHOR_BAND of the last round-stamped official
+#                  snapshot with at most ANCHOR_MOVERS_MAX diffuse
+#                  movers (>= MOVER_RATIO x its reference AND
+#                  +MOVER_ABS_SEC absolute — the documented
+#                  sub-second +-40% noise band stays exempt).
+#   contaminated — any criterion failed; reasons listed in the JSON.
+#   adhoc        — tiered/partial runs: never an official snapshot.
+#
+# The anchor criteria work because the r5 prefix is FROZEN: its plans
+# never change, so anchor movement is by construction environment, not
+# code. A tag never hides data — contaminated runs keep their full
+# per-query map for the BASELINE.md record; the protocol only decides
+# which run may become the round's official snapshot.
+LOAD_CEILING = 0.5
+COOLDOWN_SEC = 300.0
+ANCHOR_BAND = (0.85, 1.15)
+ANCHOR_MOVERS_MAX = 1
+MOVER_RATIO = 1.5
+MOVER_ABS_SEC = 0.3
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def last_sweep_age_sec(now: float) -> float:
+    """Seconds since the newest heavy sweep artifact (gate files,
+    bench detail files, or the explicit .sweep_stamp a full
+    verify_oracle sweep leaves). Returns +inf when none exist."""
+    import glob
+
+    stamps = (
+        glob.glob(os.path.join(_REPO, "GATE_r*.json"))
+        + glob.glob(os.path.join(_REPO, "BENCH_DETAIL*.json"))
+        + glob.glob(os.path.join(_REPO, ".sweep_stamp"))
+    )
+    if not stamps:
+        return float("inf")
+    return now - max(os.path.getmtime(p) for p in stamps)
+
+
+def anchor_reference() -> tuple[str | None, dict[str, float]]:
+    """Per-query anchor timings from the newest round-stamped official
+    snapshot (BENCH_DETAIL_r*.json with the highest round number)."""
+    import glob
+
+    cands = sorted(glob.glob(os.path.join(_REPO, "BENCH_DETAIL_r*.json")))
+    if not cands:
+        return None, {}
+    ref_path = cands[-1]
+    with open(ref_path) as f:
+        ref = json.load(f)
+    anchor = set(HEADLINE[:FAST_TIER_N])
+    return (
+        os.path.basename(ref_path),
+        {k: v for k, v in ref.get("queries", {}).items() if k in anchor},
+    )
+
+
+def tag_run(
+    load1: float,
+    cooldown_sec: float,
+    timings: dict[str, float],
+    ref_anchor: dict[str, float],
+    full_tier: bool,
+) -> dict:
+    """Pure tagging decision: returns {tag, reasons, anchor_*} from
+    the recorded telemetry. Kept side-effect-free so the protocol
+    itself is unit-testable (tests/test_bench_protocol.py)."""
+    if not full_tier:
+        return {"tag": "adhoc", "reasons": ["tiered run, never official"]}
+    reasons: list[str] = []
+    if load1 >= LOAD_CEILING:
+        reasons.append(
+            f"load1 {load1:.2f} >= {LOAD_CEILING} at start"
+        )
+    if cooldown_sec < COOLDOWN_SEC:
+        reasons.append(
+            f"only {cooldown_sec:.0f}s since last heavy sweep"
+            f" (< {COOLDOWN_SEC:.0f}s cool-down)"
+        )
+    out: dict = {}
+    anchor = [q for q in HEADLINE[:FAST_TIER_N] if q in timings]
+    shared = [q for q in anchor if q in ref_anchor]
+    if shared:
+        tot = sum(timings[q] for q in shared)
+        ref_tot = sum(ref_anchor[q] for q in shared)
+        ratio = tot / ref_tot if ref_tot else float("inf")
+        movers = {
+            q: [timings[q], ref_anchor[q]]
+            for q in shared
+            if timings[q] >= ref_anchor[q] * MOVER_RATIO
+            and timings[q] >= ref_anchor[q] + MOVER_ABS_SEC
+        }
+        out.update(
+            anchor_total=round(tot, 3),
+            anchor_ref_total=round(ref_tot, 3),
+            anchor_ratio=round(ratio, 3),
+            anchor_movers=movers,
+        )
+        if not (ANCHOR_BAND[0] <= ratio <= ANCHOR_BAND[1]):
+            reasons.append(
+                f"anchor subtotal {ratio:.2f}x the last official"
+                f" snapshot (band {ANCHOR_BAND[0]}-{ANCHOR_BAND[1]})"
+            )
+        if len(movers) > ANCHOR_MOVERS_MAX:
+            reasons.append(
+                f"{len(movers)} anchor movers >= {MOVER_RATIO}x"
+                f" + {MOVER_ABS_SEC}s abs (diffuse-contention"
+                f" signature): {sorted(movers)}"
+            )
+    else:
+        out["anchor_ratio"] = None  # no reference yet: telemetry-only
+    out["tag"] = "official" if not reasons else "contaminated"
+    out["reasons"] = reasons
+    return out
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    # Telemetry FIRST — process-start load is the criterion (the
+    # warmup's own 32-thread jobs inflate loadavg afterwards).
+    t_start = time.time()
+    load1, load5, _ = os.getloadavg()
+    cooldown = last_sweep_age_sec(t_start)
 
     # SPARK_GRAFT_BENCH_TIER: "full" (default) = every headline query;
     # "fast" = the r5-anchor 46-query prefix (comparable to BASELINE.md
@@ -399,6 +531,14 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    ref_name, ref_anchor = anchor_reference()
+    verdict = tag_run(
+        load1,
+        cooldown,
+        timings,
+        ref_anchor,
+        full_tier=tier in ("full", ""),
+    )
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -406,6 +546,17 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "telemetry": {
+            "load1_at_start": round(load1, 3),
+            "load5_at_start": round(load5, 3),
+            "cooldown_sec": (
+                round(cooldown, 1)
+                if cooldown != float("inf")
+                else None
+            ),
+            "anchor_ref": ref_name,
+        },
+        "protocol": verdict,
     }
     # Full record: committed file + stderr (never the driver-parsed line).
     if tier in ("full", ""):
@@ -435,6 +586,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": slowest,
                 "detail": "BENCH_DETAIL.json",
+                "tag": verdict["tag"],
             }
         )
     )

@@ -1,0 +1,104 @@
+"""Unit tests for bench.py's mechanized contamination protocol
+(round-11 hardening): the tagging decision is a pure function of the
+recorded telemetry, so every rule the rounds 9-10 hand-adjudications
+applied is pinned here mechanically.
+
+No SparkSession needed — ``tag_run`` is side-effect-free by design.
+"""
+
+from __future__ import annotations
+
+import bench
+
+
+def _anchor_timings(base: float = 0.5) -> dict[str, float]:
+    """Synthetic per-query map covering the full r5-anchor prefix."""
+    return {q: base for q in bench.HEADLINE[: bench.FAST_TIER_N]}
+
+
+def test_clean_run_is_official():
+    t = _anchor_timings()
+    v = bench.tag_run(0.05, 600.0, t, dict(t), full_tier=True)
+    assert v["tag"] == "official"
+    assert v["reasons"] == []
+    assert v["anchor_ratio"] == 1.0
+    assert v["anchor_movers"] == {}
+
+
+def test_high_load_contaminates():
+    t = _anchor_timings()
+    v = bench.tag_run(1.7, 600.0, t, dict(t), full_tier=True)
+    assert v["tag"] == "contaminated"
+    assert any("load1" in r for r in v["reasons"])
+
+
+def test_short_cooldown_contaminates():
+    # The round-9 page-cache lesson: a bench right after a gate sweep.
+    t = _anchor_timings()
+    v = bench.tag_run(0.05, 30.0, t, dict(t), full_tier=True)
+    assert v["tag"] == "contaminated"
+    assert any("cool-down" in r for r in v["reasons"])
+
+
+def test_anchor_inflation_contaminates():
+    # The 1.81x full-run signature from the round-10 discards.
+    ref = _anchor_timings()
+    t = {q: s * 1.8 for q, s in ref.items()}
+    v = bench.tag_run(0.05, 600.0, t, ref, full_tier=True)
+    assert v["tag"] == "contaminated"
+    assert any("anchor subtotal" in r for r in v["reasons"])
+
+
+def test_diffuse_movers_contaminate_even_with_total_in_band():
+    # The subtle round-10 signature: total only ~1.06x but several
+    # individual untouched queries at multi-x — diffuse host noise.
+    ref = _anchor_timings(0.5)
+    t = dict(ref)
+    names = list(ref)
+    t[names[0]] = 2.0  # 4x, +1.5s
+    t[names[1]] = 1.6  # 3.2x, +1.1s
+    t[names[2]] = 1.3  # 2.6x, +0.8s
+    v = bench.tag_run(0.05, 600.0, t, ref, full_tier=True)
+    assert v["tag"] == "contaminated"
+    assert any("movers" in r for r in v["reasons"])
+    assert len(v["anchor_movers"]) == 3
+
+
+def test_single_mover_stays_official():
+    # One real regression must NOT be hidden behind a contamination
+    # tag — it should surface as an official run with a mover to
+    # investigate.
+    ref = _anchor_timings(0.5)
+    t = dict(ref)
+    t[next(iter(ref))] = 1.2
+    v = bench.tag_run(0.05, 600.0, t, ref, full_tier=True)
+    assert v["tag"] == "official"
+    assert len(v["anchor_movers"]) == 1
+
+
+def test_subsecond_noise_band_exempt():
+    # +-40%-ish on sub-second queries is documented noise: a handful
+    # of 0.2s -> 0.4s wobbles (2x ratio but under the +0.3s absolute
+    # floor) must register zero movers and stay official while the
+    # subtotal stays in band.
+    ref = _anchor_timings(0.2)
+    t = dict(ref)
+    for q in list(ref)[:3]:
+        t[q] = 0.4
+    v = bench.tag_run(0.05, 600.0, t, ref, full_tier=True)
+    assert v["anchor_movers"] == {}
+    assert v["tag"] == "official"
+
+
+def test_tiered_run_never_official():
+    t = _anchor_timings()
+    v = bench.tag_run(0.01, 9999.0, t, dict(t), full_tier=False)
+    assert v["tag"] == "adhoc"
+
+
+def test_no_reference_is_telemetry_only_official():
+    # First-ever run: no round-stamped snapshot to compare against.
+    t = _anchor_timings()
+    v = bench.tag_run(0.05, 600.0, t, {}, full_tier=True)
+    assert v["tag"] == "official"
+    assert v["anchor_ratio"] is None

@@ -157,6 +157,12 @@ def sweep(spark, sf_dir: str, name_filter=(), verbose: bool = True) -> dict:
             else:
                 print(f"ok    {name} ({rec['secs']}s, {rec['rows']} rows)")
     con.close()
+    if len(names) >= 50:
+        # A full (or near-full) sweep is a heavy run: leave the
+        # cool-down stamp bench.py's contamination protocol reads.
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(repo, ".sweep_stamp"), "w") as f:
+            f.write(f"{time.time():.0f} verify_oracle sweep n={len(names)}\n")
     return results
 
 
