@@ -19,6 +19,17 @@ Usage::
 
     python tools/round_gate.py 6                # writes GATE_r6.json
     python tools/round_gate.py 6 /root/testdata/sf0.01   # one SF only
+    python tools/round_gate.py 6 --changed-since HEAD~3  # incremental
+
+``--changed-since <git-ref>`` is the MID-ROUND mode (round-11 ritual
+addition): it sweeps only queries whose defining module changed
+between <ref> and the working tree, so the per-commit check stays
+O(changes) while the registry grows. Safety valve: if anything
+OUTSIDE the operator modules changed (sources/, functions/, session,
+registry, the entry file — infrastructure every query rides on), it
+falls back to the FULL sweep, loudly. Incremental runs write
+GATE_INCR.json (never a round-stamped GATE_r{N}.json — round
+open/close always record two full sweeps).
 """
 
 from __future__ import annotations
@@ -62,14 +73,69 @@ def summarize(results: dict) -> dict:
     }
 
 
+def changed_query_filter(ref: str) -> tuple[list[str] | None, list[str]]:
+    """Names of registered queries whose defining module changed
+    between git ``ref`` and the working tree, or ``None`` for "must
+    run the full sweep" (infrastructure outside the operator modules
+    changed). Second element: the changed-file list, for the record."""
+    proc = subprocess.run(
+        ["git", "diff", "--name-only", ref, "--"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    changed = [p for p in proc.stdout.splitlines() if p.endswith(".py")]
+    relevant = [
+        p
+        for p in changed
+        if p.startswith("football_etl_pipeline_spark/")
+        or p == "__spark_entry__.py"
+    ]
+    if not relevant:
+        return [], changed
+    import __spark_entry__ as e  # noqa: F401 — populates the registry
+    from football_etl_pipeline_spark.operators import QUERIES
+
+    module_to_names: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        mod = sys.modules[fn.__module__]
+        rel = os.path.relpath(mod.__file__, REPO)
+        module_to_names.setdefault(rel, []).append(name)
+    infra = [p for p in relevant if p not in module_to_names]
+    if infra:
+        print(f"# infrastructure changed ({infra}); falling back to FULL sweep")
+        return None, changed
+    names: list[str] = []
+    for p in relevant:
+        names.extend(module_to_names[p])
+    return names, changed
+
+
 def main() -> int:
     if len(sys.argv) < 2:
         print(__doc__)
         return 2
     round_n = int(sys.argv[1])
-    sf_dirs = sys.argv[2:] or DEFAULT_SF_DIRS
+    args = sys.argv[2:]
+    since = None
+    if "--changed-since" in args:
+        i = args.index("--changed-since")
+        since = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dirs = args or DEFAULT_SF_DIRS
 
     gate: dict = {"round": round_n, "sf_dirs": sf_dirs}
+    names: list[str] | None = None  # None = full sweep
+    if since:
+        names, changed = changed_query_filter(since)
+        gate["changed_since"] = since
+        gate["changed_files"] = changed
+        if names == []:
+            print(f"no operator modules changed since {since}; nothing to sweep")
+            return 0
+        if names is not None:
+            print(f"incremental sweep: {len(names)} queries from changed modules")
 
     print("== drift canary ==")
     gate["canary"] = run_canary()
@@ -85,7 +151,10 @@ def main() -> int:
         gate["sweeps"] = {}
         for sf_dir in sf_dirs:
             print(f"== oracle sweep @ {sf_dir} ==")
-            results = sweep(spark, sf_dir, verbose=True)
+            if names is not None:
+                results = sweep(spark, sf_dir, names, verbose=True, exact=True)
+            else:
+                results = sweep(spark, sf_dir, verbose=True)
             summary = summarize(results)
             gate["sweeps"][sf_dir] = {"summary": summary, "queries": results}
             print(f"{sf_dir}: {summary['ok']} ok, {summary['weak']} weak, "
@@ -93,7 +162,9 @@ def main() -> int:
             failed = failed or summary["fail"] > 0
 
     gate["passed"] = not failed
-    out = os.path.join(REPO, f"GATE_r{round_n}.json")
+    out = os.path.join(
+        REPO, "GATE_INCR.json" if since else f"GATE_r{round_n}.json"
+    )
     with open(out, "w") as f:
         json.dump(gate, f, indent=1)
     print(f"\nwrote {out}; gate {'PASSED' if not failed else 'FAILED'}")

@@ -137,14 +137,21 @@ def make_duck(sf_dir: str):
     return con
 
 
-def sweep(spark, sf_dir: str, name_filter=(), verbose: bool = True) -> dict:
+def sweep(
+    spark, sf_dir: str, name_filter=(), verbose: bool = True, exact: bool = False
+) -> dict:
     """Run every registered query against its oracle at ``sf_dir``.
-    Returns ``{name: record}`` (see ``check_one``)."""
+    Returns ``{name: record}`` (see ``check_one``). ``name_filter``
+    entries match by substring (the CLI convenience) unless ``exact``
+    (the incremental gate passes exact names)."""
     import __spark_entry__ as e
 
     con = make_duck(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
-    names = [n for n in qs if not name_filter or any(f in n for f in name_filter)]
+    if exact:
+        names = [n for n in qs if n in set(name_filter)]
+    else:
+        names = [n for n in qs if not name_filter or any(f in n for f in name_filter)]
     results = {}
     for name in names:
         rec = check_one(spark, con, sf_dir, name, qs, oracles)
