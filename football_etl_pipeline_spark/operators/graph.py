@@ -711,6 +711,44 @@ def _lpa_labels(sym: DataFrame) -> DataFrame:
 LP_CENTER_DEG_CAP = 256  # wedge centers hotter than this are dropped
 LP_TOP_K = 20
 
+# Where the center cap is applied — the r9-measured trade, now a
+# config knob instead of prose (round-11 task):
+#
+#   "after"  (default) — both wedge sides are the SAME sym frame, so
+#            the self-join reuses one shuffle (ReusedExchange) and the
+#            broadcast centers join prunes hot-center wedges
+#            POST-generation. Wins when the hub tail is thin: at
+#            sf0.1 the uncapped generator emits only ~1.5x the capped
+#            volume (29.7M vs 20.0M pairs, SCALE.md), and exchange
+#            reuse dominates (measured 7.8-8.5s vs 10.0-11.0s).
+#   "before" — the centers filter lands on the wedge-side frames
+#            BEFORE the self-join, so hot-hub wedges are never
+#            generated. Wins when the hub tail is fat: excess
+#            generation is Σ d² over hot centers, UNBOUNDED relative
+#            to the capped volume on power-law graphs at corpus
+#            scale, while the exchange-reuse saving stays a constant
+#            factor.
+#
+# Flip rule, derived from the ``graph_degree_distribution`` hub-tail
+# readout: compute R = Σ d(d−1)/2 over ALL nodes divided by the same
+# sum over nodes with d <= LP_CENTER_DEG_CAP (exact from the degree
+# histogram — no wedge run needed). R is the uncapped/capped wedge
+# volume ratio; at the measured R ≈ 1.5 "after" still wins by ~25%,
+# so flip to "before" once R ≳ 2 (generation excess then outweighs
+# the one reused exchange). BASELINE.md round-11 records the A/B.
+LP_CAP_MODE_ENV = "SPARK_GRAFT_LP_CAP_MODE"
+
+
+def _lp_cap_mode() -> str:
+    import os
+
+    mode = os.environ.get(LP_CAP_MODE_ENV, "after").strip().lower()
+    if mode not in ("after", "before"):
+        raise ValueError(
+            f"{LP_CAP_MODE_ENV} must be 'after' or 'before', got {mode!r}"
+        )
+    return mode
+
 
 @query(
     "graph_link_prediction",
@@ -760,7 +798,14 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     hotter than LP_CENTER_DEG_CAP are dropped (the documented
     candidate-bounding dial, same discipline as the fuzzy-match
     DF cap and the triangle count's degree orientation; a celebrity
-    hub predicts everyone↔everyone and is signal-free anyway). The
+    hub predicts everyone↔everyone and is signal-free anyway).
+    WHERE the cap is applied is the LP_CAP_MODE_ENV config knob
+    ("after" = post-generation prune with one reused exchange, the
+    thin-tail winner; "before" = pre-join filter that never generates
+    hot-hub wedges, the fat-tail winner — flip when the
+    degree-histogram ratio R = Σ d(d−1)/2 all / Σ d(d−1)/2 capped
+    exceeds ~2; see the knob's block comment). Both modes emit the
+    identical wedge set, so correctness is mode-invariant. The
     adjacency screen is a broadcast-or-shuffle anti-join on the edge
     key; top-K is TakeOrdered."""
     from .events import events_interval_overlap_join
@@ -777,25 +822,32 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", "d"
     )
     centers = deg.filter(F.col("d") <= LP_CENTER_DEG_CAP).select("node")
-    # Cap ordering, MEASURED (sf0.1, GC-separated A/B ×3): capping a
-    # side BEFORE the self-join avoids generating the hot-hub wedges
-    # (20.0M capped vs 29.7M uncapped pairs, SCALE.md) but makes the
-    # two sides DIFFERENT frames, losing the ReusedExchange on sym —
-    # 10.0-11.0s vs 7.8-8.5s for this cap-after form, where both
-    # sides share one shuffle and the centers join prunes the ~33%
-    # excess pairs pre-aggregation. On a cluster whose hub tail is
-    # fatter than the cap (where excess generation is unbounded, not
-    # 33%), flip to the pre-join cap: the dial is which dominates,
-    # exchange reuse or generation volume.
-    a = sym.toDF("c", "u")
-    b = sym.toDF("c", "w")
-    wed = (
-        a.join(b, "c")
-        .filter(F.col("u") < F.col("w"))
-        .join(centers.withColumnRenamed("node", "c"), "c")
-        .groupBy("u", "w")
-        .agg(F.count(F.lit(1)).alias("cn"))
-    )
+    # Cap ordering is the LP_CAP_MODE_ENV knob (see its block comment
+    # for the measured A/B and the hub-tail flip rule). Both modes
+    # produce the IDENTICAL wedge set — only where the centers filter
+    # sits in the plan differs — so the oracle is mode-invariant.
+    if _lp_cap_mode() == "before":
+        capped = sym.join(
+            centers.withColumnRenamed("node", "src"), "src"
+        )
+        a = capped.toDF("c", "u")
+        b = capped.toDF("c", "w")
+        wed = (
+            a.join(b, "c")
+            .filter(F.col("u") < F.col("w"))
+            .groupBy("u", "w")
+            .agg(F.count(F.lit(1)).alias("cn"))
+        )
+    else:
+        a = sym.toDF("c", "u")
+        b = sym.toDF("c", "w")
+        wed = (
+            a.join(b, "c")
+            .filter(F.col("u") < F.col("w"))
+            .join(centers.withColumnRenamed("node", "c"), "c")
+            .groupBy("u", "w")
+            .agg(F.count(F.lit(1)).alias("cn"))
+        )
     nonadj = wed.join(
         edges,
         (wed["u"] == edges["u"]) & (wed["w"] == edges["v"]),
