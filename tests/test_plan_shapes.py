@@ -1011,3 +1011,48 @@ def test_column_entropy_is_one_scan(spark):
     final = _final(_plan(spark, "profile_column_entropy"))
     assert final.count("Scan parquet") == 1, final
     assert "Expand" in final
+
+
+def test_price_elasticity_is_one_scan_moment_aggregate(spark):
+    """Log-log OLS elasticity must be the sufficient-statistics shape:
+    ONE lineitem scan into a single partial+final moment aggregate —
+    no join, no shuffle wider than the one-row finish."""
+    final = _final(_plan(spark, "lineitem_price_elasticity"))
+    assert final.count("Scan parquet") == 1, final
+    assert "SortMergeJoin" not in final
+    assert "BroadcastHashJoin" not in final
+    assert "CartesianProduct" not in final
+
+
+def test_rayleigh_is_one_scan_24_group_aggregate(spark):
+    """The circular-uniformity test must be ONE events scan into a
+    24-group hash aggregate; everything after runs on <=24 rows."""
+    final = _final(_plan(spark, "events_rayleigh_hour_uniformity"))
+    assert final.count("Scan parquet") == 1, final
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+
+
+def test_retention_powerlaw_joins_stay_calendar_bounded(spark):
+    """The log-log retention fit: corpus-scale work is the distinct
+    (user, day) collapse + per-(cohort, k) hash aggregates; the
+    eligibility/fit joins run on <= #days-sized frames, so no
+    corpus-side SortMergeJoin and no CartesianProduct may appear (the
+    nested-loop that does appear is the broadcast-scalar totals
+    pattern, 1-row side by construction)."""
+    final = _final(_plan(spark, "events_retention_powerlaw_fit"))
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "HashAggregate" in final
+
+
+def test_holt_recursion_is_unionloop_over_daily_aggregate(spark):
+    """Holt's linear smoothing must execute as Spark 4's recursive-CTE
+    UnionLoop over the ~#days daily aggregate — the sequential
+    recurrence is the point (a window-function rewrite would not be
+    bit-identical to the oracle's recursion); the corpus-sized scan
+    happens once inside the loop's base/step plan, and no join wider
+    than the t = t+1 step may appear."""
+    final = _final(_plan(spark, "events_holt_linear_recursive"))
+    assert "UnionLoop" in final
+    assert "CartesianProduct" not in final
