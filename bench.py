@@ -271,6 +271,8 @@ HEADLINE = [
     "events_retention_powerlaw_fit",
     "lineitem_price_elasticity",
     "events_rayleigh_hour_uniformity",
+    # round-11 additions (same comparability rule)
+    "text_mixture_plan",
     # events_holt_linear_recursive: ~30-step recursive CTE — same
     # per-iteration job-scheduling overhead class as
     # events_ewma_recursive; gate-checked, excluded from the bench.

@@ -3940,3 +3940,239 @@ def text_kfold_assignment(
             " AS DOUBLE)"
         ).alias("doc_share"),
     )
+
+
+# ---- source-mixture planner (round 11) ---------------------------------
+
+MIXTURE_TOKEN_BUDGET = 100_000  # target curated-corpus size, in tokens
+
+
+def _mixture_finish(kept: str, srcs: str, bigint: str, idiv: str) -> str:
+    """Shared planner finish over a kept-docs frame ``(doc_id, source,
+    n_tokens, logw)`` and a distinct-source frame: per-source Neyman
+    moments on the SURVIVING token counts, a DSIR importance-mass
+    tilt, and largest-remainder (Hamilton) apportionment of the token
+    budget so quotas sum EXACTLY to MIXTURE_TOKEN_BUDGET.
+
+    Weight = sd_tokens x dsir_mass: Neyman's N_h*S_h allocation with
+    the stratum count replaced by the stratum's summed importance
+    log-weight (the DSIR effective size of the source under the
+    target distribution) — sources that are both internally DIVERSE
+    (high token-length spread survives screening) and target-LIKE
+    (high importance mass) get budget.
+
+    Exactness: moments and token counts are exact BIGINTs; the one
+    sqrt rides the ROUND-to-micro fixed-point pin (the
+    ``text_neyman_allocation`` precedent), logw is an exact DECIMAL
+    dot product, and the weight is ONE fixed IEEE chain pinned
+    DECIMAL(18,3) (milli fixed-point), so quota/remainder arithmetic
+    is pure integer and the remainder ranking is deterministic.
+    ``idiv`` parameterizes the integer-division spelling ('div'
+    Spark, '//' DuckDB) — the one token the dialects don't share.
+
+    Range honesty: B x wt_milli must fit BIGINT — safe through
+    B ~ 1e5 tokens x wt ~ 1e10; a production multi-trillion-token
+    budget lifts the quota product to DECIMAL(38,0) (one line, both
+    dialects). The variance numerator is computed in DOUBLE on the
+    exact sums (the moment-overflow rule from the ab-lift class).
+
+    Conventions, stated: sources with n_keep < 2 have undefined
+    spread and weight 0 (rows kept, quota 0); quota is capped by the
+    source's surviving supply and the SHORTFALL is REPORTED, not
+    silently re-apportioned (a second re-balance pass is the next
+    planning round's decision, not this query's)."""
+    B = MIXTURE_TOKEN_BUDGET
+    return f"""
+    , mixagg AS (
+      SELECT source,
+             CAST(COUNT(*) AS {bigint}) AS n_keep,
+             CAST(SUM(n_tokens) AS {bigint}) AS supply,
+             CAST(SUM(n_tokens * n_tokens) AS {bigint}) AS sxx,
+             SUM(logw) AS mass
+      FROM {kept} GROUP BY source
+    ),
+    mixw AS (
+      SELECT source, n_keep, supply,
+             CASE WHEN n_keep > 1 THEN CAST(ROUND(sqrt(
+                 (CAST(n_keep AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(supply AS DOUBLE) * CAST(supply AS DOUBLE))
+                 / (CAST(n_keep AS DOUBLE) * (n_keep - 1.0))
+               ) * 1000000) AS {bigint})
+             ELSE CAST(0 AS {bigint}) END AS sd_micro,
+             CAST(mass AS DOUBLE) AS mass_d
+      FROM mixagg
+    ),
+    mixwt AS (
+      SELECT source, n_keep, supply, sd_micro, mass_d,
+             CAST(CAST(CAST(sd_micro AS DOUBLE) / 1000000.0 * mass_d
+                  AS DECIMAL(18,3)) * 1000 AS {bigint}) AS wt_milli
+      FROM mixw
+    ),
+    mixtot AS (SELECT SUM(wt_milli) AS tw FROM mixwt),
+    mixbase AS (
+      SELECT mixwt.*, mixtot.tw,
+             CASE WHEN mixtot.tw > 0
+                  THEN ({B} * wt_milli) {idiv} mixtot.tw
+                  ELSE CAST(0 AS {bigint}) END AS n_base,
+             CASE WHEN mixtot.tw > 0
+                  THEN ({B} * wt_milli) % mixtot.tw
+                  ELSE CAST(0 AS {bigint}) END AS rem
+      FROM mixwt CROSS JOIN mixtot
+    ),
+    mixlo AS (
+      SELECT {B} - SUM(n_base) AS leftover, MAX(tw) AS tw2 FROM mixbase
+    ),
+    mixranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               ORDER BY rem DESC, source ASC) AS rr
+      FROM mixbase
+    ),
+    mixquota AS (
+      SELECT source, n_keep, supply, sd_micro, mass_d, wt_milli,
+             CAST(n_base + CASE WHEN mixlo.tw2 > 0
+                                 AND rr <= mixlo.leftover
+                                THEN 1 ELSE 0 END AS {bigint})
+               AS quota_tokens
+      FROM mixranked CROSS JOIN mixlo
+    )
+    SELECT s.source,
+           CAST(COALESCE(q.n_keep, 0) AS {bigint}) AS n_keep,
+           CAST(COALESCE(q.supply, 0) AS {bigint}) AS supply_tokens,
+           CAST(CAST(COALESCE(q.sd_micro, 0) AS DOUBLE) / 1000000.0
+                AS DOUBLE) AS sd_tokens,
+           CAST(COALESCE(q.mass_d, CAST(0 AS DOUBLE)) AS DOUBLE)
+             AS dsir_mass,
+           CAST(CAST(COALESCE(q.wt_milli, 0) AS DOUBLE) / 1000.0
+                AS DOUBLE) AS weight,
+           CAST(COALESCE(q.quota_tokens, 0) AS {bigint}) AS quota_tokens,
+           CAST(LEAST(COALESCE(q.quota_tokens, 0),
+                      COALESCE(q.supply, 0)) AS {bigint})
+             AS alloc_tokens,
+           CAST(COALESCE(q.quota_tokens, 0)
+                - LEAST(COALESCE(q.quota_tokens, 0),
+                        COALESCE(q.supply, 0)) AS {bigint})
+             AS shortfall_tokens
+    FROM {srcs} s LEFT JOIN mixquota q ON q.source = s.source
+    """
+
+
+@query(
+    "text_mixture_plan",
+    oracle=f"""{_GOPHER_DOC_CTE},
+    g AS (
+      SELECT doc_id, source,
+             CASE WHEN f_wc + f_mwl + f_sym + f_alpha + f_stop = 0
+                  THEN 1 ELSE 0 END AS pass_gopher
+      FROM r
+    ),
+    lm AS ({_ORACLES["text_unigram_lm_quality"]}),
+    rk AS (
+      SELECT lm.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY documents.lang
+               ORDER BY lm.lm_score, lm.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY documents.lang) AS n
+      FROM lm JOIN documents USING (doc_id)
+    ),
+    q0 AS (
+      SELECT doc_id,
+             CASE WHEN rn * 3 <= n THEN 0 ELSE 1 END AS pass_quality
+      FROM rk
+    ),
+    dsir AS (
+      SELECT doc_id, logw
+      FROM ({_DSIR_DOCW_CTE} SELECT doc_id, logw FROM docw)
+    ),
+    tok AS (
+      SELECT doc_id, CAST(len({TOKENS_DUCK}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    kept AS (
+      SELECT g.doc_id, g.source, tok.n_tokens, dsir.logw
+      FROM g
+      JOIN q0 ON q0.doc_id = g.doc_id AND q0.pass_quality = 1
+      JOIN dsir ON dsir.doc_id = g.doc_id AND dsir.logw > 0
+      JOIN tok ON tok.doc_id = g.doc_id
+      WHERE g.pass_gopher = 1
+    ),
+    srcs AS (SELECT DISTINCT source FROM documents)
+    {_mixture_finish("kept", "srcs", "BIGINT", "//")}
+    """,
+)
+def text_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The source-mixture DECISION artifact the curation ladder was
+    missing: per-source TOKEN budgets for a target curated-corpus
+    size. The keep set is the ``text_curation_report`` intersection
+    (Gopher rules AND CCNet per-language LM terciles AND positive
+    DSIR weight — the same verified doc-level frames, reused
+    unchanged); the allocation is Neyman spread x DSIR importance
+    mass with largest-remainder integerization, so the quota column
+    sums EXACTLY to MIXTURE_TOKEN_BUDGET and each quota is capped by
+    the source's surviving token supply with the shortfall reported
+    (see ``_mixture_finish`` for the weight rationale, the fixed-
+    point exactness chain, and the stated conventions).
+
+    Plan & scale: the three screens and the token counts are the
+    standalone operators' plans (one documents scan feeds gopher +
+    token counts; LM and DSIR share the exploded-token aggregates);
+    the keep set joins on doc_id (co-partitioned hash joins), then
+    EVERYTHING after the per-source aggregate runs on a
+    |sources|-row frame — windows, apportionment, the supply cap.
+    No driver math; the only corpus-scale exchanges are the ones the
+    screens already pay."""
+    gop = _gopher_doc_flags(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("f_wc")
+            + F.col("f_mwl")
+            + F.col("f_sym")
+            + F.col("f_alpha")
+            + F.col("f_stop")
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("pass_gopher"),
+    )
+    lm = text_unigram_lm_quality(spark, sf_dir).select(
+        "doc_id", "lm_score"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("lm_score", "doc_id")
+    q = (
+        lm.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("lang"))
+            .alias("n"),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("rn") * 3 <= F.col("n"), 0)
+            .otherwise(1)
+            .alias("pass_quality"),
+        )
+    )
+    dsir = _dsir_docw(spark, sf_dir).select("doc_id", "logw")
+    tok = docs.select(
+        "doc_id",
+        F.size(F.expr(TOKENS_SPARK)).cast("bigint").alias("n_tokens"),
+    )
+    kept = (
+        gop.filter(F.col("pass_gopher") == 1)
+        .join(q.filter(F.col("pass_quality") == 1), "doc_id")
+        .join(dsir.filter(F.col("logw") > 0), "doc_id")
+        .join(tok, "doc_id")
+        .select("doc_id", "source", "n_tokens", "logw")
+    )
+    kept.createOrReplaceTempView("mixplan_kept")
+    docs.select("source").distinct().createOrReplaceTempView(
+        "mixplan_srcs"
+    )
+    return spark.sql(
+        "WITH _noop AS (SELECT 1)"
+        + _mixture_finish("mixplan_kept", "mixplan_srcs", "BIGINT", "div")
+    )

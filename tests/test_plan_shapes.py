@@ -1056,3 +1056,17 @@ def test_holt_recursion_is_unionloop_over_daily_aggregate(spark):
     final = _final(_plan(spark, "events_holt_linear_recursive"))
     assert "UnionLoop" in final
     assert "CartesianProduct" not in final
+
+
+def test_mixture_plan_joins_broadcast_no_corpus_sort(spark):
+    """The mixture planner composes three doc-level screens + token
+    counts by doc_id and must keep every join hash/broadcast-sided
+    (no corpus SortMergeJoin, no CartesianProduct); the apportionment
+    window runs on the |sources|-row frame (bounded by construction —
+    the one SinglePartition exchange feeds that tiny finish, not a
+    corpus frame), and the documents scans stay shared across screens
+    (<= 3 scans, the curation-report budget)."""
+    final = _final(_plan(spark, "text_mixture_plan"))
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert final.count("Scan parquet") <= 3, final.count("Scan parquet")
