@@ -1513,3 +1513,115 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("converged"),
         )
     )
+
+
+# ---- HITS hubs & authorities ------------------------------------------
+
+HITS_TOPK = 15
+
+
+def _hits_sql(orders: str, lineitem: str, bigint: str) -> str:
+    """Shared HITS text over the bipartite customer→part purchase
+    graph: a₀ = 1 per part, then two full mutual-reinforcement
+    rounds (h = Σ a over a customer's parts, a = Σ h over a part's
+    customers), all sums exact integers."""
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM {orders} o JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+    ),
+    h1 AS (
+      SELECT c, CAST(COUNT(*) AS {bigint}) AS h FROM edges GROUP BY c
+    ),
+    a1 AS (
+      SELECT e.p, CAST(SUM(h1.h) AS {bigint}) AS a
+      FROM edges e JOIN h1 ON h1.c = e.c GROUP BY e.p
+    ),
+    h2 AS (
+      SELECT e.c, CAST(SUM(a1.a) AS {bigint}) AS h
+      FROM edges e JOIN a1 ON a1.p = e.p GROUP BY e.c
+    ),
+    a2 AS (
+      SELECT e.p, CAST(SUM(h2.h) AS {bigint}) AS a
+      FROM edges e JOIN h2 ON h2.c = e.c GROUP BY e.p
+    ),
+    top_auth AS (
+      SELECT 'authority' AS side, p AS node, a AS score
+      FROM a2 ORDER BY a DESC, p ASC LIMIT {HITS_TOPK}
+    ),
+    top_hub AS (
+      SELECT 'hub' AS side, c AS node, h AS score
+      FROM h2 ORDER BY h DESC, c ASC LIMIT {HITS_TOPK}
+    )
+    SELECT side, node, score
+    FROM (SELECT * FROM top_auth UNION ALL SELECT * FROM top_hub) u
+    ORDER BY side, score DESC, node
+    """
+
+
+@query(
+    "graph_hits_hubs_authorities",
+    oracle=_hits_sql("orders", "lineitem", "BIGINT"),
+)
+def graph_hits_hubs_authorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kleinberg's HITS on the bipartite customer→part purchase graph
+    — the mutual-reinforcement ranking PageRank cannot give on a
+    bipartite structure: a part is AUTHORITATIVE when bought by
+    broad-basket customers, a customer is a HUB when their basket
+    concentrates on authoritative parts. Two full h↔a rounds from
+    a₀ = 1 (so h₁ is customer degree); scores are reported
+    UN-normalized — per-round L1 normalization divides both sides by
+    a positive scalar, so the top-k RANKING this op emits is
+    invariant to it, and skipping it keeps every iteration's state
+    exactly integral (the ``graph_pagerank`` fixed-point discipline
+    without even needing the fixed point).
+
+    Exactness: INTEGER end-to-end — degree counts, then two rounds of
+    integer sums; no division, no floats, no pinning anywhere.
+    BIGINT holds the test scales with >6 digits of headroom
+    (score ≤ ~deg⁴·|basket|); the 100 TB path lifts the casts to
+    DECIMAL(38,0), stated here because the operator's contract is the
+    ranking, not the magnitude.
+
+    Scale: the edge list is one fact-fact equi-join on orderkey
+    (shuffle, AQE-skew-safe) collapsed by DISTINCT and PERSISTED once
+    — each HITS round is then one edge⋈score equi-join + one groupBy,
+    the Pregel step as two shuffles, exactly the pagerank budget,
+    iteration-bounded at 2 rounds (the SQL-CTE form re-derives the
+    fact-fact join per round — 4 scans of each fact; the plan pin
+    holds this at one scan per fact). Top-k per side is TakeOrdered;
+    nothing is collected."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = persist_tracked(
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    h1 = edges.groupBy("c").agg(F.count(F.lit(1)).alias("h"))
+    a1 = edges.join(h1, "c").groupBy("p").agg(F.sum("h").alias("a"))
+    h2 = edges.join(a1, "p").groupBy("c").agg(F.sum("a").alias("h"))
+    a2 = edges.join(h2, "c").groupBy("p").agg(F.sum("h").alias("a"))
+    top_auth = (
+        a2.select(
+            F.lit("authority").alias("side"),
+            F.col("p").alias("node"),
+            F.col("a").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("node").asc())
+        .limit(HITS_TOPK)
+    )
+    top_hub = (
+        h2.select(
+            F.lit("hub").alias("side"),
+            F.col("c").alias("node"),
+            F.col("h").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("node").asc())
+        .limit(HITS_TOPK)
+    )
+    return top_auth.unionAll(top_hub).orderBy(
+        "side", F.col("score").desc(), "node"
+    )

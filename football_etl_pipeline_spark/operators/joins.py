@@ -826,3 +826,76 @@ def _register_bloom_audit_oracle() -> None:
 
 
 _register_bloom_audit_oracle()
+
+
+# ---- blocking-key fanout audit -----------------------------------------
+
+
+def _fanout_audit_sql(li: str, bigint: str, intdiv: str) -> str:
+    """Shared fanout-audit text: per blocking key, the exact pair
+    count a self-join would emit, plus its share of the total."""
+    return f"""
+    WITH k AS (
+      SELECT l_partkey AS block_key,
+             CAST(COUNT(*) AS {bigint}) AS n_rows
+      FROM {li}
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT block_key, n_rows,
+             CAST((n_rows * (n_rows - 1)) {intdiv} 2 AS {bigint})
+               AS predicted_pairs
+      FROM k
+    ),
+    tot AS (
+      SELECT CAST(SUM(predicted_pairs) AS {bigint}) AS t,
+             CAST(SUM(n_rows) AS {bigint}) AS nr,
+             CAST(COUNT(*) AS {bigint}) AS nk
+      FROM p
+    )
+    SELECT p.block_key, p.n_rows, p.predicted_pairs,
+           tot.t AS total_pairs,
+           CAST(CAST(
+             CAST(p.predicted_pairs AS DOUBLE) / tot.t * 100
+             AS DECIMAL(18,6)) AS DOUBLE) AS pct_of_total,
+           CAST(CAST(
+             CAST(p.predicted_pairs AS DOUBLE)
+             / (CAST(tot.nr AS DOUBLE) / tot.nk
+                * (CAST(tot.nr AS DOUBLE) / tot.nk - 1) / 2)
+             AS DECIMAL(18,6)) AS DOUBLE) AS vs_uniform_key
+    FROM p CROSS JOIN tot
+    ORDER BY p.predicted_pairs DESC, p.block_key ASC
+    LIMIT 10
+    """
+
+
+@query(
+    "join_fanout_audit",
+    oracle=_fanout_audit_sql("lineitem", "BIGINT", "//"),
+)
+def join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight cardinality audit for a planned blocking self-join —
+    the question every entity-resolution / dedup blocking pass must
+    answer BEFORE running: per blocking key (here ``l_partkey``, the
+    key ``part_entity_resolution``-style candidate generation blocks
+    on), exactly how many pairs will the within-block self-join emit,
+    which keys dominate, and how hot is the hottest key versus a
+    uniform-key world (``vs_uniform_key`` — the skew multiplier that
+    says whether one reducer eats the job). Predicted pairs are exact
+    n·(n−1)/2 per key from group COUNTS — the audit costs one
+    aggregate, never materializing the pairs it predicts; this is the
+    mechanical criterion for choosing between the plain self-join and
+    the salted path (``skew_salted_join``).
+
+    Exactness: pure integer arithmetic through ``predicted_pairs``
+    (n·(n−1) is always even, so integer halving is exact; Spark DIV ≡
+    DuckDB //); the two share ratios are single IEEE chains over
+    exact integers, pinned DECIMAL(18,6).
+
+    Plan: one scan → hash aggregate on the blocking key (map-side
+    partials at 100 TB) → 1-row total broadcast back (scalar cross
+    join) → TakeOrdered(10). The audited join's quadratic cost never
+    appears in the audit's own plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("fanout_lineitem")
+    return spark.sql(_fanout_audit_sql("fanout_lineitem", "BIGINT", "DIV"))

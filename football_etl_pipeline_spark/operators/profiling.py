@@ -1510,6 +1510,100 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_kanon_sql("kanon_customer", "BIGINT"))
 
 
+# ---- l-diversity profile ---------------------------------------------------
+
+LDIV_THRESHOLDS = (2, 3)  # the l levels the report slices at
+
+
+def _ldiv_sql(table: str, bigint: str) -> str:
+    """Shared dialect-neutral l-diversity text: quasi-identifier =
+    (nation, account-balance band of 1000) — the k-anonymity QI MINUS
+    the market segment, which becomes the SENSITIVE attribute."""
+    ladder = ",\n".join(
+        f"""           CAST(SUM(CASE WHEN l_distinct < {lv}
+                         THEN 1 ELSE 0 END) AS {bigint})
+             AS n_classes_below_l{lv},
+           CAST(SUM(CASE WHEN l_distinct < {lv}
+                         THEN class_size ELSE 0 END) AS {bigint})
+             AS n_records_below_l{lv}"""
+        for lv in LDIV_THRESHOLDS
+    )
+    return f"""
+    WITH qi AS (
+      SELECT c_nationkey AS nation,
+             CAST(FLOOR(c_acctbal / 1000) AS {bigint}) AS bal_band,
+             c_mktsegment AS segment
+      FROM {table}
+    ),
+    cls AS (
+      SELECT nation, bal_band, segment,
+             CAST(COUNT(*) AS {bigint}) AS cnt
+      FROM qi GROUP BY 1, 2, 3
+    ),
+    percls AS (
+      SELECT nation, bal_band,
+             CAST(COUNT(*) AS {bigint}) AS l_distinct,
+             CAST(SUM(cnt) AS {bigint}) AS class_size
+      FROM cls GROUP BY 1, 2
+    ),
+    ent AS (
+      SELECT c.nation, c.bal_band,
+             SUM(CAST(
+               -(CAST(c.cnt AS DOUBLE) / p.class_size)
+               * ln(CAST(c.cnt AS DOUBLE) / p.class_size)
+               AS DECIMAL(18,12))) AS h
+      FROM cls c
+      JOIN percls p
+        ON p.nation = c.nation AND p.bal_band = c.bal_band
+      GROUP BY 1, 2
+    ),
+    ent_l AS (
+      SELECT CAST(CAST(exp(CAST(h AS DOUBLE)) AS DECIMAL(18,6))
+                  AS DOUBLE) AS entropy_l
+      FROM ent
+    )
+    SELECT CAST(COUNT(*) AS {bigint}) AS n_classes,
+           CAST(SUM(class_size) AS {bigint}) AS n_records,
+           CAST(MIN(l_distinct) AS {bigint}) AS l_diversity,
+{ladder},
+           (SELECT MIN(entropy_l) FROM ent_l) AS min_entropy_l
+    FROM percls
+    """
+
+
+@query(
+    "customer_l_diversity",
+    oracle=_ldiv_sql("customer", "BIGINT"),
+)
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity profile — the release-review metric k-anonymity
+    cannot see: a class of 50 identical-QI customers is 50-anonymous,
+    but if all 50 share ONE market segment the sensitive attribute
+    leaks anyway (Machanavajjhala's classic homogeneity attack —
+    public method). Quasi-identifier = (nation, balance band); the
+    segment moves from QI (where ``customer_k_anonymity`` uses it) to
+    the sensitive role. Reports distinct-l (min distinct sensitive
+    values over classes), class/record counts below each l
+    threshold, and min ENTROPY-l (exp of the class's sensitive-value
+    entropy — the stricter variant that penalizes 49-to-1 skew that
+    distinct-l calls diverse).
+
+    Exactness: integer counting through ``percls``; each class's
+    entropy terms −p·ln p are one IEEE chain over identical doubles
+    (cnt/class_size division) pinned DECIMAL(18,12) BEFORE the
+    cross-term sum (sum order differs between engines; decimal
+    addition is order-insensitive — the ln-pin rule); entropy-l is
+    one exp over the exact decimal sum, pinned DECIMAL(18,6).
+
+    Plan: one scan → (QI, segment) hash aggregate → per-class rollup
+    (map-side partials at 100 TB); the entropy join is class-keyed,
+    AQE-broadcastable; two scalar finishes. No window, no driver
+    math."""
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("ldiv_customer")
+    return spark.sql(_ldiv_sql("ldiv_customer", "BIGINT"))
+
+
 # ---- cross-table freshness report ------------------------------------------
 
 

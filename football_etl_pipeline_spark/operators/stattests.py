@@ -1538,6 +1538,109 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _brier_sql(table: str, score: str, bigint: str) -> str:
+    """Shared Murphy-decomposition text. ``score`` is the dialect's
+    en-marker-ratio expression; bins are fixed-width deciles of the
+    score (LEAST(floor(s·10), 9)) so bin membership is pure integer
+    arithmetic over identical doubles."""
+    return f"""
+    WITH scored AS (
+      SELECT {score} AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM {table}
+    ),
+    base AS (
+      SELECT CAST(COUNT(*) AS {bigint}) AS n,
+             CAST(SUM(y) AS {bigint}) AS pos,
+             SUM(CAST((s - y) * (s - y) AS DECIMAL(18,12))) AS bs_sum
+      FROM scored
+    ),
+    bins AS (
+      SELECT LEAST(CAST(FLOOR(s * 10) AS INT), 9) AS bin,
+             CAST(COUNT(*) AS {bigint}) AS nk,
+             CAST(SUM(y) AS {bigint}) AS posk,
+             SUM(CAST(s AS DECIMAL(18,9))) AS ssum
+      FROM scored GROUP BY 1
+    ),
+    terms AS (
+      SELECT b.bin, b.nk,
+             CAST(b.posk AS DOUBLE) / b.nk AS ybar_k,
+             CAST(CAST(CAST(b.ssum AS DOUBLE) / b.nk AS DECIMAL(18,9))
+                  AS DOUBLE) AS pbar_k,
+             CAST(base.pos AS DOUBLE) / base.n AS ybar
+      FROM bins b CROSS JOIN base
+    ),
+    decomp AS (
+      SELECT SUM(CAST(nk * (pbar_k - ybar_k) * (pbar_k - ybar_k)
+                      AS DECIMAL(18,12))) AS rel_sum,
+             SUM(CAST(nk * (ybar_k - ybar) * (ybar_k - ybar)
+                      AS DECIMAL(18,12))) AS res_sum
+      FROM terms
+    )
+    SELECT base.n AS n_docs,
+           CAST(CAST(CAST(base.pos AS DOUBLE) / base.n
+                AS DECIMAL(18,12)) AS DOUBLE) AS base_rate,
+           CAST(CAST(CAST(base.bs_sum AS DOUBLE) / base.n
+                AS DECIMAL(18,12)) AS DOUBLE) AS brier_score,
+           CAST(CAST(CAST(decomp.rel_sum AS DOUBLE) / base.n
+                AS DECIMAL(18,12)) AS DOUBLE) AS reliability,
+           CAST(CAST(CAST(decomp.res_sum AS DOUBLE) / base.n
+                AS DECIMAL(18,12)) AS DOUBLE) AS resolution,
+           CAST(CAST(
+             (CAST(base.pos AS DOUBLE) / base.n)
+             * (1 - CAST(base.pos AS DOUBLE) / base.n)
+             AS DECIMAL(18,12)) AS DOUBLE) AS uncertainty,
+           CAST(CAST(
+             CAST(base.bs_sum AS DOUBLE) / base.n
+             - ((CAST(base.pos AS DOUBLE) / base.n)
+                * (1 - CAST(base.pos AS DOUBLE) / base.n)
+                - CAST(decomp.res_sum AS DOUBLE) / base.n
+                + CAST(decomp.rel_sum AS DOUBLE) / base.n)
+             AS DECIMAL(18,12)) AS DOUBLE) AS decomposition_gap
+    FROM base CROSS JOIN decomp
+    """
+
+
+def _brier_oracle() -> str:
+    return _brier_sql("documents", _en_score_duck(), "BIGINT")
+
+
+@query("eval_brier_decomposition", oracle=_brier_oracle())
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the detector's Brier score — the third
+    face of the evaluation triad: AUC ranks
+    (``eval_auc_language_detector``), the reliability TABLE shows the
+    curve (``eval_calibration_bins``), and this reduces calibration to
+    three decision-grade numbers: BS = uncertainty − resolution +
+    reliability. Reliability (weighted squared gap between bin mean
+    score and bin positive rate — want 0) says how much re-calibration
+    would recover; resolution (weighted squared gap between bin rates
+    and the base rate — want big) says whether the score separates at
+    all; uncertainty ȳ(1−ȳ) is the irreducible floor no model can
+    beat. ``decomposition_gap`` reports the within-bin variance the
+    10-bin coarsening leaves unattributed (exactly 0 only when every
+    forecast in a bin is identical) — publishing the residual instead
+    of pretending the binned identity is exact.
+
+    Exactness: per-row (s−y)² is one IEEE chain over the exact
+    rational score, pinned DECIMAL(18,12) before the order-sensitive
+    corpus sum; per-bin mean scores ride the calibration op's
+    DECIMAL(18,9) pin; the ten per-bin quadratic terms are pinned
+    DECIMAL(18,12) before the cross-bin sum; every output is one
+    double chain over those exact sums, pinned DECIMAL(18,12).
+
+    Plan: tokenize scan → one corpus moment aggregate + one 10-group
+    hash aggregate (both map-side partial at 100 TB) → broadcast
+    scalar joins → 1-row finish. No window, no rank exchange — the
+    fixed-width bins make this strictly cheaper than the rank-decile
+    calibration table."""
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("brier_documents")
+    return spark.sql(
+        _brier_sql("brier_documents", _en_score_spark(), "BIGINT")
+    )
+
+
 # ---- Population Stability Index ----------------------------------------
 
 PSI_BINS = 10
@@ -2903,6 +3006,215 @@ def events_ab_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- delta-method ratio-metric A/B readout ---------------------------------
+
+
+def _delta_sql(h_expr: str, bigint: str) -> str:
+    """Shared delta-method text. Per-user numerator x = exact decimal
+    purchase revenue, denominator y = event count; one conditional
+    moment pass per arm carries n, Σx, Σy, Σx², Σy², Σxy exactly."""
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+                 THEN CAST(value AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS x,
+             CAST(COUNT(*) AS {bigint}) AS y
+      FROM events
+      GROUP BY user_id
+    ),
+    armed AS (
+      SELECT x, y, {h_expr} % 2 AS arm FROM per_user
+    ),
+    mo AS (
+      SELECT arm,
+             CAST(COUNT(*) AS {bigint}) AS n,
+             SUM(x) AS sx,
+             CAST(SUM(y) AS {bigint}) AS sy,
+             SUM(CAST(x AS DECIMAL(38,6)) * x) AS qx,
+             CAST(SUM(y * y) AS {bigint}) AS qy,
+             SUM(CAST(x AS DECIMAL(38,6)) * y) AS qxy
+      FROM armed
+      GROUP BY arm
+    ),
+    d AS (
+      SELECT arm, n,
+             CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+             ((CAST(qx AS DOUBLE)
+                - (CAST(sx AS DOUBLE) / n) * CAST(sx AS DOUBLE))
+              - 2 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                  * (CAST(qxy AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / n) * CAST(sy AS DOUBLE))
+              + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                * (CAST(qy AS DOUBLE)
+                   - (CAST(sy AS DOUBLE) / n) * CAST(sy AS DOUBLE)))
+             / (n - 1)
+             / (n * (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+               AS se2
+      FROM mo
+    )
+    SELECT a0.n AS n_arm_a, a1.n AS n_arm_b,
+           CAST(CAST(a0.r AS DECIMAL(18,9)) AS DOUBLE) AS ratio_a,
+           CAST(CAST(a1.r AS DECIMAL(18,9)) AS DOUBLE) AS ratio_b,
+           CAST(CAST(a1.r - a0.r AS DECIMAL(18,9)) AS DOUBLE) AS diff,
+           CAST(CAST(sqrt(a0.se2 + a1.se2) AS DECIMAL(18,9)) AS DOUBLE)
+             AS se_delta,
+           CAST(CAST((a1.r - a0.r) / sqrt(a0.se2 + a1.se2)
+                AS DECIMAL(18,6)) AS DOUBLE) AS z_score,
+           CAST(CAST((a1.r - a0.r)
+                - 1.959964 * sqrt(a0.se2 + a1.se2)
+                AS DECIMAL(18,9)) AS DOUBLE) AS ci_lo,
+           CAST(CAST((a1.r - a0.r)
+                + 1.959964 * sqrt(a0.se2 + a1.se2)
+                AS DECIMAL(18,9)) AS DOUBLE) AS ci_hi
+    FROM d a0 JOIN d a1 ON a0.arm = 0 AND a1.arm = 1
+    """
+
+
+def _delta_oracle() -> str:
+    from .textops import hash60_duck
+
+    return _delta_sql(hash60_duck("CAST(user_id AS VARCHAR)"), "BIGINT")
+
+
+@query("events_ab_delta_method", oracle=_delta_oracle())
+def events_ab_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method inference for the RATIO metric revenue-per-event —
+    the A/B readout ``events_ab_test_lift``'s per-user mean cannot
+    give: when the metric is ΣX/ΣY over users (revenue per exposure,
+    clicks per view), the naive binomial/t variance is wrong because
+    numerator and denominator are correlated within user and the
+    randomization unit is the user, not the event. The fix is the
+    standard first-order Taylor (delta-method) variance
+    Var(X̄/Ȳ) ≈ (s²_x − 2R·s_xy + R²·s²_y)/(n·ȳ²) (Deng et al.'s
+    practitioner formulation — public method), giving per-arm ratios,
+    the diff, its delta SE, the z-score, and the 95% CI. Same 60-bit
+    deterministic arm hash as the rest of the A/B family, so all
+    four readouts describe one experiment.
+
+    Exactness: per-user revenue is an exact DECIMAL(18,6) sum; the
+    six arm moments are exact decimal/integer conditional aggregates
+    in ONE pass (Σx² and Σxy ride DECIMAL(38,6), the r8 overflow
+    precedent; Σy² stays integral); every statistic is one fixed IEEE
+    chain over those exact moments, written once in the shared text —
+    pinned DECIMAL(18,9) (ratios are small; 18,6 would eat the CI).
+
+    Plan: one scan → per-user agg → 2-group moment aggregate →
+    broadcast self-join of two 1-row arms → 1-row projection."""
+    from .textops import hash60_spark
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("delta_events")
+    return spark.sql(
+        _delta_sql(
+            hash60_spark("CAST(user_id AS STRING)"), "BIGINT"
+        ).replace("FROM events", "FROM delta_events")
+    )
+
+
+# ---- sequential probability ratio monitor ----------------------------------
+
+SPRT_P0 = "0.25"  # design null conversion rate
+SPRT_P1 = "0.30"  # design alternative (the MDE the test is powered for)
+
+
+def _sprt_sql(h_expr: str, bigint: str) -> str:
+    """Shared Wald-SPRT text: day-0 conversion per user, treatment
+    arm only, cumulative log-likelihood ratio by first-seen day with
+    ln(19)/−ln(19) boundaries (alpha = beta = 0.05)."""
+    lr1 = f"ln(CAST({SPRT_P1} AS DOUBLE) / CAST({SPRT_P0} AS DOUBLE))"
+    lr0 = (
+        f"ln((1 - CAST({SPRT_P1} AS DOUBLE))"
+        f" / (1 - CAST({SPRT_P0} AS DOUBLE)))"
+    )
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS d0,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN CAST(ts AS DATE) END) AS dp
+      FROM events
+      GROUP BY user_id
+    ),
+    armed AS (
+      SELECT d0,
+             CASE WHEN dp = d0 THEN 1 ELSE 0 END AS conv
+      FROM per_user
+      WHERE {h_expr} % 2 = 1
+    ),
+    daily AS (
+      SELECT d0, CAST(COUNT(*) AS {bigint}) AS n,
+             CAST(SUM(conv) AS {bigint}) AS c
+      FROM armed GROUP BY d0
+    ),
+    cum AS (
+      SELECT d0,
+             CAST(SUM(n) OVER (ORDER BY d0) AS {bigint}) AS n_cum,
+             CAST(SUM(c) OVER (ORDER BY d0) AS {bigint}) AS conv_cum
+      FROM daily
+    )
+    SELECT CAST(d0 AS DATE) AS look_day, n_cum, conv_cum,
+           CAST(CAST(
+             conv_cum * {lr1} + (n_cum - conv_cum) * {lr0}
+             AS DECIMAL(18,9)) AS DOUBLE) AS llr,
+           CASE
+             WHEN conv_cum * {lr1} + (n_cum - conv_cum) * {lr0}
+                  >= ln(CAST(19 AS DOUBLE)) THEN 'accept_h1'
+             WHEN conv_cum * {lr1} + (n_cum - conv_cum) * {lr0}
+                  <= -ln(CAST(19 AS DOUBLE)) THEN 'accept_h0'
+             ELSE 'continue'
+           END AS decision
+    FROM cum
+    ORDER BY look_day
+    """
+
+
+def _sprt_oracle() -> str:
+    from .textops import hash60_duck
+
+    return _sprt_sql(hash60_duck("CAST(user_id AS VARCHAR)"), "BIGINT")
+
+
+@query("events_ab_sequential_sprt", oracle=_sprt_oracle())
+def events_ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio monitor over the treatment
+    arm — the always-valid companion to the fixed-horizon A/B family:
+    ``events_ab_test_lift`` is only valid read ONCE at the planned n,
+    but dashboards are watched daily, and repeated peeking at a fixed
+    z inflates false positives severalfold. Wald's SPRT (public
+    method) is the classic sequential answer: against pinned design
+    hypotheses p₀ = 0.25 vs p₁ = 0.30, the cumulative log-likelihood
+    ratio C·ln(p₁/p₀) + (N−C)·ln((1−p₁)/(1−p₀)) may be compared to
+    ln((1−β)/α) = ln 19 and ln(β/(1−α)) = −ln 19 after EVERY day with
+    overall error rates still ≤ (α, β) = (.05, .05). One row per
+    daily look: cumulative exposure, conversions, LLR, and the
+    decision (accept_h1 / accept_h0 / continue). Conversion is
+    day-0 purchase (decided by the end of the user's first-seen day),
+    so no look ever reads data from after itself — the peeking-safe
+    definition.
+
+    Exactness: pure integer counting through ``cum`` (calendar-day
+    cumulative window over a ≤#days frame — bounded by construction,
+    the daily-series house convention); the LLR is integers times two
+    ln literals, ONE IEEE chain written once in the shared text,
+    pinned DECIMAL(18,9) (the ln-pin rule); boundary compares run on
+    the identical raw chain in both engines, safely far from ties.
+
+    Plan: one scan → per-user agg → per-day agg (≤31 rows) → window
+    over the bounded day frame → projection. The per-user aggregate
+    dominates; everything after is calendar-sized."""
+    from .textops import hash60_spark
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("sprt_events")
+    return spark.sql(
+        _sprt_sql(
+            hash60_spark("CAST(user_id AS STRING)"), "BIGINT"
+        ).replace("FROM events", "FROM sprt_events")
+    )
+
+
 # ---- deterministic permutation test ---------------------------------------
 
 PERM_REPS = 32
@@ -4119,6 +4431,108 @@ def stats_friedman_dow_revenue(
     o.createOrReplaceTempView("friedman_orders")
     return spark.sql(
         _friedman_sql("friedman_orders", "BIGINT", "weekday(d.day) + 1")
+    )
+
+
+# ---- Cochran's Q binary repeated-measures test -------------------------------
+
+
+def _cochranq_sql(table: str, bigint: str, dow: str) -> str:
+    """Shared Cochran-Q text: blocks = complete ISO weeks, treatments
+    = the 7 weekdays, binary response = "day's revenue above its own
+    week's mean" via the division-free exact compare 7·rev > Σweek.
+    Q = (k−1)(k·ΣNⱼ² − N²) / (k·ΣRᵢ − ΣRᵢ²) stays INTEGRAL until one
+    final double division."""
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(date_trunc('week', CAST(o_orderdate AS DATE))
+                  AS DATE) AS wk,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM {table} GROUP BY 1, 2
+    ),
+    complete AS (
+      SELECT wk FROM daily GROUP BY wk
+      HAVING CAST(COUNT(*) AS {bigint}) = 7
+    ),
+    blocked AS (
+      SELECT d.wk, {dow} AS dow, d.rev
+      FROM daily d JOIN complete c ON c.wk = d.wk
+    ),
+    wktot AS (
+      SELECT wk, SUM(rev) AS tot FROM blocked GROUP BY wk
+    ),
+    x AS (
+      SELECT b.wk, b.dow,
+             CASE WHEN b.rev * 7 > w.tot THEN 1 ELSE 0 END AS x
+      FROM blocked b JOIN wktot w ON w.wk = b.wk
+    ),
+    cols AS (
+      SELECT dow, CAST(SUM(x) AS {bigint}) AS n_j FROM x GROUP BY dow
+    ),
+    rows_ AS (
+      SELECT wk, CAST(SUM(x) AS {bigint}) AS r_i FROM x GROUP BY wk
+    ),
+    colagg AS (
+      SELECT CAST(SUM(n_j) AS {bigint}) AS n,
+             CAST(SUM(n_j * n_j) AS {bigint}) AS sum_nj2
+      FROM cols
+    ),
+    rowagg AS (
+      SELECT CAST(SUM(r_i) AS {bigint}) AS sum_ri,
+             CAST(SUM(r_i * r_i) AS {bigint}) AS sum_ri2,
+             CAST(COUNT(*) AS {bigint}) AS n_weeks
+      FROM rows_
+    ),
+    mo AS (
+      SELECT * FROM colagg CROSS JOIN rowagg
+    )
+    SELECT n_weeks,
+           CAST(7 AS {bigint}) AS k_treatments,
+           CAST(6 AS {bigint}) AS df,
+           n AS n_above,
+           CAST(CAST(
+             CAST(6 AS DOUBLE) * (7 * sum_nj2 - n * n)
+             / (7 * sum_ri - sum_ri2)
+             AS DECIMAL(18,6)) AS DOUBLE) AS q_stat
+    FROM mo
+    """
+
+
+@query(
+    "stats_cochran_q_dow",
+    oracle=_cochranq_sql("orders", "BIGINT", "isodow(d.day)"),
+)
+def stats_cochran_q_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test: do ABOVE-AVERAGE revenue days concentrate on
+    particular weekdays, week after week? (Cochran 1950 — the binary
+    specialization of Friedman: ``stats_friedman_dow_revenue`` ranks
+    the 7 days within each week; Q asks the coarser, more robust
+    question on the 0/1 indicator "day beat its own week's mean",
+    immune to any monotone distortion of the revenue scale.) Blocks =
+    complete ISO weeks, treatments = weekdays, Q ~ χ²(6) under "no
+    weekday preference". The indicator is week-relative, so level
+    trends across weeks cannot masquerade as a weekday effect — the
+    same blocking logic as Friedman, one rung down the measurement
+    ladder.
+
+    Exactness: INTEGER end-to-end — daily revenues stay exact
+    DECIMAL(18,6) and the above-mean indicator is the division-free
+    compare 7·rev > Σweek (exact decimal arithmetic, no rounding
+    anywhere); column/row totals and both quadratic forms are exact
+    BIGINTs via the algebraic identity Q = (k−1)(kΣNⱼ²−N²)/(kΣRᵢ−ΣRᵢ²);
+    one final double division pinned DECIMAL(18,6).
+
+    Plan: two chains (weekday column totals / week row totals), each
+    collapsing the corpus to ~#days rows in its one scan+agg, joined
+    by a 1-row broadcast nested loop — 2 scans total (pinned);
+    completeness filter, week-total join, and the 7-row/#week-row
+    frames are calendar-sized, corpus-independent beyond the first
+    aggregate (the Friedman precedent)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("cochranq_orders")
+    return spark.sql(
+        _cochranq_sql("cochranq_orders", "BIGINT", "weekday(d.day) + 1")
     )
 
 

@@ -4176,3 +4176,104 @@ def text_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH _noop AS (SELECT 1)"
         + _mixture_finish("mixplan_kept", "mixplan_srcs", "BIGINT", "div")
     )
+
+
+# ---- feature-hashing collision audit -----------------------------------
+
+FH_BUCKETS = 64  # hashed feature dimensionality under audit
+
+
+def _fh_sql(
+    table: str, toks: str, explode: str, h60, bigint: str, intdiv: str
+) -> str:
+    """Shared hashing-trick audit text. ``explode`` is the dialect's
+    array-unnest spelling; the 60-bit token hash is computed ONCE in
+    its own CTE (bucket and sign both read it)."""
+    return f"""
+    WITH t AS (
+      SELECT {toks} AS tok_arr FROM {table}
+    ),
+    tok AS (
+      SELECT {explode}(tok_arr) AS token FROM t
+    ),
+    per_token AS (
+      SELECT token, {h60("token")} AS hv,
+             CAST(COUNT(*) AS {bigint}) AS occ
+      FROM tok GROUP BY 1, 2
+    ),
+    feat AS (
+      SELECT hv % {FH_BUCKETS} AS bucket,
+             CASE WHEN (hv {intdiv} {FH_BUCKETS}) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn,
+             occ
+      FROM per_token
+    ),
+    per_bucket AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS {bigint}) AS n_tokens,
+             CAST(SUM(occ) AS {bigint}) AS n_occurrences,
+             CAST(SUM(sgn * occ) AS {bigint}) AS signed_sum
+      FROM feat GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_occurrences) AS {bigint}) AS n FROM per_bucket
+    )
+    SELECT b.bucket, b.n_tokens, b.n_occurrences, b.signed_sum,
+           CAST(CAST(
+             CAST(b.n_occurrences AS DOUBLE)
+             / (CAST(tot.n AS DOUBLE) / {FH_BUCKETS})
+             AS DECIMAL(18,6)) AS DOUBLE) AS load_vs_uniform
+    FROM per_bucket b CROSS JOIN tot
+    ORDER BY b.bucket
+    """
+
+
+def _fh_oracle() -> str:
+    return _fh_sql(
+        "documents", TOKENS_DUCK, "unnest", hash60_duck, "BIGINT", "//"
+    )
+
+
+@query("features_hashing_trick_audit", oracle=_fh_oracle())
+def features_hashing_trick_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Collision audit for the hashing trick (Weinberger et al.'s
+    feature hashing — public method) at D = {FH_BUCKETS} buckets: when
+    a model hashes an unbounded token vocabulary into a fixed-width
+    vector, the ONLY design question is whether D is big enough, and
+    this table answers it per bucket — how many DISTINCT tokens
+    collided there (estimation bias), total occurrence load vs the
+    uniform-hash expectation (hot buckets), and the signed occurrence
+    sum under the ±1 sign hash (how much collision mass the sign
+    trick actually cancels — the variance-reduction argument for
+    signed hashing, checked rather than assumed). Bucket = 60-bit
+    md5 mod D, sign = the next hash bit, so features are reproducible
+    across engines and runs — the same portable-hash discipline as
+    the dedup ladder.
+
+    Exactness: integer end-to-end (hash, bucket, sign, counts); the
+    one ratio is a single IEEE chain over exact integers, pinned
+    DECIMAL(18,6).
+
+    Plan: tokenize scan → explode → (token, hash) hash aggregate (the
+    aggregation boundary is what forces ONE md5 evaluation — a plain
+    projection gets inlined into both bucket and sign by
+    CollapseProject; the pin counts md5 calls) → bucket/sign are then
+    integer arithmetic on the materialized hash, and the per-token
+    pre-aggregate means n_tokens is a plain COUNT — no distinct-agg
+    Expand anywhere → {FH_BUCKETS}-group aggregate → broadcast-scalar
+    total → sort of ≤{FH_BUCKETS} rows. At 100 TB the shuffles carry
+    (token, count) then per-bucket partials, never raw text."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("fh_documents")
+    return spark.sql(
+        _fh_sql(
+            "fh_documents",
+            TOKENS_SPARK,
+            "explode",
+            hash60_spark,
+            "BIGINT",
+            "DIV",
+        )
+    )

@@ -1925,6 +1925,103 @@ def lineitem_laspeyres_price_index(
     )
 
 
+# ---- Paasche / Fisher price indices ----------------------------------------
+
+
+def _fisher_sql(li: str, bigint: str, yr: str) -> str:
+    """Shared Paasche/Fisher text. Mirrors ``_laspeyres_sql``'s
+    matched-basket frames exactly (same u/py/base CTEs), then carries
+    all four dot products (p_t·q0, p0·q0, p_t·q_t, p0·q_t) in one
+    per-year aggregate so both indices price the SAME basket."""
+    return f"""
+    WITH u AS (
+      SELECT l_partkey, {yr} AS yr,
+             CAST(CAST(l_extendedprice AS DOUBLE) / l_quantity
+                  AS DECIMAL(18,6)) AS unit_price,
+             CAST(l_quantity AS DECIMAL(18,2)) AS qty
+      FROM {li}
+    ),
+    py AS (
+      SELECT l_partkey, yr,
+             CAST(CAST(CAST(SUM(unit_price) AS DOUBLE) / COUNT(*)
+                  AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS p,
+             SUM(qty) AS q
+      FROM u GROUP BY 1, 2
+    ),
+    base_yr AS (SELECT MIN(yr) AS b FROM py),
+    base AS (
+      SELECT py.l_partkey, py.p AS p0, py.q AS q0
+      FROM py JOIN base_yr ON py.yr = base_yr.b
+    ),
+    terms AS (
+      SELECT py.yr,
+             SUM(CAST(py.p AS DECIMAL(38,8)) * base.q0) AS l_num,
+             SUM(CAST(base.p0 AS DECIMAL(38,8)) * base.q0) AS l_den,
+             SUM(CAST(py.p AS DECIMAL(38,8)) * py.q) AS p_num,
+             SUM(CAST(base.p0 AS DECIMAL(38,8)) * py.q) AS p_den,
+             CAST(COUNT(*) AS {bigint}) AS n_parts
+      FROM py JOIN base ON base.l_partkey = py.l_partkey
+      GROUP BY py.yr
+    ),
+    idx AS (
+      SELECT yr, n_parts,
+             CAST(CAST(
+               CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE) * 100
+               AS DECIMAL(18,6)) AS DOUBLE) AS laspeyres_index,
+             CAST(CAST(
+               CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE) * 100
+               AS DECIMAL(18,6)) AS DOUBLE) AS paasche_index
+      FROM terms
+    )
+    SELECT yr AS year, n_parts, laspeyres_index, paasche_index,
+           CAST(CAST(
+             sqrt(laspeyres_index * paasche_index)
+             AS DECIMAL(18,6)) AS DOUBLE) AS fisher_index
+    FROM idx
+    """
+
+
+@query(
+    "lineitem_fisher_price_index",
+    oracle=_fisher_sql(
+        "lineitem",
+        "BIGINT",
+        "EXTRACT(year FROM CAST(l_shipdate AS DATE))::INT",
+    ),
+)
+def lineitem_fisher_price_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Paasche and Fisher price indices by ship year, completing the
+    index-number family ``lineitem_laspeyres_price_index`` opened:
+    Paasche re-weights by CURRENT-year quantities (Σp_t·q_t / Σp₀·q_t
+    — the downward-substitution-bias twin of Laspeyres' upward bias),
+    and Fisher is their geometric mean √(L·P), the "ideal" index that
+    satisfies the time-reversal test neither parent does. Same
+    matched-basket (intersection) convention as the Laspeyres op —
+    both indices price exactly the parts traded in the base year AND
+    year t, so L, P, and F are comparable per row (n_parts reports
+    the matched-basket size).
+
+    Exactness: identical u/py/base frames as the Laspeyres op (row
+    unit price = one pinned double division; per-(part,year) mean
+    price re-pinned DECIMAL(18,6)); all four dot products are exact
+    DECIMAL(38,8) sums in ONE per-year aggregate; each index is one
+    double division ×100 pinned DECIMAL(18,6), and Fisher is one sqrt
+    over the two already-pinned doubles, pinned again — identical
+    IEEE chains in both engines.
+
+    Plan: one lineitem scan → (part, year) hash aggregate; base-year
+    frame joins back (|parts| rows, AQE-broadcastable); one ~#years
+    aggregate carrying four sums; 1-projection finish. No window, no
+    second scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("fisher_lineitem")
+    return spark.sql(
+        _fisher_sql("fisher_lineitem", "BIGINT", "year(l_shipdate)")
+    )
+
+
 # ---- customer value-segment migration --------------------------------------
 
 

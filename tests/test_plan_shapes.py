@@ -1070,3 +1070,120 @@ def test_mixture_plan_joins_broadcast_no_corpus_sort(spark):
     assert "SortMergeJoin" not in final
     assert "CartesianProduct" not in final
     assert final.count("Scan parquet") <= 3, final.count("Scan parquet")
+
+
+def test_fisher_index_reuses_laspeyres_shape(spark):
+    """Paasche/Fisher must keep the Laspeyres physical budget: the
+    per-(part,year) price frame derives from <= 3 lineitem scans (py
+    referenced by base and terms + the base-year scalar), every join
+    hash/broadcast-sided on the |parts| frame, no window, no
+    CartesianProduct — the four dot products ride ONE per-year
+    aggregate, not four."""
+    final = _final(_plan(spark, "lineitem_fisher_price_index"))
+    assert final.count("Scan parquet") <= 3, final.count("Scan parquet")
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "Window" not in final
+
+
+def test_l_diversity_is_one_scan_no_window(spark):
+    """l-diversity must collapse the customer table in ONE scan into
+    the (QI, segment) hash aggregate; the entropy join is class-keyed
+    (hash/broadcast), and no window or cartesian may appear — the
+    report is aggregation end-to-end."""
+    final = _final(_plan(spark, "customer_l_diversity"))
+    assert final.count("Scan parquet") == 1, final.count("Scan parquet")
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "Window" not in final
+
+
+def test_fanout_audit_never_materializes_the_pairs(spark):
+    """The fanout audit predicts a quadratic join from COUNTS: one
+    lineitem scan -> key hash aggregate -> 1-row total broadcast back
+    -> TakeOrdered(10). The audited join's pair frame must not exist
+    in the plan (no SortMergeJoin, no CartesianProduct; the one
+    nested-loop is the broadcast-scalar total)."""
+    final = _final(_plan(spark, "join_fanout_audit"))
+    assert final.count("Scan parquet") == 1, final.count("Scan parquet")
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "TakeOrdered" in final
+
+
+def test_brier_decomposition_is_aggregates_plus_scalar_joins(spark):
+    """The Murphy decomposition is two aggregates over the scored
+    frame (corpus moments + 10 fixed-width bins) glued by 1-row
+    broadcast nested loops: <= 3 tokenize scans (the curation-report
+    budget), no window, no rank exchange, no SortMergeJoin — strictly
+    cheaper than the rank-decile calibration table."""
+    final = _final(_plan(spark, "eval_brier_decomposition"))
+    assert final.count("Scan parquet") <= 3, final.count("Scan parquet")
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "Window" not in final
+
+
+def test_delta_method_is_moment_aggregate_plus_arm_join(spark):
+    """The delta-method readout carries all six per-arm moments in ONE
+    conditional aggregate pass (2-row result), then self-joins the two
+    1-row arms via broadcast nested loop: <= 2 events scans, no
+    window, no SortMergeJoin."""
+    final = _final(_plan(spark, "events_ab_delta_method"))
+    assert final.count("Scan parquet") <= 2, final.count("Scan parquet")
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "Window" not in final
+
+
+def test_sprt_window_is_calendar_bounded_single_scan(spark):
+    """The SPRT monitor is one events scan -> per-user aggregate ->
+    per-day aggregate; its one unpartitioned cumulative window runs on
+    the <= #days daily frame (bounded by construction, the
+    daily-series convention) — no join anywhere in the plan."""
+    final = _final(_plan(spark, "events_ab_sequential_sprt"))
+    assert final.count("Scan parquet") == 1, final.count("Scan parquet")
+    assert "Join" not in final, final
+    assert final.count("Window") == 1
+
+
+def test_cochran_q_is_two_calendar_chains(spark):
+    """Cochran's Q must run as TWO chains (weekday column totals /
+    week row totals), each one scan + calendar-sized aggregates,
+    joined by a 1-row broadcast nested loop — the scalar-subquery
+    form that re-executed the chain five times is the regression this
+    pin guards against. No window, no cartesian."""
+    final = _final(_plan(spark, "stats_cochran_q_dow"))
+    assert final.count("Scan parquet") <= 2, final.count("Scan parquet")
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "Window" not in final
+
+
+def test_hits_persists_edges_one_scan_per_fact(spark):
+    """HITS must derive the bipartite edge list ONCE (one orders scan
+    + one lineitem scan into a persisted frame) and run all four h/a
+    rounds against the cache — the SQL-CTE form that re-derives the
+    fact-fact join per round is the regression this pin guards. Per-
+    side top-k rides TakeOrdered; no cartesian anywhere."""
+    plan = _plan(spark, "graph_hits_hubs_authorities")
+    final = _outer_final(plan)
+    assert final.count("Scan parquet") == 0, final.count("Scan parquet")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in final
+    assert "TakeOrdered" in plan
+
+
+def test_hashing_audit_computes_hash_once_no_expand(spark):
+    """The feature-hashing audit is tokenize scan -> explode ->
+    (token, hash) pre-aggregate (the aggregation boundary forces ONE
+    md5 evaluation; bucket and sign are integer arithmetic on the
+    materialized hash) -> 64-group aggregate -> broadcast-scalar
+    total: <= 2 scans, no window, no SortMergeJoin, exactly one md5
+    call, and no distinct-agg Expand."""
+    final = _final(_plan(spark, "features_hashing_trick_audit"))
+    assert final.count("Scan parquet") <= 2, final.count("Scan parquet")
+    assert "SortMergeJoin" not in final
+    assert "Window" not in final
+    assert final.count("md5") == 1, final.count("md5")
+    assert "Expand" not in final
