@@ -5172,6 +5172,115 @@ def events_holt_linear_recursive(
     return spark.sql(_holt_sql("holt_events"))
 
 
+HW_ALPHA = "CAST(0.30 AS DOUBLE)"  # level gain
+HW_BETA = "CAST(0.10 AS DOUBLE)"  # trend gain
+HW_GAMMA = "CAST(0.20 AS DOUBLE)"  # seasonal gain
+
+
+def _hw_sql(table: str = "events") -> str:
+    """IDENTICAL recursive text for both dialects: additive
+    Holt-Winters with weekly period m=7. The seasonal state is a
+    7-slot ring carried as columns s1..s7 — each step consumes s1
+    (the component for the current day), shifts the ring left, and
+    appends the updated component, so slot 1 is ALWAYS "this day's
+    season" and no modular indexing is needed. Init at t=7 (one full
+    season): level = first-week mean, trend = 0, ring = week-1
+    deviations from that mean (stated convention)."""
+    a, b, g = HW_ALPHA, HW_BETA, HW_GAMMA
+    x = "CAST(d.rev AS DOUBLE)"
+    lvl = f"{a} * ({x} - h.s1) + (1 - {a}) * (h.l + h.b)"
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS rev
+      FROM {table}
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    seq AS (
+      SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily
+    ),
+    wk1 AS (
+      SELECT CAST(SUM(rev) AS DOUBLE) / 7 AS m,
+             MAX(CASE WHEN t = 1 THEN CAST(rev AS DOUBLE) END) AS x1,
+             MAX(CASE WHEN t = 2 THEN CAST(rev AS DOUBLE) END) AS x2,
+             MAX(CASE WHEN t = 3 THEN CAST(rev AS DOUBLE) END) AS x3,
+             MAX(CASE WHEN t = 4 THEN CAST(rev AS DOUBLE) END) AS x4,
+             MAX(CASE WHEN t = 5 THEN CAST(rev AS DOUBLE) END) AS x5,
+             MAX(CASE WHEN t = 6 THEN CAST(rev AS DOUBLE) END) AS x6,
+             MAX(CASE WHEN t = 7 THEN CAST(rev AS DOUBLE) END) AS x7
+      FROM seq WHERE t <= 7
+    ),
+    hw AS (
+      SELECT s.t, s.day, s.rev,
+             w.m AS l, CAST(0 AS DOUBLE) AS b,
+             w.x1 - w.m AS s1, w.x2 - w.m AS s2, w.x3 - w.m AS s3,
+             w.x4 - w.m AS s4, w.x5 - w.m AS s5, w.x6 - w.m AS s6,
+             w.x7 - w.m AS s7,
+             CAST(NULL AS DOUBLE) AS fitted
+      FROM seq s CROSS JOIN wk1 w WHERE s.t = 7
+      UNION ALL
+      SELECT d.t, d.day, d.rev,
+             {lvl},
+             {b} * (({lvl}) - h.l) + (1 - {b}) * h.b,
+             h.s2, h.s3, h.s4, h.s5, h.s6, h.s7,
+             {g} * ({x} - ({lvl})) + (1 - {g}) * h.s1,
+             h.l + h.b + h.s1
+      FROM seq d JOIN hw h ON d.t = h.t + 1
+    )
+    SELECT day,
+           CAST(rev AS DOUBLE) AS daily_rev,
+           CAST(CAST(l AS DECIMAL(18,6)) AS DOUBLE) AS hw_level,
+           CAST(CAST(b AS DECIMAL(18,6)) AS DOUBLE) AS hw_trend,
+           CAST(CAST(s7 AS DECIMAL(18,6)) AS DOUBLE) AS hw_seasonal,
+           CAST(CAST(fitted AS DECIMAL(18,6)) AS DOUBLE)
+             AS one_step_forecast,
+           CAST(CAST(l + b + s1 AS DECIMAL(18,6)) AS DOUBLE)
+             AS forecast_next
+    FROM hw
+    ORDER BY day
+    """
+
+
+@query("events_holt_winters_additive", oracle=_hw_sql())
+def events_holt_winters_additive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing, weekly
+    period m=7) of daily purchase revenue — the top rung of the
+    forecasting ladder: EWMA tracks level, Holt adds drift, and this
+    adds the SEASONAL component both of them smear into lag (Winters
+    1960). The three coupled recurrences (lₜ = α(xₜ−sₜ₋₇) +
+    (1−α)(lₜ₋₁+bₜ₋₁); bₜ = β(lₜ−lₜ₋₁)+(1−β)bₜ₋₁; sₜ =
+    γ(xₜ−lₜ)+(1−γ)sₜ₋₇) run as ONE recursive CTE whose state carries
+    the 7-slot seasonal ring as columns s1..s7 — each step consumes
+    slot 1, shifts left, appends the update, so "this day's season"
+    is always slot 1 and the recursion needs no modular indexing.
+    Emits level/trend/seasonal plus the honest ONE-STEP forecast
+    (what t−1 predicted for t — NULL on the init row by
+    construction) and next-day forecast. Identical query text on
+    Spark 4 and DuckDB, the ``events_holt_linear_recursive``
+    engine-surface contract extended to 9 state columns.
+
+    Exactness: daily revenues are DECIMAL-exact; init is one
+    7-value pivot + mean (single IEEE chain); the recursion forces
+    the same multiply-add chain in the same t-order on both engines,
+    so all nine state columns stay bit-identical; outputs pinned
+    DECIMAL(18,6). Init convention stated: l₇ = week-1 mean, b₇ = 0,
+    ring = week-1 deviations.
+
+    Scale honesty: recursion depth = series length over the ~#days
+    frame (the Holt caveat verbatim — segment multi-year series or
+    raise cteRecursionLevelLimit); the corpus-sized work is the one
+    scan into the daily aggregate; the 7-row pivot and every step run
+    on single-row frames."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "hw_events"
+    )
+    return spark.sql(_hw_sql("hw_events"))
+
+
 # ---- Rayleigh circular-uniformity test --------------------------------------
 
 

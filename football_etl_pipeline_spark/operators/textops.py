@@ -4277,3 +4277,299 @@ def features_hashing_trick_audit(
             "DIV",
         )
     )
+
+
+# ---- multinomial naive Bayes language classifier ------------------------
+
+NB_FOLDS = 5  # hash folds; fold 0 is the held-out test split
+
+
+def _nb_split_select(
+    table: str, toks: str, h60, *, materialized: bool = False
+) -> str:
+    """The tokenize+fold projection — parameterized so the Spark side
+    can persist it once (``materialized=True`` reads the already-
+    computed view) while the oracle's CTE derives it inline."""
+    if materialized:
+        return f"SELECT doc_id, lang, tok_arr, fold FROM {table}"
+    fold = f"{h60('CAST(doc_id AS VARCHAR)')} % {NB_FOLDS}"
+    return (
+        f"SELECT doc_id, lang, {toks} AS tok_arr, {fold} AS fold"
+        f" FROM {table}"
+    )
+
+
+def _nb_sql(split_select: str, explode: str, bigint: str) -> str:
+    """Shared naive-Bayes text: multinomial NB with add-one smoothing
+    over word unigrams, trained on hash folds 1..4, evaluated as a
+    confusion matrix on fold 0."""
+    return f"""
+    WITH split AS (
+      {split_select}
+    ),
+    train_tok AS (
+      SELECT lang, {explode}(tok_arr) AS token
+      FROM split WHERE fold <> 0
+    ),
+    likelihood AS (
+      SELECT lang, token, CAST(COUNT(*) AS {bigint}) AS cnt
+      FROM train_tok GROUP BY 1, 2
+    ),
+    lang_tot AS (
+      SELECT lang, CAST(COUNT(*) AS {bigint}) AS tot
+      FROM train_tok GROUP BY 1
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT token) AS {bigint}) AS v
+      FROM train_tok
+    ),
+    prior AS (
+      SELECT lang, CAST(COUNT(*) AS {bigint}) AS n_docs
+      FROM split WHERE fold <> 0 GROUP BY 1
+    ),
+    tot_docs AS (
+      SELECT CAST(SUM(n_docs) AS {bigint}) AS n FROM prior
+    ),
+    test_tok AS (
+      SELECT doc_id, true_lang, token,
+             CAST(COUNT(*) AS {bigint}) AS occ
+      FROM (SELECT doc_id, lang AS true_lang,
+                   {explode}(tok_arr) AS token
+            FROM split WHERE fold = 0) raw
+      GROUP BY 1, 2, 3
+    ),
+    terms AS (
+      SELECT g.doc_id, g.true_lang, g.lang,
+             CAST(g.occ
+                  * ln((CAST(COALESCE(l.cnt, 0) AS DOUBLE) + 1)
+                       / (lt.tot + v.v))
+                  AS DECIMAL(28,12)) AS term
+      FROM (SELECT t.doc_id, t.true_lang, t.token, t.occ, p.lang
+            FROM test_tok t CROSS JOIN (SELECT lang FROM prior) p) g
+      LEFT JOIN likelihood l
+        ON l.lang = g.lang AND l.token = g.token
+      JOIN lang_tot lt ON lt.lang = g.lang
+      CROSS JOIN vocab v
+    ),
+    scores AS (
+      SELECT t.doc_id, t.true_lang, t.lang,
+             SUM(t.term)
+               + MAX(CAST(ln(CAST(p.n_docs AS DOUBLE) / td.n)
+                          AS DECIMAL(28,12))) AS score
+      FROM terms t
+      JOIN prior p ON p.lang = t.lang
+      CROSS JOIN tot_docs td
+      GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, lang ASC
+             ) AS rn
+      FROM scores
+    )
+    SELECT true_lang, lang AS pred_lang,
+           CAST(COUNT(*) AS {bigint}) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+
+@query(
+    "text_naive_bayes_langid",
+    oracle=None,  # registered below with the duck dialect pieces
+)
+def text_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier, trained AND
+    evaluated inside the engine — the trainable companion to the
+    heuristic ``text_language_id``: word-unigram likelihoods with
+    add-one (Laplace) smoothing, document priors, deterministic
+    80/20 hash split (folds 1–4 train, fold 0 test), and the output
+    is the test-fold CONFUSION MATRIX — the artifact a curation
+    review actually reads (which languages bleed into which).
+    Unseen-token mass is handled by the LEFT JOIN + COALESCE(cnt,0)
+    against the trained likelihood table, so scoring never drops a
+    token the training fold missed.
+
+    Exactness: counts are integers; each token's log-likelihood
+    contribution occ·ln((cnt+1)/(tot+V)) is ONE IEEE chain over
+    exact integers pinned DECIMAL(28,12) BEFORE the per-doc sum
+    (order-insensitive decimal addition — the ln-pin rule), and the
+    prior enters as one more pinned term; the argmax compares exact
+    decimals with a lang tie-break, so predictions are bit-stable
+    cross-engine.
+
+    Scale: the tokenize+fold projection is computed ONCE and
+    persisted on the Spark side (the SQL text references it 7× —
+    inline it and the corpus is re-tokenized 7×, the plan pin's
+    regression target; the oracle's CTE derives it inline, same
+    math); train is then two hash aggregates over exploded tokens
+    (map-side partials); scoring joins test (token, occ) pairs
+    against the (lang, token) likelihood — an equi-join that shuffles
+    on token, multiplied only by |langs| via the broadcast lang grid;
+    the argmax window is partitioned by doc_id. No all-pairs
+    surface, no driver math; the confusion matrix is ≤ |langs|²
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("nb_documents")
+    split = spark.sql(
+        _nb_split_select(
+            "nb_documents",
+            TOKENS_SPARK,
+            lambda e: hash60_spark(e.replace("VARCHAR", "STRING")),
+        )
+    )
+    persist_tracked(split)
+    split.createOrReplaceTempView("nb_split")
+    return spark.sql(
+        _nb_sql(
+            _nb_split_select("nb_split", "", None, materialized=True),
+            "explode",
+            "BIGINT",
+        )
+    )
+
+
+_ORACLES["text_naive_bayes_langid"] = _nb_sql(
+    _nb_split_select("documents", TOKENS_DUCK, hash60_duck),
+    "unnest",
+    "BIGINT",
+)
+
+
+# ---- logistic-regression training by unrolled gradient descent ----------
+
+LR_ETA = "CAST(2.0 AS DOUBLE)"  # gradient-descent step size
+LR_STEPS = 3
+
+
+def _lr_feature_select(dialect: str, table: str = "documents") -> str:
+    """Dialect feature projection: x1 = kilochars, x2 = en-marker
+    ratio, y = (lang = 'en'). ``table`` is parameterized so the Spark
+    side reads an op-scoped view (never a session-global 'documents'
+    shadow — the holt_events lesson)."""
+    toks = TOKENS_SPARK if dialect == "spark" else TOKENS_DUCK
+    ln_fn = "size" if dialect == "spark" else "len"
+    mc = _marker_count(toks, "en", dialect)
+    return f"""
+      SELECT CAST(n_chars AS DOUBLE) / 1000 AS x1,
+             CASE WHEN {ln_fn}({toks}) > 0
+                  THEN CAST({mc} AS DOUBLE) / {ln_fn}({toks})
+                  ELSE CAST(0 AS DOUBLE) END AS x2,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM {table}
+    """
+
+
+def _lr_sig(w0: str, w1: str, w2: str) -> str:
+    """The sigmoid chain sigma(w.x), written once so both the
+    gradient and the metric passes use the identical IEEE text."""
+    return f"(1 / (1 + exp(-({w0} + {w1} * x1 + {w2} * x2))))"
+
+
+def _lr_sql(feature_select: str, bigint: str) -> str:
+    """Shared unrolled-GD text. ``feature_select`` yields (x1, x2, y);
+    each step is one moment aggregate (three pinned gradient sums)
+    followed by a 1-row weight update pinned DECIMAL(18,12), plus a
+    metric pass (logloss/accuracy) under the NEW weights — the
+    k-means trajectory-oracle discipline applied to logistic loss."""
+    parts = []
+    for it in range(1, LR_STEPS + 1):
+        if it == 1:
+            pw = ["CAST(0 AS DOUBLE)"] * 3
+        else:
+            pw = [f"(SELECT w{j} FROM w{it - 1})" for j in range(3)]
+        s_prev = _lr_sig(*pw)
+        s_new = _lr_sig("w.w0", "w.w1", "w.w2")
+        parts.append(f"""
+    g{it} AS (
+      SELECT SUM(CAST(({s_prev} - y) AS DECIMAL(28,12))) AS g0,
+             SUM(CAST(({s_prev} - y) * x1 AS DECIMAL(28,12))) AS g1,
+             SUM(CAST(({s_prev} - y) * x2 AS DECIMAL(28,12))) AS g2,
+             CAST(COUNT(*) AS {bigint}) AS n
+      FROM f
+    ),
+    w{it} AS (
+      SELECT
+        CAST(CAST({pw[0]} - {LR_ETA} * (CAST(g0 AS DOUBLE) / n)
+             AS DECIMAL(18,12)) AS DOUBLE) AS w0,
+        CAST(CAST({pw[1]} - {LR_ETA} * (CAST(g1 AS DOUBLE) / n)
+             AS DECIMAL(18,12)) AS DOUBLE) AS w1,
+        CAST(CAST({pw[2]} - {LR_ETA} * (CAST(g2 AS DOUBLE) / n)
+             AS DECIMAL(18,12)) AS DOUBLE) AS w2
+      FROM g{it}
+    ),
+    m{it} AS (
+      SELECT w.w0 AS w0, w.w1 AS w1, w.w2 AS w2,
+             SUM(CAST(
+               -(y * ln({s_new}) + (1 - y) * ln(1 - {s_new}))
+               AS DECIMAL(28,12))) AS loss_sum,
+             CAST(SUM(CASE WHEN {s_new} >= 0.5
+                      THEN y ELSE 1 - y END) AS {bigint}) AS n_correct,
+             CAST(COUNT(*) AS {bigint}) AS n
+      FROM f CROSS JOIN w{it} w
+      GROUP BY w.w0, w.w1, w.w2
+    )""")
+    unions = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({it} AS {bigint}) AS step, w0, w1, w2,
+           CAST(CAST(CAST(loss_sum AS DOUBLE) / n AS DECIMAL(18,12))
+                AS DOUBLE) AS logloss,
+           CAST(CAST(CAST(n_correct AS DOUBLE) / n AS DECIMAL(18,6))
+                AS DOUBLE) AS accuracy
+    FROM m{it}"""
+        for it in range(1, LR_STEPS + 1)
+    )
+    return f"""
+    WITH f AS (
+      {feature_select}
+    ),{",".join(parts)}
+    SELECT * FROM (
+{unions}
+    ) steps
+    ORDER BY step
+    """
+
+
+@query("text_logreg_train_gd", oracle=None)  # oracle registered below
+def text_logreg_train_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression TRAINING inside the engine — {LR_STEPS}
+    unrolled full-batch gradient-descent steps on the is-English
+    label with two quality features (kilochars, en-marker ratio):
+    the trainable half the scoring-side ``text_quality_logreg_score``
+    assumes exists. Each step emits its weights AND the logloss /
+    accuracy under them, so the output is the descent trajectory
+    itself — the per-step loss drop is the convergence evidence, in
+    the result, not a claim. (Full-batch GD is the deterministic
+    choice: SGD's sample order has no cross-engine meaning.)
+
+    Exactness: the k-means trajectory discipline applied to logistic
+    loss — per-row gradient terms (sigma(w.x) − y)·x_j are one IEEE
+    chain over identical doubles pinned DECIMAL(28,12) BEFORE the
+    order-sensitive corpus sum; each weight update is one double
+    chain over those exact sums re-pinned DECIMAL(18,12), so every
+    step starts from bit-identical weights in both engines; logloss
+    terms ride the same pin (the ln-pin rule; features are bounded —
+    kilochars ≤ ~2, ratio ≤ 1 — so sigma stays far from the ln(0)
+    cliffs at these step sizes).
+
+    Scale: one feature projection (persisted on the Spark side —
+    the {LR_STEPS}-step unroll re-reads it {2 * LR_STEPS}×; the
+    oracle's CTE re-derives it, same text, same math) and per step
+    ONE moment aggregate + ONE metric aggregate, each a map-side
+    partial over (x1, x2, y) triples; weights are 1-row frames cross
+    joined back (broadcast). Nothing is collected; step count, not
+    data, bounds the unroll."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("lr_documents")
+    feats = spark.sql(_lr_feature_select("spark", "lr_documents"))
+    persist_tracked(feats)
+    feats.createOrReplaceTempView("lr_features")
+    return spark.sql(
+        _lr_sql("SELECT x1, x2, y FROM lr_features", "BIGINT")
+    )
+
+
+_ORACLES["text_logreg_train_gd"] = _lr_sql(
+    _lr_feature_select("duck"), "BIGINT"
+)

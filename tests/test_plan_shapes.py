@@ -1187,3 +1187,41 @@ def test_hashing_audit_computes_hash_once_no_expand(spark):
     assert "Window" not in final
     assert final.count("md5") == 1, final.count("md5")
     assert "Expand" not in final
+
+
+def test_holt_winters_is_unionloop_no_join_wider_than_step(spark):
+    """Holt-Winters must execute as the recursive-CTE UnionLoop over
+    the daily aggregate (the 9-column state ring rides the loop; a
+    window rewrite would not be bit-identical to the oracle's
+    recursion) with no CartesianProduct anywhere."""
+    plan = _plan(spark, "events_holt_winters_additive")
+    assert "UnionLoop" in plan
+    assert "CartesianProduct" not in _outer_final(plan)
+
+
+def test_naive_bayes_tokenizes_once(spark):
+    """Naive Bayes references the tokenize+fold projection 7x in SQL;
+    the Spark side must persist it so the corpus is tokenized ONCE —
+    zero parquet scans in the outer final plan, every reference an
+    InMemoryTableScan. No SortMergeJoin (the likelihood join is
+    hash-sided), no cartesian beyond the broadcast lang grid."""
+    plan = _plan(spark, "text_naive_bayes_langid")
+    outer = _outer_final(plan)
+    assert outer.count("Scan parquet") == 0, outer.count("Scan parquet")
+    assert outer.count("InMemoryTableScan") >= 5
+    assert "SortMergeJoin" not in outer
+    assert "CartesianProduct" not in outer
+
+
+def test_logreg_gd_reuses_persisted_features(spark):
+    """The unrolled-GD trainer reads the feature projection 2x per
+    step (gradient + metrics); the Spark side must persist it once —
+    zero parquet scans in the outer final, all feature reads from
+    cache, weights glued back as 1-row broadcast nested loops, no
+    SortMergeJoin, no window."""
+    plan = _plan(spark, "text_logreg_train_gd")
+    outer = _outer_final(plan)
+    assert outer.count("Scan parquet") == 0, outer.count("Scan parquet")
+    assert outer.count("InMemoryTableScan") >= 4
+    assert "SortMergeJoin" not in outer
+    assert "Window" not in outer
