@@ -825,7 +825,35 @@ def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 EWMA_ALPHA = "CAST(0.3 AS DOUBLE)"  # shared literal, both dialects
 
 
-def _ewma_sql(table: str = "events", limit_clause: str = "") -> str:
+
+def _daily_rev_seq_sql(table: str) -> str:
+    """The corpus-side half shared by the three revenue recursions
+    (EWMA / Holt / Holt-Winters): daily purchase revenue with a
+    sequence number — split out so the Spark side can localCheckpoint
+    its ~#days-row result once. A recursive CTE re-plans every frame
+    its step references, so an inline daily aggregate re-runs the
+    corpus scan PER STEP (measured 4x wall on Croston at sf0.1); the
+    checkpointed leaf makes each step a join against ≤#days
+    materialized rows. The oracle keeps the aggregate inline — same
+    text, same math."""
+    return f"""
+    SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS t
+    FROM (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS rev
+      FROM {table}
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY 1
+    ) daily
+    """
+
+
+def _ewma_sql(
+    table: str = "events",
+    limit_clause: str = "",
+    seq_select: str | None = None,
+) -> str:
     """The IDENTICAL recursive query text for both dialects (up to
     the source-view name, parameterized like the other dual-dialect
     builders so the Spark side can use an op-scoped view) — the
@@ -834,17 +862,10 @@ def _ewma_sql(table: str = "events", limit_clause: str = "") -> str:
     sₜ = α·xₜ + (1−α)·sₜ₋₁ — a linear recurrence no plain window
     function expresses exactly."""
     a = EWMA_ALPHA
+    seq = seq_select or _daily_rev_seq_sql(table)
     return f"""
-    WITH RECURSIVE daily AS (
-      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
-               AS day,
-             SUM(CAST(value AS DECIMAL(18,6))) AS rev
-      FROM {table}
-      WHERE event_type = 'purchase' AND value IS NOT NULL
-      GROUP BY 1
-    ),
-    seq AS (
-      SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily
+    WITH RECURSIVE seq AS (
+      {seq}
     ),
     ew AS (
       SELECT t, day, rev, CAST(rev AS DOUBLE) AS s
@@ -888,7 +909,11 @@ def events_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "ewma_events"
     )
-    return spark.sql(_ewma_sql("ewma_events"))
+    seq = spark.sql(_daily_rev_seq_sql("ewma_events")).localCheckpoint()
+    seq.createOrReplaceTempView("ewma_seq")
+    return spark.sql(
+        _ewma_sql(seq_select="SELECT day, rev, t FROM ewma_seq")
+    )
 
 
 # ---- Kaplan–Meier churn survival curve ---------------------------------
@@ -3215,6 +3240,167 @@ def events_ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- stratified lift meta-analysis ------------------------------------------
+
+
+def _meta_sql(h_expr: str, bigint: str, pct: str) -> str:
+    """Shared fixed-effect meta-analysis text: strata = exact
+    activity TERCILES of per-user event count (boundaries from the
+    shared exact-percentile convention — Spark percentile ≡ DuckDB
+    quantile_cont — pinned DECIMAL(18,6), membership a <=-CASE
+    against the pinned doubles, the segment-migration precedent; the
+    tercile rule stays meaningful at ANY scale factor where fixed
+    count boundaries would collapse); per-stratum lift delta_k =
+    p1 − p0 on day-0 conversion with binomial variance;
+    inverse-variance pooling; Cochran's Q and I² for heterogeneity.
+    Degenerate strata (an arm empty or a rate at 0/1 → zero
+    variance) are excluded — stated convention."""
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS {bigint}) AS n_ev,
+             CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                           THEN CAST(ts AS DATE) END)
+                       = MIN(CAST(ts AS DATE))
+                  THEN 1 ELSE 0 END AS conv
+      FROM events
+      GROUP BY user_id
+    ),
+    bounds AS (
+      SELECT CAST(CAST({pct}(n_ev, CAST(1 AS DOUBLE) / 3)
+                  AS DECIMAL(18,6)) AS DOUBLE) AS t1,
+             CAST(CAST({pct}(n_ev, CAST(2 AS DOUBLE) / 3)
+                  AS DECIMAL(18,6)) AS DOUBLE) AS t2
+      FROM per_user
+    ),
+    u AS (
+      SELECT CASE WHEN p.n_ev <= b.t1 THEN 'low'
+                  WHEN p.n_ev <= b.t2 THEN 'mid'
+                  ELSE 'high' END AS wk,
+             p.conv,
+             {h_expr} % 2 AS arm
+      FROM per_user p CROSS JOIN bounds b
+    ),
+    cells AS (
+      SELECT wk,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS {bigint})
+               AS n0,
+             CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+                  AS {bigint}) AS c0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS {bigint})
+               AS n1,
+             CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+                  AS {bigint}) AS c1
+      FROM u GROUP BY wk
+    ),
+    strata AS (
+      SELECT wk, n0, c0, n1, c1,
+             CAST(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0
+                  AS DECIMAL(18,12)) AS delta_k,
+             CAST(1 / ((CAST(c0 AS DOUBLE) / n0)
+                       * (1 - CAST(c0 AS DOUBLE) / n0) / n0
+                     + (CAST(c1 AS DOUBLE) / n1)
+                       * (1 - CAST(c1 AS DOUBLE) / n1) / n1)
+                  AS DECIMAL(28,12)) AS w_k
+      FROM cells
+      WHERE c0 > 0 AND c0 < n0 AND c1 > 0 AND c1 < n1
+    ),
+    terms AS (
+      SELECT wk, n0 + n1 AS n_k, delta_k, w_k,
+             CAST(CAST(w_k AS DOUBLE) * CAST(delta_k AS DOUBLE)
+                  AS DECIMAL(28,12)) AS wd
+      FROM strata
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS {bigint}) AS k,
+             CAST(SUM(n_k) AS {bigint}) AS n_users,
+             SUM(w_k) AS sw,
+             SUM(wd) AS swd
+      FROM terms
+    ),
+    q AS (
+      SELECT SUM(CAST(
+               CAST(t.w_k AS DOUBLE)
+               * (CAST(t.delta_k AS DOUBLE)
+                  - CAST(s.swd AS DOUBLE) / CAST(s.sw AS DOUBLE))
+               * (CAST(t.delta_k AS DOUBLE)
+                  - CAST(s.swd AS DOUBLE) / CAST(s.sw AS DOUBLE))
+               AS DECIMAL(28,12))) AS q_stat
+      FROM terms t CROSS JOIN s
+    )
+    SELECT s.k AS k_strata, s.n_users,
+           CAST(CAST(CAST(s.swd AS DOUBLE) / CAST(s.sw AS DOUBLE)
+                AS DECIMAL(18,12)) AS DOUBLE) AS pooled_lift,
+           CAST(CAST(sqrt(1 / CAST(s.sw AS DOUBLE)) AS DECIMAL(18,12))
+                AS DOUBLE) AS pooled_se,
+           CAST(CAST(
+             (CAST(s.swd AS DOUBLE) / CAST(s.sw AS DOUBLE))
+             / sqrt(1 / CAST(s.sw AS DOUBLE))
+             AS DECIMAL(18,6)) AS DOUBLE) AS pooled_z,
+           CAST(CAST(q.q_stat AS DECIMAL(18,6)) AS DOUBLE)
+             AS q_heterogeneity,
+           s.k - 1 AS df,
+           CAST(CAST(
+             CASE WHEN CAST(q.q_stat AS DOUBLE) > 0
+                  THEN GREATEST(CAST(0 AS DOUBLE),
+                       (CAST(q.q_stat AS DOUBLE) - (s.k - 1))
+                       / CAST(q.q_stat AS DOUBLE))
+                  ELSE CAST(0 AS DOUBLE) END
+             AS DECIMAL(18,6)) AS DOUBLE) AS i_squared
+    FROM s CROSS JOIN q
+    """
+
+
+def _meta_oracle() -> str:
+    from .textops import hash60_duck
+
+    return _meta_sql(
+        hash60_duck("CAST(user_id AS VARCHAR)"), "BIGINT", "quantile_cont"
+    )
+
+
+@query("events_ab_stratified_metaanalysis", oracle=_meta_oracle())
+def events_ab_stratified_metaanalysis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fixed-effect meta-analysis of the A/B lift across user
+    strata — the readout that catches what ONE pooled number hides:
+    per-stratum (exact activity terciles of per-user event count)
+    day-0 conversion lifts are pooled by inverse-variance weights
+    (the classic fixed-effect estimator), and Cochran's Q / I²
+    quantify whether the strata AGREE — I² near 0 says the pooled
+    lift is one story; I² high says the effect differs by engagement
+    level (the classic heavy-user/light-user split) and the pooled
+    number is an average over genuinely different effects. Completes
+    the A/B family: lift (size), effect sizes (standardization),
+    delta method (ratio metrics), SPRT (peeking), CUPED (variance
+    reduction) — this one is HETEROGENEITY. Same 60-bit arm hash and
+    day-0 conversion as its siblings, so all readouts describe one
+    experiment.
+
+    Exactness: per-stratum cells are exact integers; delta_k and its
+    inverse-variance weight are single IEEE chains over identical
+    doubles, pinned DECIMAL(18,12)/(28,12) BEFORE every cross-strata
+    sum (decimal addition is order-insensitive); the pooled estimate
+    re-enters Q as the same written-once chain; degenerate strata
+    excluded by exact integer predicates. Outputs pinned.
+
+    Plan: one scan → per-user aggregate; the tercile boundaries are
+    one exact-percentile aggregate over that frame broadcast back
+    (1-row cross join); then a 3-row stratum aggregate — everything
+    after (weights, pooling, Q) runs on ≤3 rows with 1-row broadcast
+    glue. No window."""
+    from .textops import hash60_spark
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("meta_events")
+    return spark.sql(
+        _meta_sql(
+            hash60_spark("CAST(user_id AS STRING)"), "BIGINT", "percentile"
+        ).replace("FROM events", "FROM meta_events")
+    )
+
+
 # ---- deterministic permutation test ---------------------------------------
 
 PERM_REPS = 32
@@ -4536,6 +4722,94 @@ def stats_cochran_q_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- Page's trend test for ordered alternatives ------------------------------
+
+
+def _page_sql(table: str, bigint: str, dow: str) -> str:
+    """Shared Page-L text: the Friedman blocks/ranks verbatim (7×7
+    in-block sign comparison → doubled tie-averaged ranks), finished
+    with the ORDERED statistic L = Σ j·Rⱼ instead of the omnibus
+    quadratic. Doubled-rank units: L₂ = 2L, E[L₂] = n·k(k+1)²/2,
+    Var[L₂] = n·k²(k+1)²(k−1)/36 (tie-naive variance — the standard
+    Page formulation; stated convention)."""
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(date_trunc('week', CAST(o_orderdate AS DATE))
+                  AS DATE) AS wk,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                  AS DOUBLE) AS revenue
+      FROM {table} GROUP BY 1, 2
+    ),
+    complete AS (
+      SELECT wk FROM daily GROUP BY wk
+      HAVING CAST(COUNT(*) AS {bigint}) = 7
+    ),
+    blocked AS (
+      SELECT d.wk, {dow} AS dow, d.revenue
+      FROM daily d JOIN complete c ON c.wk = d.wk
+    ),
+    ranked AS (
+      SELECT a.wk, a.dow,
+             CAST(SUM(CASE WHEN b.revenue < a.revenue THEN 2
+                           WHEN b.revenue = a.revenue THEN 1
+                           ELSE 0 END) + 1 AS {bigint}) AS r2
+      FROM blocked a JOIN blocked b ON b.wk = a.wk
+      GROUP BY a.wk, a.dow
+    ),
+    colsums AS (
+      SELECT dow, CAST(SUM(r2) AS {bigint}) AS r2_j
+      FROM ranked GROUP BY dow
+    ),
+    nb AS (SELECT CAST(COUNT(*) AS {bigint}) AS n FROM complete),
+    l AS (
+      SELECT CAST(SUM(dow * r2_j) AS {bigint}) AS l2 FROM colsums
+    )
+    SELECT nb.n AS n_weeks,
+           CAST(7 AS {bigint}) AS k_treatments,
+           l.l2 AS l_doubled,
+           CAST(224 AS {bigint}) * nb.n AS e_l_doubled,
+           CAST(CAST(
+             (l.l2 - CAST(224 AS DOUBLE) * nb.n)
+             / sqrt(CAST(nb.n AS DOUBLE) * 49 * 64 * 6 / 36)
+             AS DECIMAL(18,6)) AS DOUBLE) AS z_score
+    FROM l CROSS JOIN nb
+    """
+
+
+@query(
+    "stats_page_trend_dow",
+    oracle=_page_sql("orders", "BIGINT", "isodow(d.day)"),
+)
+def stats_page_trend_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test: does revenue rise MONOTONICALLY through the week
+    (Mon→Sun), judged within each complete ISO week? (Page 1963 —
+    the ordered-alternative member of the blocked-rank family:
+    ``stats_friedman_dow_revenue``'s omnibus Q fires on ANY weekday
+    pattern; Page's L = Σ j·Rⱼ weights the rank sums by the
+    HYPOTHESIZED order, so it concentrates all its power on a trend
+    and beats Friedman exactly when the alternative is ordered — the
+    textbook pairing, one rung apart.) Same blocks, same exact
+    doubled-rank machinery, different final contrast; z is signed, so
+    its sign reads as the trend's direction.
+
+    Exactness: ranks never leave the integers (the Friedman 7×7
+    in-block comparison verbatim); L₂ = Σ dow·(2Rⱼ) is an exact
+    BIGINT; one final double chain (centering by E[L₂] = 224n,
+    scaling by the tie-naive √Var[L₂] — stated convention) pinned
+    DECIMAL(18,6).
+
+    Plan: the Friedman physical budget verbatim — one scan collapses
+    the corpus to ~#days rows; the completeness filter, in-block 7×7
+    comparison, and 7-row column sums all run on calendar-sized
+    frames; 1-row broadcast finish."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("page_orders")
+    return spark.sql(
+        _page_sql("page_orders", "BIGINT", "weekday(d.day) + 1")
+    )
+
+
 # ---- Cochran–Mantel–Haenszel stratified 2x2 test ----------------------------
 
 
@@ -5090,7 +5364,11 @@ HOLT_ALPHA = "CAST(0.5 AS DOUBLE)"
 HOLT_BETA = "CAST(0.3 AS DOUBLE)"
 
 
-def _holt_sql(table: str = "events", limit_clause: str = "") -> str:
+def _holt_sql(
+    table: str = "events",
+    limit_clause: str = "",
+    seq_select: str | None = None,
+) -> str:
     """IDENTICAL recursive text for both dialects, up to the
     parameterized source-view name (the
     ``events_ewma_recursive`` contract, extended to a TWO-variable
@@ -5102,17 +5380,10 @@ def _holt_sql(table: str = "events", limit_clause: str = "") -> str:
     chain in the same order on both engines, so every (lₜ, bₜ) is
     bit-identical; only the outputs are pinned."""
     a, b = HOLT_ALPHA, HOLT_BETA
+    seq = seq_select or _daily_rev_seq_sql(table)
     return f"""
-    WITH RECURSIVE daily AS (
-      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
-               AS day,
-             SUM(CAST(value AS DECIMAL(18,6))) AS rev
-      FROM {table}
-      WHERE event_type = 'purchase' AND value IS NOT NULL
-      GROUP BY 1
-    ),
-    seq AS (
-      SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily
+    WITH RECURSIVE seq AS (
+      {seq}
     ),
     holt AS (
       SELECT t, day, rev,
@@ -5169,7 +5440,11 @@ def events_holt_linear_recursive(
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "holt_events"
     )
-    return spark.sql(_holt_sql("holt_events"))
+    seq = spark.sql(_daily_rev_seq_sql("holt_events")).localCheckpoint()
+    seq.createOrReplaceTempView("holt_seq")
+    return spark.sql(
+        _holt_sql(seq_select="SELECT day, rev, t FROM holt_seq")
+    )
 
 
 HW_ALPHA = "CAST(0.30 AS DOUBLE)"  # level gain
@@ -5177,7 +5452,9 @@ HW_BETA = "CAST(0.10 AS DOUBLE)"  # trend gain
 HW_GAMMA = "CAST(0.20 AS DOUBLE)"  # seasonal gain
 
 
-def _hw_sql(table: str = "events") -> str:
+def _hw_sql(
+    table: str = "events", seq_select: str | None = None
+) -> str:
     """IDENTICAL recursive text for both dialects: additive
     Holt-Winters with weekly period m=7. The seasonal state is a
     7-slot ring carried as columns s1..s7 — each step consumes s1
@@ -5189,17 +5466,10 @@ def _hw_sql(table: str = "events") -> str:
     a, b, g = HW_ALPHA, HW_BETA, HW_GAMMA
     x = "CAST(d.rev AS DOUBLE)"
     lvl = f"{a} * ({x} - h.s1) + (1 - {a}) * (h.l + h.b)"
+    seq = seq_select or _daily_rev_seq_sql(table)
     return f"""
-    WITH RECURSIVE daily AS (
-      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
-               AS day,
-             SUM(CAST(value AS DECIMAL(18,6))) AS rev
-      FROM {table}
-      WHERE event_type = 'purchase' AND value IS NOT NULL
-      GROUP BY 1
-    ),
-    seq AS (
-      SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily
+    WITH RECURSIVE seq AS (
+      {seq}
     ),
     wk1 AS (
       SELECT CAST(SUM(rev) AS DOUBLE) / 7 AS m,
@@ -5278,7 +5548,136 @@ def events_holt_winters_additive(
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "hw_events"
     )
-    return spark.sql(_hw_sql("hw_events"))
+    seq = spark.sql(_daily_rev_seq_sql("hw_events")).localCheckpoint()
+    seq.createOrReplaceTempView("hw_seq")
+    return spark.sql(
+        _hw_sql(seq_select="SELECT day, rev, t FROM hw_seq")
+    )
+
+
+CROSTON_ALPHA = "CAST(0.2 AS DOUBLE)"  # smoothing gain for both EWMAs
+CROSTON_LAST_N = 32  # demand events kept (recursion-depth + wall bound)
+
+
+def _croston_seq_sql(table: str, ddiff: str) -> str:
+    """The corpus-side half: top part, last-N nonzero-demand days,
+    intervals via lag — everything BEFORE the recursion, split out so
+    the Spark side can materialize its ≤{N}-row result once: a
+    recursive CTE re-evaluates every frame the step references, so an
+    inline seq re-plans the lineitem aggregate PER STEP — at test SF
+    the fixed per-step UnionLoop overhead hides that cost, but at
+    100 TB the re-derived aggregate would dominate; the persisted
+    split makes each step read the ≤{N}-row cache (pinned). The
+    oracle keeps it inline — same text, same math."""
+    return f"""
+    WITH top1 AS (
+      SELECT l_partkey FROM {table}
+      GROUP BY 1 ORDER BY COUNT(*) DESC, l_partkey ASC LIMIT 1
+    ),
+    demand AS (
+      SELECT CAST(l.l_shipdate AS DATE) AS day,
+             SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS d
+      FROM {table} l JOIN top1 ON top1.l_partkey = l.l_partkey
+      GROUP BY 1
+    ),
+    lastn AS (
+      SELECT day, d,
+             ROW_NUMBER() OVER (ORDER BY day DESC) AS rdesc
+      FROM demand
+    )
+    SELECT day, d,
+           ROW_NUMBER() OVER (ORDER BY day ASC) AS t,
+           COALESCE({ddiff}, 1) AS q
+    FROM (SELECT day, d,
+                 LAG(day) OVER (ORDER BY day ASC) AS prev_day
+          FROM lastn WHERE rdesc <= {CROSTON_LAST_N}) g
+    """
+
+
+def _croston_sql(seq_select: str, bigint: str) -> str:
+    """Shared Croston text: two coupled EWMAs over the prepared
+    (day, demand, t, interval) sequence as one recursive CTE. Init:
+    z₁ = d₁, p₁ = 1 (stated convention — the first interval is
+    undefined)."""
+    a = CROSTON_ALPHA
+    return f"""
+    WITH RECURSIVE seq AS (
+      {seq_select}
+    ),
+    cro AS (
+      SELECT t, day, d, q,
+             CAST(d AS DOUBLE) AS z,
+             CAST(1 AS DOUBLE) AS p
+      FROM seq WHERE t = 1
+      UNION ALL
+      SELECT s.t, s.day, s.d, s.q,
+             {a} * CAST(s.d AS DOUBLE) + (1 - {a}) * c.z,
+             {a} * CAST(s.q AS DOUBLE) + (1 - {a}) * c.p
+      FROM seq s JOIN cro c ON s.t = c.t + 1
+    )
+    SELECT t AS seq, day,
+           CAST(d AS DOUBLE) AS demand,
+           CAST(q AS {bigint}) AS interval_days,
+           CAST(CAST(z AS DECIMAL(18,6)) AS DOUBLE) AS croston_z,
+           CAST(CAST(p AS DECIMAL(18,6)) AS DOUBLE) AS croston_p,
+           CAST(CAST(z / p AS DECIMAL(18,6)) AS DOUBLE)
+             AS forecast_rate,
+           CAST(CAST((1 - {a} / 2) * (z / p) AS DECIMAL(18,6))
+                AS DOUBLE) AS sba_rate
+    FROM cro
+    ORDER BY seq
+    """
+
+
+@query(
+    "lineitem_croston_intermittent",
+    oracle=_croston_sql(
+        _croston_seq_sql("lineitem", "date_diff('day', prev_day, day)"),
+        "BIGINT",
+    ),
+)
+def lineitem_croston_intermittent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Croston's method for INTERMITTENT demand — the forecasting rung
+    the EWMA/Holt/Holt-Winters ladder cannot reach: a single part's
+    daily demand is mostly zeros, and smoothing the raw series drives
+    any EWMA toward zero between demands (Croston 1972, the standard
+    supply-chain answer). Croston smooths TWO series instead — the
+    nonzero demand SIZES zₜ and the inter-demand INTERVALS pₜ — and
+    forecasts the demand RATE z/p, plus the Syntetos–Boylan (SBA)
+    (1−α/2) bias correction the later literature showed Croston's
+    raw ratio needs. Runs on the highest-volume part (deterministic
+    tie-break), its last {CROSTON_LAST_N} demand days; two coupled
+    EWMAs as ONE recursive CTE, identical text both engines up to the
+    day-difference spelling.
+
+    Exactness: daily demand is an exact decimal sum; intervals are
+    exact day arithmetic from a lag window over the ≤{CROSTON_LAST_N}-
+    row frame; the recursion forces the same multiply-add chain in
+    the same t-order on both engines (the Holt contract), so (zₜ, pₜ)
+    are bit-identical before the output pins. Init z₁ = d₁, p₁ = 1 —
+    stated convention.
+
+    Scale honesty: the corpus-sized work is one scan into the
+    (part, day) aggregate + the top-part aggregate; everything
+    after — lag, re-sequence, recursion — runs on a ≤{CROSTON_LAST_N}-
+    row frame, and the LAST-N cap is what bounds recursion depth
+    below Spark's cteRecursionLevelLimit at ANY scale factor (the
+    series gets longer with SF; the cap, not luck, holds the depth).
+    A fleet-wide Croston (every part) would lift the same recurrence
+    into one applyInPandas pass partitioned by part — noted, not
+    needed for the single-SKU readout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("croston_lineitem")
+    seq = spark.sql(
+        _croston_seq_sql("croston_lineitem", "datediff(day, prev_day)")
+    ).localCheckpoint()  # recursion re-plans referenced views per
+    # step; the lineage cut makes seq a materialized ≤N-row leaf
+    seq.createOrReplaceTempView("croston_seq")
+    return spark.sql(
+        _croston_sql("SELECT day, d, t, q FROM croston_seq", "BIGINT")
+    )
 
 
 # ---- Rayleigh circular-uniformity test --------------------------------------

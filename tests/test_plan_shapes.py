@@ -1225,3 +1225,52 @@ def test_logreg_gd_reuses_persisted_features(spark):
     assert outer.count("InMemoryTableScan") >= 4
     assert "SortMergeJoin" not in outer
     assert "Window" not in outer
+
+
+def test_meta_analysis_is_two_aggregates_no_window(spark):
+    """The stratified meta-analysis is per-user aggregate -> tercile
+    boundary aggregate (broadcast back) -> 3-row stratum aggregate;
+    <= 2 events scans, no window, no SortMergeJoin — heterogeneity
+    must never cost more than the lift readout it qualifies."""
+    final = _final(_plan(spark, "events_ab_stratified_metaanalysis"))
+    assert final.count("Scan parquet") <= 2, final.count("Scan parquet")
+    assert "SortMergeJoin" not in final
+    assert "Window" not in final
+
+
+def test_page_trend_keeps_friedman_budget(spark):
+    """Page's L reuses the Friedman physical budget: calendar-sized
+    frames after one corpus collapse per chain, integral ranks from
+    the in-block 7x7 compare (no window sort), no cartesian."""
+    final = _final(_plan(spark, "stats_page_trend_dow"))
+    assert "Window" not in final
+    assert "CartesianProduct" not in final
+    assert "HashAggregate" in final
+
+
+def test_croston_recursion_runs_on_checkpointed_seq(spark):
+    """Croston must recurse over the pre-materialized <= 32-row
+    sequence (localCheckpoint leaf): the recursion executes as a
+    UnionLoop and the OUTER plan contains no parquet scan at all —
+    the corpus scan happened once, before the loop (the inline-seq
+    form re-planned the lineitem aggregate per step: measured 29s ->
+    6s at sf0.1). Depth is bounded by the LAST_N cap, not data."""
+    plan = _plan(spark, "lineitem_croston_intermittent")
+    assert "UnionLoop" in plan
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
+    assert "CartesianProduct" not in plan
+
+
+def test_revenue_recursions_checkpoint_their_daily_frame(spark):
+    """The EWMA / Holt / Holt-Winters recursions share the split-out
+    daily-revenue sequence: each op's outer plan must contain no
+    parquet scan (the events scan ran once into the checkpointed
+    leaf; an inline daily CTE is re-planned per UnionLoop step)."""
+    for name in (
+        "events_ewma_recursive",
+        "events_holt_linear_recursive",
+        "events_holt_winters_additive",
+    ):
+        plan = _plan(spark, name)
+        assert "UnionLoop" in plan, name
+        assert plan.count("Scan parquet") == 0, (name, plan)
