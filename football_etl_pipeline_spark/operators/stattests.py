@@ -3144,23 +3144,31 @@ SPRT_P0 = "0.25"  # design null conversion rate
 SPRT_P1 = "0.30"  # design alternative (the MDE the test is powered for)
 
 
-def _sprt_sql(h_expr: str, bigint: str) -> str:
+def _sprt_sql(
+    h_expr: str, bigint: str, per_user_select: str | None = None
+) -> str:
     """Shared Wald-SPRT text: day-0 conversion per user, treatment
     arm only, cumulative log-likelihood ratio by first-seen day with
-    ln(19)/−ln(19) boundaries (alpha = beta = 0.05)."""
+    ln(19)/−ln(19) boundaries (alpha = beta = 0.05).
+    ``per_user_select`` lets the streaming face substitute its
+    stateful aggregate's sink table for the inline per-user frame —
+    the decision layer is the same text either way."""
     lr1 = f"ln(CAST({SPRT_P1} AS DOUBLE) / CAST({SPRT_P0} AS DOUBLE))"
     lr0 = (
         f"ln((1 - CAST({SPRT_P1} AS DOUBLE))"
         f" / (1 - CAST({SPRT_P0} AS DOUBLE)))"
     )
-    return f"""
-    WITH per_user AS (
+    per_user = per_user_select or """
       SELECT user_id,
              MIN(CAST(ts AS DATE)) AS d0,
              MIN(CASE WHEN event_type = 'purchase'
                  THEN CAST(ts AS DATE) END) AS dp
       FROM events
       GROUP BY user_id
+    """
+    return f"""
+    WITH per_user AS (
+      {per_user}
     ),
     armed AS (
       SELECT d0,

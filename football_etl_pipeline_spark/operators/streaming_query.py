@@ -466,3 +466,82 @@ def streaming_hopping_counts(
         )
         q.awaitTermination(300)
     return spark.table(name)
+
+
+@query("streaming_sprt_monitor", oracle=None)  # oracle registered below
+def streaming_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Wald SPRT monitor AS A LIVE STREAM — the deployment shape a
+    sequential test exists for: ``events_ab_sequential_sprt`` is
+    always-valid under daily peeking, so its natural home is a
+    standing streaming query, not a batch rerun. The stream maintains
+    the per-user state (first-seen day, first purchase day — two
+    MIN aggregates, one state row per user) through the state store;
+    the decision layer (arm filter, day-0 conversion, cumulative LLR,
+    ln 19 boundaries) is the IDENTICAL shared SQL text as the batch
+    op, run over the state snapshot the sink exposes. Oracled against
+    the same DuckDB text as the batch face, so the gate hash-checks
+    that a streaming execution reproduces the batch decision — the
+    sixth streaming surface in the registry (windowed, join, dedup,
+    session, hopping, and now sequential-decision state).
+
+    Scale: per-user MIN/MIN state is one row per user (the same state
+    class as the dedup face); COMPLETE mode emits the full state at
+    the end of the finite backlog — a continuous deployment would
+    swap the memory sink for foreachBatch merging into the standing
+    per-user table (the ``streaming/agg_maintenance.py`` machinery)
+    with this same dataflow and the same decision text downstream."""
+    from .stattests import _sprt_sql
+    from .textops import hash60_spark
+
+    physical = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    src = (
+        spark.readStream.format("parquet")
+        .schema(physical)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    ev = src.select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("ts").cast("date"),
+            )
+        ).alias("dp"),
+    )
+    name = f"sprt_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    with _state_partitions(spark):
+        q = (
+            per_user.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.sql(
+        _sprt_sql(
+            hash60_spark("CAST(user_id AS STRING)"),
+            "BIGINT",
+            per_user_select=f"SELECT user_id, d0, dp FROM {name}",
+        )
+    )
+
+
+def _register_sprt_stream_oracle() -> None:
+    from .registry import ORACLES
+    from .stattests import _sprt_oracle
+
+    ORACLES["streaming_sprt_monitor"] = _sprt_oracle()
+
+
+_register_sprt_stream_oracle()

@@ -211,6 +211,48 @@ def build_synthetic_orders(spark, copies: int) -> str:
     union.coalesce(4).write.mode("overwrite").parquet(
         os.path.join(out, "orders.parquet")
     )
+    # round-11: matching key-shifted lineitem so the bipartite
+    # customer->part graph (HITS) reproduces the 1x structure per
+    # copy — orderkey/partkey/suppkey all shift together, so each
+    # copy is a disjoint bipartite component with the 1x degrees.
+    li = load_table(spark, BASE_SF, "lineitem")
+    llo, lhi = li.agg(
+        F.min(F.unix_micros(F.col("l_shipdate").cast("timestamp"))),
+        F.max(F.unix_micros(F.col("l_shipdate").cast("timestamp"))),
+    ).first()
+    lspan_us = (lhi - llo) + 86_400_000_000
+    lparts = []
+    for k in range(copies):
+        lparts.append(
+            li.select(
+                (F.col("l_orderkey") + F.lit(k * OFFSET)).alias(
+                    "l_orderkey"
+                ),
+                (F.col("l_partkey") + F.lit(k * OFFSET)).alias(
+                    "l_partkey"
+                ),
+                (F.col("l_suppkey") + F.lit(k * OFFSET)).alias(
+                    "l_suppkey"
+                ),
+                "l_linenumber",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_returnflag",
+                "l_linestatus",
+                F.timestamp_micros(
+                    F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+                    + F.lit(k * lspan_us)
+                ).alias("l_shipdate"),
+            )
+        )
+    lunion = lparts[0]
+    for p in lparts[1:]:
+        lunion = lunion.unionByName(p)
+    lunion.coalesce(8).write.mode("overwrite").parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
     with open(marker, "w") as f:
         f.write(str(copies))
     return out
@@ -367,6 +409,11 @@ def main() -> None:
         # histograms cluster sizes; cost is the sum of its rungs, so
         # wall must track the (linear) candidate volume.
         "dedup_cluster_size_histogram",
+        # round-11: naive Bayes train+score — two exploded-token hash
+        # aggregates plus a token-keyed likelihood join; every stage
+        # is map-side-partial aggregation or an equi-join on token,
+        # so wall must grow ~linearly with the corpus.
+        "text_naive_bayes_langid",
     ]
     composed_rows = []
     for name in COMPOSED:
@@ -503,6 +550,11 @@ def main() -> None:
     ORDERS_COMPOSED = [
         "orders_series_diagnostics",
         "stats_kruskal_wallis_priority",
+        # round-11: HITS — one fact-fact edge join (persisted) plus
+        # four Pregel-step equi-join+groupBy rounds; the key-shifted
+        # copies are disjoint bipartite components, so wall must grow
+        # ~linearly (no cross-copy degree inflation).
+        "graph_hits_hubs_authorities",
     ]
     orders_composed_rows = []
     for name in ORDERS_COMPOSED:
