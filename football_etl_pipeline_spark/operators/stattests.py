@@ -1597,31 +1597,31 @@ def _brier_sql(table: str, score: str, bigint: str) -> str:
     ),
     decomp AS (
       SELECT SUM(CAST(nk * (pbar_k - ybar_k) * (pbar_k - ybar_k)
-                      AS DECIMAL(18,12))) AS rel_sum,
+                      AS DECIMAL(28,9))) AS rel_sum,
              SUM(CAST(nk * (ybar_k - ybar) * (ybar_k - ybar)
-                      AS DECIMAL(18,12))) AS res_sum
+                      AS DECIMAL(28,9))) AS res_sum
       FROM terms
     )
     SELECT base.n AS n_docs,
            CAST(CAST(CAST(base.pos AS DOUBLE) / base.n
-                AS DECIMAL(18,12)) AS DOUBLE) AS base_rate,
+                AS DECIMAL(18,9)) AS DOUBLE) AS base_rate,
            CAST(CAST(CAST(base.bs_sum AS DOUBLE) / base.n
-                AS DECIMAL(18,12)) AS DOUBLE) AS brier_score,
+                AS DECIMAL(18,9)) AS DOUBLE) AS brier_score,
            CAST(CAST(CAST(decomp.rel_sum AS DOUBLE) / base.n
-                AS DECIMAL(18,12)) AS DOUBLE) AS reliability,
+                AS DECIMAL(18,9)) AS DOUBLE) AS reliability,
            CAST(CAST(CAST(decomp.res_sum AS DOUBLE) / base.n
-                AS DECIMAL(18,12)) AS DOUBLE) AS resolution,
+                AS DECIMAL(18,9)) AS DOUBLE) AS resolution,
            CAST(CAST(
              (CAST(base.pos AS DOUBLE) / base.n)
              * (1 - CAST(base.pos AS DOUBLE) / base.n)
-             AS DECIMAL(18,12)) AS DOUBLE) AS uncertainty,
+             AS DECIMAL(18,9)) AS DOUBLE) AS uncertainty,
            CAST(CAST(
              CAST(base.bs_sum AS DOUBLE) / base.n
              - ((CAST(base.pos AS DOUBLE) / base.n)
                 * (1 - CAST(base.pos AS DOUBLE) / base.n)
                 - CAST(decomp.res_sum AS DOUBLE) / base.n
                 + CAST(decomp.rel_sum AS DOUBLE) / base.n)
-             AS DECIMAL(18,12)) AS DOUBLE) AS decomposition_gap
+             AS DECIMAL(18,9)) AS DOUBLE) AS decomposition_gap
     FROM base CROSS JOIN decomp
     """
 
@@ -1650,9 +1650,12 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: per-row (s−y)² is one IEEE chain over the exact
     rational score, pinned DECIMAL(18,12) before the order-sensitive
     corpus sum; per-bin mean scores ride the calibration op's
-    DECIMAL(18,9) pin; the ten per-bin quadratic terms are pinned
-    DECIMAL(18,12) before the cross-bin sum; every output is one
-    double chain over those exact sums, pinned DECIMAL(18,12).
+    DECIMAL(18,9) pin; the ten per-bin quadratic terms and all
+    outputs pin at scale NINE (DECIMAL(28,9)/(18,9)) — at scale 12
+    the two engines' bin-term chains landed 2 ulp apart at sf0.001
+    (hash-mismatch); 9 decimals rounds the last-ulp divergence away
+    with 1000× headroom while keeping far more precision than the
+    statistic carries.
 
     Plan: tokenize scan → one corpus moment aggregate + one 10-group
     hash aggregate (both map-side partial at 100 TB) → broadcast
