@@ -84,6 +84,18 @@ SHOWCASE = {
     "text_weighted_sample": "per-row ES-key projection into TakeOrderedAndProject(K) — no Exchange anywhere",
     "graph_local_clustering": "degree-oriented wedge + closure equi-joins (no nested loop); explode credits 3 corners; two hash aggregates",
     "text_curation_report": "three doc-level screen frames (gopher flags, LM tercile, DSIR weight) equi-join on doc_id into a 20-group rollup — composition reuses the standalone operators' cached subtrees",
+    "lineitem_fisher_price_index": "one (part,year) hash aggregate carries all four index dot products; base-year frame joins back broadcast; ~#years finish",
+    "join_fanout_audit": "quadratic join predicted from COUNTS: key aggregate, 1-row total broadcast back, TakeOrdered(10) — the audited pair frame never exists in the plan",
+    "eval_brier_decomposition": "corpus moments + 10 fixed-width bins glued by 1-row broadcast nested loops; no window, no rank exchange — cheaper than the rank-decile calibration table",
+    "events_ab_delta_method": "six per-arm moments in ONE conditional aggregate pass; two 1-row arms self-join broadcast; 1-row finish",
+    "events_ab_stratified_metaanalysis": "per-user aggregate -> exact-percentile boundary aggregate broadcast back -> 3-row stratum aggregate; pooling and Q on <= 3 rows",
+    "graph_hits_hubs_authorities": "fact-fact edge join persisted ONCE; four Pregel rounds read the cache (edge equi-join + groupBy each); per-side TakeOrdered",
+    "features_hashing_trick_audit": "(token,hash) pre-aggregate forces ONE md5 evaluation and kills the distinct-agg Expand; 64-group aggregate; broadcast-scalar total",
+    "text_naive_bayes_langid": "tokenize+fold projection persisted once, read 7x from cache; likelihood equi-join on token x broadcast lang grid; argmax window partitioned by doc",
+    "text_logreg_train_gd": "feature projection persisted once, read 6x (3 gradient + 3 metric passes); weights as 1-row broadcast frames; unroll bounded by step count",
+    "lineitem_croston_intermittent": "corpus collapses to the <= 32-row demand sequence, localCheckpointed BEFORE the recursion — the UnionLoop joins a materialized leaf, never re-planning the lineitem aggregate per step",
+    "events_holt_winters_additive": "recursive-CTE UnionLoop carrying the 7-slot seasonal ring as state columns over the checkpointed daily frame",
+    "streaming_sprt_monitor": "per-user MIN/MIN state maintained by a real stream (availableNow, memory sink); the batch SPRT decision text runs over the state snapshot",
 }
 
 
