@@ -273,6 +273,24 @@ HEADLINE = [
     "events_rayleigh_hour_uniformity",
     # round-11 additions (same comparability rule)
     "text_mixture_plan",
+    "lineitem_fisher_price_index",
+    "customer_l_diversity",
+    "join_fanout_audit",
+    "eval_brier_decomposition",
+    "events_ab_delta_method",
+    "events_ab_sequential_sprt",
+    "stats_cochran_q_dow",
+    "stats_page_trend_dow",
+    "events_ab_stratified_metaanalysis",
+    "graph_hits_hubs_authorities",
+    "features_hashing_trick_audit",
+    "text_naive_bayes_langid",
+    "text_logreg_train_gd",
+    "streaming_sprt_monitor",
+    # events_holt_winters_additive / lineitem_croston_intermittent:
+    # recursive CTEs — same per-iteration job-scheduling overhead
+    # class as events_ewma_recursive / events_holt_linear_recursive;
+    # gate-checked at all SFs, excluded from the bench like them.
     # events_holt_linear_recursive: ~30-step recursive CTE — same
     # per-iteration job-scheduling overhead class as
     # events_ewma_recursive; gate-checked, excluded from the bench.
