@@ -359,3 +359,24 @@ def test_stream_static_enrichment_matches_duckdb_oracle(
         ).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_sprt_equals_batch_sprt(spark):
+    """The streaming SPRT face must reproduce the batch op ROW FOR ROW
+    at sf0.001 — same arm hash, same day-0 conversion, same cumulative
+    LLR and decisions. The faces share the decision-layer SQL text by
+    construction; this pins that the per-user MIN/MIN state the STREAM
+    maintains equals the batch aggregate (the part the shared text
+    cannot guarantee)."""
+    from football_etl_pipeline_spark.operators.stattests import (
+        events_ab_sequential_sprt,
+    )
+    from football_etl_pipeline_spark.operators.streaming_query import (
+        streaming_sprt_monitor,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = [tuple(r) for r in events_ab_sequential_sprt(spark, sf).collect()]
+    stream = [tuple(r) for r in streaming_sprt_monitor(spark, sf).collect()]
+    assert stream == batch
+    assert len(batch) > 0
