@@ -502,6 +502,7 @@ def test_holt_winters_oracle_matches_direct_recursion(dailyrev):
         st.tuples(
             st.integers(min_value=0, max_value=40),  # day gap seed
             st.integers(min_value=1, max_value=50),  # quantity
+            st.sampled_from([3, 7]),  # part (top-part selection matters)
         ),
         min_size=2,
         max_size=30,
@@ -509,15 +510,22 @@ def test_holt_winters_oracle_matches_direct_recursion(dailyrev):
 )
 @settings(max_examples=30, deadline=None)
 def test_croston_oracle_matches_direct_recursion(events):
-    # one part only -> it is the top part by construction
+    # two candidate parts: expected series is the one with MORE lines
+    # (tie -> smaller partkey), replicating the operator's top1 rule
+    from collections import Counter
+
+    line_counts = Counter(pk for _, _, pk in events)
+    top_part = sorted(
+        line_counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[0][0]
     day = pd.Timestamp("1995-01-01")
     recs, series = [], []
-    for i, (gap, qty) in enumerate(events):
+    for i, (gap, qty, pk) in enumerate(events):
         day = day + pd.Timedelta(days=gap + (1 if i else 0))
         recs.append(
             {
                 "l_orderkey": i,
-                "l_partkey": 7,
+                "l_partkey": pk,
                 "l_suppkey": 1,
                 "l_linenumber": 1,
                 "l_quantity": float(qty),
@@ -529,7 +537,8 @@ def test_croston_oracle_matches_direct_recursion(events):
                 "l_shipdate": day,
             }
         )
-        series.append((day, float(qty)))
+        if pk == top_part:
+            series.append((day, float(qty)))
     li = pd.DataFrame(recs)
     agg = {}
     for d, q in series:
