@@ -527,7 +527,17 @@ def streaming_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # The decision SQL below reads the sink's cumulative per-user
+        # snapshot; a partial snapshot would silently emit wrong
+        # LLR/decisions, so a timeout here must be loud, not quiet.
+        finished = q.awaitTermination(300)
+        if not finished and q.isActive:
+            q.stop()
+            raise TimeoutError(
+                "streaming_sprt_monitor: availableNow query did not "
+                "finish within 300s; refusing to read a partial "
+                "per-user state snapshot"
+            )
     return spark.sql(
         _sprt_sql(
             hash60_spark("CAST(user_id AS STRING)"),

@@ -4330,6 +4330,10 @@ def _nb_sql(split_select: str, explode: str, bigint: str) -> str:
     tot_docs AS (
       SELECT CAST(SUM(n_docs) AS {bigint}) AS n FROM prior
     ),
+    test_docs AS (
+      SELECT doc_id, lang AS true_lang
+      FROM split WHERE fold = 0
+    ),
     test_tok AS (
       SELECT doc_id, true_lang, token,
              CAST(COUNT(*) AS {bigint}) AS occ
@@ -4351,15 +4355,25 @@ def _nb_sql(split_select: str, explode: str, bigint: str) -> str:
       JOIN lang_tot lt ON lt.lang = g.lang
       CROSS JOIN vocab v
     ),
+    term_sums AS (
+      SELECT doc_id, lang, SUM(term) AS term_sum
+      FROM terms GROUP BY 1, 2
+    ),
     scores AS (
-      SELECT t.doc_id, t.true_lang, t.lang,
-             SUM(t.term)
-               + MAX(CAST(ln(CAST(p.n_docs AS DOUBLE) / td.n)
-                          AS DECIMAL(28,12))) AS score
-      FROM terms t
-      JOIN prior p ON p.lang = t.lang
+      -- LEFT JOIN from the fold-0 doc frame so a zero-token test doc
+      -- still gets a row per language and is scored on priors alone,
+      -- instead of silently vanishing from the confusion matrix.
+      SELECT g.doc_id, g.true_lang, g.lang,
+             COALESCE(ts.term_sum, CAST(0 AS DECIMAL(28,12)))
+               + CAST(ln(CAST(p.n_docs AS DOUBLE) / td.n)
+                      AS DECIMAL(28,12)) AS score
+      FROM (SELECT d.doc_id, d.true_lang, pr.lang
+            FROM test_docs d
+            CROSS JOIN (SELECT lang FROM prior) pr) g
+      LEFT JOIN term_sums ts
+        ON ts.doc_id = g.doc_id AND ts.lang = g.lang
+      JOIN prior p ON p.lang = g.lang
       CROSS JOIN tot_docs td
-      GROUP BY 1, 2, 3
     ),
     pred AS (
       SELECT doc_id, true_lang, lang,
@@ -4390,7 +4404,10 @@ def text_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     review actually reads (which languages bleed into which).
     Unseen-token mass is handled by the LEFT JOIN + COALESCE(cnt,0)
     against the trained likelihood table, so scoring never drops a
-    token the training fold missed.
+    token the training fold missed. Zero-token test documents are
+    scored on the class priors alone (LEFT JOIN from the fold-0 doc
+    frame), so the confusion-matrix total always equals the fold-0
+    document count.
 
     Exactness: counts are integers; each token's log-likelihood
     contribution occ·ln((cnt+1)/(tot+V)) is ONE IEEE chain over

@@ -380,3 +380,45 @@ def test_bpe_merge_fold_matches_reference_greedy(spark):
     got = [r["m"] for r in df.select(F.expr(_BPE_FOLD_SPARK).alias("m")).collect()]
     want = [ref_merge(s, a, b) for s, a, b in cases]
     assert got == want, list(zip(got, want))
+
+
+def test_semdedup_clusters_recall_and_no_false_prunes(spark):
+    """dedup_semantic_clusters vs the brute-force
+    similarity_cosine_pairs ground truth at sf0.1:
+
+    - recall floor: ≥ 0.70 of true cosine-τ pairs must have their
+      higher id pruned (measured 0.79 with SEMDEDUP_NPROBE=2 on this
+      corpus's worst-case ~60° borderline pairs; single-assignment
+      was 0.39 — the multi-probe membership is what this pins);
+    - exactness: ZERO false prunes — every pruned vec_id must have a
+      lower-id true-pair partner (the intra-cell verify is exact
+      cosine, so a pruned id without one is a bug, not noise);
+    - the decision frame covers every vector exactly once.
+    """
+    from football_etl_pipeline_spark.operators.similarity import (
+        dedup_semantic_clusters,
+        similarity_cosine_pairs,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    true_pairs = {
+        (r.a_id, r.b_id)
+        for r in similarity_cosine_pairs(spark, sf).select("a_id", "b_id").collect()
+    }
+    release_persists()
+    dec = dedup_semantic_clusters(spark, sf).collect()
+    release_persists()
+
+    n_vecs = load_table(spark, sf, "embeddings").count()
+    assert len(dec) == n_vecs
+    assert len({r.vec_id for r in dec}) == n_vecs
+
+    pruned = {r.vec_id for r in dec if not r.keep}
+    # ground-truth higher ids (a vector prunable by SOME lower partner)
+    prunable = {max(a, b) for (a, b) in true_pairs}
+    false_prunes = pruned - prunable
+    assert not false_prunes, f"pruned ids with no true pair: {false_prunes}"
+
+    hit = sum(1 for (a, b) in true_pairs if max(a, b) in pruned)
+    recall = hit / len(true_pairs)
+    assert recall >= 0.70, f"semantic dedup recall {recall:.3f} < 0.70"

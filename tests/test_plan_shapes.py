@@ -1274,3 +1274,27 @@ def test_revenue_recursions_checkpoint_their_daily_frame(spark):
         plan = _plan(spark, name)
         assert "UnionLoop" in plan, name
         assert plan.count("Scan parquet") == 0, (name, plan)
+
+
+def test_semdedup_pair_join_is_cell_equi_join(spark):
+    """dedup_semantic_clusters' pruning self-join must be keyed ON the
+    cell column — a cartesian/nested-loop there means the bucketing
+    regressed into all-pairs, the exact failure SemDeDup exists to
+    avoid. Centroid assignment must ride a broadcast (the codebook is
+    K rows), and the decision frame's keep join is a hash join."""
+    plan = _plan(spark, "dedup_semantic_clusters")
+    assert "CartesianProduct" not in plan
+    # the member-pair join keys ON CELL (equi, any hash/merge family),
+    # with the cosine verify riding as the join condition:
+    pair_joins = [
+        ln
+        for ln in plan.splitlines()
+        if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln)
+        and "[cell" in ln
+    ]
+    assert pair_joins, plan
+    # every nested-loop in the plan is the e × broadcast(K-row
+    # codebook) assignment scan — none may sit above the member join:
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "BuildRight" in ln, ln

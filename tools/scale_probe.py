@@ -179,7 +179,13 @@ def build_synthetic_orders(spark, copies: int) -> str:
 
     out = os.path.join(REPO, "spark-warehouse", "scale_probe", f"x{copies}")
     marker = os.path.join(out, "_PROBE_ORDERS")
-    if os.path.exists(marker):
+    # Cache is valid only if every expected output exists: pre-round-11
+    # probe dirs were built before lineitem.parquet was added, so the
+    # marker alone would hand a stale/incomplete dir to orders-composed
+    # probes (e.g. graph_hits_hubs_authorities).
+    if os.path.exists(marker) and os.path.exists(
+        os.path.join(out, "lineitem.parquet")
+    ):
         return out
     os.makedirs(out, exist_ok=True)
     from football_etl_pipeline_spark.sources.testdata import load_table
