@@ -47,8 +47,7 @@ FRAME_STRIDE = 64  # sample one "frame" byte every 64 payload bytes
 
 # mime assignment: deterministic from the numeric suffix of ``source``
 # (srcN → N % 5), simulating a mixed image/audio/video corpus across
-# all three stdlib-decodable image containers (PNG/JPEG/GIF) plus WAV
-# and the one remaining stub mime (video).
+# all five stdlib-decodable containers (PNG/JPEG/GIF/WAV/MP4).
 _MIME_CASE = (
     "CASE CAST(substr(source, 4) AS INTEGER) % 5"
     " WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'"
@@ -299,6 +298,10 @@ def decode_mp4_header(payload: bytes) -> dict:
         top.setdefault(btype, (body, bend))
     if b"ftyp" not in top:
         raise ValueError("not an MP4: no ftyp box")
+    ftyp_body, ftyp_end = top[b"ftyp"]
+    if ftyp_end - ftyp_body < 8:
+        raise ValueError("MP4 ftyp too short for major_brand")
+    brand = payload[ftyp_body : ftyp_body + 4].decode("ascii", "replace")
     if b"moov" not in top:
         raise ValueError("MP4 missing moov box (unfragmented header)")
     timescale = duration = None
@@ -329,6 +332,7 @@ def decode_mp4_header(payload: bytes) -> dict:
     if timescale is None or timescale == 0:
         raise ValueError("MP4 moov has no valid mvhd timescale")
     return {
+        "brand": brand,
         "duration_ms": duration * 1000 // timescale,
         "timescale": timescale,
         "n_tracks": n_tracks,
@@ -338,12 +342,19 @@ def decode_mp4_header(payload: bytes) -> dict:
 
 
 def make_mp4(
-    width: int, height: int, duration_ms: int = 2000, timescale: int = 1000
+    width: int,
+    height: int,
+    duration_ms: int = 2000,
+    timescale: int = 1000,
+    n_tracks: int = 1,
 ) -> bytes:
     """Write a structurally valid MP4 header chain with stdlib only:
-    ftyp + moov(mvhd + trak(tkhd)) + an empty mdat. No sample data —
-    exactly the surface ``decode_mp4_header`` (and any metadata
-    pipeline) consumes; same rationale as ``make_png``/``make_jpeg``."""
+    ftyp + moov(mvhd + trak(tkhd)×n_tracks) + an empty mdat. No sample
+    data — exactly the surface ``decode_mp4_header`` (and any metadata
+    pipeline) consumes; same rationale as ``make_png``/``make_jpeg``.
+    Track 1 carries the display width/height; extra tracks are
+    zero-dimension (the audio/hint-track shape), so multi-track files
+    still decode the video dims."""
     import struct
 
     def box(btype: bytes, data: bytes) -> bytes:
@@ -360,16 +371,24 @@ def make_mp4(
         + b"\x00" * 24
         + struct.pack(">I", 2),
     )
-    tkhd = box(
-        b"tkhd",
-        struct.pack(">B3xIIII", 0, 0, 0, 1, 0)
-        + struct.pack(">I", duration)
-        + b"\x00" * 8
-        + struct.pack(">HHHH", 0, 0, 0, 0)
-        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
-        + struct.pack(">II", width << 16, height << 16),
+    def tkhd(track_id: int, w: int, h: int) -> bytes:
+        return box(
+            b"tkhd",
+            struct.pack(">B3xIIII", 0, 0, 0, track_id, 0)
+            + struct.pack(">I", duration)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0, 0)
+            + struct.pack(
+                ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+            )
+            + struct.pack(">II", w << 16, h << 16),
+        )
+
+    traks = b"".join(
+        box(b"trak", tkhd(t + 1, width if t == 0 else 0, height if t == 0 else 0))
+        for t in range(max(1, n_tracks))
     )
-    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    moov = box(b"moov", mvhd + traks)
     return ftyp + moov + box(b"mdat", b"")
 
 
@@ -1272,4 +1291,83 @@ def multimodal_mime_sniff_mismatch(
         )
         .groupBy("declared_mime", "sniffed_mime")
         .agg(F.count(F.lit(1)).alias("n_media"))
+    )
+
+
+# ---- dedicated video-container metadata rung (ISO-BMFF box walk) -------
+#
+# multimodal_header_roundtrip exercises the mp4 decoder but only
+# surfaces the fields shared with images (width/height/duration); this
+# rung drives the VIDEO-ONLY surface — ftyp major brand, mvhd
+# timescale (two distinct timescales so the units→ms math is actually
+# exercised), and track count (1–3 traks; extra tracks zero-dimension
+# like real audio/hint tracks, so dim extraction must skip them).
+
+_VID_SCHEMA = (
+    "media_id long, brand string, timescale long, n_tracks long, "
+    "duration_ms long, width long, height long"
+)
+
+
+def _video_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = (
+        "brand", "timescale", "n_tracks", "duration_ms", "width", "height"
+    )
+    for pdf in batches:
+        out: dict = {k: [] for k in ("media_id", *cols)}
+        for media_id in pdf["media_id"]:
+            doc_id = int(media_id)
+            ts = 1000 if doc_id % 2 == 0 else 600
+            payload = make_mp4(
+                16 + doc_id % 64,
+                16 + doc_id % 48,
+                duration_ms=1000 + doc_id % 1000,
+                timescale=ts,
+                n_tracks=1 + doc_id % 3,
+            )
+            meta = decode_mp4_header(payload)
+            out["media_id"].append(doc_id)
+            for k in cols:
+                out[k].append(meta[k])
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_video_meta",
+    oracle=f"""
+    SELECT
+      doc_id AS media_id,
+      'isom' AS brand,
+      (CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 600 END)::BIGINT AS timescale,
+      (1 + doc_id % 3)::BIGINT AS n_tracks,
+      -- encode floors ms→units at the file's timescale, decode floors
+      -- units→ms: the oracle replays BOTH floors
+      (((1000 + doc_id % 1000) * (CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 600 END) // 1000)
+        * 1000 // (CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 600 END))::BIGINT AS duration_ms,
+      (16 + doc_id % 64)::BIGINT AS width,
+      (16 + doc_id % 48)::BIGINT AS height
+    FROM documents
+    WHERE ({_MIME_CASE}) = 'video/mp4'
+    """,
+)
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-container metadata extraction as a driver-checked query:
+    each video/mp4 row synthesizes a structurally valid ISO-BMFF
+    header chain (stdlib ``make_mp4`` — ftyp + moov(mvhd + 1–3
+    traks) sized by pure doc_id arithmetic, alternating 1000/600
+    mvhd timescales) and decodes it back through the stdlib box walk
+    ``decode_mp4_header``. The oracle predicts every decoded field —
+    including the double floor of the ms→units→ms duration round-trip
+    at the odd 600 timescale — WITHOUT touching a byte, so a
+    regression in the box walk (brand read, largesize handling, tkhd
+    16.16 dims, zero-dim track skipping) breaks the value hash.
+
+    Scale: one Arrow-batched ``mapInPandas`` pass over the filtered
+    video rows, no shuffle — per-row header parse is the exact shape
+    of a production container-metadata sweep (the sample/frame decode
+    behind the ``av`` import seam only adds fields, never changes
+    these)."""
+    m = media_table(spark, sf_dir).filter(F.col("mime") == "video/mp4")
+    return m.select("media_id").mapInPandas(
+        _video_meta_batches, schema=_VID_SCHEMA
     )

@@ -345,3 +345,25 @@ def test_magic_sniff_signatures_match_encoders():
             p[4:8].hex().upper() == "66747970",
         ]
         assert sum(matches) == 1, (name, matches)
+
+
+def test_mp4_brand_multitrack_and_timescale_roundtrip():
+    """The video-only decode surface behind multimodal_video_meta:
+    ftyp major brand, multi-track counting with zero-dim (audio/hint
+    shape) extras skipped for dims, and the double floor of the
+    ms→units→ms duration round-trip at a non-1000 timescale."""
+    from football_etl_pipeline_spark.operators.multimodal import (
+        decode_mp4_header,
+        make_mp4,
+    )
+
+    meta = decode_mp4_header(
+        make_mp4(640, 360, duration_ms=1001, timescale=600, n_tracks=3)
+    )
+    assert meta["brand"] == "isom"
+    assert meta["n_tracks"] == 3
+    assert meta["timescale"] == 600
+    # dims come from track 1; zero-dim tracks 2-3 must not clobber them
+    assert (meta["width"], meta["height"]) == (640, 360)
+    # 1001 ms → floor(1001*600/1000)=600 units → floor(600*1000/600)=1000 ms
+    assert meta["duration_ms"] == 1000
