@@ -5784,3 +5784,182 @@ def events_rayleigh_hour_uniformity(
             "rayleigh_events", "BIGINT", "CAST(hour(ts) AS BIGINT)"
         )
     )
+
+
+# ---- Bradley–Terry preference-pair ratings (RLHF-data QA) --------------
+#
+# Hunter (2004), "MM algorithms for generalized Bradley-Terry models":
+# pairwise preference outcomes → item strengths via the
+# minorize-maximize update  p_i ← W_i / Σ_{j≠i} n_ij / (p_i + p_j),
+# renormalized to mean 1 each round. The RLHF-data QA operator: given
+# a table of A/B preference judgments, which sources actually win?
+
+BT_ITERS = 5       # fixed unroll keeps the oracle SQL-expressible
+BT_STRIDE = 7      # doc d vs doc d+7: 7 ⊥ 20 sources → the comparison
+                   # graph is a connected circulant over ALL sources
+
+
+def _bt_base_parts(table: str) -> list[str]:
+    """The data-sized half, shared verbatim by both engines:
+    stride-paired comparisons (winner by n_chars, tie → the
+    lower-doc_id side) reduced to the ≤|sources|² aggregate frames
+    the MM loop runs on — directed win counts ``w``, symmetric
+    comparison counts ``n``, compared-item list ``items``, and total
+    wins ``tw`` (LEFT JOIN: a compared item CAN have zero wins)."""
+    return [
+        f"""comps AS (
+      SELECT a.source AS sa, b.source AS sb,
+             CASE WHEN a.n_chars >= b.n_chars THEN 1 ELSE 0 END AS a_wins
+      FROM {table} a JOIN {table} b ON b.doc_id = a.doc_id + {BT_STRIDE}
+    )""",
+        """w AS (
+      SELECT CASE WHEN a_wins = 1 THEN sa ELSE sb END AS i,
+             CASE WHEN a_wins = 1 THEN sb ELSE sa END AS j,
+             CAST(COUNT(*) AS BIGINT) AS w_ij
+      FROM comps GROUP BY 1, 2
+    )""",
+        """n AS (
+      SELECT i, j, CAST(SUM(cnt) AS BIGINT) AS n_ij FROM (
+        SELECT i, j, w_ij AS cnt FROM w
+        UNION ALL
+        SELECT j AS i, i AS j, w_ij AS cnt FROM w
+      ) both_dirs GROUP BY 1, 2
+    )""",
+        """items AS (SELECT DISTINCT i FROM n)""",
+        """tw AS (
+      SELECT items.i, CAST(COALESCE(SUM(w.w_ij), 0) AS BIGINT) AS wins_i
+      FROM items LEFT JOIN w ON w.i = items.i GROUP BY items.i
+    )""",
+    ]
+
+
+def _bt_iter_parts(n_tbl: str, tw_tbl: str, items_tbl: str) -> list[str]:
+    """The MM unroll, shared verbatim by both engines, parameterized
+    only on WHERE the three aggregate frames live (inline CTEs for the
+    oracle, persisted op-scoped views for Spark — see the operator
+    docstring for why). Determinism discipline: every cross-item sum
+    pins its terms DECIMAL(28,12) BEFORE SUM (order-insensitive
+    decimal addition), every per-item rating pins DECIMAL(18,12) per
+    round — the text_logreg_train_gd rule. The mean-1 renormalization
+    rides window aggregates over the ≤|items|-row frame (bounded-frame
+    exemption: |items| = |sources|, never data-sized)."""
+    parts = [
+        f"p0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM {items_tbl})"
+    ]
+    for t in range(1, BT_ITERS + 1):
+        parts.append(f"""d{t} AS (
+      SELECT n.i,
+             SUM(CAST(n.n_ij / (pi.p + pj.p) AS DECIMAL(28,12))) AS den
+      FROM {n_tbl} n
+      JOIN p{t - 1} pi ON pi.i = n.i
+      JOIN p{t - 1} pj ON pj.i = n.j
+      GROUP BY n.i
+    )""")
+        parts.append(f"""praw{t} AS (
+      SELECT d.i,
+             CAST(CAST(tw.wins_i / CAST(d.den AS DOUBLE)
+                  AS DECIMAL(18,12)) AS DOUBLE) AS p
+      FROM d{t} d JOIN {tw_tbl} tw ON tw.i = d.i
+    )""")
+        parts.append(f"""p{t} AS (
+      SELECT i,
+             CAST(CAST((p * (COUNT(*) OVER ()))
+                       / CAST(SUM(CAST(p AS DECIMAL(28,12))) OVER ()
+                              AS DOUBLE)
+                  AS DECIMAL(18,12)) AS DOUBLE) AS p
+      FROM praw{t}
+    )""")
+    return parts
+
+
+def _bt_final_select(n_tbl: str, tw_tbl: str) -> str:
+    return f"""
+    SELECT pf.i AS source,
+           CAST(CAST(pf.p AS DECIMAL(18,6)) AS DOUBLE) AS rating,
+           tw.wins_i AS wins,
+           nt.n_i AS n_comparisons
+    FROM p{BT_ITERS} pf
+    JOIN {tw_tbl} tw ON tw.i = pf.i
+    JOIN (SELECT i, CAST(SUM(n_ij) AS BIGINT) AS n_i
+          FROM {n_tbl} n GROUP BY i) nt
+      ON nt.i = pf.i
+    ORDER BY source
+    """
+
+
+def _bt_sql(table: str) -> str:
+    """The whole model as ONE text (the oracle's form): base + unroll
+    + final. tests/test_bt_property.py runs THIS text on synthetic
+    frames against a direct Python reference."""
+    joined = ",\n    ".join(
+        _bt_base_parts(table) + _bt_iter_parts("n", "tw", "items")
+    )
+    return f"WITH {joined}\n{_bt_final_select('n', 'tw')}"
+
+
+@query("eval_bradley_terry_ratings", oracle=_bt_sql("documents"))
+def eval_bradley_terry_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry item strengths from pairwise preferences — the
+    preference-data QA rung an RLHF pipeline runs before training a
+    reward model: do the aggregated A/B judgments produce a coherent
+    strength ordering, and which sources dominate? Comparisons pair
+    doc d against doc d+7 (stride coprime to the source count, so the
+    comparison graph is one connected circulant — the condition
+    Hunter's MM convergence needs); the longer document wins, tie →
+    the lower-doc_id side. 5 MM rounds p_i ← W_i / Σ_j n_ij/(p_i+p_j),
+    mean-1 renormalized, all fixed-point pinned so the trajectory is
+    bit-identical in both engines (the oracle replays training, not
+    just the final state — the embedding_kmeans_train discipline).
+
+    Spark-side shape: the data-sized half (stride self-join → win
+    counts) runs ONCE and the ≤|sources|²-row ``n``/``tw``/``items``
+    aggregates are persisted behind op-scoped views; only then does
+    the MM unroll run over them. Inlining everything as one CTE text
+    (the oracle's form) is correct but exponential in Spark — CTEs
+    are inlined per reference, and each round references the previous
+    twice, so the base self-join would re-execute ~4^ITERS times
+    (measured: 287s at sf0.01 inline vs ~5s materialized; DuckDB
+    auto-materializes CTEs so the oracle text doesn't care).
+
+    Scale: the ONLY data-sized stages are the stride equi-self-join
+    and the (winner, loser) count aggregate; each MM round is two
+    broadcast-sized hash joins and one ≤|sources|²-row decimal
+    aggregate, the normalizer a window over |sources| rows. Zero
+    driver-side math. tests/test_bt_property.py checks the full
+    trajectory against a direct Python implementation."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("bt_documents")
+    base = ",\n    ".join(_bt_base_parts("bt_documents"))
+    for frame in ("n", "tw", "items"):
+        # localCheckpoint (the graph.py lineage-cut pattern): these
+        # are ≤|sources|²-row frames every MM round re-references —
+        # without the cut, each round's view plan EMBEDS the whole
+        # upstream tree and Catalyst analysis compounds per round
+        # (measured 1.0s → 7.4s by round 5; flat ~0.2s with the cut).
+        # coalesce(1) keeps each round's stages single-task.
+        cp = (
+            spark.sql(f"WITH {base}\nSELECT * FROM {frame}")
+            .coalesce(1)
+            .localCheckpoint()
+        )
+        cp.createOrReplaceTempView(f"bt_{frame}")
+    # materialize each MM round: one round's text at a time, the
+    # previous round behind a checkpointed view — linear in BT_ITERS
+    # where the single-text unroll is exponential (see docstring)
+    iter_parts = _bt_iter_parts("bt_n", "bt_tw", "bt_items")
+    p0 = spark.sql(f"WITH {iter_parts[0]} SELECT * FROM p0").localCheckpoint()
+    p0.createOrReplaceTempView("bt_p0")
+    for t in range(1, BT_ITERS + 1):
+        # this round's three CTEs, with p{t-1} read from its view
+        round_sql = ",\n    ".join(iter_parts[3 * t - 2 : 3 * t + 1])
+        round_sql = round_sql.replace(f"p{t - 1} p", f"bt_p{t - 1} p")
+        pt = (
+            spark.sql(f"WITH {round_sql}\nSELECT * FROM p{t}")
+            .coalesce(1)
+            .localCheckpoint()
+        )
+        pt.createOrReplaceTempView(f"bt_p{t}")
+    final = _bt_final_select("bt_n", "bt_tw").replace(
+        f"FROM p{BT_ITERS} pf", f"FROM bt_p{BT_ITERS} pf"
+    )
+    return spark.sql(final)
