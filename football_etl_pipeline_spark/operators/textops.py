@@ -4590,3 +4590,312 @@ def text_logreg_train_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["text_logreg_train_gd"] = _lr_sql(
     _lr_feature_select("duck"), "BIGINT"
 )
+
+
+# ---- unigram-LM tokenizer (SentencePiece-style Viterbi-EM) --------------
+#
+# Kudo (2018), "Subword Regularization" — the unigram-LM alternative to
+# BPE: seed a substring vocabulary, then alternate (E) Viterbi-segment
+# every word type under current piece costs and (M) re-estimate piece
+# probabilities from the segmentation counts, pruning low-mass pieces
+# each round (single characters always survive, guaranteeing every
+# word stays segmentable). Completes the tokenizer family next to
+# text_bpe_train_merges — trained AND applied inside the engine.
+#
+# Determinism design (stronger than decimal pinning — INTEGER
+# end-to-end): a piece's cost is −ln(p) pinned DECIMAL(18,12) then
+# scaled to integer picounats (×1e12, exact); a Viterbi state is ONE
+# string `lpad(cost_units,18,'0') || '|' || path`, so MIN(state) is a
+# lexicographic argmin — exact cost comparison, path tie-break, no
+# float ever compared. Both engines run the same fragment text; the
+# only dialect seams are the tokenizer expression and explode/split
+# names (the _nb_sql convention).
+
+UG_MAX_WLEN = 8    # corpus max word length (types beyond it excluded —
+                   # stated convention; this synthetic corpus has none)
+UG_MAX_PLEN = 4    # max piece length in the seed inventory
+UG_EM_ITERS = 2    # fixed EM rounds keep the oracle SQL-expressible
+UG_KEEP = 40       # multi-char pieces kept per prune (+ all 1-char)
+_UG_ZERO_ST = "0" * 18 + "|"
+
+
+def _ug_spans() -> str:
+    rows = [
+        (ps, pl)
+        for ps in range(1, UG_MAX_WLEN + 1)
+        for pl in range(1, UG_MAX_PLEN + 1)
+        if ps + pl - 1 <= UG_MAX_WLEN
+    ]
+    return ", ".join(f"({ps}, {pl})" for ps, pl in rows)
+
+
+def _ug_cost_expr(num: str, den: str) -> str:
+    """Integer cost units from a count ratio: −ln(num/den) pinned
+    DECIMAL(18,12), scaled ×1e12 (exact), floored to BIGINT. ln over
+    one IEEE divide of exact integers — the ln-pin rule."""
+    return (
+        f"CAST(floor(CAST(-ln(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE))"
+        f" AS DECIMAL(18,12)) * 1000000000000) AS BIGINT)"
+    )
+
+
+def _ug_steps(dialect: str, table: str) -> list[tuple[str, str]]:
+    """The full training pipeline as ordered (name, select) steps.
+    The oracle assembles them into ONE WITH chain; the Spark side
+    materializes each step behind a localCheckpointed view of the
+    SAME name, so the texts are identical and only the execution
+    strategy differs (the eval_bradley_terry_ratings lesson: CTEs
+    are inlined per reference in Spark, and each DP round references
+    up to UG_MAX_PLEN prior rounds)."""
+    toks = TOKENS_SPARK if dialect == "spark" else TOKENS_DUCK
+    explode = "explode" if dialect == "spark" else "unnest"
+    split = "split" if dialect == "spark" else "string_split"
+    steps: list[tuple[str, str]] = []
+    steps.append((
+        "ug_types",
+        f"""SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT {explode}({toks}) AS word FROM {table}) raw
+      WHERE length(word) BETWEEN 1 AND {UG_MAX_WLEN}
+      GROUP BY word""",
+    ))
+    steps.append((
+        "ug_seed_cnt",
+        f"""SELECT substr(t.word, s.ps, s.pl) AS piece,
+             CAST(SUM(t.freq) AS BIGINT) AS cnt
+      FROM ug_types t
+      JOIN (VALUES {_ug_spans()}) AS s(ps, pl)
+        ON s.ps + s.pl - 1 <= length(t.word)
+      GROUP BY 1""",
+    ))
+    steps.append((
+        "ug_chars",
+        "SELECT piece FROM ug_seed_cnt WHERE length(piece) = 1",
+    ))
+    steps.append((
+        "ug_seed_tot",
+        "SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM ug_seed_cnt",
+    ))
+    steps.append((
+        "ug_vocab0",
+        f"""SELECT piece, cnt, {_ug_cost_expr("cnt", "total")} AS cu
+      FROM ug_seed_cnt CROSS JOIN ug_seed_tot""",
+    ))
+    for it in range(1, UG_EM_ITERS + 1):
+        steps.extend(_ug_sweep_steps(f"e{it}", f"ug_vocab{it - 1}"))
+        steps.append((
+            f"ug_cnt{it}",
+            f"""SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT t.freq,
+               {explode}({split}(substr(f.st, 20), ' ')) AS piece
+        FROM ug_fin_e{it} f JOIN ug_types t ON t.word = f.word
+      ) x GROUP BY piece""",
+        ))
+        steps.append((
+            f"ug_kept{it}",
+            f"""SELECT piece FROM (
+        SELECT piece,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+        FROM ug_cnt{it} WHERE length(piece) > 1
+      ) rnk WHERE rk <= {UG_KEEP}
+      UNION
+      SELECT piece FROM ug_chars""",
+        ))
+        steps.append((
+            f"ug_cc{it}",
+            f"""SELECT k.piece, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+      FROM ug_kept{it} k LEFT JOIN ug_cnt{it} c ON c.piece = k.piece""",
+        ))
+        steps.append((
+            f"ug_tot{it}",
+            f"""SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS nv FROM ug_cc{it}""",
+        ))
+        steps.append((
+            f"ug_vocab{it}",
+            f"""SELECT piece, cnt,
+             {_ug_cost_expr("cnt + 1", "total + nv")} AS cu
+      FROM ug_cc{it} CROSS JOIN ug_tot{it}""",
+        ))
+    return steps
+
+
+def _ug_sweep_steps(tag: str, pieces_tbl: str) -> list[tuple[str, str]]:
+    """One Viterbi sweep: UG_MAX_WLEN forward rounds over the word-type
+    frame. Round t extends states at positions t−4..t−1 by every vocab
+    piece that exactly spells word[pos+1 .. t] and keeps the
+    lexicographic-MIN state per word — exact integer-cost argmin with
+    path tie-break. ``ug_fin_{tag}`` collects each word's full-length
+    state; its path substring IS the segmentation."""
+    steps: list[tuple[str, str]] = []
+    for t in range(1, UG_MAX_WLEN + 1):
+        srcs = []
+        for k in range(1, UG_MAX_PLEN + 1):
+            prev = t - k
+            if prev < 0:
+                continue
+            if prev == 0:
+                srcs.append(
+                    f"SELECT word, 0 AS pos, '{_UG_ZERO_ST}' AS st"
+                    f" FROM ug_types WHERE length(word) >= {t}"
+                )
+            else:
+                srcs.append(
+                    f"SELECT word, {prev} AS pos, st FROM ug_s_{tag}_{prev}"
+                    f" WHERE length(word) >= {t}"
+                )
+        union = "\n        UNION ALL\n        ".join(srcs)
+        steps.append((
+            f"ug_s_{tag}_{t}",
+            f"""SELECT b.word,
+             MIN(
+               lpad(CAST(CAST(substr(b.st, 1, 18) AS BIGINT) + p.cu
+                         AS STRING), 18, '0')
+               || '|'
+               || CASE WHEN length(b.st) > 19
+                       THEN substr(b.st, 20) || ' ' ELSE '' END
+               || p.piece
+             ) AS st
+      FROM ({union}) b
+      JOIN {pieces_tbl} p
+        ON p.piece = substr(b.word, b.pos + 1, {t} - b.pos)
+      GROUP BY b.word""",
+        ))
+    fin = "\n      UNION ALL\n      ".join(
+        f"SELECT word, st FROM ug_s_{tag}_{t} WHERE length(word) = {t}"
+        for t in range(1, UG_MAX_WLEN + 1)
+    )
+    steps.append((f"ug_fin_{tag}", fin))
+    return steps
+
+
+_UG_TRAIN_FINAL = f"""
+    SELECT piece, cnt, cu AS cost_units,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC)
+                AS BIGINT) AS vocab_rank
+    FROM ug_vocab{UG_EM_ITERS}
+    ORDER BY vocab_rank
+"""
+
+
+def _ug_assemble(steps: list[tuple[str, str]], final: str) -> str:
+    """Oracle-only assembly (Spark materializes the steps as views and
+    never parses this text): AS MATERIALIZED forces DuckDB to compute
+    each step once — inlined, the DP rounds' multi-references re-open
+    the parquet per reference (observed: 'Too many open files')."""
+    joined = ",\n    ".join(
+        f"{n} AS MATERIALIZED ({sql})" for n, sql in steps
+    )
+    return f"WITH {joined}\n{final}"
+
+
+def _ug_run_spark(
+    spark: SparkSession, sf_dir: str, steps: list[tuple[str, str]], final: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("ug_documents")
+    for name, sql in steps:
+        (
+            spark.sql(sql)
+            .coalesce(1)
+            .localCheckpoint()
+            .createOrReplaceTempView(name)
+        )
+    return spark.sql(final)
+
+
+@query(
+    "text_unigram_lm_train",
+    oracle=_ug_assemble(_ug_steps("duck", "documents"), _UG_TRAIN_FINAL),
+)
+def text_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer TRAINING inside the
+    engine: substring seed inventory (lengths 1–{UG_MAX_PLEN},
+    frequency-weighted) → {UG_EM_ITERS} hard-EM rounds of exact
+    Viterbi segmentation (integer-picounat costs, lexicographic
+    argmin — see module comment) and count re-estimation with
+    add-one smoothing, pruning to the top {UG_KEEP} multi-char
+    pieces (+ every single char) per round. Output is the trained
+    vocabulary (piece, count, cost_units, rank) — ALL integers, so
+    the oracle hash certifies the entire EM trajectory bit-for-bit
+    (the embedding_kmeans_train discipline; cost_units IS the pinned
+    −ln p).
+
+    Scale: the data-sized stages are ONE tokenize scan (word-type
+    aggregate — Heaps' law: the type frame is ~1M rows when the
+    corpus is billions of tokens) and nothing else; every EM round
+    operates on the type frame × a ≤(seed)‑row broadcastable piece
+    table, each DP round one equi-join + per-word aggregate.
+    Word types longer than {UG_MAX_WLEN} chars are excluded (stated
+    convention; raise the constant for a real corpus — rounds grow
+    LINEARLY in max word length because states carry paths, no
+    backtrack pass). Spark materializes each step behind a
+    localCheckpointed single-partition view — the plan-growth lesson
+    from eval_bradley_terry_ratings — while DuckDB runs the same
+    fragments as one WITH chain (it materializes multi-referenced
+    CTEs itself)."""
+    steps = _ug_steps("spark", "ug_documents")
+    return _ug_run_spark(spark, sf_dir, steps, _UG_TRAIN_FINAL)
+
+
+_UG_STATS_FINAL = """
+    SELECT o.source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(o.n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(np.n_pieces) AS BIGINT) AS n_pieces,
+           CAST(CAST(SUM(np.n_pieces) * 1.0 / COUNT(*)
+                AS DECIMAL(18,6)) AS DOUBLE) AS pieces_per_word
+    FROM ug_occ o
+    JOIN ug_npieces np ON np.word = o.word
+    GROUP BY o.source
+    ORDER BY o.source
+"""
+
+
+def _ug_stats_steps(dialect: str, table: str) -> list[tuple[str, str]]:
+    toks = TOKENS_SPARK if dialect == "spark" else TOKENS_DUCK
+    explode = "explode" if dialect == "spark" else "unnest"
+    steps = _ug_steps(dialect, table)
+    steps.extend(
+        _ug_sweep_steps("apply", f"ug_vocab{UG_EM_ITERS}")
+    )
+    steps.append((
+        "ug_npieces",
+        """SELECT word,
+             CAST(1 + length(substr(st, 20))
+                    - length(replace(substr(st, 20), ' ', ''))
+                  AS BIGINT) AS n_pieces
+      FROM ug_fin_apply""",
+    ))
+    steps.append((
+        "ug_occ",
+        f"""SELECT source, word, length(word) AS n_chars FROM (
+        SELECT source, {explode}({toks}) AS word FROM {table}
+      ) raw WHERE length(word) BETWEEN 1 AND {UG_MAX_WLEN}""",
+    ))
+    return steps
+
+
+@query(
+    "text_unigram_segment_stats",
+    oracle=_ug_assemble(
+        _ug_stats_steps("duck", "documents"), _UG_STATS_FINAL
+    ),
+)
+def text_unigram_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode side of the unigram-LM pair (the text_bpe_segment_stats
+    twin): segment every corpus word with the TRAINED vocabulary —
+    one more exact Viterbi sweep under the final piece costs — and
+    report per-source tokenization stats: words, chars, pieces, and
+    pieces-per-word (the compression the learned vocabulary buys,
+    which is what a curation pipeline actually compares across
+    sources). The segmentation count rides the path string (pieces
+    are space-joined, so n_pieces = spaces + 1) — no second trained-
+    state channel, the bpe_segment lesson.
+
+    Scale: adds one tokenize scan for per-source occurrences (the
+    only data-sized stage beyond training's type aggregate) plus one
+    type-frame Viterbi sweep; the final join is word-type-sized on
+    the build side."""
+    steps = _ug_stats_steps("spark", "ug_documents")
+    return _ug_run_spark(spark, sf_dir, steps, _UG_STATS_FINAL)
