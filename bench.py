@@ -355,6 +355,48 @@ MOVER_ABS_SEC = 0.3
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
+# Round-12: the round-11 protocol correctly TAGGED the driver's run
+# contaminated (load1 3.19 at start), but the driver still recorded
+# the noisy number. Now the run first WAITS for the host to go idle —
+# bounded, so a persistently busy host still produces a (tagged) run
+# rather than no run at all.
+IDLE_WAIT_MAX_SEC = 600.0   # give up waiting after 10 minutes
+IDLE_POLL_SEC = 15.0
+
+
+def wait_for_idle(
+    *,
+    max_wait: float = IDLE_WAIT_MAX_SEC,
+    poll: float = IDLE_POLL_SEC,
+    load_fn=None,
+    cooldown_fn=None,
+    sleep_fn=None,
+    clock=None,
+) -> tuple[float, float, float]:
+    """Block until load1 < LOAD_CEILING and the heavy-sweep cooldown
+    has elapsed, or ``max_wait`` seconds pass — whichever first.
+    Returns the FINAL (load1, cooldown_sec, waited_sec) sample, which
+    is what tag_run judges (a run that becomes clean mid-wait is
+    genuinely clean: the criterion is process-start state, and the
+    measured run starts after the wait). All dependencies injectable
+    for unit tests."""
+    import time as _time
+
+    load_fn = load_fn or (lambda: os.getloadavg()[0])
+    cooldown_fn = cooldown_fn or (lambda: last_sweep_age_sec(_time.time()))
+    sleep_fn = sleep_fn or _time.sleep
+    clock = clock or _time.monotonic
+    t0 = clock()
+    while True:
+        load1 = load_fn()
+        cooldown = cooldown_fn()
+        waited = clock() - t0
+        if load1 < LOAD_CEILING and cooldown >= COOLDOWN_SEC:
+            return load1, cooldown, waited
+        if waited >= max_wait:
+            return load1, cooldown, waited
+        sleep_fn(min(poll, max_wait - waited))
+
 
 def last_sweep_age_sec(now: float) -> float:
     """Seconds since the newest heavy sweep artifact (gate files,
@@ -454,11 +496,23 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    # Telemetry FIRST — process-start load is the criterion (the
-    # warmup's own 32-thread jobs inflate loadavg afterwards).
+    # Wait (bounded) for the host to go idle, THEN sample telemetry —
+    # process-start load is the criterion (the warmup's own 32-thread
+    # jobs inflate loadavg afterwards). A persistently busy host falls
+    # through after IDLE_WAIT_MAX_SEC and the run is tagged as before;
+    # SPARK_GRAFT_BENCH_NO_WAIT=1 skips the wait (ad-hoc timing runs).
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT", "") == "1":
+        load1, cooldown, waited = (
+            os.getloadavg()[0],
+            last_sweep_age_sec(time.time()),
+            0.0,
+        )
+    else:
+        load1, cooldown, waited = wait_for_idle()
+    if waited:
+        print(f"# waited {waited:.0f}s for idle host", file=sys.stderr)
     t_start = time.time()
-    load1, load5, _ = os.getloadavg()
-    cooldown = last_sweep_age_sec(t_start)
+    load5 = os.getloadavg()[1]
 
     # SPARK_GRAFT_BENCH_TIER: "full" (default) = every headline query;
     # "fast" = the r5-anchor 46-query prefix (comparable to BASELINE.md
@@ -569,6 +623,7 @@ def main() -> None:
         "telemetry": {
             "load1_at_start": round(load1, 3),
             "load5_at_start": round(load5, 3),
+            "idle_wait_sec": round(waited, 1),
             "cooldown_sec": (
                 round(cooldown, 1)
                 if cooldown != float("inf")

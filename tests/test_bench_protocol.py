@@ -102,3 +102,76 @@ def test_no_reference_is_telemetry_only_official():
     v = bench.tag_run(0.05, 600.0, t, {}, full_tier=True)
     assert v["tag"] == "official"
     assert v["anchor_ratio"] is None
+
+
+def _mk_clock():
+    state = {"t": 0.0}
+
+    def clock():
+        return state["t"]
+
+    def sleep(sec):
+        state["t"] += sec
+
+    return clock, sleep
+
+
+def test_wait_for_idle_returns_immediately_when_clean():
+    clock, sleep = _mk_clock()
+    load1, cooldown, waited = bench.wait_for_idle(
+        load_fn=lambda: 0.1,
+        cooldown_fn=lambda: 900.0,
+        sleep_fn=sleep,
+        clock=clock,
+    )
+    assert (load1, cooldown, waited) == (0.1, 900.0, 0.0)
+
+
+def test_wait_for_idle_waits_out_load_spike():
+    clock, sleep = _mk_clock()
+    loads = iter([3.2, 2.0, 0.8, 0.2, 0.1])
+
+    def load_fn():
+        return next(loads)
+
+    load1, cooldown, waited = bench.wait_for_idle(
+        load_fn=load_fn,
+        cooldown_fn=lambda: 900.0,
+        sleep_fn=sleep,
+        clock=clock,
+        poll=15.0,
+    )
+    assert load1 == 0.2  # first sample under LOAD_CEILING wins
+    assert waited == 45.0  # three 15s polls
+
+
+def test_wait_for_idle_gives_up_bounded_and_reports_dirty_sample():
+    # a persistently busy host must still produce a run — the FINAL
+    # sample goes to tag_run, which then tags it contaminated
+    clock, sleep = _mk_clock()
+    load1, cooldown, waited = bench.wait_for_idle(
+        load_fn=lambda: 4.0,
+        cooldown_fn=lambda: 900.0,
+        sleep_fn=sleep,
+        clock=clock,
+        max_wait=60.0,
+        poll=15.0,
+    )
+    assert load1 == 4.0
+    assert waited == 60.0
+    v = bench.tag_run(load1, cooldown, _anchor_timings(), {}, full_tier=True)
+    assert v["tag"] == "contaminated"
+
+
+def test_wait_for_idle_waits_for_cooldown_too():
+    clock, sleep = _mk_clock()
+    cools = iter([100.0, 200.0, 290.0, 310.0])
+    load1, cooldown, waited = bench.wait_for_idle(
+        load_fn=lambda: 0.1,
+        cooldown_fn=lambda: next(cools),
+        sleep_fn=sleep,
+        clock=clock,
+        poll=15.0,
+    )
+    assert cooldown == 310.0
+    assert waited == 45.0
