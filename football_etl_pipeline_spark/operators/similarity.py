@@ -2159,7 +2159,12 @@ def _semdedup_oracle() -> str:
 
 
 @query("dedup_semantic_clusters", oracle=_semdedup_oracle())
-def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semantic_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    candidates_only: bool = False,
+    cells: int = IVF_K,
+) -> DataFrame:
     """SemDeDup-style semantic deduplication: k-means-cell bucketing
     (the trained coarse quantizer — the same KMEANS_ITERS Lloyd
     trajectory ``embedding_kmeans_train`` certifies) followed by
@@ -2195,7 +2200,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-cell work stays flat while everything shuffles on
     cell. The keep-list left join is a hash join on vec_id."""
     e = persist_tracked(_normed(spark, sf_dir))
-    cents = _train_centroids(spark, e, KMEANS_ITERS)
+    cents = _train_centroids(spark, e, KMEANS_ITERS, k=cells)
     cent = _cent_df(spark, cents)
     ccos = F.expr(_dot_spark("v", "cv")) / (F.col("nrm") * F.col("cnrm"))
     wcell = Window.partitionBy("vec_id").orderBy(
@@ -2208,17 +2213,25 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crank") <= SEMDEDUP_NPROBE)
         .select("vec_id", "v", "nrm", F.col("c_id").alias("cell"), "crank")
     )
-    pcos = F.expr(_dot_spark("a.v", "b.v")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    pruned = (
+    cand = (
         memb.alias("a")
         .join(
             memb.alias("b"),
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("b.vec_id") < F.col("a.vec_id")),
         )
-        .filter(pcos >= SEMDEDUP_TAU)
+    )
+    if candidates_only:
+        # the scale-probe hook (dedup_embedding_ivf convention): the
+        # pre-verify candidate pairs, deduped across shared cells
+        return cand.select(
+            F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id")
+        ).distinct()
+    pcos = F.expr(_dot_spark("a.v", "b.v")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    pruned = (
+        cand.filter(pcos >= SEMDEDUP_TAU)
         .select(F.col("a.vec_id").alias("pruned_id"))
         .distinct()
     )

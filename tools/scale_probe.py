@@ -319,6 +319,43 @@ def validate100() -> None:
     ]
     for name, n1, nN, g, w1, wN in rows:
         lines.append(f"| {name} | {n1} | {nN} | {g} | {w1} | {wN} |")
+
+    # Round-12: the heavies that previously rode a 10x-only
+    # extrapolation get their own second decade — the composed dedup
+    # pipeline (documents side) and one iterative graph rung (events
+    # side). These return REPORT frames, so the soundness metric is
+    # wall growth vs linear (superlinear wall = a candidate explosion
+    # inside the composition).
+    from football_etl_pipeline_spark.operators import QUERIES
+
+    build_synthetic_events(spark, copies)
+    composed_rows = []
+    for name in ("dedup_pipeline_e2e", "graph_label_propagation"):
+        qfn = QUERIES[name]
+        qfn(spark, "/root/testdata/sf0.001").count()
+        release_persists()
+        t0 = time.time()
+        n1 = qfn(spark, BASE_SF).count()
+        w1 = round(time.time() - t0, 2)
+        release_persists()
+        t0 = time.time()
+        nN = qfn(spark, big).count()
+        wN = round(time.time() - t0, 2)
+        release_persists()
+        wg = wN / w1 / copies if w1 else float("nan")
+        composed_rows.append((name, n1, nN, w1, wN, round(wg, 2)))
+        print(
+            f"# {name}: wall 1x={w1}s 100x={wN}s"
+            f" wall-growth/linear={wg:.2f}"
+        )
+    lines += [
+        "",
+        "| composed rung | rows 1x | rows 100x | wall 1x (s) | "
+        "wall 100x (s) | wall growth / linear |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, n1, nN, w1, wN, wg in composed_rows:
+        lines.append(f"| {name} | {n1} | {nN} | {w1} | {wN} | {wg} |")
     with open(os.path.join(REPO, "SCALE.md"), "a") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
@@ -360,6 +397,27 @@ def main() -> None:
         ),
         "dedup_embedding_ivf": lambda d: dedup.dedup_embedding_ivf(
             spark, d, candidates_only=True
+        ),
+        # round-12 SemDeDup rung, both ways like the IVF probe: fixed
+        # trained cells (expect superlinear per-doc growth — the
+        # documented failure mode) and cells x10 (the production dial:
+        # K ~ n keeps per-cell work flat, expect ~linear).
+        "dedup_semantic_clusters (fixed 8 cells)": lambda d: (
+            similarity.dedup_semantic_clusters(
+                spark, d, candidates_only=True
+            )
+        ),
+        "dedup_semantic_clusters (cells x10)": lambda d: (
+            similarity.dedup_semantic_clusters(
+                spark,
+                d,
+                candidates_only=True,
+                cells=(
+                    similarity.IVF_K
+                    if d == BASE_SF or d.startswith("/root/testdata")
+                    else similarity.IVF_K * 10
+                ),
+            )
         ),
         "text_cooccurrence (V=64)": lambda d: textops.cooccurrence_candidates(
             docs_of(d)
