@@ -287,6 +287,12 @@ HEADLINE = [
     "text_naive_bayes_langid",
     "text_logreg_train_gd",
     "streaming_sprt_monitor",
+    # round-12 additions
+    "dedup_semantic_clusters",
+    "multimodal_video_meta",
+    "eval_bradley_terry_ratings",
+    "text_unigram_lm_train",
+    "text_unigram_segment_stats",
     # events_holt_winters_additive / lineitem_croston_intermittent:
     # recursive CTEs — same per-iteration job-scheduling overhead
     # class as events_ewma_recursive / events_holt_linear_recursive;

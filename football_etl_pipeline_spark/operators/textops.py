@@ -4795,6 +4795,13 @@ def _ug_run_spark(
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("ug_documents")
     for name, sql in steps:
+        if name == "ug_occ":
+            # the ONE data-sized step (per-token occurrences): it is
+            # referenced exactly once by the final aggregate, so it
+            # stays a lazy view — checkpointing it would materialize
+            # the whole corpus's token frame to executor storage
+            spark.sql(sql).createOrReplaceTempView(name)
+            continue
         (
             spark.sql(sql)
             .coalesce(1)

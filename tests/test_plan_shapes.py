@@ -1298,3 +1298,28 @@ def test_semdedup_pair_join_is_cell_equi_join(spark):
     for ln in plan.splitlines():
         if "BroadcastNestedLoopJoin" in ln:
             assert "BuildRight" in ln, ln
+
+
+def test_bradley_terry_rounds_are_checkpointed(spark):
+    """eval_bradley_terry_ratings: the returned plan must read ONLY
+    checkpointed round frames and the materialized aggregate views —
+    zero parquet scans (the data-sized stride self-join ran once into
+    bt_n/bt_tw), and no window (the mean-1 normalizer already ran
+    inside the per-round materialization)."""
+    plan = _plan(spark, "eval_bradley_terry_ratings")
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_final_plans_scan_discipline(spark):
+    """text_unigram_lm_train's returned plan reads only the final
+    checkpointed vocab (0 parquet scans); text_unigram_segment_stats
+    adds exactly ONE corpus scan — the lazy ug_occ occurrence view
+    (checkpointing it would materialize the token frame; the pin
+    guards both directions: no extra scans sneaking in AND the
+    occurrence view staying lazy)."""
+    plan = _plan(spark, "text_unigram_lm_train")
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
+    plan2 = _plan(spark, "text_unigram_segment_stats")
+    f2 = _final(plan2)
+    assert f2.count("Scan parquet") == 1, f2.count("Scan parquet")

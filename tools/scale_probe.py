@@ -350,6 +350,13 @@ def validate100() -> None:
         )
     lines += [
         "",
+        "Second decade for the composed heavies (round-12): the "
+        "production dedup pipeline over 500k docs and one iterative "
+        "graph rung over the 100x events corpus — bounded report "
+        "outputs, so wall growth vs linear is the soundness bar "
+        "(a candidate explosion inside the composition would surface "
+        "as superlinear wall).",
+        "",
         "| composed rung | rows 1x | rows 100x | wall 1x (s) | "
         "wall 100x (s) | wall growth / linear |",
         "|---|---|---|---|---|---|",
