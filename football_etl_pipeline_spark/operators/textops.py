@@ -4795,11 +4795,7 @@ def _ug_run_spark(
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("ug_documents")
     for name, sql in steps:
-        if name == "ug_occ":
-            # the ONE data-sized step (per-token occurrences): it is
-            # referenced exactly once by the final aggregate, so it
-            # stays a lazy view — checkpointing it would materialize
-            # the whole corpus's token frame to executor storage
+        if _ug_lazy(name):
             spark.sql(sql).createOrReplaceTempView(name)
             continue
         (
@@ -4809,6 +4805,34 @@ def _ug_run_spark(
             .createOrReplaceTempView(name)
         )
     return spark.sql(final)
+
+
+def _ug_lazy(name: str) -> bool:
+    """Which steps stay LAZY views on the Spark side (the oracle's
+    CTE chain is unaffected — this only tunes Spark's job count):
+
+    - ``ug_occ``: the one DATA-SIZED step; referenced once, and
+      checkpointing it would materialize the whole token frame;
+    - tiny low-reference plumbing (seed total, per-round count/prune
+      chain, fin unions, npieces, chars): a lazy view's subplan is
+      re-EXECUTED once per reference, so only steps whose recompute
+      is ≤2× over a ≤vocab-sized frame qualify — materializing each
+      costs a whole Spark job, which is the larger number here.
+
+    Every Viterbi round stays checkpointed: round t is referenced by
+    up to UG_MAX_PLEN later rounds plus the fin union, so a lazy
+    round's join work re-executes ~4× — measured SLOWER (9.4s vs
+    4.3s at sf0.1) than paying its one materialization job, the
+    mirror lesson to the BT exponential-CTE one. ``ug_types``,
+    ``ug_seed_cnt`` and every ``ug_vocab*`` are multi-referenced
+    across sweeps and stay checkpointed too."""
+    if name in ("ug_occ", "ug_npieces", "ug_seed_tot", "ug_chars"):
+        return True
+    if name.startswith("ug_fin_"):
+        return True
+    if name.startswith(("ug_cnt", "ug_kept", "ug_cc", "ug_tot")):
+        return True
+    return False
 
 
 @query(
