@@ -293,6 +293,8 @@ HEADLINE = [
     "eval_bradley_terry_ratings",
     "text_unigram_lm_train",
     "text_unigram_segment_stats",
+    "text_packing_boundary_report",
+    "eval_fleiss_kappa",
     # events_holt_winters_additive / lineitem_croston_intermittent:
     # recursive CTEs — same per-iteration job-scheduling overhead
     # class as events_ewma_recursive / events_holt_linear_recursive;

@@ -5963,3 +5963,113 @@ def eval_bradley_terry_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"FROM p{BT_ITERS} pf", f"FROM bt_p{BT_ITERS} pf"
     )
     return spark.sql(final)
+
+
+# ---- Fleiss' kappa inter-annotator agreement (RLHF-data QA) -------------
+#
+# Fleiss (1971): chance-corrected agreement for R raters assigning N
+# subjects to K categories — the companion QA metric to
+# eval_bradley_terry_ratings: BT asks "are the judgments coherent
+# across items", kappa asks "do the annotators even agree". The
+# annotation table is synthesized deterministically (hash-seeded
+# noise over a length-bucket base label), so the statistic's whole
+# pipeline — per-doc category counts, P_i, marginal p_j, P_e, kappa —
+# is oracle-replayed.
+
+FLEISS_R = 3          # annotators
+FLEISS_K = 3          # categories (length buckets)
+FLEISS_NOISE_MOD = 5  # annotator flips to a hash category 1/5 of the time
+
+
+def _fleiss_sql(table: str, h60) -> str:
+    base = (
+        "CASE WHEN d.n_chars < 200 THEN 0"
+        " WHEN d.n_chars < 350 THEN 1 ELSE 2 END"
+    )
+    nkey = h60(
+        "'fk' || CAST(r.r AS STRING) || '|' || CAST(d.doc_id AS STRING)"
+    )
+    vkey = h60(
+        "'fv' || CAST(r.r AS STRING) || '|' || CAST(d.doc_id AS STRING)"
+    )
+    rs = ", ".join(f"({i})" for i in range(FLEISS_R))
+    return f"""
+    WITH labels AS (
+      SELECT d.doc_id,
+             CASE WHEN {nkey} % {FLEISS_NOISE_MOD} = 0
+                  THEN {vkey} % {FLEISS_K}
+                  ELSE {base} END AS cat
+      FROM {table} d CROSS JOIN (VALUES {rs}) AS r(r)
+    ),
+    cell AS (
+      SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS nij
+      FROM labels GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(nij * nij) AS BIGINT) AS s
+      FROM cell GROUP BY 1
+    ),
+    pbar AS (
+      SELECT SUM(CAST((CAST(s AS DOUBLE) - {FLEISS_R})
+                      / ({FLEISS_R} * ({FLEISS_R} - 1))
+                 AS DECIMAL(28,12))) AS pbar_sum,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM per_doc
+    ),
+    pj AS (
+      SELECT cat, CAST(SUM(nij) AS BIGINT) AS tot FROM cell GROUP BY 1
+    ),
+    pe AS (
+      SELECT SUM(CAST(
+               (CAST(tot AS DOUBLE) / (pb.n * {FLEISS_R}))
+               * (CAST(tot AS DOUBLE) / (pb.n * {FLEISS_R}))
+             AS DECIMAL(28,12))) AS pe_sum
+      FROM pj CROSS JOIN pbar pb
+    )
+    SELECT pb.n AS n_docs,
+           CAST({FLEISS_R} AS BIGINT) AS n_annotators,
+           CAST(CAST(CAST(pb.pbar_sum AS DOUBLE) / pb.n
+                AS DECIMAL(18,6)) AS DOUBLE) AS p_bar,
+           CAST(CAST(CAST(pe.pe_sum AS DOUBLE)
+                AS DECIMAL(18,6)) AS DOUBLE) AS p_e,
+           CAST(CAST(
+             (CAST(pb.pbar_sum AS DOUBLE) / pb.n
+               - CAST(pe.pe_sum AS DOUBLE))
+             / (1 - CAST(pe.pe_sum AS DOUBLE))
+           AS DECIMAL(18,6)) AS DOUBLE) AS kappa
+    FROM pbar pb CROSS JOIN pe
+    """
+
+
+def _h60_duck_st(expr: str) -> str:
+    return f"try_cast('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _h60_spark_st(expr: str) -> str:
+    return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+@query(
+    "eval_fleiss_kappa",
+    oracle=_fleiss_sql("documents", _h60_duck_st),
+)
+def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over a deterministic 3-annotator labeling of the
+    corpus (length-bucket base label, each annotator hash-flipping to
+    a hash category 20% of the time — the reproducible-assignment
+    discipline of events_ab_test_lift). Output is one row:
+    (n_docs, n_annotators, p_bar, p_e, kappa).
+
+    Exactness: category counts are integers; P_i and p_j² are each
+    ONE IEEE chain over exact integers pinned DECIMAL(28,12) BEFORE
+    the cross-doc/category sums (order-insensitive), and the final
+    kappa is one chain over two exact aggregates — bit-stable across
+    engines.
+
+    Scale: one hash-label projection (md5 inside codegen, no UDF) ×
+    R=3 broadcast annotator rows, two hash aggregates (doc-category
+    cells, then per-doc), and ≤K+1-row finishing joins. No window,
+    no driver math."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("fleiss_documents")
+    return spark.sql(_fleiss_sql("fleiss_documents", _h60_spark_st))

@@ -4930,3 +4930,102 @@ def text_unigram_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the build side."""
     steps = _ug_stats_steps("spark", "ug_documents")
     return _ug_run_spark(spark, sf_dir, steps, _UG_STATS_FINAL)
+
+
+# ---- sequence-packing fragmentation report ------------------------------
+#
+# Pretraining pipelines pack the token stream into fixed-length
+# context windows (GPT-style concat-and-cut). A document that CROSSES
+# a window boundary is split across training examples — attention
+# masking/fragmentation cost a data team tracks per source before
+# choosing ctx length or a doc-boundary-respecting packer. Window
+# membership is pure cumulative-sum arithmetic over the doc_id-ordered
+# token stream, so the whole report is exact integer math.
+
+PACK_CTX = 512  # context window length (tokens)
+
+
+@query(
+    "text_packing_boundary_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len({TOKENS_DUCK}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    pref AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id) AS cum_n_tok
+      FROM toks
+    ),
+    spans AS (
+      SELECT source, n_tok,
+             (cum_n_tok - n_tok) // {PACK_CTX} AS w_first,
+             (cum_n_tok - 1) // {PACK_CTX} AS w_last
+      FROM pref WHERE n_tok > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN w_last > w_first THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_crossing,
+           CAST(SUM(w_last - w_first) AS BIGINT) AS n_extra_windows,
+           CAST(CAST(SUM(CASE WHEN w_last > w_first THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE)
+             AS crossing_share
+    FROM spans GROUP BY source ORDER BY source
+    """,
+)
+def text_packing_boundary_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Context-window packing fragmentation per source: pack the
+    doc_id-ordered token stream into {PACK_CTX}-token windows
+    (concat-and-cut, the standard pretraining packer) and report how
+    many documents straddle a window boundary, how many EXTRA windows
+    each source's documents bleed into, and the crossing share — the
+    fragmentation signal that decides ctx length vs a
+    boundary-respecting packer.
+
+    Exactness: token counts and window indices are integers; each
+    doc's window span is floor arithmetic on the inclusive running
+    total, so the report is bit-exact.
+
+    Scale: the running total rides the range-exchange prefix helper
+    (``stattests._range_prefix`` — per-partition cumsums + a
+    P-row offset collect), NEVER a single-partition window; the
+    oracle uses a plain window because DuckDB is single-node by
+    definition. Everything after the prefix is one hash aggregate on
+    source."""
+    from .stattests import _range_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"CAST(size({TOKENS_SPARK}) AS BIGINT)").alias("n_tok"),
+    )
+    pref = _range_prefix(toks, ["doc_id"], ["n_tok"])
+    spans = pref.filter(F.col("n_tok") > 0).select(
+        "source",
+        "n_tok",
+        F.expr(f"(cum_n_tok - n_tok) DIV {PACK_CTX}").alias("w_first"),
+        F.expr(f"(cum_n_tok - 1) DIV {PACK_CTX}").alias("w_last"),
+    )
+    crossing = F.when(F.col("w_last") > F.col("w_first"), 1).otherwise(0)
+    return (
+        spans.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(crossing).cast("bigint").alias("n_crossing"),
+            F.sum(F.col("w_last") - F.col("w_first"))
+            .cast("bigint")
+            .alias("n_extra_windows"),
+            (F.sum(crossing) * F.lit(1.0) / F.count(F.lit(1)))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("crossing_share"),
+        )
+        .orderBy("source")
+    )
