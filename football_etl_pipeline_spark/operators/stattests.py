@@ -6073,3 +6073,80 @@ def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("fleiss_documents")
     return spark.sql(_fleiss_sql("fleiss_documents", _h60_spark_st))
+
+
+# ---- pairwise win-rate matrix with Wilson bounds ------------------------
+
+WR_Z = "1.96"  # 95% Wilson interval
+
+
+def _winrate_final(n_tbl: str, w_tbl: str) -> str:
+    """The matrix finish over the (already aggregated) directed-win
+    and symmetric-count frames — shared verbatim by both engines.
+    Each row's Wilson lower bound is ONE IEEE chain over exact
+    integers, pinned DECIMAL(18,6) (the ln-pin rule's sqrt cousin)."""
+    p = "(CAST(pr.wins_i AS DOUBLE) / pr.n_ij)"
+    z2n = f"({WR_Z} * {WR_Z} / pr.n_ij)"
+    return f"""
+    SELECT pr.i, pr.j,
+           pr.n_ij AS n_comparisons,
+           pr.wins_i,
+           CAST(CAST({p} AS DECIMAL(18,6)) AS DOUBLE) AS win_rate,
+           CAST(CAST(
+             ({p} + {z2n} / 2
+               - {WR_Z} * sqrt(({p} * (1 - {p}) + {z2n} / 4) / pr.n_ij))
+             / (1 + {z2n})
+           AS DECIMAL(18,6)) AS DOUBLE) AS wilson_lo
+    FROM (
+      SELECT n.i, n.j, n.n_ij,
+             CAST(COALESCE(w.w_ij, 0) AS BIGINT) AS wins_i
+      FROM {n_tbl} n LEFT JOIN {w_tbl} w ON w.i = n.i AND w.j = n.j
+    ) pr
+    ORDER BY pr.i, pr.j
+    """
+
+
+def _winrate_oracle() -> str:
+    base = ",\n    ".join(_bt_base_parts("documents"))
+    return f"WITH {base}\n{_winrate_final('n', 'w')}"
+
+
+@query("eval_win_rate_matrix", oracle=_winrate_oracle())
+def eval_win_rate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw pairwise preference matrix the Bradley–Terry MM
+    consumes, reported directly: for every directed source pair
+    (i, j) with ≥1 comparison, the comparison count, i's wins, the
+    win rate, and its 95% Wilson lower bound — the
+    sample-size-honest readout an RLHF data review reads next to the
+    fitted strengths (a 3/3 sweep and a 300/300 sweep have the same
+    win rate but very different Wilson floors). Same stride-pairing
+    comparison derivation as ``eval_bradley_terry_ratings``
+    (``_bt_base_parts``), so the two operators certify each other.
+
+    Scale: the data-sized half is the one stride equi-self-join +
+    the (winner, loser) aggregate, materialized ONCE behind a
+    localCheckpointed view on the Spark side (the CTE text references
+    it three times; DuckDB materializes CTEs itself); the matrix
+    finish is ≤|sources|²-row joins and per-row scalar chains."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("wr_documents")
+    base = ",\n    ".join(_bt_base_parts("wr_documents")[:2])  # comps, w
+    w = (
+        spark.sql(f"WITH {base}\nSELECT * FROM w")
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    w.createOrReplaceTempView("wr_w")
+    n_sql = _bt_base_parts("wr_documents")[2].replace(
+        "FROM w", "FROM wr_w", 1
+    )
+    # the n CTE body references w twice (the union); point both at
+    # the checkpointed view
+    n_sql = n_sql.replace("FROM w\n", "FROM wr_w\n").replace(
+        "FROM w ", "FROM wr_w "
+    )
+    n_body = n_sql.split(" AS (", 1)[1].rsplit(")", 1)[0]
+    spark.sql(n_body).coalesce(1).localCheckpoint().createOrReplaceTempView(
+        "wr_n"
+    )
+    return spark.sql(_winrate_final("wr_n", "wr_w"))
