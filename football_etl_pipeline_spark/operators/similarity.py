@@ -2245,3 +2245,98 @@ def dedup_semantic_clusters(
             F.col("pruned_id").isNull().alias("keep"),
         )
     )
+
+
+# ---- label-relevance NDCG of the exact ranking ---------------------------
+
+NDCG_K = 10
+
+
+def _idcg_case(nrel_expr: str) -> str:
+    """Unrolled CASE mapping n_relevant (capped at NDCG_K) to the
+    ideal DCG Σ_{r=1..n} 1/log2(r+1) — constants precomputed in
+    Python and embedded as repr() double literals (the _plane
+    pattern), so both engines parse the identical IEEE values and no
+    cross-engine log2 chain is needed for the denominator."""
+    import math
+
+    whens = []
+    acc = 0.0
+    for k in range(1, NDCG_K + 1):
+        acc += 1.0 / math.log2(k + 1)
+        whens.append(f"WHEN {nrel_expr} = {k} THEN {acc!r}")
+    return "CASE " + " ".join(whens) + " ELSE 0.0 END"
+
+
+def _ndcg_sql(dialect: str) -> str:
+    if dialect == "spark":
+        vexpr = "CAST(embedding AS ARRAY<DOUBLE>)"
+        nrm = _norm_spark(f"({vexpr})")
+        dot = _dot_spark("q.v", "e.v")
+        table = "ndcg_embeddings"
+    else:
+        vexpr = "embedding::DOUBLE[]"
+        nrm = _norm_duck(f"({vexpr})")
+        dot = _dot_duck("q.v", "e.v")
+        table = "embeddings"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, {vexpr} AS v, {nrm} AS nrm, label
+      FROM {table}
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CASE WHEN e.label = q.label THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {dot} / (q.nrm * e.nrm) DESC,
+                        e.vec_id ASC
+             ) AS rnk
+      FROM q JOIN e ON e.vec_id <> q.vec_id
+    ),
+    dcg AS (
+      SELECT query_id,
+             SUM(CAST(CASE WHEN rel = 1 AND rnk <= {NDCG_K}
+                           THEN 1.0 / log2(rnk + 1) ELSE 0 END
+                 AS DECIMAL(28,12))) AS dcg_sum,
+             CAST(SUM(rel) AS BIGINT) AS n_rel_total
+      FROM scored GROUP BY query_id
+    )
+    SELECT query_id,
+           n_rel_total,
+           CAST(CAST(CAST(dcg_sum AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+             AS dcg,
+           CAST(CAST(
+             CAST(dcg_sum AS DOUBLE)
+             / ({_idcg_case(f"LEAST(n_rel_total, {NDCG_K})")})
+           AS DECIMAL(18,6)) AS DOUBLE) AS ndcg
+    FROM dcg
+    ORDER BY query_id
+    """
+
+
+@query("similarity_ndcg_label_eval", oracle=_ndcg_sql("duck"))
+def similarity_ndcg_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{NDCG_K} of the EXACT cosine ranking against label
+    relevance — the ranking-quality companion to
+    ``similarity_ann_recall_report``: recall asks "did ANN find the
+    true neighbors", NDCG asks "do the true neighbors even share the
+    query's label", i.e. whether embedding geometry aligns with the
+    labels a retrieval consumer cares about. One row per standing
+    query: total relevant corpus size, DCG@{NDCG_K}, and NDCG (ideal
+    DCG from embedded repr-literal constants, exercised below
+    {NDCG_K} relevant at the small SF).
+
+    Exactness: per-rank terms 1/log2(r+1) over INTEGER ranks pinned
+    DECIMAL(28,12) before the per-query sum; the ideal DCG is a
+    parsed literal, not a cross-engine chain.
+
+    Scale: the brute-force ranking is the broadcast-5-queries × one
+    corpus scan shape of ``similarity_topk_bruteforce`` (documented
+    anchor; the bucketed ANN variants ride the same eval unchanged);
+    the DCG aggregate is rank-bounded and the relevance count is the
+    same single pass."""
+    docs = load_table(spark, sf_dir, "embeddings")
+    docs.createOrReplaceTempView("ndcg_embeddings")
+    return spark.sql(_ndcg_sql("spark"))
