@@ -297,6 +297,7 @@ HEADLINE = [
     "eval_fleiss_kappa",
     "eval_win_rate_matrix",
     "similarity_ndcg_label_eval",
+    "multimodal_exif_orientation",
     # events_holt_winters_additive / lineitem_croston_intermittent:
     # recursive CTEs — same per-iteration job-scheduling overhead
     # class as events_ewma_recursive / events_holt_linear_recursive;

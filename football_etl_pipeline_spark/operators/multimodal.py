@@ -1371,3 +1371,201 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("media_id").mapInPandas(
         _video_meta_batches, schema=_VID_SCHEMA
     )
+
+
+# ---- Exif (TIFF IFD) metadata rung ---------------------------------------
+#
+# Orientation is the one Exif field every image pipeline MUST read
+# before training (a rotated image with orientation=6 is a different
+# training example than its pixels suggest). The Exif payload is a
+# TIFF structure inside the JPEG APP1 segment — byte-order mark
+# (II little / MM big), magic 42, then IFD0 as 12-byte tagged
+# entries. Pure stdlib struct, BOTH endiannesses exercised.
+
+_EXIF_TAG_MAKE = 0x010F
+_EXIF_TAG_ORIENTATION = 0x0112
+
+
+def make_jpeg_exif(
+    width: int,
+    height: int,
+    orientation: int = 1,
+    make: str = "cam0",
+    big_endian: bool = False,
+) -> bytes:
+    """make_jpeg plus a spec-shaped APP1 Exif segment: TIFF header in
+    the chosen byte order, IFD0 with Make (ASCII, stored past the
+    entry table) and Orientation (SHORT, inlined in the value slot)."""
+    import struct
+
+    bo = ">" if big_endian else "<"
+    mark = b"MM" if big_endian else b"II"
+    make_b = make.encode("ascii") + b"\x00"
+    # TIFF offsets are relative to the TIFF header start (= the mark)
+    # layout: header(8) + count(2) + 2 entries(24) + next(4) = 38,
+    # then the Make string
+    make_off = 8 + 2 + 2 * 12 + 4
+    ent_make = struct.pack(
+        f"{bo}HHI I".replace(" ", ""),
+        _EXIF_TAG_MAKE, 2, len(make_b), make_off,
+    )
+    ori_val = struct.pack(f"{bo}H", orientation) + b"\x00\x00"
+    ent_ori = (
+        struct.pack(f"{bo}HHI", _EXIF_TAG_ORIENTATION, 3, 1) + ori_val
+    )
+    tiff = (
+        mark
+        + struct.pack(f"{bo}HI", 42, 8)
+        + struct.pack(f"{bo}H", 2)
+        + ent_make
+        + ent_ori
+        + struct.pack(f"{bo}I", 0)
+        + make_b
+    )
+    app1 = b"Exif\x00\x00" + tiff
+    base = make_jpeg(width, height)
+    # splice APP1 right after SOI (before APP0)
+    return (
+        base[:2]
+        + b"\xff\xe1"
+        + struct.pack(">H", 2 + len(app1))
+        + app1
+        + base[2:]
+    )
+
+
+def decode_jpeg_exif(payload: bytes) -> dict:
+    """Stdlib-only Exif decode: walk the JPEG marker list to APP1
+    'Exif\\0\\0', then parse the embedded TIFF — byte-order mark,
+    magic-42 check, IFD0 entry walk; Orientation read from the inline
+    SHORT slot, Make dereferenced through its TIFF-relative offset.
+    Raises ``ValueError`` on structural violations (dead-letter
+    contract, like the other header decoders); a JPEG with no APP1 is
+    reported as ``{"has_exif": False}`` — absence is data, not
+    corruption."""
+    import struct
+
+    if payload[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG: bad SOI marker")
+    off = 2
+    tiff = None
+    while off + 4 <= len(payload):
+        if payload[off] != 0xFF:
+            raise ValueError(f"JPEG marker sync lost at offset {off}")
+        marker = payload[off + 1]
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        (seg_len,) = struct.unpack(">H", payload[off + 2 : off + 4])
+        if seg_len < 2:
+            raise ValueError("JPEG segment length < 2")
+        body = payload[off + 4 : off + 2 + seg_len]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            tiff = body[6:]
+            break
+        off += 2 + seg_len
+    if tiff is None:
+        return {"has_exif": False, "orientation": None, "make": None,
+                "byte_order": None}
+    if tiff[:2] == b"II":
+        bo = "<"
+    elif tiff[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("Exif TIFF header has no II/MM byte-order mark")
+    magic, ifd0 = struct.unpack(f"{bo}HI", tiff[2:8])
+    if magic != 42:
+        raise ValueError("Exif TIFF magic != 42")
+    (count,) = struct.unpack(f"{bo}H", tiff[ifd0 : ifd0 + 2])
+    orientation = None
+    make = None
+    for i in range(count):
+        e = ifd0 + 2 + 12 * i
+        tag, typ, n = struct.unpack(f"{bo}HHI", tiff[e : e + 8])
+        if tag == _EXIF_TAG_ORIENTATION and typ == 3:
+            (orientation,) = struct.unpack(f"{bo}H", tiff[e + 8 : e + 10])
+        elif tag == _EXIF_TAG_MAKE and typ == 2:
+            if n <= 4:
+                raw = tiff[e + 8 : e + 8 + n]
+            else:
+                (moff,) = struct.unpack(f"{bo}I", tiff[e + 8 : e + 12])
+                raw = tiff[moff : moff + n]
+            make = raw.rstrip(b"\x00").decode("ascii", "replace")
+    return {
+        "has_exif": True,
+        "orientation": orientation,
+        "make": make,
+        "byte_order": "MM" if bo == ">" else "II",
+    }
+
+
+_EXIF_SCHEMA = (
+    "media_id long, has_exif boolean, orientation long, make string, "
+    "byte_order string"
+)
+
+
+def _exif_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict = {
+            k: []
+            for k in (
+                "media_id", "has_exif", "orientation", "make", "byte_order"
+            )
+        }
+        for media_id in pdf["media_id"]:
+            doc_id = int(media_id)
+            if doc_id % 7 == 0:  # every 7th image ships without Exif
+                payload = make_jpeg(16 + doc_id % 64, 16 + doc_id % 48)
+            else:
+                payload = make_jpeg_exif(
+                    16 + doc_id % 64,
+                    16 + doc_id % 48,
+                    orientation=1 + doc_id % 8,
+                    make=f"cam{doc_id % 4}",
+                    big_endian=(doc_id % 2 == 1),
+                )
+            meta = decode_jpeg_exif(payload)
+            out["media_id"].append(doc_id)
+            for k in ("has_exif", "orientation", "make", "byte_order"):
+                out[k].append(meta[k])
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_exif_orientation",
+    oracle=f"""
+    SELECT
+      doc_id AS media_id,
+      CAST(doc_id % 7 <> 0 AS BOOLEAN) AS has_exif,
+      CASE WHEN doc_id % 7 <> 0 THEN (1 + doc_id % 8)::BIGINT END
+        AS orientation,
+      CASE WHEN doc_id % 7 <> 0 THEN 'cam' || CAST(doc_id % 4 AS STRING) END
+        AS make,
+      CASE WHEN doc_id % 7 = 0 THEN NULL
+           WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order
+    FROM documents
+    WHERE ({_MIME_CASE}) = 'image/jpeg'
+    """,
+)
+def multimodal_exif_orientation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exif orientation/camera extraction as a driver-checked query:
+    each image/jpeg row synthesizes a JPEG whose APP1 Exif segment is
+    spec-shaped TIFF (byte order ALTERNATING II/MM by doc_id parity —
+    both endian paths execute every run; every 7th image ships
+    without Exif to pin the absence-is-data convention), then decodes
+    it back through the stdlib IFD walk inside the Arrow-batched
+    ``mapInPandas`` production path. The oracle predicts every field
+    from the doc_id arithmetic without touching a byte, so a
+    regression in the marker walk, the endianness handling, the
+    inline-SHORT read, or the offset-dereferenced ASCII read breaks
+    the value hash.
+
+    Scale: one mapInPandas pass over the filtered jpeg rows, no
+    shuffle — the per-row header parse shape of a production
+    orientation-normalization sweep."""
+    m = media_table(spark, sf_dir).filter(F.col("mime") == "image/jpeg")
+    return m.select("media_id").mapInPandas(
+        _exif_batches, schema=_EXIF_SCHEMA
+    )

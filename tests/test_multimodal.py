@@ -367,3 +367,30 @@ def test_mp4_brand_multitrack_and_timescale_roundtrip():
     assert (meta["width"], meta["height"]) == (640, 360)
     # 1001 ms → floor(1001*600/1000)=600 units → floor(600*1000/600)=1000 ms
     assert meta["duration_ms"] == 1000
+
+
+def test_exif_roundtrip_both_endians_and_absence():
+    from football_etl_pipeline_spark.operators.multimodal import (
+        decode_jpeg_exif,
+        make_jpeg,
+        make_jpeg_exif,
+    )
+
+    for be, bo in ((False, "II"), (True, "MM")):
+        meta = decode_jpeg_exif(
+            make_jpeg_exif(32, 24, orientation=6, make="camX", big_endian=be)
+        )
+        assert meta == {
+            "has_exif": True,
+            "orientation": 6,
+            "make": "camX",
+            "byte_order": bo,
+        }
+    # no APP1: absence is data, not corruption
+    assert decode_jpeg_exif(make_jpeg(8, 8))["has_exif"] is False
+    # corrupt byte-order mark must dead-letter
+    payload = bytearray(make_jpeg_exif(8, 8))
+    i = bytes(payload).find(b"Exif\x00\x00") + 6
+    payload[i : i + 2] = b"XX"
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_jpeg_exif(bytes(payload))
