@@ -298,6 +298,7 @@ HEADLINE = [
     "eval_win_rate_matrix",
     "similarity_ndcg_label_eval",
     "multimodal_exif_orientation",
+    "dedup_semantic_incremental",
     # events_holt_winters_additive / lineitem_croston_intermittent:
     # recursive CTEs — same per-iteration job-scheduling overhead
     # class as events_ewma_recursive / events_holt_linear_recursive;

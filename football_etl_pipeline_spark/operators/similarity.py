@@ -685,14 +685,16 @@ def _train_centroids(
     return cents
 
 
-def _kmeans_cte_chain(iters: int, k: int = IVF_K) -> tuple[str, str, str]:
+def _kmeans_cte_chain(
+    iters: int, k: int = IVF_K, e_select: str | None = None
+) -> tuple[str, str, str]:
     """DuckDB CTE chain unrolling ``iters`` Lloyd steps. Returns
     (with_body, last_means_cte, last_cent_cte) — last_cent_cte is the
     centroid set AFTER the final step (empty cells kept), ready for an
     IVF search; last_means_cte is the final step's per-(cell, dim)
     aggregate."""
     parts = [
-        f"e AS ({_NORMED_DUCK})",
+        f"e AS ({e_select or _NORMED_DUCK})",
         f"cent0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm"
         f" FROM e WHERE vec_id < {k})",
     ]
@@ -2340,3 +2342,114 @@ def similarity_ndcg_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "embeddings")
     docs.createOrReplaceTempView("ndcg_embeddings")
     return spark.sql(_ndcg_sql("spark"))
+
+
+# ---- incremental semantic dedup (new batch vs standing corpus) ----------
+
+SEMDEDUP_INCR_MOD = 10  # vec_id % 10 == 0 plays the arriving batch —
+                        # the dedup_incremental convention
+
+
+def _semdedup_incr_oracle() -> str:
+    standing = (
+        f"SELECT vec_id, v, nrm FROM ({_NORMED_DUCK}) nn"
+        f" WHERE vec_id % {SEMDEDUP_INCR_MOD} <> 0"
+    )
+    body, _, last_cent = _kmeans_cte_chain(
+        KMEANS_ITERS, e_select=standing
+    )
+    return f"""
+    WITH {body},
+    eall AS ({_NORMED_DUCK}),
+    aff AS (
+      SELECT a.vec_id, a.v, a.nrm, c.c_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_dot_duck("a.v", "c.cv")} / (a.nrm * c.cnrm) DESC,
+                        c.c_id ASC
+             ) AS crank
+      FROM eall a CROSS JOIN {last_cent} c
+    ),
+    memb AS (
+      SELECT vec_id, v, nrm, c_id AS cell, crank
+      FROM aff WHERE crank <= {SEMDEDUP_NPROBE}
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM memb b JOIN memb s
+        ON b.cell = s.cell
+       AND b.vec_id % {SEMDEDUP_INCR_MOD} = 0
+       AND s.vec_id % {SEMDEDUP_INCR_MOD} <> 0
+      WHERE {_dot_duck("b.v", "s.v")} / (b.nrm * s.nrm) >= {SEMDEDUP_TAU}
+    )
+    SELECT m.vec_id, m.cell, CAST(d.vec_id IS NULL AS BOOLEAN) AS keep
+    FROM (SELECT vec_id, cell FROM memb
+          WHERE crank = 1 AND vec_id % {SEMDEDUP_INCR_MOD} = 0) m
+    LEFT JOIN dropped d ON d.vec_id = m.vec_id
+    """
+
+
+@query("dedup_semantic_incremental", oracle=_semdedup_incr_oracle())
+def dedup_semantic_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily-ingest semantic dedup: the arriving batch
+    (vec_id % {SEMDEDUP_INCR_MOD} == 0, the ``dedup_incremental``
+    split convention) is screened against the STANDING corpus only —
+    a batch vector is dropped iff a standing vector shares one of its
+    {SEMDEDUP_NPROBE} probed cells within cosine ≥ SEMDEDUP_TAU.
+    Batch-internal duplicates are deliberately NOT the incremental
+    screen's job (they fall to the full ``dedup_semantic_clusters``
+    sweep) — matching how production incremental dedup composes with
+    the periodic full pass. The quantizer is trained on the STANDING
+    corpus (the batch must not move the codebook it is judged by —
+    train/serve separation).
+
+    Scale: the per-day cost is |batch| assignment + |batch|-probe
+    cell joins against the standing membership, NEVER a corpus
+    re-dedup; the standing membership frame is exactly what a
+    warehouse would keep materialized between ingests. Cosine chain
+    and keep flags are hash-stable (the dedup_semantic_clusters
+    discipline)."""
+    eall = persist_tracked(_normed(spark, sf_dir))
+    standing = eall.filter(
+        F.col("vec_id") % SEMDEDUP_INCR_MOD != 0
+    )
+    cents = _train_centroids(spark, standing, KMEANS_ITERS)
+    cent = _cent_df(spark, cents)
+    ccos = F.expr(_dot_spark("v", "cv")) / (F.col("nrm") * F.col("cnrm"))
+    wcell = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("c_id").asc()
+    )
+    memb = persist_tracked(
+        eall.join(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("crank", F.row_number().over(wcell))
+        .filter(F.col("crank") <= SEMDEDUP_NPROBE)
+        .select("vec_id", "v", "nrm", F.col("c_id").alias("cell"), "crank")
+    )
+    is_batch = F.col("vec_id") % SEMDEDUP_INCR_MOD == 0
+    bcos = F.expr(_dot_spark("b.v", "s.v")) / (
+        F.col("b.nrm") * F.col("s.nrm")
+    )
+    dropped = (
+        memb.filter(is_batch)
+        .alias("b")
+        .join(
+            memb.filter(~is_batch).alias("s"),
+            F.col("b.cell") == F.col("s.cell"),
+        )
+        .filter(bcos >= SEMDEDUP_TAU)
+        .select(F.col("b.vec_id").alias("dropped_id"))
+        .distinct()
+    )
+    return (
+        memb.filter((F.col("crank") == 1) & is_batch)
+        .select("vec_id", "cell")
+        .join(dropped, F.col("vec_id") == F.col("dropped_id"), "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("dropped_id").isNull().alias("keep"),
+        )
+    )
