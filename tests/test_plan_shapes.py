@@ -1323,3 +1323,48 @@ def test_unigram_final_plans_scan_discipline(spark):
     plan2 = _plan(spark, "text_unigram_segment_stats")
     f2 = _final(plan2)
     assert f2.count("Scan parquet") == 1, f2.count("Scan parquet")
+
+
+def test_packing_report_has_no_single_partition_window(spark):
+    """text_packing_boundary_report's running token total must ride
+    the range-exchange prefix (per-_pid windows + offset literals) —
+    a Window fed by a SinglePartition exchange is the regression this
+    op exists to avoid (the oracle may use a global window; Spark
+    may not)."""
+    final = _final(_plan(spark, "text_packing_boundary_report"))
+    assert "Window" in final
+    assert _windows_fed_by_single_partition(final) == []
+
+
+def test_ndcg_eval_broadcasts_query_side(spark):
+    """similarity_ndcg_label_eval: the 5-query side rides a broadcast
+    against ONE corpus scan — a sort-merge join would shuffle the
+    corpus for a 5-row probe set."""
+    plan = _plan(spark, "similarity_ndcg_label_eval")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_incremental_pair_join_is_cell_equi_join(spark):
+    """dedup_semantic_incremental: the batch-vs-standing join must key
+    ON cell (the bucketed candidate surface), never nested-loop."""
+    plan = _plan(spark, "dedup_semantic_incremental")
+    assert "CartesianProduct" not in plan
+    pair_joins = [
+        ln
+        for ln in plan.splitlines()
+        if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln)
+        and "[cell" in ln
+    ]
+    assert pair_joins, plan
+
+
+def test_fleiss_kappa_is_two_hash_aggregates_no_window(spark):
+    """eval_fleiss_kappa: hash labeling stays in codegen (no Python),
+    the statistic is hash aggregates + scalar finishing joins — no
+    window, no cartesian on data-sized frames (the R=3 annotator grid
+    is a 3-row broadcast)."""
+    final = _final(_plan(spark, "eval_fleiss_kappa"))
+    assert "Window" not in final
+    assert "HashAggregate" in final
+    assert "CartesianProduct" not in final
