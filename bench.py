@@ -299,6 +299,7 @@ HEADLINE = [
     "similarity_ndcg_label_eval",
     "multimodal_exif_orientation",
     "dedup_semantic_incremental",
+    "eval_calibration_ece",
     # events_holt_winters_additive / lineitem_croston_intermittent:
     # recursive CTEs — same per-iteration job-scheduling overhead
     # class as events_ewma_recursive / events_holt_linear_recursive;

@@ -4485,21 +4485,20 @@ def _lr_sig(w0: str, w1: str, w2: str) -> str:
     return f"(1 / (1 + exp(-({w0} + {w1} * x1 + {w2} * x2))))"
 
 
-def _lr_sql(feature_select: str, bigint: str) -> str:
-    """Shared unrolled-GD text. ``feature_select`` yields (x1, x2, y);
-    each step is one moment aggregate (three pinned gradient sums)
-    followed by a 1-row weight update pinned DECIMAL(18,12), plus a
-    metric pass (logloss/accuracy) under the NEW weights — the
-    k-means trajectory-oracle discipline applied to logistic loss."""
-    parts = []
+def _lr_gw_parts(bigint: str) -> tuple[list[str], list[str]]:
+    """The gradient/weight CTE texts per step, and the per-step
+    previous-weight expressions — extracted so the calibration report
+    reuses the EXACT training text (same trajectory, same hash)."""
+    gw: list[str] = []
+    pws: list[list[str]] = []
     for it in range(1, LR_STEPS + 1):
         if it == 1:
             pw = ["CAST(0 AS DOUBLE)"] * 3
         else:
             pw = [f"(SELECT w{j} FROM w{it - 1})" for j in range(3)]
+        pws.append(pw)
         s_prev = _lr_sig(*pw)
-        s_new = _lr_sig("w.w0", "w.w1", "w.w2")
-        parts.append(f"""
+        gw.append(f"""
     g{it} AS (
       SELECT SUM(CAST(({s_prev} - y) AS DECIMAL(28,12))) AS g0,
              SUM(CAST(({s_prev} - y) * x1 AS DECIMAL(28,12))) AS g1,
@@ -4516,7 +4515,21 @@ def _lr_sql(feature_select: str, bigint: str) -> str:
         CAST(CAST({pw[2]} - {LR_ETA} * (CAST(g2 AS DOUBLE) / n)
              AS DECIMAL(18,12)) AS DOUBLE) AS w2
       FROM g{it}
-    ),
+    ),""")
+    return gw, [pw for pw in pws]
+
+
+def _lr_sql(feature_select: str, bigint: str) -> str:
+    """Shared unrolled-GD text. ``feature_select`` yields (x1, x2, y);
+    each step is one moment aggregate (three pinned gradient sums)
+    followed by a 1-row weight update pinned DECIMAL(18,12), plus a
+    metric pass (logloss/accuracy) under the NEW weights — the
+    k-means trajectory-oracle discipline applied to logistic loss."""
+    gw_parts, _pws = _lr_gw_parts(bigint)
+    parts = []
+    for it in range(1, LR_STEPS + 1):
+        s_new = _lr_sig("w.w0", "w.w1", "w.w2")
+        parts.append(gw_parts[it - 1] + f"""
     m{it} AS (
       SELECT w.w0 AS w0, w.w1 AS w1, w.w2 AS w2,
              SUM(CAST(
@@ -5028,4 +5041,86 @@ def text_packing_boundary_report(
             .alias("crossing_share"),
         )
         .orderBy("source")
+    )
+
+
+# ---- calibration report (reliability diagram + ECE) ----------------------
+#
+# A quality classifier that gates training data must be CALIBRATED,
+# not just accurate — a score of 0.9 should be right ~90% of the
+# time, or threshold-based curation budgets are fiction. This rung
+# replays the text_logreg_train_gd trajectory (the SAME g/w CTE text,
+# so the two operators certify each other), scores every document
+# under the final weights, and reports the 10-bin reliability diagram
+# with each bin's Expected-Calibration-Error contribution.
+
+CALIB_BINS = 10
+
+
+def _lr_calib_sql(feature_select: str, bigint: str) -> str:
+    gw_parts, _ = _lr_gw_parts(bigint)
+    chain = "".join(gw_parts)  # each fragment carries its trailing comma
+    s_fin = _lr_sig("w.w0", "w.w1", "w.w2")
+    return f"""
+    WITH f AS (
+      {feature_select}
+    ),{chain}
+    scored AS (
+      SELECT y, CAST({s_fin} AS DOUBLE) AS p
+      FROM f CROSS JOIN w{LR_STEPS} w
+    ),
+    binned AS (
+      SELECT CAST(LEAST(floor(p * {CALIB_BINS}), {CALIB_BINS - 1})
+                  AS {bigint}) AS bin,
+             CAST(COUNT(*) AS {bigint}) AS n,
+             SUM(CAST(p AS DECIMAL(28,12))) AS p_sum,
+             CAST(SUM(y) AS {bigint}) AS n_pos
+      FROM scored GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS {bigint}) AS nt FROM binned)
+    SELECT b.bin, b.n, b.n_pos,
+           CAST(CAST(CAST(b.p_sum AS DOUBLE) / b.n
+                AS DECIMAL(18,6)) AS DOUBLE) AS mean_conf,
+           CAST(CAST(CAST(b.n_pos AS DOUBLE) / b.n
+                AS DECIMAL(18,6)) AS DOUBLE) AS frac_pos,
+           CAST(CAST(
+             abs(CAST(b.n_pos AS DOUBLE) / b.n
+                 - CAST(b.p_sum AS DOUBLE) / b.n)
+             * b.n / t.nt
+           AS DECIMAL(18,6)) AS DOUBLE) AS ece_term
+    FROM binned b CROSS JOIN tot t
+    ORDER BY b.bin
+    """
+
+
+@query(
+    "eval_calibration_ece",
+    oracle=_lr_calib_sql(_lr_feature_select("duck"), "BIGINT"),
+)
+def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE for the in-engine quality classifier:
+    re-derives text_logreg_train_gd's final weights through the SAME
+    gradient/weight CTE text (``_lr_gw_parts`` — one trajectory, two
+    certifying operators), scores every document, and reports per
+    confidence decile: count, positives, mean confidence, empirical
+    positive rate, and the bin's ECE contribution (sum the column for
+    the scalar ECE). The artifact a data-curation review reads before
+    trusting a quality threshold.
+
+    Exactness: weights are the pinned training trajectory; each
+    document's score is one IEEE sigmoid chain under broadcast 1-row
+    weights; bin sums pin DECIMAL(28,12); the per-bin ratios are
+    single chains over exact aggregates.
+
+    Scale: training is the logreg op's cost (per step one moment
+    aggregate over the persisted feature frame); scoring + binning is
+    ONE additional pass with a {CALIB_BINS}-group aggregate. No
+    window, no driver math."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("calib_documents")
+    feats = spark.sql(_lr_feature_select("spark", "calib_documents"))
+    persist_tracked(feats)
+    feats.createOrReplaceTempView("calib_features")
+    return spark.sql(
+        _lr_calib_sql("SELECT x1, x2, y FROM calib_features", "BIGINT")
     )
