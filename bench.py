@@ -300,6 +300,7 @@ HEADLINE = [
     "multimodal_exif_orientation",
     "dedup_semantic_incremental",
     "eval_calibration_ece",
+    "streaming_token_budget_monitor",
     # events_holt_winters_additive / lineitem_croston_intermittent:
     # recursive CTEs — same per-iteration job-scheduling overhead
     # class as events_ewma_recursive / events_holt_linear_recursive;

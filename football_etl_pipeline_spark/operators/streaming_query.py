@@ -555,3 +555,86 @@ def _register_sprt_stream_oracle() -> None:
 
 
 _register_sprt_stream_oracle()
+
+
+# ---- streaming token-budget monitor (curation ops) ----------------------
+
+from .textops import TOKENS_DUCK as _TOKENS_DUCK_SQ  # noqa: E402
+from .textops import TOKENS_SPARK as _TOKENS_SPARK_SQ  # noqa: E402
+
+STREAM_SRC_TOKEN_CAP = 5000  # per-source token budget — crossed by
+                             # every source at sf0.1, by none at
+                             # sf0.01, so both decision branches are
+                             # gate-exercised across SFs
+
+
+@query(
+    "streaming_token_budget_monitor",
+    oracle=f"""
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM(len({_TOKENS_DUCK_SQ})) AS BIGINT) AS n_tokens,
+           CAST(SUM(len({_TOKENS_DUCK_SQ})) > {STREAM_SRC_TOKEN_CAP}
+                AS BOOLEAN) AS over_budget
+    FROM documents GROUP BY source
+    """,
+)
+def streaming_token_budget_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source token-budget tracking BY A STRUCTURED STREAM — the
+    curation-ops monitor a live ingest runs: documents drain through
+    a file-source stream, per-source token counts accumulate in
+    aggregate state, and each source's budget flag flips when its
+    cumulative tokens cross STREAM_SRC_TOKEN_CAP. The returned sink
+    table is the final snapshot, which the oracle recomputes in
+    batch — stream ≡ batch for a complete-mode aggregate, so the
+    hash compare certifies the streaming execution end-to-end (the
+    streaming_windowed_counts discipline, on the documents table).
+
+    The awaitTermination result is CHECKED (the sprt lesson): a
+    partial drain would emit under-counted budgets, so a timeout is
+    loud, never a quiet wrong answer.
+
+    Scale: file-source backlog with bounded per-batch work; the
+    aggregate state is |sources| rows. A continuous deployment runs
+    the same dataflow in update mode with the flag as the alert
+    channel."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    physical = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.format("parquet")
+        .schema(physical)
+        .option("maxFilesPerTrigger", 64)
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    toks = src.select(
+        "source",
+        F.expr(f"CAST(size({_TOKENS_SPARK_SQ}) AS BIGINT)").alias("n_tok"),
+    )
+    agg = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        (F.sum("n_tok") > STREAM_SRC_TOKEN_CAP).alias("over_budget"),
+    )
+    name = f"stb_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        if not finished and q.isActive:
+            q.stop()
+            raise TimeoutError(
+                "streaming_token_budget_monitor: availableNow query did"
+                " not finish within 300s; refusing a partial budget"
+                " snapshot"
+            )
+    return spark.table(name)
