@@ -4470,7 +4470,8 @@ def _lr_feature_select(dialect: str, table: str = "documents") -> str:
     ln_fn = "size" if dialect == "spark" else "len"
     mc = _marker_count(toks, "en", dialect)
     return f"""
-      SELECT CAST(n_chars AS DOUBLE) / 1000 AS x1,
+      SELECT doc_id,
+             CAST(n_chars AS DOUBLE) / 1000 AS x1,
              CASE WHEN {ln_fn}({toks}) > 0
                   THEN CAST({mc} AS DOUBLE) / {ln_fn}({toks})
                   ELSE CAST(0 AS DOUBLE) END AS x2,
@@ -4485,17 +4486,26 @@ def _lr_sig(w0: str, w1: str, w2: str) -> str:
     return f"(1 / (1 + exp(-({w0} + {w1} * x1 + {w2} * x2))))"
 
 
-def _lr_gw_parts(bigint: str) -> tuple[list[str], list[str]]:
+def _lr_gw_parts(
+    bigint: str, prev_tbl: str = "w"
+) -> tuple[list[str], list[str]]:
     """The gradient/weight CTE texts per step, and the per-step
     previous-weight expressions — extracted so the calibration report
-    reuses the EXACT training text (same trajectory, same hash)."""
+    reuses the EXACT training text (same trajectory, same hash).
+    ``prev_tbl`` renames where step it reads step it−1's weights:
+    ``w`` (the oracle's CTE chain) or a view prefix for Spark's
+    stepwise materialization — the arithmetic text is identical, only
+    the 1-row frame's address changes (the BT exponential-CTE
+    lesson: the inlined scalar-subquery chain re-evaluates the
+    gradient aggregate ~9^(steps-1) times; measured 4.0s → well under
+    1s at sf0.1 with the views)."""
     gw: list[str] = []
     pws: list[list[str]] = []
     for it in range(1, LR_STEPS + 1):
         if it == 1:
             pw = ["CAST(0 AS DOUBLE)"] * 3
         else:
-            pw = [f"(SELECT w{j} FROM w{it - 1})" for j in range(3)]
+            pw = [f"(SELECT w{j} FROM {prev_tbl}{it - 1})" for j in range(3)]
         pws.append(pw)
         s_prev = _lr_sig(*pw)
         gw.append(f"""
@@ -4519,6 +4529,53 @@ def _lr_gw_parts(bigint: str) -> tuple[list[str], list[str]]:
     return gw, [pw for pw in pws]
 
 
+def _lr_m_body(it: int, bigint: str, w_tbl: str) -> str:
+    """The step-it metric aggregate body (logloss/accuracy under the
+    NEW weights), parameterized only on where the 1-row weight frame
+    lives — same arithmetic text for the oracle CTE and Spark's
+    materialized-view form."""
+    s_new = _lr_sig("w.w0", "w.w1", "w.w2")
+    return f"""
+      SELECT w.w0 AS w0, w.w1 AS w1, w.w2 AS w2,
+             SUM(CAST(
+               -(y * ln({s_new}) + (1 - y) * ln(1 - {s_new}))
+               AS DECIMAL(28,12))) AS loss_sum,
+             CAST(SUM(CASE WHEN {s_new} >= 0.5
+                      THEN y ELSE 1 - y END) AS {bigint}) AS n_correct,
+             CAST(COUNT(*) AS {bigint}) AS n
+      FROM f CROSS JOIN {w_tbl} w
+      GROUP BY w.w0, w.w1, w.w2
+    """
+
+
+def _lr_step_select(it: int, bigint: str) -> str:
+    """The step-it output row (weights + metrics), reading m{it}."""
+    return f"""    SELECT CAST({it} AS {bigint}) AS step, w0, w1, w2,
+           CAST(CAST(CAST(loss_sum AS DOUBLE) / n AS DECIMAL(18,12))
+                AS DOUBLE) AS logloss,
+           CAST(CAST(CAST(n_correct AS DOUBLE) / n AS DECIMAL(18,6))
+                AS DOUBLE) AS accuracy
+    FROM m{it}"""
+
+
+def _lr_train_weights_spark(spark, f_cte: str, prefix: str) -> None:
+    """Materialize each GD step's 1-row weight frame behind a
+    localCheckpointed view ``{prefix}{it}`` (the BT exponential-CTE
+    lesson: the oracle's inlined scalar-subquery chain re-evaluates
+    the gradient aggregate ~9× per nesting level — measured 4.0s →
+    ~1s at sf0.1 stepwise). Texts come from the SAME _lr_gw_parts
+    builder the oracle uses, so the trajectory is identical."""
+    gw_parts, _ = _lr_gw_parts("BIGINT", prev_tbl=prefix)
+    for it in range(1, LR_STEPS + 1):
+        frag = gw_parts[it - 1].rstrip().rstrip(",")
+        (
+            spark.sql(f"WITH {f_cte},{frag}\nSELECT * FROM w{it}")
+            .coalesce(1)
+            .localCheckpoint()
+            .createOrReplaceTempView(f"{prefix}{it}")
+        )
+
+
 def _lr_sql(feature_select: str, bigint: str) -> str:
     """Shared unrolled-GD text. ``feature_select`` yields (x1, x2, y);
     each step is one moment aggregate (three pinned gradient sums)
@@ -4528,27 +4585,13 @@ def _lr_sql(feature_select: str, bigint: str) -> str:
     gw_parts, _pws = _lr_gw_parts(bigint)
     parts = []
     for it in range(1, LR_STEPS + 1):
-        s_new = _lr_sig("w.w0", "w.w1", "w.w2")
-        parts.append(gw_parts[it - 1] + f"""
-    m{it} AS (
-      SELECT w.w0 AS w0, w.w1 AS w1, w.w2 AS w2,
-             SUM(CAST(
-               -(y * ln({s_new}) + (1 - y) * ln(1 - {s_new}))
-               AS DECIMAL(28,12))) AS loss_sum,
-             CAST(SUM(CASE WHEN {s_new} >= 0.5
-                      THEN y ELSE 1 - y END) AS {bigint}) AS n_correct,
-             CAST(COUNT(*) AS {bigint}) AS n
-      FROM f CROSS JOIN w{it} w
-      GROUP BY w.w0, w.w1, w.w2
-    )""")
+        parts.append(
+            gw_parts[it - 1]
+            + f"""
+    m{it} AS ({_lr_m_body(it, bigint, f"w{it}")})"""
+        )
     unions = "\n    UNION ALL\n".join(
-        f"""    SELECT CAST({it} AS {bigint}) AS step, w0, w1, w2,
-           CAST(CAST(CAST(loss_sum AS DOUBLE) / n AS DECIMAL(18,12))
-                AS DOUBLE) AS logloss,
-           CAST(CAST(CAST(n_correct AS DOUBLE) / n AS DECIMAL(18,6))
-                AS DOUBLE) AS accuracy
-    FROM m{it}"""
-        for it in range(1, LR_STEPS + 1)
+        _lr_step_select(it, bigint) for it in range(1, LR_STEPS + 1)
     )
     return f"""
     WITH f AS (
@@ -4595,9 +4638,17 @@ def text_logreg_train_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = spark.sql(_lr_feature_select("spark", "lr_documents"))
     persist_tracked(feats)
     feats.createOrReplaceTempView("lr_features")
-    return spark.sql(
-        _lr_sql("SELECT x1, x2, y FROM lr_features", "BIGINT")
-    )
+    f_cte = "f AS (SELECT doc_id, x1, x2, y FROM lr_features)"
+    _lr_train_weights_spark(spark, f_cte, "lr_w")
+    out = None
+    for it in range(1, LR_STEPS + 1):
+        m = spark.sql(
+            f"WITH {f_cte},\n"
+            f"    m{it} AS ({_lr_m_body(it, 'BIGINT', f'lr_w{it}')})\n"
+            f"{_lr_step_select(it, 'BIGINT')}"
+        )
+        out = m if out is None else out.unionByName(m)
+    return out.orderBy("step")
 
 
 _ORACLES["text_logreg_train_gd"] = _lr_sql(
@@ -5057,27 +5108,33 @@ def text_packing_boundary_report(
 CALIB_BINS = 10
 
 
-def _lr_calib_sql(feature_select: str, bigint: str) -> str:
-    gw_parts, _ = _lr_gw_parts(bigint)
-    chain = "".join(gw_parts)  # each fragment carries its trailing comma
+def _calib_scored(w_tbl: str) -> str:
+    """Per-doc score under the final weights — shared text; doc_id
+    rides along as the rank tie-break."""
     s_fin = _lr_sig("w.w0", "w.w1", "w.w2")
-    return f"""
-    WITH f AS (
-      {feature_select}
-    ),{chain}
-    scored AS (
-      SELECT y, CAST({s_fin} AS DOUBLE) AS p
-      FROM f CROSS JOIN w{LR_STEPS} w
-    ),
-    binned AS (
-      SELECT CAST(LEAST(floor(p * {CALIB_BINS}), {CALIB_BINS - 1})
-                  AS {bigint}) AS bin,
+    return f"""scored AS (
+      SELECT doc_id, y, CAST({s_fin} AS DOUBLE) AS p
+      FROM f CROSS JOIN {w_tbl} w
+    )"""
+
+
+def _calib_finish(ranked_tbl: str, bigint: str, intdiv: str) -> str:
+    """EQUAL-MASS (adaptive) reliability bins over the ranked score
+    frame ``(y, p, rn, nt)``: bin = ((rn−1)·BINS) div nt — ten
+    equal-count bins regardless of how tightly the classifier's
+    scores cluster (fixed-width deciles put this model's whole corpus
+    in ONE bin, a useless diagram; equal-mass is the adaptive-ECE
+    binning the calibration literature prefers for exactly that
+    reason). ``intdiv`` is the dialect integer-divide (// vs DIV) —
+    the _mixture_finish convention."""
+    return f"""binned AS (
+      SELECT CAST(((rn - 1) * {CALIB_BINS}) {intdiv} nt AS {bigint}) AS bin,
              CAST(COUNT(*) AS {bigint}) AS n,
              SUM(CAST(p AS DECIMAL(28,12))) AS p_sum,
-             CAST(SUM(y) AS {bigint}) AS n_pos
-      FROM scored GROUP BY 1
-    ),
-    tot AS (SELECT CAST(SUM(n) AS {bigint}) AS nt FROM binned)
+             CAST(SUM(y) AS {bigint}) AS n_pos,
+             CAST(MAX(nt) AS {bigint}) AS nt
+      FROM {ranked_tbl} GROUP BY 1
+    )
     SELECT b.bin, b.n, b.n_pos,
            CAST(CAST(CAST(b.p_sum AS DOUBLE) / b.n
                 AS DECIMAL(18,6)) AS DOUBLE) AS mean_conf,
@@ -5086,16 +5143,34 @@ def _lr_calib_sql(feature_select: str, bigint: str) -> str:
            CAST(CAST(
              abs(CAST(b.n_pos AS DOUBLE) / b.n
                  - CAST(b.p_sum AS DOUBLE) / b.n)
-             * b.n / t.nt
+             * b.n / b.nt
            AS DECIMAL(18,6)) AS DOUBLE) AS ece_term
-    FROM binned b CROSS JOIN tot t
+    FROM binned b
     ORDER BY b.bin
+    """
+
+
+def _lr_calib_sql(feature_select: str, bigint: str, intdiv: str) -> str:
+    gw_parts, _ = _lr_gw_parts(bigint)
+    chain = "".join(gw_parts)  # each fragment carries its trailing comma
+    return f"""
+    WITH f AS (
+      {feature_select}
+    ),{chain}
+    {_calib_scored(f"w{LR_STEPS}")},
+    ranked AS (
+      SELECT y, p,
+             ROW_NUMBER() OVER (ORDER BY p, doc_id) AS rn,
+             COUNT(*) OVER () AS nt
+      FROM scored
+    ),
+    {_calib_finish("ranked", bigint, intdiv)}
     """
 
 
 @query(
     "eval_calibration_ece",
-    oracle=_lr_calib_sql(_lr_feature_select("duck"), "BIGINT"),
+    oracle=_lr_calib_sql(_lr_feature_select("duck"), "BIGINT", "//"),
 )
 def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram + ECE for the in-engine quality classifier:
@@ -5121,6 +5196,19 @@ def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = spark.sql(_lr_feature_select("spark", "calib_documents"))
     persist_tracked(feats)
     feats.createOrReplaceTempView("calib_features")
-    return spark.sql(
-        _lr_calib_sql("SELECT x1, x2, y FROM calib_features", "BIGINT")
+    f_cte = "f AS (SELECT doc_id, x1, x2, y FROM calib_features)"
+    _lr_train_weights_spark(spark, f_cte, "calib_w")
+    scored = spark.sql(
+        f"WITH {f_cte},\n"
+        f"    {_calib_scored(f'calib_w{LR_STEPS}')}\n"
+        f"SELECT * FROM scored"
     )
+    from .stattests import _range_prefix
+
+    ranked = _range_prefix(
+        scored.withColumn("one", F.lit(1)), ["p", "doc_id"], ["one"]
+    ).crossJoin(
+        F.broadcast(scored.agg(F.count(F.lit(1)).alias("nt")))
+    ).select("y", "p", F.col("cum_one").alias("rn"), "nt")
+    ranked.createOrReplaceTempView("calib_ranked")
+    return spark.sql(f"WITH {_calib_finish('calib_ranked', 'BIGINT', 'DIV')}")
