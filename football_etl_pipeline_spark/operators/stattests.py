@@ -6032,11 +6032,13 @@ def _fleiss_sql(table: str, h60) -> str:
                 AS DECIMAL(18,6)) AS DOUBLE) AS p_bar,
            CAST(CAST(CAST(pe.pe_sum AS DOUBLE)
                 AS DECIMAL(18,6)) AS DOUBLE) AS p_e,
-           CAST(CAST(
-             (CAST(pb.pbar_sum AS DOUBLE) / pb.n
-               - CAST(pe.pe_sum AS DOUBLE))
-             / (1 - CAST(pe.pe_sum AS DOUBLE))
-           AS DECIMAL(18,6)) AS DOUBLE) AS kappa
+           CASE WHEN CAST(pe.pe_sum AS DOUBLE) = 1 THEN NULL
+                ELSE CAST(CAST(
+                  (CAST(pb.pbar_sum AS DOUBLE) / pb.n
+                    - CAST(pe.pe_sum AS DOUBLE))
+                  / (1 - CAST(pe.pe_sum AS DOUBLE))
+                AS DECIMAL(18,6)) AS DOUBLE)
+           END AS kappa
     FROM pbar pb CROSS JOIN pe
     """
 
