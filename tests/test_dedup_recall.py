@@ -422,3 +422,48 @@ def test_semdedup_clusters_recall_and_no_false_prunes(spark):
     hit = sum(1 for (a, b) in true_pairs if max(a, b) in pruned)
     recall = hit / len(true_pairs)
     assert recall >= 0.70, f"semantic dedup recall {recall:.3f} < 0.70"
+
+
+def test_semdedup_incremental_recall_and_no_false_drops(spark):
+    """dedup_semantic_incremental vs the brute-force ground truth at
+    sf0.1: a dropped batch vector must have a TRUE standing partner
+    (zero false drops — the intra-cell verify is exact cosine), the
+    screen must catch ≥ 0.65 of cross (batch↔standing) true pairs
+    (measured 0.73 with nprobe=2 on this corpus's borderline pairs),
+    and the decision frame covers exactly the batch."""
+    from football_etl_pipeline_spark.operators.similarity import (
+        SEMDEDUP_INCR_MOD,
+        dedup_semantic_incremental,
+        similarity_cosine_pairs,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in similarity_cosine_pairs(spark, sf).select("a_id", "b_id").collect()
+    }
+    release_persists()
+    dec = dedup_semantic_incremental(spark, sf).collect()
+    release_persists()
+
+    n_batch = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") % SEMDEDUP_INCR_MOD == 0)
+        .count()
+    )
+    assert len(dec) == n_batch
+    assert all(r.vec_id % SEMDEDUP_INCR_MOD == 0 for r in dec)
+
+    dropped = {r.vec_id for r in dec if not r.keep}
+    cross = {
+        (a, b)
+        for (a, b) in pairs
+        if (a % SEMDEDUP_INCR_MOD == 0) != (b % SEMDEDUP_INCR_MOD == 0)
+    }
+    droppable = {
+        a if a % SEMDEDUP_INCR_MOD == 0 else b for (a, b) in cross
+    }
+    false_drops = dropped - droppable
+    assert not false_drops, f"dropped with no true standing pair: {false_drops}"
+    recall = len(dropped & droppable) / max(1, len(droppable))
+    assert recall >= 0.65, f"incremental screen recall {recall:.3f} < 0.65"
