@@ -523,7 +523,7 @@ def main() -> None:
         )
     else:
         load1, cooldown, waited = wait_for_idle()
-    if waited:
+    if waited >= 1:
         print(f"# waited {waited:.0f}s for idle host", file=sys.stderr)
     t_start = time.time()
     load5 = os.getloadavg()[1]

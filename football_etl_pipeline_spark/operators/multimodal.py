@@ -1472,10 +1472,16 @@ def decode_jpeg_exif(payload: bytes) -> dict:
         bo = ">"
     else:
         raise ValueError("Exif TIFF header has no II/MM byte-order mark")
+    if len(tiff) < 8:
+        raise ValueError("Exif TIFF header truncated")
     magic, ifd0 = struct.unpack(f"{bo}HI", tiff[2:8])
     if magic != 42:
         raise ValueError("Exif TIFF magic != 42")
+    if ifd0 + 2 > len(tiff):
+        raise ValueError("Exif IFD0 offset beyond TIFF body")
     (count,) = struct.unpack(f"{bo}H", tiff[ifd0 : ifd0 + 2])
+    if ifd0 + 2 + 12 * count > len(tiff):
+        raise ValueError("Exif IFD0 entry table overruns TIFF body")
     orientation = None
     make = None
     for i in range(count):
@@ -1488,6 +1494,10 @@ def decode_jpeg_exif(payload: bytes) -> dict:
                 raw = tiff[e + 8 : e + 8 + n]
             else:
                 (moff,) = struct.unpack(f"{bo}I", tiff[e + 8 : e + 12])
+                if moff + n > len(tiff):
+                    raise ValueError(
+                        "Exif Make value offset overruns TIFF body"
+                    )
                 raw = tiff[moff : moff + n]
             make = raw.rstrip(b"\x00").decode("ascii", "replace")
     return {

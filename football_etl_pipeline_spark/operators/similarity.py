@@ -2311,7 +2311,7 @@ def _ndcg_sql(dialect: str) -> str:
              AS dcg,
            CAST(CAST(
              CAST(dcg_sum AS DOUBLE)
-             / ({_idcg_case(f"LEAST(n_rel_total, {NDCG_K})")})
+             / NULLIF(({_idcg_case(f"LEAST(n_rel_total, {NDCG_K})")}), 0.0)
            AS DECIMAL(18,6)) AS DOUBLE) AS ndcg
     FROM dcg
     ORDER BY query_id

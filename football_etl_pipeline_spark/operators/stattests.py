@@ -5799,13 +5799,17 @@ BT_STRIDE = 7      # doc d vs doc d+7: 7 ⊥ 20 sources → the comparison
                    # graph is a connected circulant over ALL sources
 
 
-def _bt_base_parts(table: str) -> list[str]:
+def _bt_base_parts(table: str, w_tbl: str = "w") -> list[str]:
     """The data-sized half, shared verbatim by both engines:
     stride-paired comparisons (winner by n_chars, tie → the
     lower-doc_id side) reduced to the ≤|sources|² aggregate frames
     the MM loop runs on — directed win counts ``w``, symmetric
     comparison counts ``n``, compared-item list ``items``, and total
-    wins ``tw`` (LEFT JOIN: a compared item CAN have zero wins)."""
+    wins ``tw`` (LEFT JOIN: a compared item CAN have zero wins).
+    ``w_tbl`` names where downstream CTEs read the win counts from —
+    the inline ``w`` CTE by default, or a checkpointed view when the
+    caller materializes ``w`` first (eval_win_rate_matrix); same
+    parameterization discipline as ``_bt_iter_parts``."""
     return [
         f"""comps AS (
       SELECT a.source AS sa, b.source AS sb,
@@ -5818,17 +5822,17 @@ def _bt_base_parts(table: str) -> list[str]:
              CAST(COUNT(*) AS BIGINT) AS w_ij
       FROM comps GROUP BY 1, 2
     )""",
-        """n AS (
+        f"""n AS (
       SELECT i, j, CAST(SUM(cnt) AS BIGINT) AS n_ij FROM (
-        SELECT i, j, w_ij AS cnt FROM w
+        SELECT i, j, w_ij AS cnt FROM {w_tbl}
         UNION ALL
-        SELECT j AS i, i AS j, w_ij AS cnt FROM w
+        SELECT j AS i, i AS j, w_ij AS cnt FROM {w_tbl}
       ) both_dirs GROUP BY 1, 2
     )""",
         """items AS (SELECT DISTINCT i FROM n)""",
-        """tw AS (
+        f"""tw AS (
       SELECT items.i, CAST(COALESCE(SUM(w.w_ij), 0) AS BIGINT) AS wins_i
-      FROM items LEFT JOIN w ON w.i = items.i GROUP BY items.i
+      FROM items LEFT JOIN {w_tbl} w ON w.i = items.i GROUP BY items.i
     )""",
     ]
 
@@ -6139,14 +6143,10 @@ def eval_win_rate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     w.createOrReplaceTempView("wr_w")
-    n_sql = _bt_base_parts("wr_documents")[2].replace(
-        "FROM w", "FROM wr_w", 1
-    )
-    # the n CTE body references w twice (the union); point both at
-    # the checkpointed view
-    n_sql = n_sql.replace("FROM w\n", "FROM wr_w\n").replace(
-        "FROM w ", "FROM wr_w "
-    )
+    # the n CTE reads the win counts from the checkpointed view —
+    # parameterized, not string-rewritten (so future edits to the CTE
+    # text can't be silently mis-rewired)
+    n_sql = _bt_base_parts("wr_documents", w_tbl="wr_w")[2]
     n_body = n_sql.split(" AS (", 1)[1].rsplit(")", 1)[0]
     spark.sql(n_body).coalesce(1).localCheckpoint().createOrReplaceTempView(
         "wr_n"

@@ -50,6 +50,24 @@ STREAM_WINDOW = "5 minutes"
 _STATE_PARTITIONS = 8
 
 
+def _await_or_raise(q, label: str, timeout_sec: int = 300) -> None:
+    """Checked awaitTermination for every memory-sink gate query: all
+    of them read the sink AFTER the stream stops, so a timed-out (still
+    active) query means the snapshot about to be read is PARTIAL — the
+    wrong-but-plausible failure mode the oracle hash would catch only
+    downstream. Stop the query and raise loudly instead (the sprt
+    lesson, round 11). ``availableNow`` streams normally finish in
+    well under a second here; 300s is a hung-executor guard, not a
+    tuning knob."""
+    finished = q.awaitTermination(timeout_sec)
+    if not finished and q.isActive:
+        q.stop()
+        raise TimeoutError(
+            f"{label}: availableNow query did not finish within "
+            f"{timeout_sec}s; refusing to read a partial sink snapshot"
+        )
+
+
 class _state_partitions:
     """Temporarily pin spark.sql.shuffle.partitions for a streaming
     query's lifetime (state partitioning is captured at query start
@@ -143,7 +161,7 @@ def streaming_windowed_counts(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q, "streaming_windowed_counts")
     return spark.table(name)
 
 
@@ -215,7 +233,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q, "streaming_stream_join")
     return spark.table(name)
 
 
@@ -268,7 +286,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q, "streaming_dedup_counts")
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -359,7 +377,7 @@ def streaming_session_window_counts(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q, "streaming_session_window_counts")
     return spark.table(name)
 
 
@@ -464,7 +482,7 @@ def streaming_hopping_counts(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q, "streaming_hopping_counts")
     return spark.table(name)
 
 
@@ -530,14 +548,7 @@ def streaming_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The decision SQL below reads the sink's cumulative per-user
         # snapshot; a partial snapshot would silently emit wrong
         # LLR/decisions, so a timeout here must be loud, not quiet.
-        finished = q.awaitTermination(300)
-        if not finished and q.isActive:
-            q.stop()
-            raise TimeoutError(
-                "streaming_sprt_monitor: availableNow query did not "
-                "finish within 300s; refusing to read a partial "
-                "per-user state snapshot"
-            )
+        _await_or_raise(q, "streaming_sprt_monitor")
     return spark.sql(
         _sprt_sql(
             hash60_spark("CAST(user_id AS STRING)"),
@@ -629,12 +640,5 @@ def streaming_token_budget_monitor(
             .trigger(availableNow=True)
             .start()
         )
-        finished = q.awaitTermination(300)
-        if not finished and q.isActive:
-            q.stop()
-            raise TimeoutError(
-                "streaming_token_budget_monitor: availableNow query did"
-                " not finish within 300s; refusing a partial budget"
-                " snapshot"
-            )
+        _await_or_raise(q, "streaming_token_budget_monitor")
     return spark.table(name)

@@ -467,3 +467,65 @@ def test_state_partitions_restores_on_exception(spark):
     except RuntimeError:
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+class _FakeQuery:
+    """Duck-typed StreamingQuery for the awaitTermination contract."""
+
+    def __init__(self, finished: bool, active: bool):
+        self._finished = finished
+        self._active = active
+        self.stopped = False
+
+    def awaitTermination(self, timeout):
+        return self._finished
+
+    @property
+    def isActive(self):
+        return self._active
+
+    def stop(self):
+        self.stopped = True
+
+
+def test_await_or_raise_timeout_path():
+    """Every memory-sink gate query routes through _await_or_raise;
+    a stream still active after the timeout must be STOPPED and the
+    read refused (TimeoutError), never silently read as a partial
+    snapshot — the round-13 hardening of the round-11 sprt lesson."""
+    from football_etl_pipeline_spark.operators.streaming_query import (
+        _await_or_raise,
+    )
+
+    hung = _FakeQuery(finished=False, active=True)
+    with pytest.raises(TimeoutError, match="partial sink snapshot"):
+        _await_or_raise(hung, "unit_label", timeout_sec=1)
+    assert hung.stopped
+
+    # normal completion: no raise, no stop
+    done = _FakeQuery(finished=True, active=False)
+    _await_or_raise(done, "unit_label", timeout_sec=1)
+    assert not done.stopped
+
+    # finished=False but already inactive (terminated between the
+    # timeout and the isActive check): treated as completed
+    raced = _FakeQuery(finished=False, active=False)
+    _await_or_raise(raced, "unit_label", timeout_sec=1)
+    assert not raced.stopped
+
+
+def test_all_streaming_gate_rows_use_checked_await():
+    """Grep-level pin: no streaming gate row may call awaitTermination
+    directly — the checked helper is the only allowed form."""
+    import football_etl_pipeline_spark.operators.streaming_query as sq
+    import inspect
+
+    src = inspect.getsource(sq)
+    # the only direct awaitTermination call is inside the helper
+    direct = [
+        ln
+        for ln in src.splitlines()
+        if "awaitTermination(" in ln and "_await_or_raise" not in ln
+        and "timeout_sec" not in ln
+    ]
+    assert direct == [], direct
