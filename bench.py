@@ -301,6 +301,13 @@ HEADLINE = [
     "dedup_semantic_incremental",
     "eval_calibration_ece",
     "streaming_token_budget_monitor",
+    # round-13 additions
+    "multimodal_audio_meta",
+    # versioned_schema_evolution: two versioned commits (full-table
+    # writes) + two snapshot reads — gate-checked for evolution
+    # correctness, excluded from the query bench like the other
+    # versioned/ORC rewrite jobs (versioned_orders_diff stays as the
+    # one benched representative of the commit+read path).
     # events_holt_winters_additive / lineitem_croston_intermittent:
     # recursive CTEs — same per-iteration job-scheduling overhead
     # class as events_ewma_recursive / events_holt_linear_recursive;

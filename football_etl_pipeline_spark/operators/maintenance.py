@@ -580,6 +580,106 @@ def versioned_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(spark, root, 1, 2, "o_orderkey")
 
 
+# schema-evolution axis of the versioned table: v2's new column is a
+# derived channel label so the oracle can predict every value; % 3
+# splits rows between the pre- and post-evolution commits
+_EVO_V1_W = "o_orderkey % 3 <> 0"
+_EVO_V2_W = "o_orderkey % 3 = 0"
+
+
+@query(
+    "versioned_schema_evolution",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE {_EVO_V1_W}
+    ),
+    v2new AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority AS o_channel
+      FROM orders WHERE {_EVO_V2_W}
+    ),
+    current_t AS (
+      SELECT CAST(NULL AS VARCHAR) AS o_channel, o_totalprice FROM v1
+      UNION ALL
+      SELECT o_channel, o_totalprice FROM v2new
+    )
+    SELECT 'v1' AS snapshot, CAST(NULL AS VARCHAR) AS o_channel,
+           COUNT(*)::BIGINT AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM v1
+    UNION ALL
+    SELECT 'current' AS snapshot, o_channel,
+           COUNT(*)::BIGINT AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM current_t
+    GROUP BY o_channel
+    """,
+)
+def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-column schema evolution on the versioned table, driven
+    end-to-end AS a query: commit a 2-column orders slice as v1, then
+    APPEND a batch that carries a new ``o_channel`` column — a
+    metadata-only evolution (``_merge_schemas``: v1's files are
+    carried by reference, never rewritten) — and read BOTH snapshots.
+    Time travel to v1 must see the narrow 2-column schema; the
+    current read resolves every file against the merged manifest
+    schema, so v1-era rows NULL-fill ``o_channel`` deterministically
+    (footer inference would return whichever file's schema Spark
+    sampled first). The oracle predicts both reads from the raw
+    orders table: the v1 aggregate, plus the current per-channel
+    aggregate whose NULL-channel group must exactly equal the v1-era
+    rows — a reader that drops, mis-fills, or re-infers the evolved
+    column breaks the count or the hash. Mirrors for the manifest
+    format what ``scan_parquet_schema_evolution`` proves for raw
+    scans.
+
+    Scale: both commits are straight parquet writes; evolution cost
+    is one manifest rewrite regardless of table size — exactly why
+    lakehouse formats make add-column free at 100 TB."""
+    from ..sources.versioned_table import commit_version, read_version
+
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.expr(_EVO_V1_W)).select(
+        "o_orderkey", "o_totalprice"
+    )
+    batch = orders.filter(F.expr(_EVO_V2_W)).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderpriority").alias("o_channel"),
+    )
+    root = _run_scratch_dir("versioned_evo", sf_dir)
+    commit_version(v1, root, "append")
+    commit_version(batch, root, "append")
+    snap1 = read_version(spark, root, 1)
+    assert "o_channel" not in snap1.columns  # time travel: narrow schema
+    cur = read_version(spark, root, 2)
+    money = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    v1_agg = snap1.agg(
+        F.count(F.lit(1)).alias("n_orders"), money
+    ).select(
+        F.lit("v1").alias("snapshot"),
+        F.lit(None).cast("string").alias("o_channel"),
+        "n_orders",
+        "revenue",
+    )
+    cur_agg = (
+        cur.groupBy("o_channel")
+        .agg(F.count(F.lit(1)).alias("n_orders"), money)
+        .select(
+            F.lit("current").alias("snapshot"),
+            "o_channel",
+            "n_orders",
+            "revenue",
+        )
+    )
+    return v1_agg.unionAll(cur_agg)
+
+
 @query(
     "scan_orc_partitioned",
     oracle="""

@@ -439,22 +439,39 @@ def decode_wav_header(payload: bytes) -> dict:
 
 
 def make_wav(
-    n_samples: int, sample_rate: int = 16000, channels: int = 1
+    n_samples: int,
+    sample_rate: int = 16000,
+    channels: int = 1,
+    bits: int = 16,
+    junk_bytes: int = 0,
 ) -> bytes:
-    """Write a tiny VALID 16-bit PCM WAV (silence) with stdlib only —
-    same rationale as ``make_png``: encoding needs no codec, which is
-    what makes the stdlib decode path testable in this container."""
+    """Write a tiny VALID PCM WAV (silence) with stdlib only — same
+    rationale as ``make_png``: encoding needs no codec, which is what
+    makes the stdlib decode path testable in this container.
+    ``junk_bytes > 0`` prepends a JUNK chunk of that size BEFORE
+    ``fmt `` (spec-legal; real encoders emit LIST/JUNK chunks), with
+    the spec's one-byte pad when the size is odd — so a decoder that
+    assumes fmt-at-offset-12 or forgets word alignment breaks on
+    these payloads."""
     import struct
 
-    bits = 16
     block_align = channels * bits // 8
     data = b"\x00" * (n_samples * block_align)
     fmt = struct.pack(
         "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
         block_align, bits,
     )
+    junk = b""
+    if junk_bytes > 0:
+        junk = (
+            b"JUNK"
+            + struct.pack("<I", junk_bytes)
+            + b"\x6a" * junk_bytes
+            + (b"\x00" if junk_bytes % 2 else b"")
+        )
     body = (
         b"WAVE"
+        + junk
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(data)) + data
     )
@@ -1578,4 +1595,95 @@ def multimodal_exif_orientation(
     m = media_table(spark, sf_dir).filter(F.col("mime") == "image/jpeg")
     return m.select("media_id").mapInPandas(
         _exif_batches, schema=_EXIF_SCHEMA
+    )
+
+
+# ---- dedicated audio-container metadata rung (RIFF chunk walk) ----------
+#
+# multimodal_header_roundtrip exercises the WAV decoder but only at one
+# fixed shape (mono 16-bit 16kHz, fmt at offset 12); this rung drives
+# the AUDIO-ONLY surface the video/exif rungs established for their
+# containers: varied channel counts, bit depths, and sample rates (so
+# the block_align consistency check and the floor of the samples→ms
+# math actually run), plus a spec-legal odd-sized JUNK chunk before
+# ``fmt `` on every 5th payload — the chunk-ORDER and word-ALIGNMENT
+# cases a fixed-offset parser silently misreads.
+
+_AUD_SCHEMA = (
+    "media_id long, sample_rate long, channels long, bit_depth long, "
+    "n_samples long, duration_ms long"
+)
+
+_AUD_RATES = (8000, 16000, 22050, 44100)
+_AUD_BITS = (8, 16, 32)
+_AUD_NSAMP_MOD = 997  # prime: n_samples co-cycles with rate/bits/junk
+
+
+def _audio_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ("sample_rate", "channels", "bit_depth", "n_samples", "duration_ms")
+    for pdf in batches:
+        out: dict = {k: [] for k in ("media_id", *cols)}
+        for media_id in pdf["media_id"]:
+            doc_id = int(media_id)
+            payload = make_wav(
+                800 + doc_id % _AUD_NSAMP_MOD,
+                sample_rate=_AUD_RATES[doc_id % 4],
+                channels=1 + doc_id % 2,
+                bits=_AUD_BITS[doc_id % 3],
+                # odd sizes only — the word-alignment pad must fire
+                junk_bytes=(2 * (doc_id % 7) + 1) if doc_id % 5 == 0 else 0,
+            )
+            meta = decode_wav_header(payload)
+            out["media_id"].append(doc_id)
+            for k in cols:
+                out[k].append(meta[k])
+        yield pd.DataFrame(out)
+
+
+_AUD_RATE_CASE = (
+    "CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000"
+    " WHEN 2 THEN 22050 ELSE 44100 END"
+)
+
+
+@query(
+    "multimodal_audio_meta",
+    oracle=f"""
+    SELECT
+      doc_id AS media_id,
+      ({_AUD_RATE_CASE})::BIGINT AS sample_rate,
+      (1 + doc_id % 2)::BIGINT AS channels,
+      (CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 32 END)::BIGINT
+        AS bit_depth,
+      (800 + doc_id % {_AUD_NSAMP_MOD})::BIGINT AS n_samples,
+      ((800 + doc_id % {_AUD_NSAMP_MOD}) * 1000 // ({_AUD_RATE_CASE}))::BIGINT
+        AS duration_ms
+    FROM documents
+    WHERE ({_MIME_CASE}) = 'audio/wav'
+    """,
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-container metadata extraction as a driver-checked query —
+    the audio rung that makes the codec matrix symmetric
+    (image: multimodal_exif_orientation, video: multimodal_video_meta,
+    audio: this). Each audio/wav row synthesizes a structurally valid
+    RIFF/WAVE payload whose shape varies per doc_id — 4 sample rates,
+    mono/stereo, 8/16/32-bit PCM, n_samples over a prime modulus so no
+    field co-cycles with another, and every 5th payload carries an
+    ODD-sized JUNK chunk before ``fmt `` — then decodes it back
+    through the stdlib chunk walk ``decode_wav_header`` inside the
+    Arrow-batched ``mapInPandas`` production path. The oracle predicts
+    every decoded field (including the floor of samples→ms at the
+    22050 rate) from doc_id arithmetic without touching a byte, so a
+    regression in the chunk walk, the word-alignment pad, the
+    block_align consistency check, or the duration floor breaks the
+    value hash.
+
+    Scale: one mapInPandas pass over the filtered wav rows, no
+    shuffle — the per-row header parse shape of a production
+    audio-metadata sweep (the sample-level decode behind the
+    ``soundfile`` import seam only adds fields, never changes these)."""
+    m = media_table(spark, sf_dir).filter(F.col("mime") == "audio/wav")
+    return m.select("media_id").mapInPandas(
+        _audio_meta_batches, schema=_AUD_SCHEMA
     )

@@ -100,6 +100,37 @@ def _carried_watermarks(root: str, vs: list[int]) -> dict:
     return out
 
 
+class SchemaConflict(ValueError):
+    """An append redefines an existing column with a different type."""
+
+
+def _merge_schemas(prior_json: str, new_schema) -> str:
+    """Schema evolution for append commits, Delta-style: the committed
+    schema is prior fields (in their order) plus any NEW fields the
+    incoming frame adds (in its order). A same-name field whose
+    dataType differs raises ``SchemaConflict`` — silent type drift is
+    the lake corruption no later read can undo. Returns the merged
+    schema as JSON (the manifest's storage form). Readers resolve old
+    files against the merged schema, NULL-filling absent columns
+    (``read_version``), which is what makes add-column evolution a
+    metadata-only operation — no data file is ever rewritten."""
+    from pyspark.sql.types import StructType
+
+    prior = StructType.fromJson(json.loads(prior_json))
+    by_name = {f.name: f for f in prior.fields}
+    merged = list(prior.fields)
+    for f in new_schema.fields:
+        old = by_name.get(f.name)
+        if old is None:
+            merged.append(f)
+        elif old.dataType != f.dataType:
+            raise SchemaConflict(
+                f"column {f.name!r}: committed type {old.dataType} "
+                f"!= incoming {f.dataType}"
+            )
+    return StructType(merged).json()
+
+
 def commit_version(
     df: DataFrame,
     root: str,
@@ -114,7 +145,9 @@ def commit_version(
     the optimistic-concurrency check EXPLICIT: if another writer
     committed since the caller read that version, raise
     ``VersionConflict`` instead of silently racing for version
-    numbers. Returns the committed version."""
+    numbers. An append whose frame ADDS columns evolves the committed
+    schema (``_merge_schemas``); one that re-types an existing column
+    raises ``SchemaConflict``. Returns the committed version."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
@@ -124,6 +157,16 @@ def commit_version(
         raise VersionConflict(
             f"expected base version {expected_base}, found {base}"
         )
+    carried: list[str] = []
+    prior_stats: dict = {}
+    schema_json = df.schema.json()
+    if mode == "append" and vs:
+        pm = _read_manifest(root, base)
+        carried = pm["files"]
+        prior_stats = pm.get("stats", {})
+        # validate/evolve BEFORE staging: a SchemaConflict must not
+        # leave orphaned (if vacuumable) data files behind
+        schema_json = _merge_schemas(pm["schema"], df.schema)
     # 1. stage: write data files under a commit-unique dir — invisible
     #    to every reader until a manifest references them
     commit_id = uuid.uuid4().hex[:12]
@@ -134,12 +177,6 @@ def commit_version(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
-    carried: list[str] = []
-    prior_stats: dict = {}
-    if mode == "append" and vs:
-        pm = _read_manifest(root, base)
-        carried = pm["files"]
-        prior_stats = pm.get("stats", {})
     stats = dict(prior_stats)
     stats.update(_file_stats(root, new_files))
     wm = _carried_watermarks(root, vs)
@@ -151,7 +188,7 @@ def commit_version(
         "mode": mode,
         "commit_id": commit_id,
         "files": carried + new_files,
-        "schema": df.schema.json(),
+        "schema": schema_json,
         "meta": meta or {},
         "watermarks": wm,
         "stats": stats,
@@ -330,7 +367,15 @@ def read_version(
     dropped from the listing before Spark ever opens them (the same
     stats ``delete_where`` uses to bound rewrites — Iceberg/Delta's
     scan-planning step), and the residual row filter is applied on
-    top so the result is exact even for files without stats."""
+    top so the result is exact even for files without stats.
+
+    Every read resolves against the MANIFEST's committed schema, not
+    footer inference: after an add-column append (``_merge_schemas``),
+    the file list is heterogeneous and inference would return
+    whichever file's schema Spark sampled first — the manifest schema
+    makes old files NULL-fill evolved columns deterministically, and
+    time travel to a pre-evolution version sees that version's
+    narrower schema (Delta's reader semantics)."""
     vs = versions(root)
     if not vs:
         raise FileNotFoundError(f"no committed versions under {root}")
@@ -349,16 +394,23 @@ def read_version(
                 continue
             kept.append(rel)
         files = kept
+    from pyspark.sql.types import StructField, StructType
+
+    committed = StructType.fromJson(json.loads(m["schema"]))
     if not files:
         # zero referenced files (a pruned-out read, or an overwrite
         # commit of an empty frame whose writer emitted no parts):
         # an empty frame with the committed schema, not a read error
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(__import__("json").loads(m["schema"]))
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], committed)
     paths = [os.path.join(root, f) for f in files]
-    df = spark.read.parquet(*paths)
+    # nullable-relaxed: files predating an evolved column have no
+    # values for it, so the reader must be allowed to emit NULLs
+    # regardless of the committed nullability flag
+    read_schema = StructType(
+        [StructField(f.name, f.dataType, True, f.metadata)
+         for f in committed.fields]
+    )
+    df = spark.read.schema(read_schema).parquet(*paths)
     if prune is not None:
         from pyspark.sql import functions as F
 

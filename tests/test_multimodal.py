@@ -394,3 +394,84 @@ def test_exif_roundtrip_both_endians_and_absence():
     payload[i : i + 2] = b"XX"
     with pytest.raises(ValueError, match="byte-order"):
         decode_jpeg_exif(bytes(payload))
+
+
+def test_wav_junk_chunk_and_varied_depth_roundtrip():
+    """The multimodal_audio_meta payload space: an odd-sized JUNK
+    chunk before fmt must be skipped via the spec's word-alignment
+    pad, and 8/32-bit PCM block_align math must round-trip — the
+    chunk-ORDER and alignment cases a fixed-offset parser misreads."""
+    from football_etl_pipeline_spark.operators.multimodal import (
+        decode_wav_header,
+        make_wav,
+    )
+
+    for bits, junk in ((8, 1), (16, 5), (32, 13)):
+        payload = make_wav(
+            441, sample_rate=22050, channels=2, bits=bits, junk_bytes=junk
+        )
+        meta = decode_wav_header(payload)
+        assert meta == {
+            "sample_rate": 22050,
+            "channels": 2,
+            "bit_depth": bits,
+            "n_samples": 441,
+            "duration_ms": 441 * 1000 // 22050,
+        }
+    # even-sized junk: no pad byte, walk must still land on fmt
+    meta = decode_wav_header(make_wav(16, junk_bytes=4))
+    assert meta["n_samples"] == 16
+
+    # inconsistent block_align (stereo declared, mono stride) refuses
+    import struct
+
+    payload = bytearray(make_wav(16, channels=2))
+    fmt_off = payload.index(b"fmt ") + 8
+    payload[fmt_off + 12 : fmt_off + 14] = struct.pack("<H", 2)  # mono stride
+    with pytest.raises(ValueError, match="block_align"):
+        decode_wav_header(bytes(payload))
+
+
+def test_exif_decoder_bounds_are_valueerror_not_struct_error():
+    """decode_jpeg_exif's dead-letter contract: truncated TIFF bodies
+    and out-of-range offsets raise ValueError (never struct.error,
+    never a silently truncated Make string)."""
+    import struct
+
+    from football_etl_pipeline_spark.operators.multimodal import (
+        decode_jpeg_exif,
+        make_jpeg_exif,
+    )
+
+    full = make_jpeg_exif(16, 16, orientation=3, make="cam1")
+    app1_off = full.index(b"Exif\x00\x00")
+    tiff_off = app1_off + 6
+
+    def with_tiff(tiff: bytes) -> bytes:
+        app1 = b"Exif\x00\x00" + tiff
+        return (
+            full[: app1_off - 4]
+            + b"\xff\xe1"
+            + struct.pack(">H", 2 + len(app1))
+            + app1
+            + b"\xff\xd9"
+        )
+
+    tiff = full[tiff_off:]
+    tiff = tiff[: tiff.index(b"\xff\xd9")] if b"\xff\xd9" in tiff else tiff
+    # IFD0 offset pointing past the body
+    bad_ifd = tiff[:4] + struct.pack("<I", 10_000) + tiff[8:]
+    with pytest.raises(ValueError, match="IFD0 offset"):
+        decode_jpeg_exif(with_tiff(bad_ifd))
+    # entry-count claiming more entries than the body holds
+    bad_count = tiff[:8] + struct.pack("<H", 500) + tiff[10:]
+    with pytest.raises(ValueError, match="entry table overruns"):
+        decode_jpeg_exif(with_tiff(bad_count))
+    # Make value offset overrunning the body: grow n without growing
+    # the payload (entry layout: tag..HHI at IFD0+2, value slot at +8)
+    ifd0 = 8
+    e = ifd0 + 2  # first entry = Make in make_jpeg_exif's layout
+    bad_make = bytearray(tiff)
+    bad_make[e + 4 : e + 8] = struct.pack("<I", 60_000)
+    with pytest.raises(ValueError, match="Make value offset"):
+        decode_jpeg_exif(with_tiff(bytes(bad_make)))

@@ -304,3 +304,75 @@ def test_forget_customers_clustering_bounds_rewrite(spark, tmp_path):
         .count()
         > 0
     )
+
+
+def test_schema_evolution_add_column_null_fills(spark, tmp_path):
+    """Add-column append: the committed schema widens (metadata-only —
+    v1's files carried by reference), the current read NULL-fills the
+    evolved column for pre-evolution files, and time travel to v1
+    still sees the narrow schema."""
+    root = str(tmp_path / "t")
+    commit_version(_df(spark, [1, 2]), root, "append")
+    wide = spark.createDataFrame(
+        [(3, "row3", "web")], "id long, v string, channel string"
+    )
+    commit_version(wide, root, "append")
+
+    cur = read_version(spark, root)
+    assert cur.columns == ["id", "v", "channel"]
+    rows = {r.id: r.channel for r in cur.collect()}
+    assert rows == {1: None, 2: None, 3: "web"}
+
+    old = read_version(spark, root, 1)
+    assert old.columns == ["id", "v"]
+    assert {r.id for r in old.collect()} == {1, 2}
+
+
+def test_schema_evolution_missing_column_null_fills(spark, tmp_path):
+    """Reverse evolution: an append MISSING a committed column keeps
+    the committed schema (prior order) and NULL-fills the new file's
+    absent column — no silent column drop."""
+    root = str(tmp_path / "t")
+    commit_version(_df(spark, [1]), root, "append")
+    narrow = spark.createDataFrame([(7,)], "id long")
+    commit_version(narrow, root, "append")
+    cur = read_version(spark, root)
+    assert cur.columns == ["id", "v"]
+    assert {(r.id, r.v) for r in cur.collect()} == {(1, "row1"), (7, None)}
+
+
+def test_schema_evolution_type_conflict_refuses_before_staging(
+    spark, tmp_path
+):
+    """Re-typing an existing column must raise SchemaConflict BEFORE
+    any data file is staged (no new orphans), and the table stays
+    readable at its prior state."""
+    from football_etl_pipeline_spark.sources.versioned_table import (
+        SchemaConflict,
+    )
+
+    root = str(tmp_path / "t")
+    commit_version(_df(spark, [1]), root, "append")
+    data_dir = os.path.join(root, "data")
+    staged_before = set(os.listdir(data_dir))
+    bad = spark.createDataFrame([("x", "y")], "id string, v string")
+    with pytest.raises(SchemaConflict, match="'id'"):
+        commit_version(bad, root, "append")
+    assert set(os.listdir(data_dir)) == staged_before
+    assert versions(root) == [1]
+    assert {r.id for r in read_version(spark, root).collect()} == {1}
+
+
+def test_schema_evolution_overwrite_resets_schema(spark, tmp_path):
+    """Overwrite commits define the schema outright (no merge): a
+    narrow overwrite after an evolution yields the narrow schema."""
+    root = str(tmp_path / "t")
+    commit_version(_df(spark, [1]), root, "append")
+    wide = spark.createDataFrame(
+        [(2, "row2", "app")], "id long, v string, channel string"
+    )
+    commit_version(wide, root, "append")
+    commit_version(_df(spark, [5]), root, "overwrite")
+    cur = read_version(spark, root)
+    assert cur.columns == ["id", "v"]
+    assert {r.id for r in cur.collect()} == {5}
