@@ -303,6 +303,8 @@ HEADLINE = [
     "streaming_token_budget_monitor",
     # round-13 additions
     "multimodal_audio_meta",
+    "text_bigram_addk_perplexity",
+    "dedup_semantic_recall_sweep",
     # versioned_schema_evolution: two versioned commits (full-table
     # writes) + two snapshot reads — gate-checked for evolution
     # correctness, excluded from the query bench like the other
@@ -626,6 +628,14 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    # Per-family subtotals (family = operator module that registered
+    # the query): a slow family can't hide inside a growing total —
+    # the trend a reviewer reads across BENCH_DETAIL_r{N} snapshots.
+    families: dict[str, float] = {}
+    for name, secs in timings.items():
+        fn = QUERIES.get(name)
+        fam = getattr(fn, "__module__", "unknown").rsplit(".", 1)[-1]
+        families[fam] = round(families.get(fam, 0.0) + secs, 3)
     ref_name, ref_anchor = anchor_reference()
     verdict = tag_run(
         load1,
@@ -639,6 +649,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "families": families,
         "sf": sf,
         "n_queries": len(timings),
         "telemetry": {

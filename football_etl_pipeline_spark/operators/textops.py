@@ -1831,6 +1831,216 @@ def text_bigram_lm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- add-k smoothed bigram LM held-out perplexity ----------------------
+#
+# The next rung of the LM-quality ladder after text_unigram_lm_quality
+# (corpus unigram score) and text_bigram_lm_novelty (unsmoothed
+# transition mass): TRAIN a smoothed bigram model on the frozen
+# hash-split train bucket, then score the HELD-OUT test bucket with
+# real log-probability perplexity — the train/serve separation the
+# ratio scores above deliberately avoid. Add-k (k = 1/2, Jeffreys)
+# rather than Kneser-Ney: the add-k chain is closed-form per bigram
+# (no discount/backoff recursion), which keeps the whole fixed-point
+# trajectory one SQL text both engines replay.
+
+PPL_K = 0.5          # add-k smoothing constant (exact in binary)
+PPL_UNK = "chr(1)"   # OOV sentinel: \x01 can never be a token (tokens
+                     # come from split on whitespace of real text)
+
+
+def _bigram_ppl_oracle() -> str:
+    """P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V) with V = |train word
+    types| + 1 (UNK); held-out tokens outside the train vocabulary map
+    to UNK (zero counts → the uniform floor k/(k·V)). Exactness: c,
+    c(·), V are exact BIGINTs, k = 0.5 is exact binary, so p is ONE
+    correctly-rounded division — identical in both engines; each
+    m·ln(p) term is pinned DECIMAL(18,6) BEFORE the per-doc sum (the
+    entropy-score ln-pin discipline, textops occurrence-entropy), and
+    the avg/perplexity finishes are single chains over that exact
+    decimal, pinned DECIMAL(18,9)/(18,6)."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks,
+             {hash60_duck('text')} % 100 AS bucket
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, bucket,
+             unnest([toks[i+1] for i in range(len(toks)-1)]) AS w1,
+             unnest([toks[i+2] for i in range(len(toks)-1)]) AS w2
+      FROM t
+    ), trainbg AS (
+      SELECT w1, w2, COUNT(*)::BIGINT AS c
+      FROM bg WHERE bucket < 90 GROUP BY 1, 2
+    ), ctx AS (
+      SELECT w1, SUM(c)::BIGINT AS ca FROM trainbg GROUP BY w1
+    ), vocab AS (
+      SELECT DISTINCT unnest(toks) AS w FROM t WHERE bucket < 90
+    ), vsize AS (
+      SELECT (COUNT(*) + 1)::BIGINT AS v FROM vocab
+    ), tb AS (
+      SELECT doc_id, w1, w2, COUNT(*)::BIGINT AS m
+      FROM bg WHERE bucket >= 95 GROUP BY 1, 2, 3
+    ), mapped AS (
+      SELECT tb.doc_id, tb.m,
+             CASE WHEN va.w IS NULL THEN {PPL_UNK} ELSE tb.w1 END AS a2,
+             CASE WHEN vb.w IS NULL THEN {PPL_UNK} ELSE tb.w2 END AS b2,
+             (va.w IS NULL OR vb.w IS NULL) AS oov
+      FROM tb
+      LEFT JOIN vocab va ON va.w = tb.w1
+      LEFT JOIN vocab vb ON vb.w = tb.w2
+    ), scored AS (
+      SELECT doc_id, m, oov,
+             (COALESCE(b.c, 0) + {PPL_K})
+               / (COALESCE(cx.ca, 0) + {PPL_K} * v) AS p
+      FROM mapped
+      CROSS JOIN vsize
+      LEFT JOIN trainbg b ON b.w1 = mapped.a2 AND b.w2 = mapped.b2
+      LEFT JOIN ctx cx ON cx.w1 = mapped.a2
+    ), agg AS (
+      SELECT doc_id,
+             SUM(m)::BIGINT AS n_bigrams,
+             SUM(CASE WHEN oov THEN m ELSE 0 END)::BIGINT AS n_oov_bigrams,
+             SUM(CAST(m * ln(p) AS DECIMAL(18,6))) AS slog
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, n_oov_bigrams,
+           CAST(CAST(CAST(slog AS DOUBLE) / n_bigrams
+                AS DECIMAL(18,9)) AS DOUBLE) AS avg_logprob,
+           CAST(CAST(exp(-(CAST(slog AS DOUBLE) / n_bigrams))
+                AS DECIMAL(18,6)) AS DOUBLE) AS perplexity
+    FROM agg
+    """
+
+
+@query("text_bigram_addk_perplexity", oracle=_bigram_ppl_oracle())
+def text_bigram_addk_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity of an add-k smoothed bigram LM — the
+    standard LM-quality rung a curation pipeline runs above the
+    unigram screen: train bigram/context counts on the frozen 90/5/5
+    content-hash TRAIN bucket (same split as
+    ``text_train_val_test_split``), score every TEST-bucket document's
+    word transitions under P(w2|w1) = (c+k)/(c(·)+k·V) with OOV words
+    mapped to UNK, and report per-doc n_bigrams / OOV mass /
+    avg log-prob / perplexity. Gibberish scores near the uniform
+    floor k/(k·V); templated text scores near the head transitions —
+    and unlike ``text_bigram_lm_novelty`` the score is computed on
+    documents the model NEVER saw (the train/serve separation that
+    makes it an honest quality screen). See ``_bigram_ppl_oracle``
+    for the exactness chain (one correctly-rounded division per
+    bigram, ln-pinned decimal sums).
+
+    Scale story (100 TB): ONE tokenize+bigram explode over the corpus
+    is immediately reduced — map-side — into the (w1, w2) train
+    counts and the per-(doc, w1, w2) test multiplicities (the
+    bigram-novelty skeleton); the vocabulary is a distinct over one
+    more token explode of the train slice (word TYPES, sublinear by
+    Heaps' law — the unigram-LM-train lesson), and every scoring join
+    (vocab×2, bigram counts, context counts) is an equi-join on keys
+    the reduced frames already carry, sized by the model (types),
+    not the corpus. The two-token join shape (a2, b2) is exercised by
+    nothing else in the registry. Zero driver math, zero UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    t = spread.select(
+        "doc_id",
+        F.expr(TOKENS_SPARK).alias("toks"),
+        (F.expr(hash60_spark("text")) % 100).alias("bucket"),
+    )
+    bg = t.select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "bucket", "p.w1", "p.w2")
+    bg = persist_tracked(bg)  # feeds train counts AND test multiplicities
+    trainbg = persist_tracked(
+        bg.filter(F.col("bucket") < 90)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ctx = trainbg.groupBy("w1").agg(F.sum("c").alias("ca"))
+    vocab = persist_tracked(
+        t.filter(F.col("bucket") < 90)
+        .select(F.explode("toks").alias("w"))
+        .distinct()
+    )
+    vsize = vocab.agg((F.count(F.lit(1)) + 1).alias("v"))
+    tb = (
+        bg.filter(F.col("bucket") >= 95)
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    unk = F.lit("\x01")
+    mapped = (
+        tb.join(
+            vocab.withColumnRenamed("w", "va"),
+            F.col("va") == F.col("w1"),
+            "left",
+        )
+        .join(
+            vocab.withColumnRenamed("w", "vb"),
+            F.col("vb") == F.col("w2"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "m",
+            F.when(F.col("va").isNull(), unk).otherwise(F.col("w1")).alias("a2"),
+            F.when(F.col("vb").isNull(), unk).otherwise(F.col("w2")).alias("b2"),
+            (F.col("va").isNull() | F.col("vb").isNull()).alias("oov"),
+        )
+    )
+    scored = (
+        mapped.crossJoin(F.broadcast(vsize))
+        .join(
+            trainbg.select(
+                F.col("w1").alias("bg_a"), F.col("w2").alias("bg_b"), "c"
+            ),
+            (F.col("a2") == F.col("bg_a")) & (F.col("b2") == F.col("bg_b")),
+            "left",
+        )
+        .join(
+            ctx.select(F.col("w1").alias("cx_a"), "ca"),
+            F.col("a2") == F.col("cx_a"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "m",
+            "oov",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(PPL_K))
+                / (F.coalesce(F.col("ca"), F.lit(0)) + F.lit(PPL_K) * F.col("v"))
+            ).alias("p"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        F.sum(F.when(F.col("oov"), F.col("m")).otherwise(F.lit(0))).alias(
+            "n_oov_bigrams"
+        ),
+        F.sum((F.col("m") * F.log("p")).cast("decimal(18,6)")).alias("slog"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "n_oov_bigrams",
+        (F.col("slog").cast("double") / F.col("n_bigrams"))
+        .cast("decimal(18,9)")
+        .cast("double")
+        .alias("avg_logprob"),
+        F.exp(-(F.col("slog").cast("double") / F.col("n_bigrams")))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("perplexity"),
+    )
+
+
 # ---- vocabulary coverage curve ----------------------------------------
 
 VOCAB_COVERAGE_KS = (100, 1000, 10000)
