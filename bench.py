@@ -304,7 +304,9 @@ HEADLINE = [
     # round-13 additions
     "multimodal_audio_meta",
     "text_bigram_addk_perplexity",
+    "text_bigram_kneser_ney_perplexity",
     "dedup_semantic_recall_sweep",
+    "orders_pivot_revenue_matrix",
     # versioned_schema_evolution: two versioned commits (full-table
     # writes) + two snapshot reads — gate-checked for evolution
     # correctness, excluded from the query bench like the other

@@ -270,3 +270,60 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---- PIVOT (wide conditional aggregation) -------------------------------
+
+_PIVOT_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+_PIVOT_ALIASES = ("urgent", "high", "medium", "not_specified", "low")
+
+
+def _pivot_oracle() -> str:
+    cols = ",\n      ".join(
+        f"CAST(SUM(CAST(CASE WHEN o_orderpriority = '{p}'"
+        f" THEN o_totalprice ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)"
+        f" AS {a}_revenue"
+        for p, a in zip(_PIVOT_PRIORITIES, _PIVOT_ALIASES)
+    )
+    return f"""
+    SELECT o_orderstatus,
+      {cols}
+    FROM orders
+    GROUP BY o_orderstatus
+    """
+
+
+@query("orders_pivot_revenue_matrix", oracle=_pivot_oracle())
+def orders_pivot_revenue_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — the wide reporting shape (`GROUP BY status PIVOT
+    priority`): revenue per order status × priority as a status-rows
+    × priority-columns matrix, via DataFrame ``groupBy().pivot()``
+    with the value list given EXPLICITLY. That explicitness is the
+    operator's whole scale story: with declared pivot values Spark
+    compiles the pivot to ONE hash aggregate of conditional
+    expressions (exactly the CASE-WHEN matrix the oracle spells out —
+    no second pass, no Expand, no values-discovery job); an implicit
+    pivot would first run a distinct-values collect, a hidden
+    driver-roundtrip scan a 100 TB table cannot afford. Money sums
+    ride the DECIMAL(18,6) house pattern per cell; a missing
+    (status, priority) cell is an honest 0 sum because the CASE
+    contributes 0, not NULL, in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(_PIVOT_PRIORITIES))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+        )
+    )
+    renamed = wide.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0.0)).alias(f"{a}_revenue")
+            for p, a in zip(_PIVOT_PRIORITIES, _PIVOT_ALIASES)
+        ],
+    )
+    return renamed

@@ -1848,18 +1848,13 @@ PPL_UNK = "chr(1)"   # OOV sentinel: \x01 can never be a token (tokens
                      # come from split on whitespace of real text)
 
 
-def _bigram_ppl_oracle() -> str:
-    """P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V) with V = |train word
-    types| + 1 (UNK); held-out tokens outside the train vocabulary map
-    to UNK (zero counts → the uniform floor k/(k·V)). Exactness: c,
-    c(·), V are exact BIGINTs, k = 0.5 is exact binary, so p is ONE
-    correctly-rounded division — identical in both engines; each
-    m·ln(p) term is pinned DECIMAL(18,6) BEFORE the per-doc sum (the
-    entropy-score ln-pin discipline, textops occurrence-entropy), and
-    the avg/perplexity finishes are single chains over that exact
-    decimal, pinned DECIMAL(18,9)/(18,6)."""
-    return f"""
-    WITH t AS (
+def _bigram_lm_base() -> str:
+    """The CTE scaffolding BOTH bigram-LM rungs share (add-k and
+    Kneser-Ney): tokenize + hash-bucket, in-doc bigram explode, train
+    bigram counts ``trainbg`` + context totals ``ctx`` + train
+    vocabulary/V, and the held-out test multiplicities ``mapped``
+    with OOV words mapped to the UNK sentinel."""
+    return f"""t AS (
       SELECT doc_id, {TOKENS_DUCK} AS toks,
              {hash60_duck('text')} % 100 AS bucket
       FROM documents
@@ -1888,7 +1883,56 @@ def _bigram_ppl_oracle() -> str:
       FROM tb
       LEFT JOIN vocab va ON va.w = tb.w1
       LEFT JOIN vocab vb ON vb.w = tb.w2
-    ), scored AS (
+    )"""
+
+
+def _bigram_ppl_finish() -> str:
+    """The per-doc finish BOTH rungs share, over a ``scored``
+    CTE of (doc_id, m, oov, p): ln-pinned decimal sum, then the
+    avg/perplexity chains. The average is emitted in INTEGER
+    micro-nat units computed ENTIRELY in integer arithmetic — not a
+    DECIMAL(18,9) pin and not ROUND over a double: slog is a 6-dp
+    decimal, so avg×1e6 = S/n_bigrams is an exact rational (S =
+    slog×1e6, a BIGINT) that lands EXACTLY on .5 whenever n is even
+    and S ≡ n/2 (mod n) — precisely where double→decimal casts and
+    repr-vs-binary ROUND implementations disagree across engines
+    (caught by the r13 gate at sf0.1: three docs off by 1e-9).
+    Round-half-away-from-zero of S/n as (2·|S| + n) // (2·n) with the
+    sign reapplied is bit-identical in any engine."""
+    return """agg AS (
+      SELECT doc_id,
+             SUM(m)::BIGINT AS n_bigrams,
+             SUM(CASE WHEN oov THEN m ELSE 0 END)::BIGINT AS n_oov_bigrams,
+             SUM(CAST(m * ln(p) AS DECIMAL(18,6))) AS slog
+      FROM scored GROUP BY doc_id
+    ), micro AS (
+      SELECT doc_id, n_bigrams, n_oov_bigrams, slog,
+             CAST(slog * 1000000 AS BIGINT) AS s
+      FROM agg
+    )
+    SELECT doc_id, n_bigrams, n_oov_bigrams,
+           (CASE WHEN s >= 0
+                 THEN (2 * s + n_bigrams) // (2 * n_bigrams)
+                 ELSE -((2 * (-s) + n_bigrams) // (2 * n_bigrams))
+            END)::BIGINT AS avg_logprob_micro,
+           CAST(CAST(exp(-(CAST(slog AS DOUBLE) / n_bigrams))
+                AS DECIMAL(18,6)) AS DOUBLE) AS perplexity
+    FROM micro
+    """
+
+
+def _bigram_ppl_oracle() -> str:
+    """P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V) with V = |train word
+    types| + 1 (UNK); held-out tokens outside the train vocabulary map
+    to UNK (zero counts → the uniform floor k/(k·V)). Exactness: c,
+    c(·), V are exact BIGINTs, k = 0.5 is exact binary, so p is ONE
+    correctly-rounded division — identical in both engines; each
+    m·ln(p) term is pinned DECIMAL(18,6) BEFORE the per-doc sum (the
+    entropy-score ln-pin discipline, textops occurrence-entropy), and
+    the avg/perplexity finishes are single chains over that exact
+    decimal, pinned DECIMAL(18,9)/(18,6)."""
+    return f"""
+    WITH {_bigram_lm_base()}, scored AS (
       SELECT doc_id, m, oov,
              (COALESCE(b.c, 0) + {PPL_K})
                / (COALESCE(cx.ca, 0) + {PPL_K} * v) AS p
@@ -1896,49 +1940,13 @@ def _bigram_ppl_oracle() -> str:
       CROSS JOIN vsize
       LEFT JOIN trainbg b ON b.w1 = mapped.a2 AND b.w2 = mapped.b2
       LEFT JOIN ctx cx ON cx.w1 = mapped.a2
-    ), agg AS (
-      SELECT doc_id,
-             SUM(m)::BIGINT AS n_bigrams,
-             SUM(CASE WHEN oov THEN m ELSE 0 END)::BIGINT AS n_oov_bigrams,
-             SUM(CAST(m * ln(p) AS DECIMAL(18,6))) AS slog
-      FROM scored GROUP BY doc_id
-    )
-    SELECT doc_id, n_bigrams, n_oov_bigrams,
-           CAST(CAST(CAST(slog AS DOUBLE) / n_bigrams
-                AS DECIMAL(18,9)) AS DOUBLE) AS avg_logprob,
-           CAST(CAST(exp(-(CAST(slog AS DOUBLE) / n_bigrams))
-                AS DECIMAL(18,6)) AS DOUBLE) AS perplexity
-    FROM agg
-    """
+    ), {_bigram_ppl_finish()}"""
 
 
-@query("text_bigram_addk_perplexity", oracle=_bigram_ppl_oracle())
-def text_bigram_addk_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Held-out perplexity of an add-k smoothed bigram LM — the
-    standard LM-quality rung a curation pipeline runs above the
-    unigram screen: train bigram/context counts on the frozen 90/5/5
-    content-hash TRAIN bucket (same split as
-    ``text_train_val_test_split``), score every TEST-bucket document's
-    word transitions under P(w2|w1) = (c+k)/(c(·)+k·V) with OOV words
-    mapped to UNK, and report per-doc n_bigrams / OOV mass /
-    avg log-prob / perplexity. Gibberish scores near the uniform
-    floor k/(k·V); templated text scores near the head transitions —
-    and unlike ``text_bigram_lm_novelty`` the score is computed on
-    documents the model NEVER saw (the train/serve separation that
-    makes it an honest quality screen). See ``_bigram_ppl_oracle``
-    for the exactness chain (one correctly-rounded division per
-    bigram, ln-pinned decimal sums).
-
-    Scale story (100 TB): ONE tokenize+bigram explode over the corpus
-    is immediately reduced — map-side — into the (w1, w2) train
-    counts and the per-(doc, w1, w2) test multiplicities (the
-    bigram-novelty skeleton); the vocabulary is a distinct over one
-    more token explode of the train slice (word TYPES, sublinear by
-    Heaps' law — the unigram-LM-train lesson), and every scoring join
-    (vocab×2, bigram counts, context counts) is an equi-join on keys
-    the reduced frames already carry, sized by the model (types),
-    not the corpus. The two-token join shape (a2, b2) is exercised by
-    nothing else in the registry. Zero driver math, zero UDFs."""
+def _bigram_lm_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The Spark twin of ``_bigram_lm_base``: the train/test frames
+    both bigram-LM rungs score over. ``bg`` (the exploded bigram
+    frame) and ``vocab`` are persisted — each feeds two consumers."""
     docs = load_table(spark, sf_dir, "documents")
     spread = docs.repartition(spark.sparkContext.defaultParallelism)
     t = spread.select(
@@ -1963,7 +1971,6 @@ def text_bigram_addk_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    ctx = trainbg.groupBy("w1").agg(F.sum("c").alias("ca"))
     vocab = persist_tracked(
         t.filter(F.col("bucket") < 90)
         .select(F.explode("toks").alias("w"))
@@ -1995,6 +2002,70 @@ def text_bigram_addk_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("va").isNull() | F.col("vb").isNull()).alias("oov"),
         )
     )
+    return {"trainbg": trainbg, "vsize": vsize, "mapped": mapped}
+
+
+def _bigram_ppl_emit(scored: DataFrame) -> DataFrame:
+    """The Spark twin of ``_bigram_ppl_finish`` over a
+    (doc_id, m, oov, p) frame — avg in integer micro-nats (see the
+    oracle twin's docstring for why not a DECIMAL(18,9) pin)."""
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        F.sum(F.when(F.col("oov"), F.col("m")).otherwise(F.lit(0))).alias(
+            "n_oov_bigrams"
+        ),
+        F.sum((F.col("m") * F.log("p")).cast("decimal(18,6)")).alias("slog"),
+    )
+    micro = agg.withColumn(
+        "s", (F.col("slog") * 1000000).cast("bigint")
+    )
+    return micro.select(
+        "doc_id",
+        "n_bigrams",
+        "n_oov_bigrams",
+        F.expr(
+            "CAST(CASE WHEN s >= 0"
+            " THEN (2 * s + n_bigrams) div (2 * n_bigrams)"
+            " ELSE -((2 * (-s) + n_bigrams) div (2 * n_bigrams))"
+            " END AS BIGINT)"
+        ).alias("avg_logprob_micro"),
+        F.exp(-(F.col("slog").cast("double") / F.col("n_bigrams")))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("perplexity"),
+    )
+
+
+@query("text_bigram_addk_perplexity", oracle=_bigram_ppl_oracle())
+def text_bigram_addk_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity of an add-k smoothed bigram LM — the
+    standard LM-quality rung a curation pipeline runs above the
+    unigram screen: train bigram/context counts on the frozen 90/5/5
+    content-hash TRAIN bucket (same split as
+    ``text_train_val_test_split``), score every TEST-bucket document's
+    word transitions under P(w2|w1) = (c+k)/(c(·)+k·V) with OOV words
+    mapped to UNK, and report per-doc n_bigrams / OOV mass /
+    avg log-prob / perplexity. Gibberish scores near the uniform
+    floor k/(k·V); templated text scores near the head transitions —
+    and unlike ``text_bigram_lm_novelty`` the score is computed on
+    documents the model NEVER saw (the train/serve separation that
+    makes it an honest quality screen). See ``_bigram_ppl_oracle``
+    for the exactness chain (one correctly-rounded division per
+    bigram, ln-pinned decimal sums).
+
+    Scale story (100 TB): ONE tokenize+bigram explode over the corpus
+    is immediately reduced — map-side — into the (w1, w2) train
+    counts and the per-(doc, w1, w2) test multiplicities (the
+    bigram-novelty skeleton); the vocabulary is a distinct over one
+    more token explode of the train slice (word TYPES, sublinear by
+    Heaps' law — the unigram-LM-train lesson), and every scoring join
+    (vocab×2, bigram counts, context counts) is an equi-join on keys
+    the reduced frames already carry, sized by the model (types),
+    not the corpus. The two-token join shape (a2, b2) is exercised
+    only by the two bigram-LM rungs. Zero driver math, zero UDFs."""
+    fr = _bigram_lm_frames(spark, sf_dir)
+    trainbg, vsize, mapped = fr["trainbg"], fr["vsize"], fr["mapped"]
+    ctx = trainbg.groupBy("w1").agg(F.sum("c").alias("ca"))
     scored = (
         mapped.crossJoin(F.broadcast(vsize))
         .join(
@@ -2019,26 +2090,132 @@ def text_bigram_addk_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         )
     )
-    agg = scored.groupBy("doc_id").agg(
-        F.sum("m").alias("n_bigrams"),
-        F.sum(F.when(F.col("oov"), F.col("m")).otherwise(F.lit(0))).alias(
-            "n_oov_bigrams"
-        ),
-        F.sum((F.col("m") * F.log("p")).cast("decimal(18,6)")).alias("slog"),
+    return _bigram_ppl_emit(scored)
+
+
+# ---- interpolated Kneser-Ney bigram perplexity --------------------------
+
+PPL_KN_D = 0.75  # absolute discount (Chen & Goodman's fixed-D KN;
+                 # exact in binary, so the discounted numerator is an
+                 # exact double before its one division)
+
+
+def _bigram_kn_oracle() -> str:
+    """Interpolated Kneser-Ney with fixed discount D and an add-one
+    smoothed continuation distribution (the UNK closure held-out
+    scoring needs — raw KN assigns zero mass to continuations never
+    seen in train, which a log cannot absorb):
+
+        P(w2|w1) = max(c(w1,w2) - D, 0)/c(w1·)
+                   + (D · N1+(w1·)/c(w1·)) · Pcont(w2)
+        Pcont(w2) = (N1+(·w2) + 1) / (N1+(··) + V)
+
+    with backoff P = Pcont(w2) when w1 has no train continuations
+    (OOV contexts AND vocabulary words seen only doc-finally — both
+    have c(w1·) = 0, so the model treats them identically).
+    Exactness: counts are exact BIGINTs and D = 0.75 is exact binary;
+    p is four correctly-rounded IEEE ops in a fixed tree (two
+    divisions, one multiply, one add) — bit-identical across engines —
+    then the shared ln-pin finish."""
+    return f"""
+    WITH {_bigram_lm_base()}, fwd AS (
+      SELECT w1, SUM(c)::BIGINT AS ca, COUNT(*)::BIGINT AS n1f
+      FROM trainbg GROUP BY w1
+    ), bwd AS (
+      SELECT w2, COUNT(*)::BIGINT AS n1b FROM trainbg GROUP BY w2
+    ), nstat AS (
+      SELECT COUNT(*)::BIGINT AS nn FROM trainbg
+    ), scored AS (
+      SELECT doc_id, m, oov,
+             CASE WHEN f.ca IS NULL THEN
+               (COALESCE(bw.n1b, 0) + 1.0) / (ns.nn + v)
+             ELSE
+               GREATEST(COALESCE(b.c, 0) - {PPL_KN_D}, 0) / f.ca
+               + ({PPL_KN_D} * f.n1f / f.ca)
+                 * ((COALESCE(bw.n1b, 0) + 1.0) / (ns.nn + v))
+             END AS p
+      FROM mapped
+      CROSS JOIN vsize
+      CROSS JOIN nstat ns
+      LEFT JOIN trainbg b ON b.w1 = mapped.a2 AND b.w2 = mapped.b2
+      LEFT JOIN fwd f ON f.w1 = mapped.a2
+      LEFT JOIN bwd bw ON bw.w2 = mapped.b2
+    ), {_bigram_ppl_finish()}"""
+
+
+@query("text_bigram_kneser_ney_perplexity", oracle=_bigram_kn_oracle())
+def text_bigram_kneser_ney_perplexity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Held-out perplexity under interpolated Kneser-Ney — the
+    standard n-gram smoothing (Chen & Goodman 1999) a KenLM-style
+    curation filter actually ships, one rung above
+    ``text_bigram_addk_perplexity``: instead of adding k mass
+    everywhere, KN discounts every seen bigram by a fixed D and
+    redistributes exactly the discounted mass through the CONTINUATION
+    distribution — P_cont(w2) ∝ how many distinct contexts w2 follows,
+    the "San Francisco" correction (frequent-but-bound words like
+    "francisco" get low continuation mass however high their raw
+    count). See ``_bigram_kn_oracle`` for the exact model including
+    the add-one UNK closure of the continuation distribution and the
+    c(w1·)=0 backoff.
+
+    Scale story: identical skeleton to the add-k rung (shared
+    ``_bigram_lm_frames``), plus two more TYPE-sized aggregates over
+    the train bigram frame — the forward/backward distinct-neighbor
+    counts N1+(w1·)/N1+(·w2) — and one 1-row bigram-type total; every
+    scoring join stays an equi-join on model-sized keys. The two
+    rungs share one tokenize+explode pass per invocation and their
+    perplexities are directly comparable (same split, same UNK
+    convention) — the pair IS the smoothing ablation a curation team
+    reads."""
+    fr = _bigram_lm_frames(spark, sf_dir)
+    trainbg, vsize, mapped = fr["trainbg"], fr["vsize"], fr["mapped"]
+    fwd = trainbg.groupBy("w1").agg(
+        F.sum("c").alias("ca"), F.count(F.lit(1)).alias("n1f")
     )
-    return agg.select(
-        "doc_id",
-        "n_bigrams",
-        "n_oov_bigrams",
-        (F.col("slog").cast("double") / F.col("n_bigrams"))
-        .cast("decimal(18,9)")
-        .cast("double")
-        .alias("avg_logprob"),
-        F.exp(-(F.col("slog").cast("double") / F.col("n_bigrams")))
-        .cast("decimal(18,6)")
-        .cast("double")
-        .alias("perplexity"),
+    bwd = trainbg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    nstat = trainbg.agg(F.count(F.lit(1)).alias("nn"))
+    d = F.lit(PPL_KN_D)
+    pcont = (F.coalesce(F.col("n1b"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("nn") + F.col("v")
     )
+    scored = (
+        mapped.crossJoin(F.broadcast(vsize))
+        .crossJoin(F.broadcast(nstat))
+        .join(
+            trainbg.select(
+                F.col("w1").alias("bg_a"), F.col("w2").alias("bg_b"), "c"
+            ),
+            (F.col("a2") == F.col("bg_a")) & (F.col("b2") == F.col("bg_b")),
+            "left",
+        )
+        .join(
+            fwd.select(F.col("w1").alias("fw_a"), "ca", "n1f"),
+            F.col("a2") == F.col("fw_a"),
+            "left",
+        )
+        .join(
+            bwd.select(F.col("w2").alias("bw_b"), "n1b"),
+            F.col("b2") == F.col("bw_b"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "m",
+            "oov",
+            F.when(F.col("ca").isNull(), pcont)
+            .otherwise(
+                F.greatest(
+                    F.coalesce(F.col("c"), F.lit(0)) - d, F.lit(0.0)
+                )
+                / F.col("ca")
+                + (d * F.col("n1f") / F.col("ca")) * pcont
+            )
+            .alias("p"),
+        )
+    )
+    return _bigram_ppl_emit(scored)
 
 
 # ---- vocabulary coverage curve ----------------------------------------

@@ -175,3 +175,30 @@ def test_wait_for_idle_waits_for_cooldown_too():
     )
     assert cooldown == 310.0
     assert waited == 45.0
+
+
+def test_headline_names_all_registered():
+    """Every HEADLINE entry must resolve in the query registry —
+    a renamed operator would otherwise silently drop out of the
+    bench (fn is None is skipped in the timing loop)."""
+    from football_etl_pipeline_spark.operators import QUERIES
+
+    missing = [q for q in bench.HEADLINE if q not in QUERIES]
+    assert missing == [], missing
+
+
+def test_family_subtotals_partition_the_total():
+    """The per-family subtotal map (round-13) must partition the
+    per-query map exactly: same grand total, every query attributed
+    to exactly one family."""
+    from football_etl_pipeline_spark.operators import QUERIES
+
+    timings = {q: 0.25 for q in bench.HEADLINE[:40] if q in QUERIES}
+    families: dict[str, float] = {}
+    for name, secs in timings.items():
+        fam = getattr(QUERIES[name], "__module__", "unknown").rsplit(
+            ".", 1
+        )[-1]
+        families[fam] = round(families.get(fam, 0.0) + secs, 3)
+    assert abs(sum(families.values()) - sum(timings.values())) < 1e-6
+    assert len(families) >= 2  # more than one module represented
