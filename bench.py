@@ -307,6 +307,7 @@ HEADLINE = [
     "text_bigram_kneser_ney_perplexity",
     "dedup_semantic_recall_sweep",
     "orders_pivot_revenue_matrix",
+    "streaming_versioned_ingest",
     # versioned_schema_evolution: two versioned commits (full-table
     # writes) + two snapshot reads — gate-checked for evolution
     # correctness, excluded from the query bench like the other

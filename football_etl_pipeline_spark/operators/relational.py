@@ -300,16 +300,17 @@ def orders_pivot_revenue_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT — the wide reporting shape (`GROUP BY status PIVOT
     priority`): revenue per order status × priority as a status-rows
     × priority-columns matrix, via DataFrame ``groupBy().pivot()``
-    with the value list given EXPLICITLY. That explicitness is the
-    operator's whole scale story: with declared pivot values Spark
-    compiles the pivot to ONE hash aggregate of conditional
-    expressions (exactly the CASE-WHEN matrix the oracle spells out —
-    no second pass, no Expand, no values-discovery job); an implicit
-    pivot would first run a distinct-values collect, a hidden
-    driver-roundtrip scan a 100 TB table cannot afford. Money sums
-    ride the DECIMAL(18,6) house pattern per cell; a missing
-    (status, priority) cell is an honest 0 sum because the CASE
-    contributes 0, not NULL, in both engines."""
+    with the value list given EXPLICITLY. Two things make this the
+    100-TB shape (both plan-pinned): (1) declared values mean NO
+    values-discovery job — an implicit pivot first runs a
+    distinct-values collect, a hidden driver-roundtrip scan of the
+    whole table; (2) Spark compiles the pivot as aggregate-THEN-pivot:
+    a map-side-partial (status, priority) aggregate reduces the corpus
+    to the ≤15-cell key space before the ``pivotfirst`` widening
+    aggregate — two exchanges, both over model-sized frames, no
+    Expand. Money sums ride the DECIMAL(18,6) house pattern per cell;
+    a missing (status, priority) cell is an honest 0 (coalesced here,
+    CASE-ELSE-0 in the oracle)."""
     o = load_table(spark, sf_dir, "orders")
     wide = (
         o.groupBy("o_orderstatus")

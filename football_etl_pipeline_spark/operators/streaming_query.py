@@ -642,3 +642,76 @@ def streaming_token_budget_monitor(
         )
         _await_or_raise(q, "streaming_token_budget_monitor")
     return spark.table(name)
+
+
+@query(
+    "streaming_versioned_ingest",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest into the manifest-versioned
+    table, driven end-to-end INSIDE the gate (8th oracled streaming
+    row): the events backlog streams through ``foreachBatch`` into
+    ``streaming/versioned_sink.py`` (one table VERSION per micro-batch,
+    batch-id watermark recorded atomically in the manifest), then the
+    SAME backlog is replayed from a FRESH checkpoint — the rebuilt-
+    checkpoint failure mode — and the batch-id guard must SKIP every
+    re-delivered batch. The returned aggregate reads the committed
+    table, so a double-commit (broken guard) doubles every count and
+    value and breaks the oracle hash: the exactly-once property is
+    hash-checked, not just pytest-pinned
+    (tests/test_streaming_versioned_sink.py covers the race and
+    zombie-driver cases this row doesn't reach).
+
+    Scale: each micro-batch commit stages only the batch's rows and
+    carries prior files by reference (no history rewrite); the replay
+    costs one guard read per batch, no data writes. The final read is
+    a plain scan of the committed files + one hash aggregate."""
+    path = os.path.join(sf_dir, "events.parquet")
+    physical = spark.read.parquet(path).schema
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.format("parquet")
+            .schema(physical)
+            .option("maxFilesPerTrigger", 64)
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+            .select(
+                "event_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+        )
+
+    from ..sources.versioned_table import read_version
+    from ..streaming.versioned_sink import append_stream_versioned
+
+    name = f"svi_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    root = tempfile.mkdtemp(prefix=f"{name}_root_")
+    with _state_partitions(spark):
+        q = append_stream_versioned(
+            src(), root, tempfile.mkdtemp(prefix=f"ck_{name}_a_")
+        )
+        _await_or_raise(q, "streaming_versioned_ingest")
+        # rebuilt-checkpoint replay: batch ids restart at 0; the
+        # manifest watermark must skip them all
+        q2 = append_stream_versioned(
+            src(), root, tempfile.mkdtemp(prefix=f"ck_{name}_b_")
+        )
+        _await_or_raise(q2, "streaming_versioned_ingest (replay)")
+    t = read_version(spark, root)
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )

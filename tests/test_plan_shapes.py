@@ -1372,3 +1372,45 @@ def test_fleiss_kappa_is_two_hash_aggregates_no_window(spark):
     assert "Window" not in final
     assert "HashAggregate" in final
     assert "CartesianProduct" not in final
+
+
+def test_pivot_is_aggregate_then_pivot_no_discovery(spark):
+    """orders_pivot_revenue_matrix declares its pivot values, so the
+    plan must be the aggregate-THEN-pivot shape: a map-side-partial
+    (status, priority) aggregate reducing the corpus before the
+    pivotfirst widening aggregate — no Expand, at most the two
+    ENSURE_REQUIREMENTS exchanges (both over model-sized frames), and
+    exactly one FileScan (a values-discovery collect would run a
+    separate job, invisible here, but its absence is also pinned by
+    the explicit-values API contract)."""
+    p = _outer_final(_plan(spark, "orders_pivot_revenue_matrix"))
+    assert "Expand" not in p, p
+    assert "pivotfirst" in p, p
+    assert p.count("Exchange") <= 2, p
+    assert p.count("FileScan") == 1, p
+
+
+def test_bigram_lm_rungs_join_on_model_keys_no_cartesian(spark):
+    """Both bigram-LM rungs: every scoring join is an equi-join on
+    model-sized keys; the only nested-loop joins allowed are the
+    1-row scalar broadcasts (vsize / bigram-type total)."""
+    for name in (
+        "text_bigram_addk_perplexity",
+        "text_bigram_kneser_ney_perplexity",
+    ):
+        p = _plan(spark, name)
+        f = _outer_final(p)
+        assert "CartesianProduct" not in f, (name, f)
+        # scalar broadcasts print as BroadcastNestedLoopJoin over a
+        # 1-row aggregate — anything else nested-loop is a bug
+        for ln in f.split("\n"):
+            if "NestedLoop" in ln:
+                assert "BuildRight" in ln or "BuildLeft" in ln, (name, ln)
+
+
+def test_semantic_recall_sweep_pairs_on_cell_key(spark):
+    """The sweep's candidate surface must be an equi-join ON cell
+    (banded), never a cartesian over data-sized frames; the probes
+    frame rides broadcast nested loops (3 rows, allowed)."""
+    p = _outer_final(_plan(spark, "dedup_semantic_recall_sweep"))
+    assert "CartesianProduct" not in p, p
