@@ -308,6 +308,7 @@ HEADLINE = [
     "dedup_semantic_recall_sweep",
     "orders_pivot_revenue_matrix",
     "streaming_versioned_ingest",
+    "text_mixture_execute",
     # versioned_schema_evolution: two versioned commits (full-table
     # writes) + two snapshot reads — gate-checked for evolution
     # correctness, excluded from the query bench like the other

@@ -4334,7 +4334,9 @@ def text_kfold_assignment(
 MIXTURE_TOKEN_BUDGET = 100_000  # target curated-corpus size, in tokens
 
 
-def _mixture_finish(kept: str, srcs: str, bigint: str, idiv: str) -> str:
+def _mixture_finish(
+    kept: str, srcs: str, bigint: str, idiv: str, wrap_as: str | None = None
+) -> str:
     """Shared planner finish over a kept-docs frame ``(doc_id, source,
     n_tokens, logw)`` and a distinct-source frame: per-source Neyman
     moments on the SURVIVING token counts, a DSIR importance-mass
@@ -4367,8 +4369,14 @@ def _mixture_finish(kept: str, srcs: str, bigint: str, idiv: str) -> str:
     spread and weight 0 (rows kept, quota 0); quota is capped by the
     source's surviving supply and the SHORTFALL is REPORTED, not
     silently re-apportioned (a second re-balance pass is the next
-    planning round's decision, not this query's)."""
+    planning round's decision, not this query's).
+
+    ``wrap_as``: when set, the final SELECT is emitted as one more
+    named CTE instead of the statement's result — the reuse seam
+    text_mixture_execute builds its selection stage on."""
     B = MIXTURE_TOKEN_BUDGET
+    wrap_open = f", {wrap_as} AS (" if wrap_as else ""
+    wrap_close = ")" if wrap_as else ""
     return f"""
     , mixagg AS (
       SELECT source,
@@ -4422,7 +4430,7 @@ def _mixture_finish(kept: str, srcs: str, bigint: str, idiv: str) -> str:
                AS quota_tokens
       FROM mixranked CROSS JOIN mixlo
     )
-    SELECT s.source,
+    {wrap_open}SELECT s.source,
            CAST(COALESCE(q.n_keep, 0) AS {bigint}) AS n_keep,
            CAST(COALESCE(q.supply, 0) AS {bigint}) AS supply_tokens,
            CAST(CAST(COALESCE(q.sd_micro, 0) AS DOUBLE) / 1000000.0
@@ -4440,12 +4448,10 @@ def _mixture_finish(kept: str, srcs: str, bigint: str, idiv: str) -> str:
                         COALESCE(q.supply, 0)) AS {bigint})
              AS shortfall_tokens
     FROM {srcs} s LEFT JOIN mixquota q ON q.source = s.source
-    """
+    {wrap_close}"""
 
 
-@query(
-    "text_mixture_plan",
-    oracle=f"""{_GOPHER_DOC_CTE},
+_MIXTURE_KEPT_ORACLE_PREFIX = f"""{_GOPHER_DOC_CTE},
     g AS (
       SELECT doc_id, source,
              CASE WHEN f_wc + f_mwl + f_sym + f_alpha + f_stop = 0
@@ -4483,6 +4489,12 @@ def _mixture_finish(kept: str, srcs: str, bigint: str, idiv: str) -> str:
       WHERE g.pass_gopher = 1
     ),
     srcs AS (SELECT DISTINCT source FROM documents)
+    """
+
+
+@query(
+    "text_mixture_plan",
+    oracle=f"""{_MIXTURE_KEPT_ORACLE_PREFIX}
     {_mixture_finish("kept", "srcs", "BIGINT", "//")}
     """,
 )
@@ -4507,6 +4519,23 @@ def text_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|-row frame — windows, apportionment, the supply cap.
     No driver math; the only corpus-scale exchanges are the ones the
     screens already pay."""
+    kept, docs = _mixture_kept(spark, sf_dir)
+    kept.createOrReplaceTempView("mixplan_kept")
+    docs.select("source").distinct().createOrReplaceTempView(
+        "mixplan_srcs"
+    )
+    return spark.sql(
+        "WITH _noop AS (SELECT 1)"
+        + _mixture_finish("mixplan_kept", "mixplan_srcs", "BIGINT", "div")
+    )
+
+
+def _mixture_kept(spark: SparkSession, sf_dir: str):
+    """The curation keep set the mixture planner/executor share:
+    Gopher-pass AND per-language LM upper-terciles AND positive DSIR
+    weight, with per-doc token counts — the text_curation_report
+    intersection as a (doc_id, source, n_tokens, logw) frame.
+    Returns (kept, documents)."""
     gop = _gopher_doc_flags(spark, sf_dir).select(
         "doc_id",
         "source",
@@ -4555,13 +4584,85 @@ def text_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tok, "doc_id")
         .select("doc_id", "source", "n_tokens", "logw")
     )
-    kept.createOrReplaceTempView("mixplan_kept")
+    return kept, docs
+
+
+def _mixture_exec_tail(kept: str, bigint: str, strtype: str) -> str:
+    """The selection stage shared by both engines, over the planner's
+    ``mixplan`` CTE (``_mixture_finish(wrap_as="mixplan")``): rank each
+    source's kept docs by a deterministic md5 draw key, run the
+    per-source token prefix sum, and take the greedy prefix that fits
+    the source's alloc_tokens. Greedy-prefix is the STATED convention
+    (a later shorter doc that would still fit is NOT back-filled —
+    first-fit-decreasing is a different sampler, a planning-policy
+    choice, not this query's); tie-break doc_id after the hash key."""
+    return f"""
+    , sel AS (
+      SELECT k.doc_id, k.source, k.n_tokens,
+             SUM(k.n_tokens) OVER (
+               PARTITION BY k.source
+               ORDER BY md5('mx' || CAST(k.doc_id AS {strtype})),
+                        k.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM {kept} k
+    )
+    SELECT p.source,
+           p.alloc_tokens,
+           CAST(COUNT(s.doc_id) AS {bigint}) AS n_docs_selected,
+           CAST(COALESCE(SUM(s.n_tokens), 0) AS {bigint})
+             AS tokens_selected,
+           CAST(p.alloc_tokens - COALESCE(SUM(s.n_tokens), 0) AS {bigint})
+             AS unused_tokens
+    FROM mixplan p
+    LEFT JOIN sel s ON s.source = p.source AND s.cum <= p.alloc_tokens
+    GROUP BY p.source, p.alloc_tokens
+    """
+
+
+@query(
+    "text_mixture_execute",
+    oracle=f"""{_MIXTURE_KEPT_ORACLE_PREFIX}
+    {_mixture_finish("kept", "srcs", "BIGINT", "//", wrap_as="mixplan")}
+    {_mixture_exec_tail("kept", "BIGINT", "VARCHAR")}
+    """,
+)
+def text_mixture_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture planner's quotas MATERIALIZED: per source, draw
+    kept documents in deterministic md5-key order and take the greedy
+    prefix whose running token total fits the planner's
+    ``alloc_tokens`` — the step that turns the decision artifact
+    (``text_mixture_plan``) into an actual sampled training corpus,
+    reported per source as (alloc, docs selected, tokens selected,
+    unused budget). The draw key is a content-independent id hash, so
+    the selected SET is identical across runs, engines, and cluster
+    sizes — re-running the sampler after a replan keeps every still-
+    quota'd document stable (the curation-diff property a retraining
+    pipeline needs). Unused budget = alloc − selected: the greedy
+    prefix stops at the first document that would overflow
+    (convention stated in ``_mixture_exec_tail``).
+
+    Plan & scale: the screens and the planner are the verified
+    frames, reused; the NEW work is one per-source window (hash rank
+    + running token sum over the kept frame — partition-parallel by
+    source) and one equi-join of that frame against the ≤|sources|-row
+    plan with the fit predicate as residual. The kept frame is
+    persisted: the planner's aggregate and the selection window both
+    read it, and without the cut the three screening joins would
+    execute twice."""
+    kept, docs = _mixture_kept(spark, sf_dir)
+    kept = persist_tracked(kept)
+    kept.createOrReplaceTempView("mixexec_kept")
     docs.select("source").distinct().createOrReplaceTempView(
-        "mixplan_srcs"
+        "mixexec_srcs"
     )
     return spark.sql(
         "WITH _noop AS (SELECT 1)"
-        + _mixture_finish("mixplan_kept", "mixplan_srcs", "BIGINT", "div")
+        + _mixture_finish(
+            "mixexec_kept", "mixexec_srcs", "BIGINT", "div",
+            wrap_as="mixplan",
+        )
+        + _mixture_exec_tail("mixexec_kept", "BIGINT", "STRING")
     )
 
 
