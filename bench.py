@@ -309,6 +309,7 @@ HEADLINE = [
     "orders_pivot_revenue_matrix",
     "streaming_versioned_ingest",
     "text_mixture_execute",
+    "dedup_keep_best_quality",
     # versioned_schema_evolution: two versioned commits (full-table
     # writes) + two snapshot reads — gate-checked for evolution
     # correctness, excluded from the query bench like the other

@@ -1237,6 +1237,142 @@ def dedup_cluster_size_histogram(
     )
 
 
+# ---- quality-aware survivor selection over near-dup components ----------
+
+_KBQ_QUALITY_DUCK = """
+    SELECT doc_id,
+           CAST(CAST(
+             least(len(toks) / 100.0, 1.0) * 0.5
+             + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.3
+             + (1.0 - len(list_filter(toks,
+                 s -> s IN ('the','a','of','and','to','in','is','on',
+                            'for','with'))) * 1.0 / len(toks)) * 0.2
+           AS DECIMAL(18,6)) AS DOUBLE) AS q
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text), ' '),
+                                       '[\\s\\v]+') AS toks
+          FROM documents) t
+    """
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle="WITH comp AS ("
+    + _COMPONENTS_ORACLE
+    + f"""), q AS ({_KBQ_QUALITY_DUCK})
+    , ranked AS (
+      SELECT comp.component, comp.doc_id, q.q,
+             ROW_NUMBER() OVER (
+               PARTITION BY comp.component
+               ORDER BY q.q DESC, comp.doc_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY comp.component) AS n_members,
+             MIN(comp.doc_id) OVER (PARTITION BY comp.component) AS minid
+      FROM comp JOIN q ON q.doc_id = comp.doc_id
+    ), minq AS (
+      SELECT r.component, q.q AS minid_q
+      FROM (SELECT DISTINCT component, minid FROM ranked) r
+      JOIN q ON q.doc_id = r.minid
+    )
+    SELECT r.component, r.doc_id AS survivor_id,
+           r.q AS survivor_quality,
+           r.n_members::BIGINT AS n_members,
+           m.minid_q AS minid_quality,
+           CAST(CAST(r.q - m.minid_q AS DECIMAL(18,6)) AS DOUBLE)
+             AS quality_gain
+    FROM ranked r JOIN minq m ON m.component = r.component
+    WHERE r.rk = 1
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection over the NEAR-dup components:
+    per cluster, keep the HIGHEST-quality member (tie → lowest
+    doc_id) instead of the lowest-id member — the curation policy
+    choice SemDeDup-style pipelines actually make (near-dup members
+    are rewrites with DIFFERENT quality, unlike exact-dup copies
+    whose identical text makes the policies coincide). Output is one
+    row per cluster: the survivor and its quality, the cluster size,
+    the lowest-id member's quality, and ``quality_gain`` — what the
+    smarter rule buys over min-id, the number that justifies (or
+    kills) the policy in a data review.
+
+    Composes three verified rungs unchanged: the Jaccard candidate
+    pairs, the star-contraction components (identical recursive-CTE
+    oracle fixpoint), and the ``text_quality_by_source`` scoring
+    blend (same weights, 6-dp pin, so ties break on doc_id
+    identically in both engines).
+
+    Scale: the rungs' costs are the probed ones; the NEW work is one
+    quality projection joined on doc_id, one per-component window
+    over |clustered docs| (components are near-dup clusters — sizes
+    1-3 at this corpus, bounded by the histogram's mega-cluster
+    early warning at scale), and a ≤|clusters|-row join for the
+    min-id baseline."""
+    from .dedup import dedup_ngram_jaccard
+    from .textops import (
+        STOPWORDS,
+        TOKENS_SPARK,
+        _QUALITY_SPARK,
+        _sql_list,
+    )
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    comp = persist_tracked(
+        connected_components_star(pairs).select(
+            F.col("node").alias("doc_id"), F.col("label").alias("component")
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    qexpr = _QUALITY_SPARK.replace("TOKS", "toks").replace(
+        "STOP", _sql_list(STOPWORDS)
+    )
+    q = persist_tracked(
+        docs.select(
+            "doc_id", F.expr(TOKENS_SPARK).alias("toks")
+        ).select(
+            "doc_id",
+            F.expr(qexpr).cast("decimal(18,6)").cast("double").alias("q"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("component")
+    ranked = (
+        comp.join(q, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                wc.orderBy(F.col("q").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .withColumn("minid", F.min("doc_id").over(wc))
+    )
+    minq = (
+        ranked.select("component", "minid")
+        .distinct()
+        .join(
+            q.select(F.col("doc_id").alias("minid"), F.col("q").alias("minid_q")),
+            "minid",
+        )
+        .select("component", "minid_q")
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .join(minq, "component")
+        .select(
+            "component",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("q").alias("survivor_quality"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("minid_q").alias("minid_quality"),
+            (F.col("q") - F.col("minid_q"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("quality_gain"),
+        )
+    )
+
+
 # ---- average local clustering coefficient --------------------------------
 
 
