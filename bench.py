@@ -310,6 +310,7 @@ HEADLINE = [
     "streaming_versioned_ingest",
     "text_mixture_execute",
     "dedup_keep_best_quality",
+    "multimodal_gif_animation",
     # versioned_schema_evolution: two versioned commits (full-table
     # writes) + two snapshot reads — gate-checked for evolution
     # correctness, excluded from the query bench like the other

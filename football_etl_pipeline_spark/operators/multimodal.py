@@ -1687,3 +1687,208 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("media_id").mapInPandas(
         _audio_meta_batches, schema=_AUD_SCHEMA
     )
+
+
+# ---- dedicated GIF animation rung (block-list walk) ---------------------
+#
+# decode_gif_header reads only the Logical Screen Descriptor; this
+# rung drives the GIF-ONLY deep surface the video/audio/exif rungs
+# established for their containers: the BLOCK LIST — Graphic Control
+# Extensions (per-frame delay), the NETSCAPE2.0 application extension
+# (loop count), image descriptors (frame count), sub-block chains
+# (whose length-prefixed walk a fixed-offset parser cannot fake), and
+# the mandatory trailer.
+
+
+def make_gif_animated(
+    width: int,
+    height: int,
+    n_frames: int,
+    delay_cs: int,
+    loop: int = 0,
+) -> bytes:
+    """Structurally valid animated GIF89a with stdlib only: LSD +
+    global color table, NETSCAPE2.0 loop extension, then per frame a
+    Graphic Control Extension (delay in centiseconds) + image
+    descriptor + minimal LZW sub-block, and the trailer."""
+    import struct
+
+    lsd = struct.pack("<HHBBB", width, height, 0x80, 0, 0)
+    gct = b"\x00\x00\x00\xff\xff\xff"
+    netscape = (
+        b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+        + struct.pack("<H", loop)
+        + b"\x00"
+    )
+    frame = (
+        b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + b"\x02\x02\x44\x01\x00"
+    )
+    return (
+        b"GIF89a" + lsd + gct + netscape + frame * n_frames + b"\x3b"
+    )
+
+
+def decode_gif_animation(payload: bytes) -> dict:
+    """Stdlib-only GIF block-list walk: past the LSD (+ global color
+    table when flagged), iterate blocks — 0x21 extensions (0xF9 GCE:
+    read the u16 delay; 0xFF application: match NETSCAPE2.0 and read
+    the loop count; anything else: skip its sub-blocks), 0x2C image
+    descriptors (+ local color table when flagged, + LZW sub-block
+    chain) — until the 0x3B trailer. Raises ``ValueError`` naming the
+    violation on truncation, unknown block introducers, or a missing
+    trailer (dead-letter contract, like every other header decoder).
+    A plain static GIF (no extensions) decodes as 1 frame, NULL loop,
+    zero duration."""
+    import struct
+
+    head = decode_gif_header(payload)  # validates signature + LSD
+    off = 13
+    if head["n_colors"]:
+        off += 3 * head["n_colors"]
+
+    def skip_subblocks(o: int) -> int:
+        while True:
+            if o >= len(payload):
+                raise ValueError("GIF sub-block chain truncated")
+            n = payload[o]
+            o += 1
+            if n == 0:
+                return o
+            if o + n > len(payload):
+                raise ValueError("GIF sub-block overruns payload")
+            o += n
+
+    n_frames = 0
+    loop_count = None
+    duration_cs = 0
+    saw_trailer = False
+    while off < len(payload):
+        intro = payload[off]
+        if intro == 0x3B:  # trailer
+            saw_trailer = True
+            break
+        if intro == 0x21:  # extension
+            if off + 2 > len(payload):
+                raise ValueError("GIF extension truncated")
+            label = payload[off + 1]
+            body_off = off + 2
+            if label == 0xF9:  # Graphic Control Extension
+                if payload[body_off] != 4 or body_off + 5 > len(payload):
+                    raise ValueError("GIF GCE block size != 4")
+                (delay,) = struct.unpack(
+                    "<H", payload[body_off + 2 : body_off + 4]
+                )
+                duration_cs += delay
+            elif label == 0xFF:  # application extension
+                n = payload[body_off]
+                app = payload[body_off + 1 : body_off + 1 + n]
+                if n == 11 and app == b"NETSCAPE2.0":
+                    sub_off = body_off + 1 + n
+                    if (
+                        payload[sub_off] == 3
+                        and payload[sub_off + 1] == 1
+                    ):
+                        (loop_count,) = struct.unpack(
+                            "<H", payload[sub_off + 2 : sub_off + 4]
+                        )
+            off = skip_subblocks(body_off)
+        elif intro == 0x2C:  # image descriptor
+            if off + 10 > len(payload):
+                raise ValueError("GIF image descriptor truncated")
+            packed = payload[off + 9]
+            off += 10
+            if packed & 0x80:  # local color table
+                off += 3 * (2 << (packed & 0x07))
+            if off >= len(payload):
+                raise ValueError("GIF truncated before LZW data")
+            off += 1  # LZW minimum code size
+            off = skip_subblocks(off)
+            n_frames += 1
+        else:
+            raise ValueError(
+                f"GIF unknown block introducer 0x{intro:02x} at {off}"
+            )
+    if not saw_trailer:
+        raise ValueError("GIF missing trailer")
+    return {
+        "n_frames": n_frames,
+        "loop_count": loop_count,
+        "total_duration_cs": duration_cs,
+        "animated": n_frames > 1,
+    }
+
+
+_GIFANIM_SCHEMA = (
+    "media_id long, n_frames long, loop_count long, "
+    "total_duration_cs long, animated boolean"
+)
+
+
+def _gif_anim_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ("n_frames", "loop_count", "total_duration_cs", "animated")
+    for pdf in batches:
+        out: dict = {k: [] for k in ("media_id", *cols)}
+        for media_id in pdf["media_id"]:
+            doc_id = int(media_id)
+            if doc_id % 6 == 0:  # every 6th gif is plain static
+                payload = make_gif(16 + doc_id % 64, 16 + doc_id % 48)
+            else:
+                payload = make_gif_animated(
+                    16 + doc_id % 64,
+                    16 + doc_id % 48,
+                    n_frames=1 + doc_id % 5,
+                    delay_cs=4 + doc_id % 10,
+                    loop=doc_id % 3,
+                )
+            meta = decode_gif_animation(payload)
+            out["media_id"].append(doc_id)
+            for k in cols:
+                out[k].append(meta[k])
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_gif_animation",
+    oracle=f"""
+    SELECT
+      doc_id AS media_id,
+      (CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 1 + doc_id % 5 END)::BIGINT
+        AS n_frames,
+      CASE WHEN doc_id % 6 = 0 THEN NULL
+           ELSE (doc_id % 3)::BIGINT END AS loop_count,
+      (CASE WHEN doc_id % 6 = 0 THEN 0
+            ELSE (1 + doc_id % 5) * (4 + doc_id % 10) END)::BIGINT
+        AS total_duration_cs,
+      (CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 1 + doc_id % 5 END) > 1
+        AS animated
+    FROM documents
+    WHERE ({_MIME_CASE}) = 'image/gif'
+    """,
+)
+def multimodal_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF animation metadata as a driver-checked query — the
+    block-list depth rung that makes every container's deep surface
+    symmetric (mp4: box walk, wav: chunk walk, jpeg: IFD walk, gif:
+    block/sub-block walk). Each image/gif row synthesizes either a
+    structurally valid ANIMATED GIF89a (NETSCAPE2.0 loop extension +
+    per-frame Graphic Control Extension/image descriptor chain, all
+    shapes from doc_id arithmetic) or — every 6th row — a plain
+    static GIF, then decodes it back through the stdlib block walk
+    inside the Arrow-batched ``mapInPandas`` production path. The
+    oracle predicts frame count, loop count (NULL for static — the
+    absence-is-data convention of the Exif rung), summed frame delay,
+    and the animated flag without touching a byte, so a regression in
+    sub-block skipping, GCE delay parsing, the application-extension
+    match, or trailer enforcement breaks the value hash. Animation
+    metadata is load-bearing for training pipelines: an animated GIF
+    is N training frames, not one image.
+
+    Scale: one mapInPandas pass over the filtered gif rows, no
+    shuffle — the per-row container walk of a production media
+    metadata sweep."""
+    m = media_table(spark, sf_dir).filter(F.col("mime") == "image/gif")
+    return m.select("media_id").mapInPandas(
+        _gif_anim_batches, schema=_GIFANIM_SCHEMA
+    )

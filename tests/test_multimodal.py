@@ -475,3 +475,46 @@ def test_exif_decoder_bounds_are_valueerror_not_struct_error():
     bad_make[e + 4 : e + 8] = struct.pack("<I", 60_000)
     with pytest.raises(ValueError, match="Make value offset"):
         decode_jpeg_exif(with_tiff(bytes(bad_make)))
+
+
+def test_gif_animation_roundtrip_and_corruption():
+    """The block-list walk: animated GIFs round-trip frame count /
+    loop / summed delay; static GIFs decode as 1 frame with NULL loop;
+    malformed block chains dead-letter with ValueError."""
+    from football_etl_pipeline_spark.operators.multimodal import (
+        decode_gif_animation,
+        make_gif,
+        make_gif_animated,
+    )
+
+    meta = decode_gif_animation(
+        make_gif_animated(16, 16, n_frames=3, delay_cs=7, loop=2)
+    )
+    assert meta == {
+        "n_frames": 3,
+        "loop_count": 2,
+        "total_duration_cs": 21,
+        "animated": True,
+    }
+    static = decode_gif_animation(make_gif(16, 16))
+    assert static == {
+        "n_frames": 1,
+        "loop_count": None,
+        "total_duration_cs": 0,
+        "animated": False,
+    }
+    # zero-loop (infinite) is data, not absence
+    assert decode_gif_animation(
+        make_gif_animated(8, 8, n_frames=1, delay_cs=4, loop=0)
+    )["loop_count"] == 0
+
+    payload = make_gif_animated(16, 16, n_frames=2, delay_cs=5, loop=1)
+    with pytest.raises(ValueError, match="missing trailer"):
+        decode_gif_animation(payload[:-1])
+    with pytest.raises(ValueError, match="unknown block introducer"):
+        bad = bytearray(payload)
+        bad[bad.index(b"\x2c")] = 0x7E
+        decode_gif_animation(bytes(bad))
+    with pytest.raises(ValueError, match="sub-block"):
+        # truncate inside the last frame's LZW sub-block chain
+        decode_gif_animation(payload[: len(payload) - 3])
