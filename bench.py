@@ -311,6 +311,7 @@ HEADLINE = [
     "text_mixture_execute",
     "dedup_keep_best_quality",
     "multimodal_gif_animation",
+    "embedding_quantize_nf4_report",
     # versioned_schema_evolution: two versioned commits (full-table
     # writes) + two snapshot reads — gate-checked for evolution
     # correctness, excluded from the query bench like the other

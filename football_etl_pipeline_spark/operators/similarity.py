@@ -2261,16 +2261,22 @@ NDCG_K = 10
 def _idcg_case(nrel_expr: str) -> str:
     """Unrolled CASE mapping n_relevant (capped at NDCG_K) to the
     ideal DCG Σ_{r=1..n} 1/log2(r+1) — constants precomputed in
-    Python and embedded as repr() double literals (the _plane
-    pattern), so both engines parse the identical IEEE values and no
-    cross-engine log2 chain is needed for the denominator."""
+    Python and embedded as STRING-cast double literals (the r13
+    hardening of the _plane pattern: DuckDB types a bare long numeric
+    literal as DECIMAL and its decimal→double conversion is off by an
+    ulp for >15-significant-digit values — e.g. the k=4 constant —
+    while VARCHAR→DOUBLE is correctly rounded in both engines), so
+    both engines hold the identical IEEE values and no cross-engine
+    log2 chain is needed for the denominator."""
     import math
 
     whens = []
     acc = 0.0
     for k in range(1, NDCG_K + 1):
         acc += 1.0 / math.log2(k + 1)
-        whens.append(f"WHEN {nrel_expr} = {k} THEN {acc!r}")
+        whens.append(
+            f"WHEN {nrel_expr} = {k} THEN CAST('{acc!r}' AS DOUBLE)"
+        )
     return "CASE " + " ".join(whens) + " ELSE 0.0 END"
 
 
@@ -2647,4 +2653,147 @@ def dedup_semantic_recall_sweep(
             .cast("double")
             .alias("recall"),
         )
+    )
+
+
+# ---- NF4 (4-bit NormalFloat) quantization error report ------------------
+#
+# Dettmers et al., "QLoRA: Efficient Finetuning of Quantized LLMs"
+# (arXiv 2305.14314): NF4 is the information-theoretically motivated
+# 4-bit code whose 16 levels are the quantiles of N(0,1) rescaled to
+# [-1, 1] — the storage format a modern embedding/weight lake keeps
+# next to int8. Level constants are the published bitsandbytes table,
+# embedded as STRING-cast double literals (the _idcg_case r13 rule:
+# DuckDB's decimal→double conversion of bare long numeric literals is
+# off by an ulp for several of these 17-digit constants, while
+# VARCHAR→DOUBLE is correctly rounded in both engines); codes are
+# assigned by a midpoint CASE ladder (ties at a midpoint go to the
+# HIGHER code in both engines — `<` comparisons, stated convention).
+
+NF4_LEVELS = (
+    -1.0, -0.6961928009986877, -0.5250730514526367,
+    -0.39491748809814453, -0.28444138169288635, -0.18477343022823334,
+    -0.09105003625154495, 0.0, 0.07958029955625534,
+    0.16093020141124725, 0.24611230194568634, 0.33791524171829224,
+    0.44070982933044434, 0.5626170039176941, 0.7229568362236023, 1.0,
+)
+
+
+def _nf4_mid(i: int) -> float:
+    return (NF4_LEVELS[i] + NF4_LEVELS[i + 1]) / 2.0
+
+
+def _dlit(v: float) -> str:
+    """A double literal BOTH engines hold bit-identically: VARCHAR →
+    DOUBLE (correctly rounded everywhere), never a bare numeric
+    literal (DuckDB types those DECIMAL and its decimal→double is off
+    by an ulp beyond ~15 significant digits)."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _nf4_code_case(y: str) -> str:
+    whens = " ".join(
+        f"WHEN {y} < {_dlit(_nf4_mid(i))} THEN {i}" for i in range(15)
+    )
+    return f"CASE {whens} ELSE 15 END"
+
+
+def _nf4_level_case(y: str) -> str:
+    whens = " ".join(
+        f"WHEN {y} < {_dlit(_nf4_mid(i))} THEN {_dlit(NF4_LEVELS[i])}"
+        for i in range(15)
+    )
+    return f"CASE {whens} ELSE {_dlit(NF4_LEVELS[15])} END"
+
+
+def _nf4_oracle() -> str:
+    lvl = _nf4_level_case("(x / mx)")
+    code = _nf4_code_case("(x / mx)")
+    e2 = f"((x - ({lvl}) * mx) * (x - ({lvl}) * mx))"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS mx
+      FROM e
+    )
+    SELECT vec_id,
+           mx AS absmax,
+           CAST(len(v) AS BIGINT) AS n_dims,
+           CASE WHEN mx > 0 THEN
+             CAST(list_sum(list_transform(v,
+               x -> CAST({code} AS BIGINT))) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS code_sum,
+           CASE WHEN mx > 0 THEN
+             (2 * CAST(list_sum(list_transform(v,
+                x -> CAST({e2} AS DECIMAL(28,12)))) * 1000000000000
+                AS BIGINT) + 1000) // 2000
+           ELSE CAST(0 AS BIGINT) END AS sq_err_nano
+    FROM m
+    """
+
+
+@query("embedding_quantize_nf4_report", oracle=_nf4_oracle())
+def embedding_quantize_nf4_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NF4 4-bit quantization of the embedding column with its
+    reconstruction error, per vector: absmax scale, the 4-bit code
+    checksum (the loader-integrity convention of
+    ``embedding_quantize_int8``), and the summed squared
+    reconstruction error in exact integer NANO units — the
+    8x-compression storage tier's quality readout, read next to the
+    int8 and PQ reports when sizing a serving index (NF4 beats uniform int4 on normal-ish embeddings
+    because its levels are N(0,1) quantiles; this query MEASURES that
+    on the actual corpus instead of assuming it).
+
+    Exactness: levels and midpoints are parsed repr literals; y=x/mx
+    is one correctly-rounded division; code/level selection is a
+    `<`-ladder over identical doubles (midpoint ties -> higher code,
+    both engines); each squared error is a fixed 3-op IEEE chain
+    pinned DECIMAL(28,12) BEFORE the order-fixed list fold, and the
+    nano finish is PURE INTEGER - scale the exact 12-dp sum to a
+    BIGINT and round-half-away as (2S+1000)//2000 - because the two
+    dialect casts both bite here: DuckDB TRUNCATES decimal->decimal
+    downscales (the orders_benford_screen trap) and Spark rounds
+    double->decimal via the shortest repr (the bigram-LM trap).
+
+    Plan & scale: a pure per-row projection — the int8 rung's shape:
+    zero shuffles, all HOFs, scan speed at 100 TB. The CASE ladder is
+    15 comparisons per element inside codegen; the sq-err fold reuses
+    the same ladder textually (Catalyst does not CSE inside lambda
+    bodies — the duplication is deliberate and cheap)."""
+    lvl = _nf4_level_case("(x / mx)")
+    code = _nf4_code_case("(x / mx)")
+    e2 = f"((x - ({lvl}) * mx) * (x - ({lvl}) * mx))"
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    m = e.withColumn(
+        "mx", F.expr("aggregate(v, 0D, (acc, x) -> greatest(acc, abs(x)))")
+    )
+    return m.select(
+        "vec_id",
+        # raw double, NO pin: mx is the max of identical float32-cast
+        # doubles, bit-equal across engines by construction — and a
+        # decimal pin would HURT here (float32 values terminate in
+        # decimal, parking many exactly on pin half-boundaries where
+        # the engines' double→decimal casts disagree; observed at
+        # sf0.1: 0.3126220703125 at an (18,12) pin)
+        F.col("mx").alias("absmax"),
+        F.size("v").cast("bigint").alias("n_dims"),
+        F.expr(
+            f"CASE WHEN mx > 0 THEN CAST(aggregate(v, 0L,"
+            f" (acc, x) -> acc + CAST({code} AS BIGINT)) AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
+        ).alias("code_sum"),
+        F.expr(
+            f"CASE WHEN mx > 0 THEN (2 * CAST(aggregate(v,"
+            f" CAST(0 AS DECIMAL(28,12)),"
+            f" (acc, x) -> CAST(acc + CAST({e2} AS DECIMAL(28,12))"
+            f" AS DECIMAL(28,12))) * 1000000000000 AS BIGINT)"
+            f" + 1000) div 2000"
+            f" ELSE CAST(0 AS BIGINT) END"
+        ).alias("sq_err_nano"),
     )
