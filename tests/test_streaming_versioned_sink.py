@@ -174,3 +174,32 @@ def test_concurrent_writers_stress_exactly_once(spark, tmp_path):
     )
     assert rows == list(range(n_batches))  # no dup, no loss
     assert vt.last_committed_meta(root, "batch_id") == n_batches - 1
+
+
+def test_widened_batch_evolves_schema_and_null_fills(spark, tmp_path):
+    """A micro-batch that carries a NEW column (an upstream producer
+    shipped a new field) evolves the committed schema through the
+    foreachBatch sink: earlier versions' files are carried by
+    reference and NULL-fill the evolved column on the current read,
+    while time travel to the pre-evolution version still sees the
+    narrow schema — the r13 versioned_table evolution surfacing
+    through the streaming ingest path."""
+    root = str(tmp_path / "t")
+    narrow = spark.createDataFrame(
+        [(1, 10, 1.0)], "event_id long, user_id long, value double"
+    )
+    wide = spark.createDataFrame(
+        [(2, 11, 2.0, "mobile")],
+        "event_id long, user_id long, value double, channel string",
+    )
+    assert commit_batch(narrow, 0, root)
+    assert commit_batch(wide, 1, root)
+    cur = read_version(spark, root)
+    assert cur.columns == ["event_id", "user_id", "value", "channel"]
+    rows = {r.event_id: r.channel for r in cur.collect()}
+    assert rows == {1: None, 2: "mobile"}
+    old = read_version(spark, root, 1)
+    assert old.columns == ["event_id", "user_id", "value"]
+    # replay of the widened batch is still guard-skipped
+    assert not commit_batch(wide, 1, root)
+    assert versions(root) == [1, 2]
