@@ -1239,20 +1239,24 @@ def dedup_cluster_size_histogram(
 
 # ---- quality-aware survivor selection over near-dup components ----------
 
-_KBQ_QUALITY_DUCK = """
+def _kbq_quality_duck() -> str:
+    """Per-doc quality CTE composed from textops' ONE quality blend
+    (TOKENS_DUCK tokenizer, _QUALITY_DUCK formula, STOPWORDS list) —
+    the same constants the Spark side uses, so an edit to the blend
+    can never silently desync this oracle from its Spark twin."""
+    from .textops import STOPWORDS, TOKENS_DUCK, _QUALITY_DUCK, _sql_list
+
+    q = _QUALITY_DUCK.replace("STOP", _sql_list(STOPWORDS))
+    return f"""
     SELECT doc_id,
            CAST(CAST(
-             least(len(toks) / 100.0, 1.0) * 0.5
-             + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.3
-             + (1.0 - len(list_filter(toks,
-                 s -> s IN ('the','a','of','and','to','in','is','on',
-                            'for','with'))) * 1.0 / len(toks)) * 0.2
+             {q}
            AS DECIMAL(18,6)) AS DOUBLE) AS q
-    FROM (SELECT doc_id,
-                 regexp_split_to_array(trim(lower(text), ' '),
-                                       '[\\s\\v]+') AS toks
-          FROM documents) t
+    FROM (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents) t
     """
+
+
+_KBQ_QUALITY_DUCK = _kbq_quality_duck()
 
 
 @query(

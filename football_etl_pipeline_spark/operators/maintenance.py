@@ -652,7 +652,14 @@ def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit_version(v1, root, "append")
     commit_version(batch, root, "append")
     snap1 = read_version(spark, root, 1)
-    assert "o_channel" not in snap1.columns  # time travel: narrow schema
+    if "o_channel" in snap1.columns:  # time travel: narrow schema
+        # loud failure (not assert — stripped under python -O): the
+        # oracle hash can't see snap1's column list, so this is the
+        # one place the v1-read property is checked
+        raise RuntimeError(
+            "versioned time travel leaked the evolved o_channel "
+            "column into the v1 snapshot schema"
+        )
     cur = read_version(spark, root, 2)
     money = (
         F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
@@ -1132,4 +1139,99 @@ def versioned_retention_expiry(
         "n_rows_latest",
         "revenue_latest",
         "n_rows_prev",
+    )
+
+
+# ---- bucketed physical layout: shuffle-free fact⋈fact join ---------------
+#
+# The one big physical-layout pattern left after compaction/Z-order/
+# versioning: pre-bucketing the fact tables on their join key so that
+# REPEATED large joins on that key never shuffle again. Spark's
+# bucketed managed tables carry hash(bucket_cols) partitioning as scan
+# metadata; a SortMergeJoin between two tables bucketed the same way
+# (same key, same bucket count) plans with ZERO Exchange on either
+# side — the join cost is a per-bucket merge, amortized across every
+# downstream query that joins on the key. At 100 TB this is the
+# difference between paying a full-table shuffle per run and paying
+# it ONCE at ingest.
+
+_BKT_N = 16
+
+
+@query(
+    "join_bucketed_no_shuffle",
+    oracle="""
+    WITH per_o AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             COUNT(*)::BIGINT AS n_lines,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(18,6))) AS rev
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           COUNT(*)::BIGINT AS n_orders,
+           SUM(n_lines)::BIGINT AS n_lines,
+           CAST(SUM(rev) AS DOUBLE) AS revenue
+    FROM per_o
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact join over BUCKETED managed tables:
+    orders and lineitem are written once with
+    ``bucketBy({_BKT_N}, orderkey).sortBy(orderkey)`` (the
+    ``write_bucketed_table`` connector), read back through the
+    catalog, and merge-joined on the bucket key — Catalyst reads the
+    bucket metadata off both scans and plans the join with NO
+    Exchange on either side (plan-pinned in
+    tests/test_plan_shapes.py). The per-order aggregate that follows
+    groups on (orderkey, priority) — a superset of the bucket key —
+    so it TOO rides the bucketed partitioning exchange-free; only the
+    final 5-row priority rollup shuffles (tiny partials). The merge
+    hint forces the SMJ path so a small-SF broadcast can't mask the
+    property being demonstrated.
+
+    Scale: bucket count is a write-time dial (production: thousands);
+    the write pays one shuffle-by-key, after which EVERY orderkey
+    join/aggregate over the table is bucket-local. The oracle
+    predicts the same rollup from the raw tables — bucketing must be
+    a pure physical transform, invisible in values."""
+    import os
+    import uuid
+
+    from ..sources.connectors import write_bucketed_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    run = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    t_ord, t_li = f"bkt_orders_{run}", f"bkt_lineitem_{run}"
+    # external tables rooted in the atexit-cleaned scratch dir: the
+    # catalog entries die with the session, the files at exit
+    root = _run_scratch_dir("bucketed", sf_dir)
+    write_bucketed_table(orders, t_ord, ["o_orderkey"], _BKT_N,
+                         sort_cols=["o_orderkey"],
+                         path=os.path.join(root, t_ord))
+    write_bucketed_table(li, t_li, ["l_orderkey"], _BKT_N,
+                         sort_cols=["l_orderkey"],
+                         path=os.path.join(root, t_li))
+    joined = spark.table(t_ord).hint("merge").join(
+        spark.table(t_li),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    per_o = joined.groupBy("o_orderkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,6)")
+        ).alias("rev"),
+    )
+    return per_o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+        F.sum("rev").cast("double").alias("revenue"),
     )

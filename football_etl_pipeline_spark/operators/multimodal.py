@@ -1774,18 +1774,29 @@ def decode_gif_animation(payload: bytes) -> dict:
                 raise ValueError("GIF extension truncated")
             label = payload[off + 1]
             body_off = off + 2
+            # bounds FIRST, content second — truncation must surface
+            # as ValueError (the dead-letter contract), never as
+            # IndexError / struct.error from a short read
             if label == 0xF9:  # Graphic Control Extension
-                if payload[body_off] != 4 or body_off + 5 > len(payload):
+                if body_off + 5 > len(payload):
+                    raise ValueError("GIF GCE truncated")
+                if payload[body_off] != 4:
                     raise ValueError("GIF GCE block size != 4")
                 (delay,) = struct.unpack(
                     "<H", payload[body_off + 2 : body_off + 4]
                 )
                 duration_cs += delay
             elif label == 0xFF:  # application extension
+                if body_off >= len(payload):
+                    raise ValueError("GIF application extension truncated")
                 n = payload[body_off]
                 app = payload[body_off + 1 : body_off + 1 + n]
                 if n == 11 and app == b"NETSCAPE2.0":
                     sub_off = body_off + 1 + n
+                    if sub_off + 4 > len(payload):
+                        raise ValueError(
+                            "GIF NETSCAPE sub-block truncated"
+                        )
                     if (
                         payload[sub_off] == 3
                         and payload[sub_off + 1] == 1

@@ -2478,6 +2478,16 @@ def dedup_semantic_incremental(
 
 SEMDEDUP_SWEEP_PROBES = (1, 2, 3)
 
+# The ground-truth side is the one brute-force cosine pass in the
+# corpus: it is capped IN-QUERY to a deterministic hash-rank cohort of
+# this many vectors (the ``text_uniform_sample`` pattern — rank every
+# vec_id by a content-independent 60-bit hash, keep the K smallest),
+# so the truth join is K²/2 pairs at ANY corpus size. The SCREEN side
+# (pairlvl) stays full-corpus and banded; recall is measured per
+# cohort vector against the full screen. At sf ≤ 0.01 the cohort
+# covers the whole table (K ≥ n), so small-SF results are unchanged.
+SEMDEDUP_SWEEP_TRUTH_K = 512
+
 
 def _semdedup_sweep_oracle() -> str:
     body, _, last_cent = _kmeans_cte_chain(KMEANS_ITERS)
@@ -2506,9 +2516,16 @@ def _semdedup_sweep_oracle() -> str:
         ON a.cell = b.cell AND b.vec_id < a.vec_id
       GROUP BY 1, 2
     ),
+    coh AS (
+      -- deterministic fixed-size ground-truth cohort: hash-rank top-K
+      SELECT vec_id FROM e
+      ORDER BY {hash60_duck("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC
+      LIMIT {SEMDEDUP_SWEEP_TRUTH_K}
+    ),
+    ec AS (SELECT e.* FROM e JOIN coh USING (vec_id)),
     truth AS (
       SELECT a.vec_id AS ai, b.vec_id AS bi
-      FROM e a JOIN e b ON b.vec_id < a.vec_id
+      FROM ec a JOIN ec b ON b.vec_id < a.vec_id
       WHERE {_dot_duck("a.v", "b.v")} / (a.nrm * b.nrm) >= {SEMDEDUP_TAU}
     ),
     tl AS (
@@ -2552,11 +2569,14 @@ def dedup_semantic_recall_sweep(
     fixed-constant floor into a queryable engineering report — the
     ann-recall-report pattern applied to the dedup rung.
 
-    Scale: the ground-truth all-pairs join is the measurement HARNESS,
-    not the screen (at 100 TB you run this sweep on a fixed-size
-    sample, exactly like similarity_ann_recall_report measures recall
-    on standing queries); the screen side stays banded. The sweep
-    pays the intra-cell pair surface ONCE at max-nprobe membership:
+    Scale: the ground-truth cosine pass is capped IN-QUERY to a
+    deterministic {SEMDEDUP_SWEEP_TRUTH_K}-vector hash-rank cohort
+    (the ``text_uniform_sample`` pattern — TakeOrdered on a
+    content-independent 60-bit id hash, so the exact-cosine join is
+    K²/2 pairs at ANY corpus size); recall is estimated per cohort
+    vector against the FULL banded screen. The screen side stays
+    banded and pays the intra-cell pair surface ONCE at max-nprobe
+    membership:
     each candidate pair is reduced to the SMALLEST probe level that
     admits it (min over shared cells of max(crank) — pure key math,
     no vector ops), and per-probe counts are cumulative counts over
@@ -2569,7 +2589,11 @@ def dedup_semantic_recall_sweep(
     cents = _train_centroids(spark, e, KMEANS_ITERS)
     cent = _cent_df(spark, cents)
     max_np = max(SEMDEDUP_SWEEP_PROBES)
-    probes = spark.range(1, max_np + 1).select(F.col("id").alias("np"))
+    # build the probe frame FROM the tuple so Spark and the oracle
+    # share the constant even if it stops being contiguous-from-1
+    probes = spark.createDataFrame(
+        [(int(p),) for p in SEMDEDUP_SWEEP_PROBES], "np long"
+    )
     ccos = F.expr(_dot_spark("v", "cv")) / (F.col("nrm") * F.col("cnrm"))
     wcell = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("c_id").asc()
@@ -2600,14 +2624,28 @@ def dedup_semantic_recall_sweep(
     pcos = F.expr(_dot_spark("a.v", "b.v")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
-    # spread the probe side: the persisted corpus is one input split,
-    # and the ground-truth pass is ~n²/2 interpreted fold-dot evals —
-    # on one task that's the whole wall clock (measured 22s → 2.3s at
-    # sf0.1 with the repartition)
+    # ground-truth cohort: hash-rank top-K over vec_id (TakeOrdered —
+    # no global sort), broadcast back as a semi-join gate; the exact
+    # cosine then runs over at most K²/2 pairs regardless of corpus
+    # size. The repartition spreads the interpreted fold-dot evals
+    # across tasks (the persisted corpus is one input split).
+    coh = (
+        e.select(
+            "vec_id",
+            F.expr(hash60_spark("CAST(vec_id AS STRING)")).alias("h"),
+        )
+        .orderBy(F.col("h").asc(), F.col("vec_id").asc())
+        .limit(SEMDEDUP_SWEEP_TRUTH_K)
+        .select("vec_id")
+    )
+    ec = e.join(F.broadcast(coh), "vec_id")
+    # the cohort is ≤ K rows by construction → broadcast the build
+    # side of the non-equi truth join (BroadcastNestedLoopJoin over 32
+    # streamed splits, not a 32×32 CartesianProduct task grid)
     truth = (
-        e.repartition(spark.sparkContext.defaultParallelism)
+        ec.repartition(spark.sparkContext.defaultParallelism)
         .alias("a")
-        .join(e.alias("b"), F.col("b.vec_id") < F.col("a.vec_id"))
+        .join(F.broadcast(ec.alias("b")), F.col("b.vec_id") < F.col("a.vec_id"))
         .filter(pcos >= SEMDEDUP_TAU)
         .select(
             F.col("a.vec_id").alias("t_ai"), F.col("b.vec_id").alias("t_bi")

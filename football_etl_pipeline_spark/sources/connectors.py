@@ -94,14 +94,20 @@ def write_bucketed_table(
     n_buckets: int,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Bucketed managed table: co-locates rows by hash(bucket_cols) at
     WRITE time so later equi-joins/aggregations on those columns skip
     the shuffle entirely — the pre-partitioning strategy for a fact
-    table joined repeatedly on the same key at 100 TB."""
+    table joined repeatedly on the same key at 100 TB. With ``path``
+    the table is EXTERNAL (files at the given location, catalog entry
+    only in the session) — what scratch-lifetime callers use so the
+    warehouse dir doesn't accumulate run artifacts."""
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

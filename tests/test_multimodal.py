@@ -518,3 +518,21 @@ def test_gif_animation_roundtrip_and_corruption():
     with pytest.raises(ValueError, match="sub-block"):
         # truncate inside the last frame's LZW sub-block chain
         decode_gif_animation(payload[: len(payload) - 3])
+
+
+def test_gif_animation_every_truncation_is_valueerror():
+    """Exhaustive truncation sweep: cutting an animated GIF at ANY
+    byte boundary must either decode (impossible here — the trailer
+    is gone) or raise ValueError, never IndexError / struct.error —
+    the dead-letter sweep catches only ValueError, so any other
+    exception class would crash the task instead of classifying the
+    payload as malformed (round-14 ADVICE item)."""
+    from football_etl_pipeline_spark.operators.multimodal import (
+        decode_gif_animation,
+        make_gif_animated,
+    )
+
+    payload = make_gif_animated(16, 16, n_frames=2, delay_cs=5, loop=1)
+    for cut in range(len(payload)):
+        with pytest.raises(ValueError):
+            decode_gif_animation(payload[:cut])

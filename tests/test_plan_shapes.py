@@ -1414,3 +1414,26 @@ def test_semantic_recall_sweep_pairs_on_cell_key(spark):
     frame rides broadcast nested loops (3 rows, allowed)."""
     p = _outer_final(_plan(spark, "dedup_semantic_recall_sweep"))
     assert "CartesianProduct" not in p, p
+
+
+def test_bucketed_join_zero_exchange(spark):
+    """The bucketed-layout demonstration: both fact scans must carry
+    bucket metadata (Bucketed: true), the merge join and the
+    per-orderkey aggregate above it must plan WITHOUT any Exchange
+    (that's what bucketBy bought), and the ONLY Exchange in the whole
+    plan is the final 5-row priority rollup. Losing this pin means a
+    refactor silently re-shuffled a join the physical layout had
+    already paid for — at 100 TB, the single most expensive
+    regression this file can catch."""
+    f = _outer_final(_plan(spark, "join_bucketed_no_shuffle"))
+    assert f.count("Bucketed: true") == 2, f
+    assert "SortMergeJoin" in f, f
+    exchanges = [ln for ln in f.split("\n") if "Exchange" in ln
+                 and "ShuffleQueryStage" not in ln
+                 and "AQEShuffleRead" not in ln]
+    assert len(exchanges) == 1, f
+    assert "o_orderpriority" in exchanges[0], f
+    # the lone exchange sits ABOVE the join: nothing below the SMJ
+    # (or between SMJ and the per-orderkey agg) may shuffle
+    below_join = f.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below_join, f

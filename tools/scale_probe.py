@@ -620,6 +620,58 @@ def round13b() -> None:
     print("\n".join(lines))
 
 
+def round14() -> None:
+    """Re-measure ``dedup_semantic_recall_sweep`` after the round-14
+    in-query ground-truth cohort cap (hash-rank top-K, K=512): the
+    truth side is now K²/2 exact cosines at ANY corpus size, so the
+    Round-13b 1.9×/linear wall (11.1s → 211.0s at 10×) should
+    collapse to ~linear — only the banded screen side still grows."""
+    from football_etl_pipeline_spark.operators import QUERIES
+    from football_etl_pipeline_spark.operators.registry import (
+        release_persists,
+    )
+    from football_etl_pipeline_spark.session import get_spark
+
+    copies = 10
+    spark = get_spark("scale_probe_r14")
+    big = build_synthetic(spark, copies)
+    name = "dedup_semantic_recall_sweep"
+    qfn = QUERIES[name]
+    qfn(spark, "/root/testdata/sf0.001").count()
+    release_persists()
+
+    def measure(d):
+        t0 = time.time()
+        n = qfn(spark, d).count()
+        wall = time.time() - t0
+        release_persists()
+        return n, round(wall, 2)
+
+    n1, w1 = measure(BASE_SF)
+    nN, wN = measure(big)
+    wg = wN / w1 / copies if w1 else float("nan")
+    lines = [
+        "",
+        "## Round-14: recall-sweep ground truth capped in-query",
+        "",
+        "The Round-13b row measured the sweep's brute-force ground",
+        "truth at 1.9x/linear wall (the harness was honest but",
+        "unbounded). Round 14 moves the fixed-size sample INSIDE the",
+        "registered query: a deterministic hash-rank cohort of",
+        "K=512 vec_ids (the text_uniform_sample pattern) gates the",
+        "exact-cosine join, so the truth side is K^2/2 pairs at any",
+        "corpus size; the banded screen side is unchanged.",
+        "",
+        f"| query | rows 1x | rows {copies}x | wall 1x (s) | "
+        f"wall {copies}x (s) | wall growth / linear |",
+        "|---|---|---|---|---|---|",
+        f"| {name} | {n1} | {nN} | {w1} | {wN} | {round(wg, 2)} |",
+    ]
+    with open(os.path.join(REPO, "SCALE.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
 def main() -> None:
     copies = 10
     if "--copies" in sys.argv:
@@ -632,6 +684,9 @@ def main() -> None:
         return
     if "--round13b" in sys.argv:
         round13b()
+        return
+    if "--round14" in sys.argv:
+        round14()
         return
 
     from football_etl_pipeline_spark.operators import dedup, similarity, textops
