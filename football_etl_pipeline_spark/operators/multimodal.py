@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
-from .registry import query
+from .registry import persist_tracked, query
 
 FRAME_STRIDE = 64  # sample one "frame" byte every 64 payload bytes
 
@@ -1902,4 +1902,277 @@ def multimodal_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_table(spark, sf_dir).filter(F.col("mime") == "image/gif")
     return m.select("media_id").mapInPandas(
         _gif_anim_batches, schema=_GIFANIM_SCHEMA
+    )
+
+
+# ---- perceptual image near-dup (average hash) ----------------------------
+#
+# The image sibling of MinHash: exact checksum dedup (above) only
+# catches byte-identical payloads; a multimodal curation pipeline also
+# needs CONTENT near-dup — re-encoded, lightly edited, or re-watermarked
+# images that hash differently but look the same. The classical cheap
+# fingerprint is the average hash (aHash): downsample to an 8×8 grid,
+# threshold each cell against the image mean, pack 64 bits; visually
+# similar images land within a small Hamming distance. Candidates come
+# from 8-bit band buckets (the SimHash/binary-quant-rerank banding
+# applied to pixels): with 8 bands, ANY pair within Hamming ≤ 7 shares
+# at least one identical band (pigeonhole), so the band join has FULL
+# recall at the threshold and the exact Hamming check only prunes.
+#
+# Pixel content is deterministic from media_id so the DuckDB oracle can
+# recompute every hash from the formula while the Spark side goes the
+# PRODUCTION way: encode a real PNG, decode it back with stdlib zlib,
+# and hash the decoded pixels — a lossless round trip, so both sides
+# agree bit-for-bit. Families of 3 consecutive PNG ids share a base
+# pattern; each variant perturbs 2-3 of the 64 blocks, planting
+# near-dups at Hamming 1-10 (most ≤ 7, a few honestly beyond the
+# threshold — recall texture, not a rigged 100%).
+
+AHASH_W = 32  # image side; 4×4 pixel blocks → 8×8 hash grid
+AHASH_HAMMING_T = 7  # ≤ 7 differing bits = near-dup (8-band guarantee)
+AHASH_BANDS = 8
+
+
+def _ahash_pattern_val(media_id: int, x: int, y: int) -> int:
+    """The deterministic pixel formula (grayscale 0-255) both engines
+    share: family base pattern + per-variant block perturbation."""
+    fam, v = media_id // 15, (media_id // 5) % 3
+    blk = (y // 4) * 8 + (x // 4)
+    p = 120 if blk % 29 == (v * 7) % 29 else 0
+    return (fam * 53 + x * 7 + y * 11 + ((x * y + fam) % 13) * 17 + p) % 256
+
+
+def make_png_pattern(media_id: int) -> bytes:
+    """Real 32×32 8-bit RGB PNG (struct + zlib, filter 0 scanlines)
+    of the deterministic pattern — the encode half of the lossless
+    round trip ``multimodal_image_ahash_neardup`` rides."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    w = AHASH_W
+    ihdr = struct.pack(">IIBBBBB", w, w, 8, 2, 0, 0, 0)
+    rows = []
+    for y in range(w):
+        row = bytearray(b"\x00")
+        for x in range(w):
+            g = _ahash_pattern_val(media_id, x, y)
+            row += bytes((g, g, g))
+        rows.append(bytes(row))
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes) -> list:
+    """Stdlib-only PNG PIXEL decode (the depth rung past
+    ``decode_png_header``): walk the chunk list, concatenate IDAT
+    data, ``zlib.decompress``, and de-filter the scanlines. Supports
+    the filter-0 / 8-bit-RGB shape our encoder emits; anything else
+    raises ValueError (dead-letter contract — a production build
+    would hand non-trivial filters to a codec library, this container
+    has none). Returns rows of grayscale values (the R channel; our
+    payloads are gray so R=G=B)."""
+    import struct
+    import zlib
+
+    head = decode_png_header(payload)
+    w, h = head["width"], head["height"]
+    if head["bit_depth"] != 8 or head["color_type"] != 2:
+        raise ValueError("PNG pixel decode supports 8-bit RGB only")
+    off, idat = 8, b""
+    while off + 8 <= len(payload):
+        length, ctype = struct.unpack(">I4s", payload[off : off + 8])
+        if off + 12 + length > len(payload):
+            raise ValueError("PNG chunk overruns payload")
+        if ctype == b"IDAT":
+            idat += payload[off + 8 : off + 8 + length]
+        if ctype == b"IEND":
+            break
+        off += 12 + length
+    else:
+        raise ValueError("PNG missing IEND")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    stride = 1 + 3 * w
+    if len(raw) != stride * h:
+        raise ValueError("PNG pixel data size mismatch")
+    rows = []
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        if line[0] != 0:
+            raise ValueError(f"PNG filter type {line[0]} unsupported")
+        rows.append([line[1 + 3 * x] for x in range(w)])
+    return rows
+
+
+def ahash_64(rows: list) -> tuple:
+    """8×8 average hash of a 32×32 grayscale grid, packed as two
+    32-bit halves (lo = blocks 0-31, hi = 32-63) so the value fits
+    engine BIGINTs without sign games. All-integer threshold:
+    bit = (block_sum * 64 >= total_sum), exact in every engine."""
+    w = len(rows)
+    tot = sum(sum(r) for r in rows)
+    lo = hi = 0
+    for blk in range(64):
+        bx, by = (blk % 8) * (w // 8), (blk // 8) * (w // 8)
+        s = sum(
+            rows[by + dy][bx + dx]
+            for dy in range(w // 8)
+            for dx in range(w // 8)
+        )
+        if s * 64 >= tot:
+            if blk < 32:
+                lo |= 1 << blk
+            else:
+                hi |= 1 << (blk - 32)
+    return hi, lo
+
+
+_AHASH_SCHEMA = "media_id long, ahash_hi long, ahash_lo long"
+
+
+def _ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict = {"media_id": [], "ahash_hi": [], "ahash_lo": []}
+        for media_id in pdf["media_id"]:
+            mid = int(media_id)
+            hi, lo = ahash_64(decode_png_pixels(make_png_pattern(mid)))
+            out["media_id"].append(mid)
+            out["ahash_hi"].append(hi)
+            out["ahash_lo"].append(lo)
+        yield pd.DataFrame(out)
+
+
+def _ahash_oracle() -> str:
+    return f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id, doc_id // 15 AS fam,
+             (doc_id // 5) % 3 AS v
+      FROM documents WHERE ({_MIME_CASE}) = 'image/png'
+    ),
+    px AS (
+      SELECT i.media_id,
+             ((gy.g // 4) * 8 + gx.g // 4) AS blk,
+             (i.fam*53 + gx.g*7 + gy.g*11
+              + ((gx.g*gy.g + i.fam) % 13)*17
+              + CASE WHEN ((gy.g // 4) * 8 + gx.g // 4) % 29
+                          = (i.v*7) % 29
+                     THEN 120 ELSE 0 END) % 256 AS val
+      FROM ids i,
+           generate_series(0, {AHASH_W - 1}) gx(g),
+           generate_series(0, {AHASH_W - 1}) gy(g)
+    ),
+    blks AS (
+      SELECT media_id, blk, SUM(val)::BIGINT AS bsum
+      FROM px GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT media_id, SUM(bsum)::BIGINT AS tsum FROM blks GROUP BY 1
+    ),
+    hashes AS (
+      SELECT b.media_id,
+             SUM(CASE WHEN b.blk >= 32 AND b.bsum * 64 >= t.tsum
+                 THEN 1::BIGINT << (b.blk - 32) ELSE 0 END)::BIGINT AS hi,
+             SUM(CASE WHEN b.blk < 32 AND b.bsum * 64 >= t.tsum
+                 THEN 1::BIGINT << b.blk ELSE 0 END)::BIGINT AS lo
+      FROM blks b JOIN tot t USING (media_id)
+      GROUP BY 1
+    ),
+    bands AS (
+      SELECT h.media_id, gb.g AS band,
+             CASE WHEN gb.g < 4 THEN (h.lo >> (8*gb.g)) & 255
+                  ELSE (h.hi >> (8*(gb.g-4))) & 255 END AS bval
+      FROM hashes h, generate_series(0, {AHASH_BANDS - 1}) gb(g)
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bval = b.bval
+       AND b.media_id < a.media_id
+    )
+    SELECT c.a_id, c.b_id,
+           (bit_count(xor(ha.hi, hb.hi))
+            + bit_count(xor(ha.lo, hb.lo)))::BIGINT AS hamming
+    FROM cand c
+    JOIN hashes ha ON ha.media_id = c.a_id
+    JOIN hashes hb ON hb.media_id = c.b_id
+    WHERE bit_count(xor(ha.hi, hb.hi))
+          + bit_count(xor(ha.lo, hb.lo)) <= {AHASH_HAMMING_T}
+    """
+
+
+@query("multimodal_image_ahash_neardup", oracle=_ahash_oracle())
+def multimodal_image_ahash_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Perceptual image near-dup: every PNG row encodes its
+    deterministic 32×32 pattern as a REAL PNG, decodes it back
+    through the stdlib inflate + de-filter path inside one Arrow
+    mapInPandas pass, average-hashes the decoded pixels into a 64-bit
+    fingerprint (two 32-bit halves), and pairs within Hamming ≤
+    {AHASH_HAMMING_T} are found by an 8×8-bit band equi-join —
+    pigeonhole gives the banding FULL recall at the threshold
+    (pinned vs a brute-force Python reference in
+    tests/test_multimodal.py), so the exact ``bit_count(xor)`` check
+    only prunes false candidates, exactly like the MinHash-LSH and
+    binary-quant-rerank rungs.
+
+    Scale: the hash pass is one narrow mapInPandas projection (no
+    shuffle); candidates shuffle on (band, band_value) — 8 rows per
+    image, never pixels; the verify join moves only (id, hi, lo)
+    triples. At 100 TB the band key-space is the dial: wider bands →
+    fewer chance collisions, same guarantee down to b-1 bits."""
+    m = media_table(spark, sf_dir).filter(F.col("mime") == "image/png")
+    hashes = persist_tracked(
+        m.select("media_id").mapInPandas(_ahash_batches, schema=_AHASH_SCHEMA)
+    )
+    bands = hashes.select(
+        "media_id",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(0, {AHASH_BANDS - 1}), b -> struct(
+                    b AS band,
+                    CASE WHEN b < 4 THEN shiftright(ahash_lo, 8*b) & 255
+                         ELSE shiftright(ahash_hi, 8*(b-4)) & 255
+                    END AS bval))"""
+            )
+        ).alias("s"),
+    ).select("media_id", "s.band", "s.bval")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("b.media_id") < F.col("a.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("a_id"),
+            F.col("b.media_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    ham = F.expr(
+        "bit_count(ha.ahash_hi ^ hb.ahash_hi)"
+        " + bit_count(ha.ahash_lo ^ hb.ahash_lo)"
+    ).cast("bigint")
+    return (
+        cand.join(hashes.alias("ha"), F.col("a_id") == F.col("ha.media_id"))
+        .join(hashes.alias("hb"), F.col("b_id") == F.col("hb.media_id"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= AHASH_HAMMING_T)
+        .select("a_id", "b_id", "hamming")
     )

@@ -536,3 +536,98 @@ def test_gif_animation_every_truncation_is_valueerror():
     for cut in range(len(payload)):
         with pytest.raises(ValueError):
             decode_gif_animation(payload[:cut])
+
+
+def test_png_pixel_decode_roundtrip_and_corruption():
+    """decode_png_pixels must return exactly the pattern the encoder
+    wrote (lossless round trip — what makes the aHash oracle able to
+    recompute hashes from the formula), and malformed payloads must
+    dead-letter with ValueError."""
+    from football_etl_pipeline_spark.operators.multimodal import (
+        AHASH_W,
+        _ahash_pattern_val,
+        decode_png_pixels,
+        make_png_pattern,
+    )
+
+    payload = make_png_pattern(35)
+    rows = decode_png_pixels(payload)
+    assert len(rows) == AHASH_W and len(rows[0]) == AHASH_W
+    for y in (0, 7, 31):
+        for x in (0, 13, 31):
+            assert rows[y][x] == _ahash_pattern_val(35, x, y)
+
+    with pytest.raises(ValueError):
+        decode_png_pixels(payload[:50])  # chunk overrun
+    with pytest.raises(ValueError, match="inflate|overruns|IEND"):
+        bad = bytearray(payload)
+        idat = bad.index(b"IDAT") + 4
+        bad[idat + 10] ^= 0xFF  # corrupt the deflate stream
+        decode_png_pixels(bytes(bad))
+    with pytest.raises(ValueError, match="filter"):
+        # rebuild with a non-zero filter byte on row 0
+        import struct
+        import zlib
+
+        from football_etl_pipeline_spark.operators.multimodal import (
+            PNG_SIGNATURE,
+        )
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", AHASH_W, AHASH_W, 8, 2, 0, 0, 0)
+        raw = bytearray(zlib.decompress(
+            payload[payload.index(b"IDAT") + 4:].rsplit(b"IEND")[0][:-4]
+        ))
+        raw[0] = 2  # "Up" filter — unsupported
+        decode_png_pixels(
+            PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+
+def test_ahash_banding_full_recall_vs_bruteforce(spark):
+    """The recall pin the verdict asked for: the REGISTERED banded
+    query must return EXACTLY the brute-force all-pairs Hamming ≤ T
+    set computed by a direct Python reference over the same ids —
+    the 8-band pigeonhole guarantee (any pair differing in ≤ 7 of 64
+    bits shares an untouched 8-bit band), made empirical."""
+    from football_etl_pipeline_spark.operators.multimodal import (
+        AHASH_HAMMING_T,
+        ahash_64,
+        decode_png_pixels,
+        make_png_pattern,
+        multimodal_image_ahash_neardup,
+    )
+    from football_etl_pipeline_spark.operators.registry import (
+        release_persists,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ids = [i for i in range(500) if (i % 20) % 5 == 0]
+    H = {i: ahash_64(decode_png_pixels(make_png_pattern(i))) for i in ids}
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    truth = {
+        (a, b, ham(H[a], H[b]))
+        for ai, a in enumerate(ids)
+        for b in ids[:ai]
+        if ham(H[a], H[b]) <= AHASH_HAMMING_T
+    }
+    assert truth, "fixture must plant near-dups"
+    got = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in multimodal_image_ahash_neardup(spark, sf).collect()
+    }
+    release_persists()
+    assert got == truth
+    # and the fixture plants pairs that are genuinely NEAR the
+    # threshold, not only identical images
+    assert any(h > 0 for _, _, h in truth)

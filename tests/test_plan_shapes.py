@@ -1437,3 +1437,12 @@ def test_bucketed_join_zero_exchange(spark):
     # (or between SMJ and the per-orderkey agg) may shuffle
     below_join = f.split("SortMergeJoin", 1)[1]
     assert "Exchange" not in below_join, f
+
+
+def test_ahash_neardup_joins_on_band_key(spark):
+    """The aHash candidate surface must be an equi-join on
+    (band, band_value) — 8 small rows per image — never a cartesian
+    over images or pixels; the verify join moves only (id, hi, lo)."""
+    f = _outer_final(_plan(spark, "multimodal_image_ahash_neardup"))
+    assert "CartesianProduct" not in f, f
+    assert "bval" in f, f
