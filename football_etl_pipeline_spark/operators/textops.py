@@ -5700,3 +5700,100 @@ def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("y", "p", F.col("cum_one").alias("rn"), "nt")
     ranked.createOrReplaceTempView("calib_ranked")
     return spark.sql(f"WITH {_calib_finish('calib_ranked', 'BIGINT', 'DIV')}")
+
+
+# ---- per-domain quota sampling ------------------------------------------
+#
+# The anti-SEO-farm dial every web-corpus pipeline runs: no single
+# domain may contribute more than DOMAIN_QUOTA_CAP documents, and the
+# survivors within a capped domain are drawn by a deterministic
+# content-independent hash rank (the ``text_mixture_execute`` window
+# pattern), so the kept set is identical across runs, engines, and
+# cluster sizes. URLs are synthesized from document attributes (the
+# ``scalar_url_funcs`` convention — the testdata has no URL column),
+# with a planted heavy domain: 40% of docs land on
+# ``contentfarm.example.com`` so the cap demonstrably bites while the
+# long tail of per-source domains passes (at small SF) untouched.
+
+DOMAIN_QUOTA_CAP = 60
+
+_DQ_HOST_SRC = "CASE WHEN doc_id % 10 < 4 THEN 'contentfarm' ELSE source END"
+
+
+@query(
+    "text_domain_quota_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             'https://' || ({_DQ_HOST_SRC}) || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, host,
+             ROW_NUMBER() OVER (
+               PARTITION BY host
+               ORDER BY {hash60_duck("'dq' || CAST(doc_id AS VARCHAR)")},
+                        doc_id
+             ) AS rn
+      FROM h
+    )
+    SELECT host,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN rn <= {DOMAIN_QUOTA_CAP} THEN 1 ELSE 0 END)::BIGINT
+             AS n_kept,
+           SUM(CASE WHEN rn > {DOMAIN_QUOTA_CAP} THEN 1 ELSE 0 END)::BIGINT
+             AS n_dropped,
+           MAX(rn) > {DOMAIN_QUOTA_CAP} AS capped
+    FROM r GROUP BY host
+    """,
+)
+def text_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling report: synthesize each document's
+    URL, extract the HOST with Spark's native ``parse_url`` (JVM
+    java.net — the production domain key for web curation; the oracle
+    re-derives it with the anchored regex, equivalent on these
+    RFC-plain URLs per the ``scalar_url_funcs`` precedent), rank each
+    domain's docs by a deterministic 60-bit id hash, and keep the
+    first {DOMAIN_QUOTA_CAP} — reporting per domain how many docs
+    arrived, survived, and were dropped, and whether the cap bit.
+
+    Plan & scale: one projection (URL + host, codegen), ONE window
+    shuffle partitioned by host (the quota is embarrassingly domain-
+    parallel; a hot mega-domain is exactly what the cap neutralizes —
+    its partition stops mattering after rank {DOMAIN_QUOTA_CAP}), one
+    partial+final hash agg for the report. The hash draw means a
+    re-crawl that adds documents only displaces survivors at the
+    margin, never reshuffles the whole kept set."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.expr(_DQ_HOST_SRC),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            F.col("lang"),
+        ).alias("url"),
+    )
+    h = t.select(
+        "doc_id", F.parse_url("url", F.lit("HOST")).alias("host")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.expr(hash60_spark("'dq' || CAST(doc_id AS STRING)")),
+        F.col("doc_id"),
+    )
+    r = h.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") <= DOMAIN_QUOTA_CAP, 1).otherwise(0)
+    return r.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        F.sum(1 - kept).cast("bigint").alias("n_dropped"),
+        (F.max("rn") > DOMAIN_QUOTA_CAP).alias("capped"),
+    )
