@@ -2134,9 +2134,36 @@ SEMDEDUP_NPROBE = 2  # multi-probe membership: each vector also joins
                      # (measured sf0.1 recall 0.39 → 0.79 on this
                      # corpus's worst-case ~60° borderline pairs)
 
+# The K∝n production dial, promoted from docstring prose to a config
+# knob (the SPARK_GRAFT_LP_CAP_MODE pattern): the per-cell candidate
+# surface is Σ|cell|² ≈ n²·P²/K, so a growing corpus keeps per-cell
+# work flat by raising K with n (the 65k-cell codebook at 100 TB).
+# The knob is read ONCE at import and consumed by BOTH the Spark plan
+# (quantizer training / assignment) and the oracle CTE chain, so the
+# gate stays green at any setting — results legitimately differ
+# across settings (different quantizer ⇒ different candidate sets),
+# which is why both sides must move together. Default keeps the
+# fixture-scale K the recall tests were tuned on.
+SEMDEDUP_CELLS_ENV = "SPARK_GRAFT_SEMDEDUP_CELLS"
+
+
+def _semdedup_cells() -> int:
+    import os
+
+    raw = os.environ.get(SEMDEDUP_CELLS_ENV, "").strip()
+    if not raw:
+        return IVF_K
+    k = int(raw)
+    if k < 1:
+        raise ValueError(f"{SEMDEDUP_CELLS_ENV} must be >= 1, got {k}")
+    return k
+
+
+SEMDEDUP_CELLS = _semdedup_cells()
+
 
 def _semdedup_oracle() -> str:
-    body, _, last_cent = _kmeans_cte_chain(KMEANS_ITERS)
+    body, _, last_cent = _kmeans_cte_chain(KMEANS_ITERS, k=SEMDEDUP_CELLS)
     return f"""
     WITH {body},
     aff AS (
@@ -2169,7 +2196,7 @@ def dedup_semantic_clusters(
     spark: SparkSession,
     sf_dir: str,
     candidates_only: bool = False,
-    cells: int = IVF_K,
+    cells: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: k-means-cell bucketing
     (the trained coarse quantizer — the same KMEANS_ITERS Lloyd
@@ -2206,7 +2233,9 @@ def dedup_semantic_clusters(
     and the per-cell work stays flat while everything shuffles on
     cell. The keep-list left join is a hash join on vec_id."""
     e = persist_tracked(_normed(spark, sf_dir))
-    cents = _train_centroids(spark, e, KMEANS_ITERS, k=cells)
+    cents = _train_centroids(
+        spark, e, KMEANS_ITERS, k=cells or SEMDEDUP_CELLS
+    )
     cent = _cent_df(spark, cents)
     ccos = F.expr(_dot_spark("v", "cv")) / (F.col("nrm") * F.col("cnrm"))
     wcell = Window.partitionBy("vec_id").orderBy(
@@ -2366,7 +2395,7 @@ def _semdedup_incr_oracle() -> str:
         f" WHERE vec_id % {SEMDEDUP_INCR_MOD} <> 0"
     )
     body, _, last_cent = _kmeans_cte_chain(
-        KMEANS_ITERS, e_select=standing
+        KMEANS_ITERS, k=SEMDEDUP_CELLS, e_select=standing
     )
     return f"""
     WITH {body},
@@ -2425,7 +2454,9 @@ def dedup_semantic_incremental(
     standing = eall.filter(
         F.col("vec_id") % SEMDEDUP_INCR_MOD != 0
     )
-    cents = _train_centroids(spark, standing, KMEANS_ITERS)
+    cents = _train_centroids(
+        spark, standing, KMEANS_ITERS, k=SEMDEDUP_CELLS
+    )
     cent = _cent_df(spark, cents)
     ccos = F.expr(_dot_spark("v", "cv")) / (F.col("nrm") * F.col("cnrm"))
     wcell = Window.partitionBy("vec_id").orderBy(
@@ -2490,7 +2521,7 @@ SEMDEDUP_SWEEP_TRUTH_K = 512
 
 
 def _semdedup_sweep_oracle() -> str:
-    body, _, last_cent = _kmeans_cte_chain(KMEANS_ITERS)
+    body, _, last_cent = _kmeans_cte_chain(KMEANS_ITERS, k=SEMDEDUP_CELLS)
     probes = ", ".join(str(p) for p in SEMDEDUP_SWEEP_PROBES)
     max_np = max(SEMDEDUP_SWEEP_PROBES)
     return f"""
@@ -2586,7 +2617,7 @@ def dedup_semantic_recall_sweep(
     onto pair levels. Everything shuffles on cell / pair keys;
     centroids ride the same broadcast as dedup_semantic_clusters."""
     e = persist_tracked(_normed(spark, sf_dir))
-    cents = _train_centroids(spark, e, KMEANS_ITERS)
+    cents = _train_centroids(spark, e, KMEANS_ITERS, k=SEMDEDUP_CELLS)
     cent = _cent_df(spark, cents)
     max_np = max(SEMDEDUP_SWEEP_PROBES)
     # build the probe frame FROM the tuple so Spark and the oracle

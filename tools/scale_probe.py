@@ -672,10 +672,83 @@ def round14() -> None:
     print("\n".join(lines))
 
 
+def round14_knob() -> None:
+    """The SEMDEDUP_CELLS env knob exercised END-TO-END at the
+    production setting: the REGISTERED dedup_semantic_clusters query
+    runs in subprocesses (the knob is import-time, consumed by both
+    the Spark plan and the oracle text) — 1× corpus at the default
+    K=8, 10× corpus at K=80 (K∝n). Candidate volume per doc should
+    stay ~flat (n·P²/K constant), the fixed-K failure mode the
+    SemDeDup SCALE rows document being dialed away by config instead
+    of code."""
+    import subprocess
+
+    spark = None  # all work happens in subprocesses
+    inner = r'''
+import sys, time
+sys.path.insert(0, "/root/repo")
+from football_etl_pipeline_spark.session import get_spark
+from football_etl_pipeline_spark.operators import similarity
+from football_etl_pipeline_spark.operators.registry import release_persists
+spark = get_spark("knob_probe")
+sf = sys.argv[1]
+similarity.dedup_semantic_clusters(spark, "/root/testdata/sf0.001").count()
+release_persists()
+t0 = time.time()
+cand = similarity.dedup_semantic_clusters(spark, sf, candidates_only=True).count()
+wall = time.time() - t0
+print(f"KNOBROW {cand} {wall:.2f}")
+'''
+    # build the 10x corpus with a throwaway session first
+    from football_etl_pipeline_spark.session import get_spark
+
+    big = build_synthetic(get_spark("knob_probe_build"), 10)
+    rows = []
+    for sf, cells in ((BASE_SF, None), (big, "80")):
+        env = dict(os.environ)
+        env.pop("SPARK_GRAFT_SEMDEDUP_CELLS", None)
+        if cells:
+            env["SPARK_GRAFT_SEMDEDUP_CELLS"] = cells
+        r = subprocess.run(
+            [sys.executable, "-c", inner, sf],
+            env=env, capture_output=True, text=True,
+        )
+        for ln in r.stdout.splitlines():
+            if ln.startswith("KNOBROW"):
+                _, cand, wall = ln.split()
+                rows.append((sf, cells or "8 (default)", int(cand),
+                             float(wall)))
+    lines = [
+        "",
+        "## Round-14: SEMDEDUP_CELLS knob at the production setting",
+        "",
+        "The K∝n dial, now an env knob (SPARK_GRAFT_SEMDEDUP_CELLS)",
+        "read by BOTH the registered Spark plan and its oracle:",
+        "10x corpus at K=80 vs 1x at the default K=8 — candidate",
+        "volume per doc stays ~flat instead of growing 10x.",
+        "",
+        "| corpus | cells | candidate pairs | cand/doc | wall (s) |",
+        "|---|---|---|---|---|",
+    ]
+    n_docs = {BASE_SF: 2000, big: 20000}
+    for sf, cells, cand, wall in rows:
+        nd = n_docs.get(sf, 0)
+        lines.append(
+            f"| {'1x' if sf == BASE_SF else '10x'} | {cells} | {cand} |"
+            f" {cand / nd:.1f} | {wall} |"
+        )
+    with open(os.path.join(REPO, "SCALE.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
 def main() -> None:
     copies = 10
     if "--copies" in sys.argv:
         copies = int(sys.argv[sys.argv.index("--copies") + 1])
+    if "--round14-knob" in sys.argv:
+        round14_knob()
+        return
     if "--validate100" in sys.argv:
         validate100()
         return
