@@ -202,3 +202,52 @@ def test_family_subtotals_partition_the_total():
         families[fam] = round(families.get(fam, 0.0) + secs, 3)
     assert abs(sum(families.values()) - sum(timings.values())) < 1e-6
     assert len(families) >= 2  # more than one module represented
+
+
+def _band_miss_timings() -> tuple[dict, dict]:
+    """(timings, reference) with anchor subtotal just above the band
+    cap and NO per-query mover (diffuse marginal warmth — the r13
+    driver-run signature)."""
+    ref = _anchor_timings(1.0)
+    t = {q: 1.16 for q in ref}  # 1.16x each: in-band per query
+    return t, ref
+
+
+def test_anchor_sole_failure_is_retryable():
+    t, ref = _band_miss_timings()
+    v = bench.tag_run(0.05, 600.0, t, ref, full_tier=True)
+    assert v["tag"] == "contaminated"
+    assert len(v["reasons"]) == 1
+    assert bench.should_retry_anchor(v)
+
+
+def test_load_failure_is_not_retryable():
+    t, ref = _band_miss_timings()
+    v = bench.tag_run(1.7, 600.0, t, ref, full_tier=True)
+    assert not bench.should_retry_anchor(v)  # two reasons: load + band
+    t_ok = _anchor_timings()
+    v2 = bench.tag_run(1.7, 600.0, t_ok, dict(t_ok), full_tier=True)
+    assert not bench.should_retry_anchor(v2)  # sole reason, but load
+
+
+def test_cooldown_failure_is_not_retryable():
+    t, ref = _band_miss_timings()
+    v = bench.tag_run(0.05, 10.0, t, ref, full_tier=True)
+    assert not bench.should_retry_anchor(v)
+
+
+def test_mover_failure_is_not_retryable():
+    ref = _anchor_timings(1.0)
+    t = dict(ref)
+    names = sorted(ref)[:2]
+    for q in names:
+        t[q] = 1.6  # >= 1.5x and +0.3s: two movers, total in band
+    v = bench.tag_run(0.05, 600.0, t, ref, full_tier=True)
+    assert v["tag"] == "contaminated"
+    assert not bench.should_retry_anchor(v)
+
+
+def test_official_run_never_retries():
+    t = _anchor_timings()
+    v = bench.tag_run(0.05, 600.0, t, dict(t), full_tier=True)
+    assert not bench.should_retry_anchor(v)
