@@ -3565,3 +3565,84 @@ def _register_retention_fit_oracle() -> None:
 
 
 _register_retention_fit_oracle()
+
+
+# ---- mergeable quantile sketch rollup (fixed-grid histogram) ----------
+
+from ..streaming.quantile_maintenance import (  # noqa: E402
+    QUANTILE_PCTS as _QSR_PCTS,
+    VALUE_BUCKETS_PER_UNIT as _QSR_BPU,
+)
+
+_QSR_PCT_COLS = "".join(
+    f""",
+           CAST(MIN(CASE WHEN cum * 100 >= n * {q} THEN bucket END) + 1
+                AS DOUBLE) / {_QSR_BPU} AS p{q}_upper"""
+    for q in _QSR_PCTS
+)
+
+_QSR_ORACLE = f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(floor(value * {_QSR_BPU}) AS BIGINT) AS bucket,
+             COUNT(*)::BIGINT AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM h
+    )
+    SELECT event_type,
+           MAX(n)::BIGINT AS n_rows{_QSR_PCT_COLS}
+    FROM c GROUP BY event_type
+    """
+
+
+@query("events_quantile_sketch_rollup", oracle=_QSR_ORACLE)
+def events_quantile_sketch_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable QUANTILE sketch rollup — the percentile sibling of
+    ``events_sketch_rollup_merge``: build day-grain fixed-grid value
+    histograms per event type (bucket = floor(value·4), quarter-unit
+    cells — the ×4 scaling is a power of two, exact on doubles in
+    every engine), MERGE the day histograms up to event_type by plain
+    SUM, and read p50/p95/p99 off the merged histogram as the landing
+    bucket's upper edge. Exact order statistics cannot be rolled up
+    (they don't compose); fixed-grid histograms compose by addition,
+    so a 100 TB warehouse stores the day-grain histogram rows once
+    and answers any coarser grain — week, month, all-time — without
+    rescanning raw events. Quantiles are exact AT GRID RESOLUTION
+    (deterministic integer rank math: cum·100 ≥ n·q), which is what
+    makes this sketch oracle-hashable where a sampling sketch's
+    estimates would be implementation-specific.
+
+    The oracle computes the single-level histogram directly — equal
+    to the two-level Spark path by associativity of SUM, which IS the
+    property under test. The streaming face
+    (``streaming/quantile_maintenance.py``) maintains the same
+    standing histogram per micro-batch behind the batch-id replay
+    gate; ``streaming_quantile_sketch_maintenance`` drives it through
+    the gate with a rebuilt-checkpoint replay.
+
+    Plan: one shuffle to (event_type, day, bucket) partials, a tiny
+    second shuffle of bounded histogram rows to (event_type, bucket),
+    one window cumsum over the ≤|grid| standing rows."""
+    from ..streaming.quantile_maintenance import (
+        bucket_col,
+        quantiles_from_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    day_hist = (
+        ev.select("event_type", F.to_date("ts").alias("day"), bucket_col())
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    merged = day_hist.groupBy("event_type", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    return quantiles_from_histogram(merged)

@@ -715,3 +715,69 @@ def streaming_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+def _qsm_oracle() -> str:
+    from ..operators.events import _QSR_ORACLE
+
+    return _QSR_ORACLE
+
+
+@query("streaming_quantile_sketch_maintenance", oracle=_qsm_oracle())
+def streaming_quantile_sketch_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The quantile sketch table MAINTAINED BY A STREAM, driven
+    end-to-end inside the gate (9th oracled streaming row): the
+    events backlog drains through ``foreachBatch`` into
+    ``streaming/quantile_maintenance.py``'s standing fixed-grid
+    histogram (per-batch SUM merge behind the batch-id gate), then
+    the SAME backlog replays from a FRESH checkpoint — batch ids
+    restart at 0 and the gate must skip every redelivery. Histogram
+    counts, unlike HLL registers, DOUBLE on a broken gate; n_rows
+    would double and every percentile would shift, breaking the
+    oracle hash — so exactly-once for the SUM-merge sketch family is
+    hash-checked here the same way ``streaming_versioned_ingest``
+    checks it for the table format. The returned frame is the
+    standing-table quantile read (p50/p95/p99 at grid resolution),
+    which the oracle recomputes from raw events in one pass — stream
+    ≡ batch by associativity of the histogram SUM.
+
+    Scale: per batch the standing table is ≤ |types|·|grid| rows; the
+    quantile read never touches raw history (the SLA-read pattern the
+    rollup exists for)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    physical = spark.read.parquet(path).schema
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.format("parquet")
+            .schema(physical)
+            .option("maxFilesPerTrigger", 64)
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+            .select("event_type", "value")
+        )
+
+    from ..streaming.quantile_maintenance import (
+        maintain_value_histograms,
+        read_standing_quantiles,
+    )
+
+    name = f"qsm_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    state = os.path.join(
+        tempfile.mkdtemp(prefix=f"{name}_state_"), "hist"
+    )
+    with _state_partitions(spark):
+        q = maintain_value_histograms(
+            spark, src(), state, tempfile.mkdtemp(prefix=f"ck_{name}_a_")
+        )
+        _await_or_raise(q, "streaming_quantile_sketch_maintenance")
+        # rebuilt-checkpoint replay: the batch-id gate must no-op
+        q2 = maintain_value_histograms(
+            spark, src(), state, tempfile.mkdtemp(prefix=f"ck_{name}_b_")
+        )
+        _await_or_raise(
+            q2, "streaming_quantile_sketch_maintenance (replay)"
+        )
+    return read_standing_quantiles(spark, state)
