@@ -312,6 +312,16 @@ HEADLINE = [
     "dedup_keep_best_quality",
     "multimodal_gif_animation",
     "embedding_quantize_nf4_report",
+    # round-14 additions
+    "multimodal_image_ahash_neardup",
+    "multimodal_audio_energy",
+    "text_domain_quota_sample",
+    "events_quantile_sketch_rollup",
+    "streaming_quantile_sketch_maintenance",
+    # join_bucketed_no_shuffle: writes BOTH fact tables bucketed
+    # (full-table rewrite) before the shuffle-free join it exists to
+    # demonstrate — gate-checked + plan-pinned, excluded from the
+    # query bench like the other full-table rewrite jobs below.
     # versioned_schema_evolution: two versioned commits (full-table
     # writes) + two snapshot reads — gate-checked for evolution
     # correctness, excluded from the query bench like the other

@@ -2176,3 +2176,182 @@ def multimodal_image_ahash_neardup(
         .filter(F.col("hamming") <= AHASH_HAMMING_T)
         .select("a_id", "b_id", "hamming")
     )
+
+
+# ---- audio content rung: frame energy / silence / clipping --------------
+#
+# multimodal_audio_meta reads the RIFF header; this rung decodes the
+# PCM SAMPLES for real and computes the frame-level content features
+# an audio-curation pipeline screens on — silence ratio (dead air /
+# truncated recordings), clipping (over-driven capture), and peak /
+# energy — the audio sibling of the image aHash rung. Payload PCM is
+# a deterministic per-frame square wave (sample = ±A(frame)), so
+# every frame's peak, energy, and silence flag are exact integer
+# functions of (media_id, frame) the oracle can recompute WITHOUT
+# unnesting samples: |s| = A for all samples in the frame.
+
+AUDIO_FRAME = 80           # samples per analysis frame (5 ms @ 16 kHz)
+AUDIO_SILENCE_THRESH = 256  # frame is silent iff its amplitude < this
+AUDIO_CLIP = 32767          # int16 full scale — clipped frames sit here
+_AUDE_NSAMP_MOD = 97        # n_samples = 800 + media_id % 97 (prime)
+
+
+def _audio_frame_amp(media_id: int, f: int) -> int:
+    """Per-frame square-wave amplitude: every 11th frame clipped at
+    full scale, every 4th silent, the rest a mid-range tone."""
+    if (f + media_id) % 11 == 0:
+        return AUDIO_CLIP
+    if (f + media_id) % 4 == 0:
+        return 0
+    return (media_id * 31 + f * 17) % 12000 + 500
+
+
+def make_wav_tone(media_id: int) -> bytes:
+    """Real 16-bit mono PCM WAV of the deterministic square wave
+    (sample i = ±A(i // AUDIO_FRAME)) — the encode half of the
+    lossless round trip ``multimodal_audio_energy`` rides."""
+    import struct
+
+    n = 800 + media_id % _AUDE_NSAMP_MOD
+    samples = []
+    for i in range(n):
+        a = _audio_frame_amp(media_id, i // AUDIO_FRAME)
+        samples.append(a if i % 2 == 0 else -a)
+    data = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_samples(payload: bytes) -> list:
+    """Stdlib-only PCM SAMPLE decode (the depth rung past
+    ``decode_wav_header``): validates the container through the
+    header walk, then unpacks the data chunk as little-endian int16.
+    Mono 16-bit only — anything else raises ValueError (dead-letter
+    contract; multi-channel/-depth would hand off to soundfile in a
+    codec-equipped build)."""
+    import struct
+
+    head = decode_wav_header(payload)
+    if head["channels"] != 1 or head["bit_depth"] != 16:
+        raise ValueError("WAV sample decode supports 16-bit mono only")
+    off = 12
+    while off + 8 <= len(payload):
+        ctype = payload[off : off + 4]
+        (length,) = struct.unpack("<I", payload[off + 4 : off + 8])
+        if ctype == b"data":
+            raw = payload[off + 8 : off + 8 + length]
+            if len(raw) != length:
+                raise ValueError("WAV data chunk overruns payload")
+            return list(struct.unpack(f"<{length // 2}h", raw))
+        off += 8 + length + (length % 2)
+    raise ValueError("WAV missing data chunk")
+
+
+_AUDE_SCHEMA = (
+    "media_id long, n_samples long, n_frames long, n_silent_frames long,"
+    " silence_ratio_micro long, n_clipped_samples long,"
+    " peak_amplitude long, sum_sq long"
+)
+
+
+def _audio_energy_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    cols = (
+        "n_samples", "n_frames", "n_silent_frames",
+        "silence_ratio_micro", "n_clipped_samples", "peak_amplitude",
+        "sum_sq",
+    )
+    for pdf in batches:
+        out: dict = {k: [] for k in ("media_id", *cols)}
+        for media_id in pdf["media_id"]:
+            mid = int(media_id)
+            s = decode_wav_samples(make_wav_tone(mid))
+            n = len(s)
+            n_frames = (n + AUDIO_FRAME - 1) // AUDIO_FRAME
+            silent = clipped = peak = sum_sq = 0
+            for f in range(n_frames):
+                fr = s[f * AUDIO_FRAME : (f + 1) * AUDIO_FRAME]
+                amp = max(abs(x) for x in fr)
+                peak = max(peak, amp)
+                sum_sq += sum(x * x for x in fr)
+                if amp < AUDIO_SILENCE_THRESH:
+                    silent += 1
+                clipped += sum(1 for x in fr if abs(x) >= AUDIO_CLIP)
+            out["media_id"].append(mid)
+            out["n_samples"].append(n)
+            out["n_frames"].append(n_frames)
+            out["n_silent_frames"].append(silent)
+            out["silence_ratio_micro"].append(
+                silent * 1_000_000 // n_frames
+            )
+            out["n_clipped_samples"].append(clipped)
+            out["peak_amplitude"].append(peak)
+            out["sum_sq"].append(sum_sq)
+        yield pd.DataFrame(out)
+
+
+def _audio_energy_oracle() -> str:
+    amp = (
+        f"CASE WHEN (fr.g + i.media_id) % 11 = 0 THEN {AUDIO_CLIP} "
+        f"WHEN (fr.g + i.media_id) % 4 = 0 THEN 0 "
+        f"ELSE (i.media_id * 31 + fr.g * 17) % 12000 + 500 END"
+    )
+    return f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             (800 + doc_id % {_AUDE_NSAMP_MOD})::BIGINT AS n
+      FROM documents WHERE ({_MIME_CASE}) = 'audio/wav'
+    ),
+    frames AS (
+      SELECT i.media_id, i.n, fr.g AS f,
+             LEAST({AUDIO_FRAME}, i.n - fr.g * {AUDIO_FRAME}) AS flen,
+             {amp} AS amp
+      FROM ids i,
+           generate_series(0, 20) fr(g)
+      WHERE fr.g * {AUDIO_FRAME} < i.n
+    )
+    SELECT media_id,
+           MAX(n) AS n_samples,
+           COUNT(*)::BIGINT AS n_frames,
+           SUM(CASE WHEN amp < {AUDIO_SILENCE_THRESH} THEN 1 ELSE 0
+               END)::BIGINT AS n_silent_frames,
+           (SUM(CASE WHEN amp < {AUDIO_SILENCE_THRESH} THEN 1 ELSE 0
+                END) * 1000000 // COUNT(*))::BIGINT
+             AS silence_ratio_micro,
+           SUM(CASE WHEN amp >= {AUDIO_CLIP} THEN flen ELSE 0
+               END)::BIGINT AS n_clipped_samples,
+           MAX(amp)::BIGINT AS peak_amplitude,
+           SUM(amp * amp * flen)::BIGINT AS sum_sq
+    FROM frames GROUP BY media_id
+    """
+
+
+@query("multimodal_audio_energy", oracle=_audio_energy_oracle())
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio CONTENT features by real sample decode: every audio/wav
+    row synthesizes its deterministic square-wave PCM as a real WAV,
+    decodes the samples back through the stdlib chunk walk + int16
+    unpack inside one Arrow ``mapInPandas`` pass, and reports the
+    frame-level screens audio curation runs — silence ratio (frames
+    whose peak < {AUDIO_SILENCE_THRESH}), clipped-sample count
+    (full-scale frames), peak amplitude, and exact integer energy
+    (sum of squares). The square wave makes |sample| constant per
+    frame, so the oracle recomputes every feature from frame-grain
+    arithmetic without touching a byte — a regression in the data-
+    chunk walk, the int16 unpack, frame slicing, or the partial last
+    frame breaks the value hash.
+
+    Scale: one narrow mapInPandas projection over the wav rows, no
+    shuffle — the per-file feature-extract shape of a production
+    audio sweep (a codec-equipped build swaps decode_wav_samples for
+    soundfile behind the same seam and keeps the plumbing)."""
+    m = media_table(spark, sf_dir).filter(F.col("mime") == "audio/wav")
+    return m.select("media_id").mapInPandas(
+        _audio_energy_batches, schema=_AUDE_SCHEMA
+    )

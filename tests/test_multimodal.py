@@ -631,3 +631,69 @@ def test_ahash_banding_full_recall_vs_bruteforce(spark):
     # and the fixture plants pairs that are genuinely NEAR the
     # threshold, not only identical images
     assert any(h > 0 for _, _, h in truth)
+
+
+def test_wav_sample_decode_roundtrip_and_corruption():
+    """decode_wav_samples must return exactly the square wave the
+    encoder wrote (lossless int16 round trip — what lets the aHash-
+    style audio oracle recompute features from frame arithmetic), and
+    unsupported/malformed payloads must dead-letter with ValueError."""
+    from football_etl_pipeline_spark.operators.multimodal import (
+        AUDIO_FRAME,
+        _audio_frame_amp,
+        decode_wav_samples,
+        make_wav,
+        make_wav_tone,
+    )
+
+    s = decode_wav_samples(make_wav_tone(35))
+    assert len(s) == 800 + 35 % 97
+    for i in (0, 1, 80, 333, len(s) - 1):
+        a = _audio_frame_amp(35, i // AUDIO_FRAME)
+        assert s[i] == (a if i % 2 == 0 else -a)
+
+    with pytest.raises(ValueError, match="16-bit mono"):
+        decode_wav_samples(make_wav(64, channels=2))
+    with pytest.raises(ValueError, match="overruns"):
+        decode_wav_samples(make_wav_tone(35)[:-10])
+
+
+def test_audio_energy_features_match_direct_python(spark):
+    """The registered query's features must equal a direct Python
+    reference over the same synthetic payloads (the aHash recall-pin
+    discipline applied to audio)."""
+    from football_etl_pipeline_spark.operators.multimodal import (
+        AUDIO_CLIP,
+        AUDIO_FRAME,
+        AUDIO_SILENCE_THRESH,
+        decode_wav_samples,
+        make_wav_tone,
+        multimodal_audio_energy,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r.media_id: (
+            r.n_samples, r.n_silent_frames, r.n_clipped_samples,
+            r.peak_amplitude, r.sum_sq,
+        )
+        for r in multimodal_audio_energy(spark, sf).collect()
+    }
+    assert got, "fixture must produce wav rows"
+    for mid in list(got)[:10]:
+        s = decode_wav_samples(make_wav_tone(mid))
+        n_frames = (len(s) + AUDIO_FRAME - 1) // AUDIO_FRAME
+        silent = sum(
+            1 for f in range(n_frames)
+            if max(abs(x) for x in s[f * AUDIO_FRAME:(f + 1) * AUDIO_FRAME])
+            < AUDIO_SILENCE_THRESH
+        )
+        clipped = sum(1 for x in s if abs(x) >= AUDIO_CLIP)
+        expect = (
+            len(s), silent, clipped,
+            max(abs(x) for x in s), sum(x * x for x in s),
+        )
+        assert got[mid] == expect, mid
+    # the fixture plants all three frame classes
+    assert any(v[1] > 0 for v in got.values())  # silence exists
+    assert any(v[2] > 0 for v in got.values())  # clipping exists
