@@ -415,6 +415,8 @@ def decode_wav_header(payload: bytes) -> dict:
         if ctype == b"fmt ":
             if size < 16:
                 raise ValueError("WAV fmt chunk shorter than 16 bytes")
+            if len(body) < 16:  # declared size outruns the payload
+                raise ValueError("WAV fmt chunk truncated")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif ctype == b"data":
             if off + 8 + size > len(payload):

@@ -697,3 +697,43 @@ def test_audio_energy_features_match_direct_python(spark):
     # the fixture plants all three frame classes
     assert any(v[1] > 0 for v in got.values())  # silence exists
     assert any(v[2] > 0 for v in got.values())  # clipping exists
+
+
+def test_every_decoder_truncation_is_valueerror_corpus_wide():
+    """The GIF-animation lesson made permanent and corpus-wide: for
+    EVERY stdlib encode/decode pair, cutting the payload at ANY byte
+    boundary must raise ValueError (or NotImplementedError at the
+    codec seam) — never struct.error / IndexError / zlib.error — so
+    the dead-letter sweep classifies malformed media instead of
+    crashing the task. Found the WAV fmt-chunk short-unpack this way
+    (round 14); keeps every future decoder honest."""
+    from football_etl_pipeline_spark.operators import multimodal as m
+
+    pairs = [
+        (m.decode_png_header, m.make_png(16, 16)),
+        (m.decode_png_pixels, m.make_png_pattern(35)),
+        (m.decode_jpeg_header, m.make_jpeg(64, 48)),
+        (
+            m.decode_jpeg_exif,
+            m.make_jpeg_exif(16, 16, orientation=3, make="cam1"),
+        ),
+        (m.decode_gif_header, m.make_gif(16, 16)),
+        (m.decode_gif_animation, m.make_gif_animated(16, 16, 3, 7, 2)),
+        (m.decode_wav_header, m.make_wav(64, junk_bytes=5)),
+        (m.decode_wav_samples, m.make_wav_tone(35)),
+        (m.decode_mp4_header, m.make_mp4(320, 240, 1000)),
+    ]
+    for fn, payload in pairs:
+        for cut in range(len(payload)):
+            try:
+                fn(payload[:cut])
+            except (ValueError, NotImplementedError):
+                continue
+            except Exception as exc:  # pragma: no cover - failure path
+                pytest.fail(
+                    f"{fn.__name__} cut at {cut}: {type(exc).__name__}:"
+                    f" {exc}"
+                )
+            # a successful decode of a PREFIX is fine only if the
+            # container genuinely self-terminates earlier (none of
+            # these do before full length minus trailing pad)
