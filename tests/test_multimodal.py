@@ -737,3 +737,49 @@ def test_every_decoder_truncation_is_valueerror_corpus_wide():
             # a successful decode of a PREFIX is fine only if the
             # container genuinely self-terminates earlier (none of
             # these do before full length minus trailing pad)
+
+
+def test_pattern_formulas_match_duckdb_sql():
+    """The aHash pixel formula and the audio frame-amplitude formula
+    exist twice by necessity (Python for the real encode/decode path,
+    SQL inside the oracle) — pin the two spellings equal over a grid
+    of inputs so an edit to one can't silently desync the other (the
+    round-14 ADVICE lesson about copied oracle fragments)."""
+    import duckdb
+
+    from football_etl_pipeline_spark.operators.multimodal import (
+        AUDIO_CLIP,
+        _ahash_pattern_val,
+        _audio_frame_amp,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        """
+        SELECT i.g AS mid, x.g AS x, y.g AS y,
+               ((i.g // 15)*53 + x.g*7 + y.g*11
+                + ((x.g*y.g + i.g // 15) % 13)*17
+                + CASE WHEN ((y.g // 4) * 8 + x.g // 4) % 29
+                            = (((i.g // 5) % 3)*7) % 29
+                       THEN 120 ELSE 0 END) % 256 AS val
+        FROM generate_series(0, 495, 5) i(g),
+             generate_series(0, 31, 3) x(g),
+             generate_series(0, 31, 3) y(g)
+        """
+    ).fetchall()
+    assert rows
+    for mid, x, y, val in rows:
+        assert val == _ahash_pattern_val(mid, x, y), (mid, x, y)
+
+    arows = con.execute(
+        f"""
+        SELECT i.g AS mid, f.g AS f,
+               CASE WHEN (f.g + i.g) % 11 = 0 THEN {AUDIO_CLIP}
+                    WHEN (f.g + i.g) % 4 = 0 THEN 0
+                    ELSE (i.g * 31 + f.g * 17) % 12000 + 500 END AS amp
+        FROM generate_series(0, 495, 5) i(g),
+             generate_series(0, 12) f(g)
+        """
+    ).fetchall()
+    for mid, f, amp in arows:
+        assert amp == _audio_frame_amp(mid, f), (mid, f)
