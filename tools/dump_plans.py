@@ -96,6 +96,12 @@ SHOWCASE = {
     "lineitem_croston_intermittent": "corpus collapses to the <= 32-row demand sequence, localCheckpointed BEFORE the recursion — the UnionLoop joins a materialized leaf, never re-planning the lineitem aggregate per step",
     "events_holt_winters_additive": "recursive-CTE UnionLoop carrying the 7-slot seasonal ring as state columns over the checkpointed daily frame",
     "streaming_sprt_monitor": "per-user MIN/MIN state maintained by a real stream (availableNow, memory sink); the batch SPRT decision text runs over the state snapshot",
+    "join_bucketed_no_shuffle": "both fact scans Bucketed: true; SMJ + per-orderkey agg with ZERO Exchange below; the lone Exchange is the 5-row priority rollup",
+    "multimodal_image_ahash_neardup": "real PNG decode + aHash in one mapInPandas; 8-band equi-join candidates; bit_count(xor) verify moves only (id, hi, lo)",
+    "multimodal_audio_energy": "real PCM sample decode + frame features in one narrow mapInPandas projection — no shuffle",
+    "text_domain_quota_sample": "parse_url host in the scan projection; ONE hash-rank window shuffle on host; partial+final report agg",
+    "events_quantile_sketch_rollup": "(type, day, bucket) partials; bounded histogram rows to the second exchange; window cumsum over <=|grid| rows",
+    "dedup_semantic_recall_sweep": "screen side banded on cell; ground truth gated to a hash-rank TakeOrdered cohort (K=512) then broadcast NLJ — K^2/2 exact cosines at any corpus size",
 }
 
 
