@@ -742,12 +742,80 @@ print(f"KNOBROW {cand} {wall:.2f}")
     print("\n".join(lines))
 
 
+def round14b() -> None:
+    """Wall-growth rows for the round-14 additions that scan the
+    documents/embeddings corpus — aHash near-dup (banded Hamming
+    candidates must grow ~linearly: each content-disjoint copy
+    reproduces its own band collisions), per-domain quota sampling
+    (one window + one agg — linear), and the quantile sketch rollup
+    (bounded histogram rows — the 10x corpus only grows the FIRST
+    aggregate's input). events/documents synthetic corpora reuse
+    build_synthetic / build_synthetic_events."""
+    from football_etl_pipeline_spark.operators import QUERIES
+    from football_etl_pipeline_spark.operators.registry import (
+        release_persists,
+    )
+    from football_etl_pipeline_spark.session import get_spark
+
+    copies = 10
+    spark = get_spark("scale_probe_r14b")
+    big_docs = build_synthetic(spark, copies)
+    big_events = build_synthetic_events(spark, copies)
+
+    def measure(name, d):
+        qfn = QUERIES[name]
+        t0 = time.time()
+        n = qfn(spark, d).count()
+        wall = time.time() - t0
+        release_persists()
+        return n, round(wall, 2)
+
+    rows = []
+    for name, big in (
+        ("multimodal_image_ahash_neardup", big_docs),
+        ("text_domain_quota_sample", big_docs),
+        ("events_quantile_sketch_rollup", big_events),
+    ):
+        QUERIES[name](spark, "/root/testdata/sf0.001").count()
+        release_persists()
+        n1, w1 = measure(name, BASE_SF)
+        nN, wN = measure(name, big)
+        wg = wN / w1 / copies if w1 else float("nan")
+        rows.append((name, n1, nN, w1, wN, round(wg, 2)))
+        print(f"# {name}: wall 1x={w1}s {copies}x={wN}s "
+              f"growth/linear={wg:.2f}")
+
+    lines = [
+        "",
+        "## Round-14b: the new corpus-scanning additions",
+        "",
+        "aHash near-dup candidates come from 8-bit band buckets —",
+        "content-disjoint copies reproduce the 1x collision structure",
+        "(cross-copy band collisions add only exact-Hamming-verified",
+        "rejects). Domain quota is one window + one agg. The quantile",
+        "rollup's second stage is bounded by the grid, so only the",
+        "first aggregate sees the 10x corpus.",
+        "",
+        f"| query | rows 1x | rows {copies}x | wall 1x (s) | "
+        f"wall {copies}x (s) | wall growth / linear |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, n1, nN, w1, wN, wg in rows:
+        lines.append(f"| {name} | {n1} | {nN} | {w1} | {wN} | {wg} |")
+    with open(os.path.join(REPO, "SCALE.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
 def main() -> None:
     copies = 10
     if "--copies" in sys.argv:
         copies = int(sys.argv[sys.argv.index("--copies") + 1])
     if "--round14-knob" in sys.argv:
         round14_knob()
+        return
+    if "--round14b" in sys.argv:
+        round14b()
         return
     if "--validate100" in sys.argv:
         validate100()
