@@ -5716,6 +5716,7 @@ def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 # long tail of per-source domains passes (at small SF) untouched.
 
 DOMAIN_QUOTA_CAP = 60
+_DQ_SALTS = 32  # phase-1 fan-out of the per-host top-K (skew killer)
 
 _DQ_HOST_SRC = "CASE WHEN doc_id % 10 < 4 THEN 'contentfarm' ELSE source END"
 
@@ -5749,7 +5750,9 @@ _DQ_HOST_SRC = "CASE WHEN doc_id % 10 < 4 THEN 'contentfarm' ELSE source END"
              AS n_kept,
            SUM(CASE WHEN rn > {DOMAIN_QUOTA_CAP} THEN 1 ELSE 0 END)::BIGINT
              AS n_dropped,
-           MAX(rn) > {DOMAIN_QUOTA_CAP} AS capped
+           MAX(rn) > {DOMAIN_QUOTA_CAP} AS capped,
+           SUM(CASE WHEN rn <= {DOMAIN_QUOTA_CAP} THEN doc_id
+                    ELSE 0 END)::BIGINT AS kept_id_sum
     FROM r GROUP BY host
     """,
 )
@@ -5761,15 +5764,23 @@ def text_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     RFC-plain URLs per the ``scalar_url_funcs`` precedent), rank each
     domain's docs by a deterministic 60-bit id hash, and keep the
     first {DOMAIN_QUOTA_CAP} — reporting per domain how many docs
-    arrived, survived, and were dropped, and whether the cap bit.
+    arrived, survived, and were dropped, whether the cap bit, and the
+    SUM of surviving doc_ids (``kept_id_sum``): the checksum that
+    makes the oracle hash pin the exact SURVIVOR SET, not just its
+    size (the counts alone are derivable without any ranking).
 
-    Plan & scale: one projection (URL + host, codegen), ONE window
-    shuffle partitioned by host (the quota is embarrassingly domain-
-    parallel; a hot mega-domain is exactly what the cap neutralizes —
-    its partition stops mattering after rank {DOMAIN_QUOTA_CAP}), one
-    partial+final hash agg for the report. The hash draw means a
-    re-crawl that adds documents only displaces survivors at the
-    margin, never reshuffles the whole kept set."""
+    Plan & scale: counts are a plain partial+final agg (skew-immune).
+    The draw itself is a TWO-PHASE distributed per-host top-K —
+    phase 1 ranks within (host, salt = doc_id % {_DQ_SALTS}) and
+    keeps each salt's local top {DOMAIN_QUOTA_CAP}; phase 2 ranks the
+    ≤ {_DQ_SALTS}·{DOMAIN_QUOTA_CAP} candidates per host exactly. A
+    mega-domain (the planted 40% contentfarm — the exact skew the cap
+    exists for) therefore never sorts on a single task: its rows
+    spread over {_DQ_SALTS} salted partitions and the only per-host
+    sort touches a capped candidate frame. Correctness: any global
+    top-K row has local rank ≤ K in its salt, so phase 1 is a
+    superset. The hash draw means a re-crawl only displaces survivors
+    at the margin, never reshuffles the whole kept set."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
@@ -5783,17 +5794,32 @@ def text_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     h = t.select(
-        "doc_id", F.parse_url("url", F.lit("HOST")).alias("host")
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.expr(hash60_spark("'dq' || CAST(doc_id AS STRING)")).alias("hk"),
     )
-    w = Window.partitionBy("host").orderBy(
-        F.expr(hash60_spark("'dq' || CAST(doc_id AS STRING)")),
-        F.col("doc_id"),
+    counts = h.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
-    r = h.withColumn("rn", F.row_number().over(w))
-    kept = F.when(F.col("rn") <= DOMAIN_QUOTA_CAP, 1).otherwise(0)
-    return r.groupBy("host").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(kept).cast("bigint").alias("n_kept"),
-        F.sum(1 - kept).cast("bigint").alias("n_dropped"),
-        (F.max("rn") > DOMAIN_QUOTA_CAP).alias("capped"),
+    wl = Window.partitionBy("host", "salt").orderBy("hk", "doc_id")
+    cand = (
+        h.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(_DQ_SALTS)))
+        .withColumn("lrn", F.row_number().over(wl))
+        .filter(F.col("lrn") <= DOMAIN_QUOTA_CAP)
+    )
+    wg = Window.partitionBy("host").orderBy("hk", "doc_id")
+    ksum = (
+        cand.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= DOMAIN_QUOTA_CAP)
+        .groupBy("host")
+        .agg(F.sum("doc_id").cast("bigint").alias("kept_id_sum"))
+    )
+    n_kept = F.least(F.col("n_docs"), F.lit(DOMAIN_QUOTA_CAP))
+    return counts.join(ksum, "host").select(
+        "host",
+        "n_docs",
+        n_kept.cast("bigint").alias("n_kept"),
+        (F.col("n_docs") - n_kept).cast("bigint").alias("n_dropped"),
+        (F.col("n_docs") > DOMAIN_QUOTA_CAP).alias("capped"),
+        "kept_id_sum",
     )

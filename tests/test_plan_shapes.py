@@ -1446,3 +1446,16 @@ def test_ahash_neardup_joins_on_band_key(spark):
     f = _outer_final(_plan(spark, "multimodal_image_ahash_neardup"))
     assert "CartesianProduct" not in f, f
     assert "bval" in f, f
+
+
+def test_domain_quota_topk_is_salted_two_phase(spark):
+    """The quota draw must be the two-phase per-host top-K: phase 1
+    partitions on (host, salt) — the mega-domain skew killer — and
+    only the capped candidate frame reaches the per-host exchange.
+    Losing the salt silently re-creates the single-task sort of the
+    40%-of-corpus contentfarm partition."""
+    f = _outer_final(_plan(spark, "text_domain_quota_sample"))
+    assert "salt" in f, f
+    salted = [ln for ln in f.split("\n")
+              if "hashpartitioning" in ln and "salt" in ln]
+    assert salted, f
