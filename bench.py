@@ -318,6 +318,7 @@ HEADLINE = [
     "text_domain_quota_sample",
     "events_quantile_sketch_rollup",
     "streaming_quantile_sketch_maintenance",
+    "multimodal_curation_funnel",
     # join_bucketed_no_shuffle: writes BOTH fact tables bucketed
     # (full-table rewrite) before the shuffle-free join it exists to
     # demonstrate — gate-checked + plan-pinned, excluded from the

@@ -2058,12 +2058,18 @@ def _ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def _ahash_oracle() -> str:
+def _ahash_chain_sql(extra_ids_where: str = "") -> str:
+    """The shared aHash CTE chain (ids → pixels → blocks → hashes →
+    bands → candidate pairs → Hamming-verified ``pairs``), reused by
+    the standalone near-dup oracle and the composed curation funnel.
+    ``extra_ids_where`` further restricts the PNG id set (e.g. the
+    funnel's corrupt screen)."""
     return f"""
-    WITH ids AS (
+    ids AS (
       SELECT doc_id AS media_id, doc_id // 15 AS fam,
              (doc_id // 5) % 3 AS v
       FROM documents WHERE ({_MIME_CASE}) = 'image/png'
+      {extra_ids_where}
     ),
     px AS (
       SELECT i.media_id,
@@ -2104,15 +2110,23 @@ def _ahash_oracle() -> str:
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bval = b.bval
        AND b.media_id < a.media_id
-    )
-    SELECT c.a_id, c.b_id,
-           (bit_count(xor(ha.hi, hb.hi))
-            + bit_count(xor(ha.lo, hb.lo)))::BIGINT AS hamming
-    FROM cand c
-    JOIN hashes ha ON ha.media_id = c.a_id
-    JOIN hashes hb ON hb.media_id = c.b_id
-    WHERE bit_count(xor(ha.hi, hb.hi))
-          + bit_count(xor(ha.lo, hb.lo)) <= {AHASH_HAMMING_T}
+    ),
+    pairs AS (
+      SELECT c.a_id, c.b_id,
+             (bit_count(xor(ha.hi, hb.hi))
+              + bit_count(xor(ha.lo, hb.lo)))::BIGINT AS hamming
+      FROM cand c
+      JOIN hashes ha ON ha.media_id = c.a_id
+      JOIN hashes hb ON hb.media_id = c.b_id
+      WHERE bit_count(xor(ha.hi, hb.hi))
+            + bit_count(xor(ha.lo, hb.lo)) <= {AHASH_HAMMING_T}
+    )"""
+
+
+def _ahash_oracle() -> str:
+    return f"""
+    WITH {_ahash_chain_sql()}
+    SELECT a_id, b_id, hamming FROM pairs
     """
 
 
@@ -2141,6 +2155,13 @@ def multimodal_image_ahash_neardup(
     hashes = persist_tracked(
         m.select("media_id").mapInPandas(_ahash_batches, schema=_AHASH_SCHEMA)
     )
+    return _ahash_pairs(hashes)
+
+
+def _ahash_pairs(hashes: DataFrame) -> DataFrame:
+    """(a_id, b_id, hamming ≤ T) pairs from an (media_id, ahash_hi,
+    ahash_lo) frame via the 8-band equi-join — the shared candidate
+    surface of the near-dup rung and the curation funnel."""
     bands = hashes.select(
         "media_id",
         F.explode(
@@ -2356,4 +2377,164 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_table(spark, sf_dir).filter(F.col("mime") == "audio/wav")
     return m.select("media_id").mapInPandas(
         _audio_energy_batches, schema=_AUDE_SCHEMA
+    )
+
+
+# ---- composed media curation funnel --------------------------------------
+#
+# The media sibling of dedup_pipeline_e2e: corrupt screen → perceptual
+# near-dup collapse → survivor accounting, composed from the verified
+# standalone rungs (quarantine's dead-letter routing, the aHash chain,
+# graph.py's star-contraction components) into the one-row shrinkage
+# report a curation run ships. kept_id_sum pins the exact survivor
+# SET cross-engine, not just its size.
+
+
+def _funnel_hash_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per PNG row: synthesize the pattern PNG, CORRUPT the quarantine
+    subset (truncate to 10 bytes — the multimodal_quarantine_report
+    convention), route through the real decode try/except, and aHash
+    the survivors — the funnel's first two screens in ONE pass."""
+    for pdf in batches:
+        out: dict = {
+            "media_id": [], "decode_ok": [], "ahash_hi": [], "ahash_lo": [],
+        }
+        for media_id in pdf["media_id"]:
+            mid = int(media_id)
+            payload = make_png_pattern(mid)
+            if mid % _QUARANTINE_MOD == 0:
+                payload = payload[:10]
+            try:
+                hi, lo = ahash_64(decode_png_pixels(payload))
+                ok = True
+            except (ValueError, NotImplementedError):
+                hi = lo = None
+                ok = False
+            out["media_id"].append(mid)
+            out["decode_ok"].append(ok)
+            out["ahash_hi"].append(hi)
+            out["ahash_lo"].append(lo)
+        yield pd.DataFrame(out)
+
+
+def _mm_funnel_oracle() -> str:
+    chain = _ahash_chain_sql(
+        extra_ids_where=f"AND doc_id % {_QUARANTINE_MOD} <> 0"
+    )
+    return f"""
+    WITH RECURSIVE {chain},
+    png AS (
+      SELECT doc_id AS media_id FROM documents
+      WHERE ({_MIME_CASE}) = 'image/png'
+    ),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ),
+    reach AS (
+      SELECT u AS node, u AS label FROM edges
+      UNION
+      SELECT e.u AS node, r.label
+      FROM edges e JOIN reach r ON r.node = e.v
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    kept AS (
+      SELECT i.media_id FROM ids i
+      LEFT JOIN comp c ON c.node = i.media_id
+      WHERE c.node IS NULL OR c.component = i.media_id
+    )
+    SELECT
+      (SELECT COUNT(*) FROM png)::BIGINT AS n_png,
+      (SELECT COUNT(*) FROM png
+        WHERE media_id % {_QUARANTINE_MOD} = 0)::BIGINT AS n_corrupt,
+      (SELECT COUNT(*) FROM ids)::BIGINT AS n_clean,
+      (SELECT COUNT(*) FROM pairs)::BIGINT AS n_neardup_pairs,
+      (SELECT COUNT(DISTINCT component) FROM comp)::BIGINT
+        AS n_multi_clusters,
+      ((SELECT COUNT(*) FROM ids)
+       - (SELECT COUNT(*) FROM kept))::BIGINT AS n_dropped_neardup,
+      (SELECT COUNT(*) FROM kept)::BIGINT AS n_kept,
+      (SELECT COALESCE(SUM(media_id), 0) FROM kept)::BIGINT AS kept_id_sum
+    """
+
+
+@query("multimodal_curation_funnel", oracle=_mm_funnel_oracle())
+def multimodal_curation_funnel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Composed media curation funnel over the PNG rows: (1) corrupt
+    screen — the quarantine subset's payloads are truncated and must
+    dead-letter through the REAL decode try/except; (2) perceptual
+    collapse — survivors are aHashed (same mapInPandas pass), paired
+    by the banded Hamming join, clustered with the star-contraction
+    components rung, and each cluster keeps its lowest id; (3) the
+    one-row shrinkage report (arrived / corrupt / clean / near-dup
+    pairs / clusters / dropped / kept), with ``kept_id_sum`` pinning
+    the exact survivor set. Every stage is a verified standalone
+    operator (``multimodal_quarantine_report``,
+    ``multimodal_image_ahash_neardup``, ``dedup_cluster_size_
+    histogram``'s components); the funnel is their composition — the
+    artifact an actual media-curation run ships.
+
+    Scale: one mapInPandas pass over PNG rows (decode + hash); pairs
+    shuffle on band keys; star contraction is O(log n) rounds over
+    the pair list; the report aggregates are single-row broadcasts.
+    The oracle recomputes everything from id arithmetic + the
+    recursive-CTE fixpoint."""
+    m = media_table(spark, sf_dir).filter(F.col("mime") == "image/png")
+    rep = persist_tracked(
+        m.select("media_id").mapInPandas(
+            _funnel_hash_batches,
+            "media_id long, decode_ok boolean, ahash_hi long, ahash_lo long",
+        )
+    )
+    clean = rep.filter(F.col("decode_ok")).select(
+        "media_id", "ahash_hi", "ahash_lo"
+    )
+    pairs = persist_tracked(_ahash_pairs(clean))
+    from .graph import connected_components_star
+
+    comp = connected_components_star(pairs.select("a_id", "b_id"))
+    kept = (
+        clean.join(comp, clean.media_id == comp.node, "left")
+        .filter(F.col("node").isNull() | (F.col("label") == F.col("media_id")))
+        .select("media_id")
+    )
+    counts = rep.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_png"),
+        F.sum(F.when(~F.col("decode_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("decode_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clean"),
+    )
+    pstat = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neardup_pairs")
+    )
+    cstat = comp.agg(
+        F.countDistinct("label").cast("bigint").alias("n_multi_clusters")
+    )
+    kstat = kept.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.sum("media_id"), F.lit(0))
+        .cast("bigint")
+        .alias("kept_id_sum"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(pstat))
+        .crossJoin(F.broadcast(cstat))
+        .crossJoin(F.broadcast(kstat))
+        .select(
+            "n_png",
+            "n_corrupt",
+            "n_clean",
+            "n_neardup_pairs",
+            "n_multi_clusters",
+            (F.col("n_clean") - F.col("n_kept")).alias("n_dropped_neardup"),
+            "n_kept",
+            "kept_id_sum",
+        )
     )

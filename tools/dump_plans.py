@@ -101,6 +101,7 @@ SHOWCASE = {
     "multimodal_audio_energy": "real PCM sample decode + frame features in one narrow mapInPandas projection — no shuffle",
     "text_domain_quota_sample": "parse_url host in the scan projection; ONE hash-rank window shuffle on host; partial+final report agg",
     "events_quantile_sketch_rollup": "(type, day, bucket) partials; bounded histogram rows to the second exchange; window cumsum over <=|grid| rows",
+    "multimodal_curation_funnel": "corrupt screen + aHash in ONE mapInPandas pass; banded pair join; star-contraction components; single-row broadcast finish",
     "dedup_semantic_recall_sweep": "screen side banded on cell; ground truth gated to a hash-rank TakeOrdered cohort (K=512) then broadcast NLJ — K^2/2 exact cosines at any corpus size",
 }
 
