@@ -319,6 +319,7 @@ HEADLINE = [
     "events_quantile_sketch_rollup",
     "streaming_quantile_sketch_maintenance",
     "multimodal_curation_funnel",
+    "multimodal_ahash_incremental",
     # join_bucketed_no_shuffle: writes BOTH fact tables bucketed
     # (full-table rewrite) before the shuffle-free join it exists to
     # demonstrate — gate-checked + plan-pinned, excluded from the

@@ -2538,3 +2538,142 @@ def multimodal_curation_funnel(
             "kept_id_sum",
         )
     )
+
+
+# ---- incremental perceptual screen ---------------------------------------
+#
+# Completes the incremental-dedup trilogy: lexical
+# (dedup.dedup_incremental, exact fingerprints), semantic
+# (similarity.dedup_semantic_incremental, embedding cells), and now
+# PERCEPTUAL — the arriving image batch screened against the standing
+# corpus's aHash fingerprints. Same split convention as the other two
+# (media_id % 10 == 0 plays the batch) so the three rungs compose
+# into one daily-ingest story.
+
+AHASH_INCR_MOD = 10
+
+
+def _ahash_incr_oracle() -> str:
+    chain = _ahash_chain_sql()
+    return f"""
+    WITH {chain},
+    b AS (
+      SELECT h.media_id, h.hi, h.lo FROM hashes h
+      WHERE h.media_id % {AHASH_INCR_MOD} = 0
+    ),
+    s AS (
+      SELECT h.media_id, h.hi, h.lo FROM hashes h
+      WHERE h.media_id % {AHASH_INCR_MOD} <> 0
+    ),
+    bb AS (
+      SELECT x.media_id, gb.g AS band,
+             CASE WHEN gb.g < 4 THEN (x.lo >> (8*gb.g)) & 255
+                  ELSE (x.hi >> (8*(gb.g-4))) & 255 END AS bval
+      FROM b x, generate_series(0, {AHASH_BANDS - 1}) gb(g)
+    ),
+    sb AS (
+      SELECT x.media_id, gb.g AS band,
+             CASE WHEN gb.g < 4 THEN (x.lo >> (8*gb.g)) & 255
+                  ELSE (x.hi >> (8*(gb.g-4))) & 255 END AS bval
+      FROM s x, generate_series(0, {AHASH_BANDS - 1}) gb(g)
+    ),
+    icand AS (
+      SELECT DISTINCT bb.media_id AS b_id, sb.media_id AS s_id
+      FROM bb JOIN sb ON bb.band = sb.band AND bb.bval = sb.bval
+    ),
+    matched AS (
+      SELECT c.b_id,
+             MIN(c.s_id) AS dup_of
+      FROM icand c
+      JOIN b ON b.media_id = c.b_id
+      JOIN s ON s.media_id = c.s_id
+      WHERE bit_count(xor(b.hi, s.hi)) + bit_count(xor(b.lo, s.lo))
+            <= {AHASH_HAMMING_T}
+      GROUP BY c.b_id
+    )
+    SELECT x.media_id,
+           (m.b_id IS NULL) AS keep,
+           COALESCE(m.dup_of, -1)::BIGINT AS dup_of
+    FROM b x LEFT JOIN matched m ON m.b_id = x.media_id
+    """
+
+
+@query("multimodal_ahash_incremental", oracle=_ahash_incr_oracle())
+def multimodal_ahash_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily-ingest perceptual dedup: the arriving image batch
+    (media_id % {AHASH_INCR_MOD} == 0, the house incremental split)
+    is aHashed and screened against the STANDING corpus's
+    fingerprints only — a batch image is dropped iff some standing
+    image sits within Hamming ≤ {AHASH_HAMMING_T} (reported as
+    ``dup_of`` = the lowest matching standing id; -1 = novel).
+    Batch-internal near-dups are deliberately NOT this screen's job
+    (they fall to the full ``multimodal_image_ahash_neardup`` sweep)
+    — the same composition contract as ``dedup_incremental`` and
+    ``dedup_semantic_incremental``.
+
+    Scale: the per-day cost is |batch| decode+hash plus a
+    batch-band × standing-band equi-join — the standing fingerprint
+    frame (8 band rows per image, 16 bytes each) is exactly what a
+    media warehouse keeps materialized between ingests; raw standing
+    payloads are never re-read. The verify join moves only (id, hi,
+    lo) triples; AQE broadcasts the batch side while it fits."""
+    m = media_table(spark, sf_dir).filter(F.col("mime") == "image/png")
+    hashes = persist_tracked(
+        m.select("media_id").mapInPandas(_ahash_batches, schema=_AHASH_SCHEMA)
+    )
+    is_batch = F.col("media_id") % AHASH_INCR_MOD == 0
+    b, s = hashes.filter(is_batch), hashes.filter(~is_batch)
+
+    def bandify(df: DataFrame) -> DataFrame:
+        return df.select(
+            "media_id",
+            F.explode(
+                F.expr(
+                    f"""transform(sequence(0, {AHASH_BANDS - 1}),
+                        bd -> struct(
+                        bd AS band,
+                        CASE WHEN bd < 4
+                             THEN shiftright(ahash_lo, 8*bd) & 255
+                             ELSE shiftright(ahash_hi, 8*(bd-4)) & 255
+                        END AS bval))"""
+                )
+            ).alias("t"),
+        ).select("media_id", "t.band", "t.bval")
+
+    icand = (
+        bandify(b)
+        .alias("bb")
+        .join(
+            bandify(s).alias("sb"),
+            (F.col("bb.band") == F.col("sb.band"))
+            & (F.col("bb.bval") == F.col("sb.bval")),
+        )
+        .select(
+            F.col("bb.media_id").alias("b_id"),
+            F.col("sb.media_id").alias("s_id"),
+        )
+        .distinct()
+    )
+    ham = F.expr(
+        "bit_count(bh.ahash_hi ^ sh.ahash_hi)"
+        " + bit_count(bh.ahash_lo ^ sh.ahash_lo)"
+    )
+    matched = (
+        icand.join(b.alias("bh"), F.col("b_id") == F.col("bh.media_id"))
+        .join(s.alias("sh"), F.col("s_id") == F.col("sh.media_id"))
+        .filter(ham <= AHASH_HAMMING_T)
+        .groupBy("b_id")
+        .agg(F.min("s_id").alias("dup_of"))
+    )
+    return (
+        b.select("media_id")
+        .join(matched, F.col("media_id") == F.col("b_id"), "left")
+        .select(
+            "media_id",
+            F.col("b_id").isNull().alias("keep"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).cast("bigint")
+            .alias("dup_of"),
+        )
+    )
