@@ -731,9 +731,13 @@ def test_link_prediction_cap_mode_plan_shapes(spark, monkeypatch):
 
     # executedPlan().toString() prints tree nodes like
     # "+- Filter (d#88L <= 256)" (the "Condition :" form is only in
-    # explain("formatted")).
+    # explain("formatted")). Under AQE the cap predicate can print
+    # with merged conjuncts ("Filter (isnotnull(d#88L) AND (d#88L <=
+    # 256))") depending on runtime stats — match the Filter LINE
+    # containing the cap comparison, not the bare two-token form
+    # (full-suite flake, round 14).
     cap_filter = re.compile(
-        rf"Filter \(d#\d+L <= {LP_CENTER_DEG_CAP}\)"
+        rf"Filter [^\n]*d#\d+L <= {LP_CENTER_DEG_CAP}"
     )
     monkeypatch.setenv(LP_CAP_MODE_ENV, "after")
     final_after = _final(_plan(spark, "graph_link_prediction"))
