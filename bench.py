@@ -706,15 +706,24 @@ def main() -> None:
         )
         if os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT", "") != "1":
             time.sleep(ANCHOR_RETRY_COOLDOWN_SEC)
+        # the protocol's criterion is PROCESS-START state — for the
+        # retry window that means the retry's OWN start: re-sample
+        # load so a host that got busy mid-run can't ride the stale
+        # idle reading into an official tag (round-14 review find).
+        # Cooldown keeps the original sample: the only sweep since is
+        # this run itself, and self-cooldown would make every retry
+        # auto-fail.
+        retry_load1 = os.getloadavg()[0]
         fresh = time_queries(HEADLINE[:FAST_TIER_N])
         timings.update(fresh)
         total = round(sum(timings.values()), 3)
         verdict = tag_run(
-            load1, cooldown, timings, ref_anchor, full_tier=True
+            retry_load1, cooldown, timings, ref_anchor, full_tier=True
         )
         anchor_retry = {
             "first_anchor_ratio": first_ratio,
             "retry_anchor_ratio": verdict.get("anchor_ratio"),
+            "retry_load1": round(retry_load1, 3),
             "outcome": verdict["tag"],
         }
         print(

@@ -2058,6 +2058,36 @@ def _ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+def _bandify(hashes: DataFrame) -> DataFrame:
+    """(media_id, band, bval): explode an (media_id, ahash_hi,
+    ahash_lo) frame into its {AHASH_BANDS} 8-bit bands — THE band
+    extraction, spelled once (the near-dup rung, the curation funnel,
+    and the incremental screen all ride it; editing banding in one
+    place is what keeps the pigeonhole guarantee uniform)."""
+    return hashes.select(
+        "media_id",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(0, {AHASH_BANDS - 1}), b -> struct(
+                    b AS band,
+                    CASE WHEN b < 4 THEN shiftright(ahash_lo, 8*b) & 255
+                         ELSE shiftright(ahash_hi, 8*(b-4)) & 255
+                    END AS bval))"""
+            )
+        ).alias("s"),
+    ).select("media_id", "s.band", "s.bval")
+
+
+def _band_cte_sql(src: str) -> str:
+    """The SQL spelling of ``_bandify`` over a (media_id, hi, lo)
+    CTE — one fragment for every oracle that band-joins."""
+    return f"""
+      SELECT x.media_id, gb.g AS band,
+             CASE WHEN gb.g < 4 THEN (x.lo >> (8*gb.g)) & 255
+                  ELSE (x.hi >> (8*(gb.g-4))) & 255 END AS bval
+      FROM {src} x, generate_series(0, {AHASH_BANDS - 1}) gb(g)"""
+
+
 def _ahash_chain_sql(extra_ids_where: str = "") -> str:
     """The shared aHash CTE chain (ids → pixels → blocks → hashes →
     bands → candidate pairs → Hamming-verified ``pairs``), reused by
@@ -2099,11 +2129,7 @@ def _ahash_chain_sql(extra_ids_where: str = "") -> str:
       FROM blks b JOIN tot t USING (media_id)
       GROUP BY 1
     ),
-    bands AS (
-      SELECT h.media_id, gb.g AS band,
-             CASE WHEN gb.g < 4 THEN (h.lo >> (8*gb.g)) & 255
-                  ELSE (h.hi >> (8*(gb.g-4))) & 255 END AS bval
-      FROM hashes h, generate_series(0, {AHASH_BANDS - 1}) gb(g)
+    bands AS ({_band_cte_sql("hashes")}
     ),
     cand AS (
       SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id
@@ -2162,18 +2188,7 @@ def _ahash_pairs(hashes: DataFrame) -> DataFrame:
     """(a_id, b_id, hamming ≤ T) pairs from an (media_id, ahash_hi,
     ahash_lo) frame via the 8-band equi-join — the shared candidate
     surface of the near-dup rung and the curation funnel."""
-    bands = hashes.select(
-        "media_id",
-        F.explode(
-            F.expr(
-                f"""transform(sequence(0, {AHASH_BANDS - 1}), b -> struct(
-                    b AS band,
-                    CASE WHEN b < 4 THEN shiftright(ahash_lo, 8*b) & 255
-                         ELSE shiftright(ahash_hi, 8*(b-4)) & 255
-                    END AS bval))"""
-            )
-        ).alias("s"),
-    ).select("media_id", "s.band", "s.bval")
+    bands = _bandify(hashes)
     cand = (
         bands.alias("a")
         .join(
@@ -2270,6 +2285,11 @@ def decode_wav_samples(payload: bytes) -> list:
             raw = payload[off + 8 : off + 8 + length]
             if len(raw) != length:
                 raise ValueError("WAV data chunk overruns payload")
+            if length % 2:
+                # odd byte count cannot be int16 samples — without
+                # this guard struct.unpack raises struct.error on a
+                # COMPLETE odd-length chunk (round-14 review find)
+                raise ValueError("WAV data chunk length odd for 16-bit")
             return list(struct.unpack(f"<{length // 2}h", raw))
         off += 8 + length + (length % 2)
     raise ValueError("WAV missing data chunk")
@@ -2565,17 +2585,9 @@ def _ahash_incr_oracle() -> str:
       SELECT h.media_id, h.hi, h.lo FROM hashes h
       WHERE h.media_id % {AHASH_INCR_MOD} <> 0
     ),
-    bb AS (
-      SELECT x.media_id, gb.g AS band,
-             CASE WHEN gb.g < 4 THEN (x.lo >> (8*gb.g)) & 255
-                  ELSE (x.hi >> (8*(gb.g-4))) & 255 END AS bval
-      FROM b x, generate_series(0, {AHASH_BANDS - 1}) gb(g)
+    bb AS ({_band_cte_sql("b")}
     ),
-    sb AS (
-      SELECT x.media_id, gb.g AS band,
-             CASE WHEN gb.g < 4 THEN (x.lo >> (8*gb.g)) & 255
-                  ELSE (x.hi >> (8*(gb.g-4))) & 255 END AS bval
-      FROM s x, generate_series(0, {AHASH_BANDS - 1}) gb(g)
+    sb AS ({_band_cte_sql("s")}
     ),
     icand AS (
       SELECT DISTINCT bb.media_id AS b_id, sb.media_id AS s_id
@@ -2625,28 +2637,11 @@ def multimodal_ahash_incremental(
     )
     is_batch = F.col("media_id") % AHASH_INCR_MOD == 0
     b, s = hashes.filter(is_batch), hashes.filter(~is_batch)
-
-    def bandify(df: DataFrame) -> DataFrame:
-        return df.select(
-            "media_id",
-            F.explode(
-                F.expr(
-                    f"""transform(sequence(0, {AHASH_BANDS - 1}),
-                        bd -> struct(
-                        bd AS band,
-                        CASE WHEN bd < 4
-                             THEN shiftright(ahash_lo, 8*bd) & 255
-                             ELSE shiftright(ahash_hi, 8*(bd-4)) & 255
-                        END AS bval))"""
-                )
-            ).alias("t"),
-        ).select("media_id", "t.band", "t.bval")
-
     icand = (
-        bandify(b)
+        _bandify(b)
         .alias("bb")
         .join(
-            bandify(s).alias("sb"),
+            _bandify(s).alias("sb"),
             (F.col("bb.band") == F.col("sb.band"))
             & (F.col("bb.bval") == F.col("sb.bval")),
         )

@@ -57,6 +57,41 @@ def _read_last_batch_id(state_path: str) -> int | None:
     return None
 
 
+def _gate_replay(state_path: str, batch_id: int | None) -> bool:
+    """Shared entry guard for every gated standing-table merge: heal
+    interrupted swaps, then return True iff this batch id was already
+    applied (the replay no-op)."""
+    _recover_interrupted_swap(state_path)
+    if batch_id is not None:
+        last = _read_last_batch_id(state_path)
+        if last is not None and batch_id <= last:
+            return True
+    return False
+
+
+def _swap_write(
+    merged: DataFrame, state_path: str, batch_id: int | None
+) -> None:
+    """Shared exit of every gated standing-table merge: stage the new
+    table, record the batch-id marker INSIDE it, and atomically
+    rename-swap so a concurrent reader never sees a half-written
+    table and a crash mid-write leaves the old one intact. The crash
+    windows of the swap are exactly what ``_recover_interrupted_swap``
+    heals — keeping both halves in ONE module is what lets a future
+    fix reach every sketch family at once (round-14 review find)."""
+    tmp = state_path + "._staging"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        with open(os.path.join(tmp, _BATCH_MARKER), "w") as f:
+            f.write(str(batch_id))
+    old = state_path + "._old"
+    if os.path.exists(state_path):
+        os.rename(state_path, old)
+    os.rename(tmp, state_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def merge_batch_into_standing(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -74,11 +109,8 @@ def merge_batch_into_standing(
     directory and replays with ``batch_id <= last`` are no-ops, the
     same exactly-once recipe as ``football_stream``'s batch_id-keyed
     overwrite, adapted to a read-modify-write merge."""
-    _recover_interrupted_swap(state_path)
-    if batch_id is not None:
-        last = _read_last_batch_id(state_path)
-        if last is not None and batch_id <= last:
-            return
+    if _gate_replay(state_path, batch_id):
+        return
     batch_agg = batch_df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_b"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_b"),
@@ -108,20 +140,8 @@ def merge_batch_into_standing(
         )
     # Tiny table (|group keys| rows): collect-then-rewrite would also
     # work, but staying in DataFrames keeps the merge plan identical at
-    # any key cardinality. Write to a sibling temp dir then atomically
-    # swap, so a concurrent reader never sees a half-written table and
-    # a crash mid-write leaves the old standing table intact.
-    tmp = state_path + "._staging"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    if batch_id is not None:
-        with open(os.path.join(tmp, _BATCH_MARKER), "w") as f:
-            f.write(str(batch_id))
-    old = state_path + "._old"
-    if os.path.exists(state_path):
-        os.rename(state_path, old)
-    os.rename(tmp, state_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    # any key cardinality.
+    _swap_write(merged, state_path, batch_id)
 
 
 def maintain_event_type_totals(

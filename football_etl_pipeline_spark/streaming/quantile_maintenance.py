@@ -32,15 +32,14 @@ events.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .agg_maintenance import (
-    _BATCH_MARKER,
-    _read_last_batch_id,
+    _gate_replay,
     _recover_interrupted_swap,
+    _swap_write,
 )
 
 # Fixed grid: bucket = floor(value * 4) (quarter-unit buckets). The
@@ -69,11 +68,8 @@ def merge_batch_histogram(
     """SUM one micro-batch's (event_type, bucket) counts into the
     standing histogram table, gated on batch id (counts are NOT
     replay-idempotent — the gate is load-bearing here, not a rider)."""
-    _recover_interrupted_swap(state_path)
-    if batch_id is not None:
-        last = _read_last_batch_id(state_path)
-        if last is not None and batch_id <= last:
-            return
+    if _gate_replay(state_path, batch_id):
+        return
     batch_h = batch_df.select("event_type", bucket_col()).groupBy(
         "event_type", "bucket"
     ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -88,17 +84,7 @@ def merge_batch_histogram(
         )
     else:
         merged = batch_h
-    tmp = state_path + "._staging"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    if batch_id is not None:
-        with open(os.path.join(tmp, _BATCH_MARKER), "w") as f:
-            f.write(str(batch_id))
-    old = state_path + "._old"
-    if os.path.exists(state_path):
-        os.rename(state_path, old)
-    os.rename(tmp, state_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    _swap_write(merged, state_path, batch_id)
 
 
 def maintain_value_histograms(

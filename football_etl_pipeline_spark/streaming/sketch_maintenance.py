@@ -24,15 +24,14 @@ BLOB (~2.5 KiB at lgK=12) as the only payload growth.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .agg_maintenance import (
-    _BATCH_MARKER,
-    _read_last_batch_id,
+    _gate_replay,
     _recover_interrupted_swap,
+    _swap_write,
 )
 
 HLL_LG_K = 12
@@ -46,11 +45,8 @@ def merge_batch_sketches(
 ) -> None:
     """Union one micro-batch's per-type HLL user sketches into the
     standing (event_type, sk, n_events) parquet table."""
-    _recover_interrupted_swap(state_path)
-    if batch_id is not None:
-        last = _read_last_batch_id(state_path)
-        if last is not None and batch_id <= last:
-            return
+    if _gate_replay(state_path, batch_id):
+        return
     batch_sk = batch_df.groupBy("event_type").agg(
         F.expr(f"hll_sketch_agg(user_id, {HLL_LG_K})").alias("sk"),
         F.count(F.lit(1)).alias("n_events"),
@@ -72,17 +68,7 @@ def merge_batch_sketches(
         )
     else:
         merged = batch_sk
-    tmp = state_path + "._staging"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    if batch_id is not None:
-        with open(os.path.join(tmp, _BATCH_MARKER), "w") as f:
-            f.write(str(batch_id))
-    old = state_path + "._old"
-    if os.path.exists(state_path):
-        os.rename(state_path, old)
-    os.rename(tmp, state_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    _swap_write(merged, state_path, batch_id)
 
 
 def maintain_user_distinct_sketches(

@@ -709,21 +709,28 @@ def test_every_decoder_truncation_is_valueerror_corpus_wide():
     (round 14); keeps every future decoder honest."""
     from football_etl_pipeline_spark.operators import multimodal as m
 
+    # (decoder, payload, prefix_ok): HEADER decoders read a fixed
+    # prefix window by design, so decoding a long-enough truncation
+    # is legitimate; CONTENT decoders (pixels/samples/frame walks)
+    # must consume the whole container — for them a successful decode
+    # of any strict prefix means a bounds check was LOST.
     pairs = [
-        (m.decode_png_header, m.make_png(16, 16)),
-        (m.decode_png_pixels, m.make_png_pattern(35)),
-        (m.decode_jpeg_header, m.make_jpeg(64, 48)),
+        (m.decode_png_header, m.make_png(16, 16), True),
+        (m.decode_png_pixels, m.make_png_pattern(35), False),
+        (m.decode_jpeg_header, m.make_jpeg(64, 48), True),
         (
             m.decode_jpeg_exif,
             m.make_jpeg_exif(16, 16, orientation=3, make="cam1"),
+            True,
         ),
-        (m.decode_gif_header, m.make_gif(16, 16)),
-        (m.decode_gif_animation, m.make_gif_animated(16, 16, 3, 7, 2)),
-        (m.decode_wav_header, m.make_wav(64, junk_bytes=5)),
-        (m.decode_wav_samples, m.make_wav_tone(35)),
-        (m.decode_mp4_header, m.make_mp4(320, 240, 1000)),
+        (m.decode_gif_header, m.make_gif(16, 16), True),
+        (m.decode_gif_animation, m.make_gif_animated(16, 16, 3, 7, 2),
+         False),
+        (m.decode_wav_header, m.make_wav(64, junk_bytes=5), True),
+        (m.decode_wav_samples, m.make_wav_tone(35), False),
+        (m.decode_mp4_header, m.make_mp4(320, 240, 1000), True),
     ]
-    for fn, payload in pairs:
+    for fn, payload, prefix_ok in pairs:
         for cut in range(len(payload)):
             try:
                 fn(payload[:cut])
@@ -734,9 +741,24 @@ def test_every_decoder_truncation_is_valueerror_corpus_wide():
                     f"{fn.__name__} cut at {cut}: {type(exc).__name__}:"
                     f" {exc}"
                 )
-            # a successful decode of a PREFIX is fine only if the
-            # container genuinely self-terminates earlier (none of
-            # these do before full length minus trailing pad)
+            if not prefix_ok:
+                pytest.fail(
+                    f"{fn.__name__} decoded a truncated prefix (cut at"
+                    f" {cut} of {len(payload)}) without error"
+                )
+    # and the one non-truncation shape the sweep can't reach: a
+    # COMPLETE data chunk with an odd byte length (round-14 review)
+    import struct as _struct
+
+    wav = bytearray(m.make_wav_tone(35))
+    doff = wav.index(b"data")
+    (dlen,) = _struct.unpack("<I", wav[doff + 4 : doff + 8])
+    wav[doff + 4 : doff + 8] = _struct.pack("<I", 3)
+    odd = bytes(wav[: doff + 8]) + bytes(wav[doff + 8 : doff + 8 + 3])
+    riff_len = len(odd) - 8
+    odd = odd[:4] + _struct.pack("<I", riff_len) + odd[8:]
+    with pytest.raises(ValueError, match="odd"):
+        m.decode_wav_samples(odd)
 
 
 def test_pattern_formulas_match_duckdb_sql():

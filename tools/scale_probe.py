@@ -713,11 +713,20 @@ print(f"KNOBROW {cand} {wall:.2f}")
             [sys.executable, "-c", inner, sf],
             env=env, capture_output=True, text=True,
         )
-        for ln in r.stdout.splitlines():
-            if ln.startswith("KNOBROW"):
-                _, cand, wall = ln.split()
-                rows.append((sf, cells or "8 (default)", int(cand),
-                             float(wall)))
+        got = [ln for ln in r.stdout.splitlines()
+               if ln.startswith("KNOBROW")]
+        if r.returncode != 0 or not got:
+            # a silently missing row would read as "nothing to
+            # report" — fail loudly instead (round-14 review find)
+            raise RuntimeError(
+                f"knob probe subprocess failed for {sf} cells={cells}:"
+                f" rc={r.returncode}\n{r.stderr[-2000:]}"
+            )
+        _, cand, wall = got[-1].split()
+        from football_etl_pipeline_spark.operators.similarity import IVF_K
+
+        rows.append((sf, cells or f"{IVF_K} (default)", int(cand),
+                     float(wall)))
     lines = [
         "",
         "## Round-14: SEMDEDUP_CELLS knob at the production setting",
