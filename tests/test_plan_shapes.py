@@ -1463,3 +1463,18 @@ def test_domain_quota_topk_is_salted_two_phase(spark):
     salted = [ln for ln in f.split("\n")
               if "hashpartitioning" in ln and "salt" in ln]
     assert salted, f
+
+
+def test_curation_funnel_and_incremental_band_joins(spark):
+    """The two newest aHash consumers must keep the banded candidate
+    surface: no cartesian over data-sized frames anywhere in the
+    funnel, and the incremental screen's batch×standing join runs on
+    the (band, bval) key — losing either silently reverts to all-pairs
+    at corpus scale."""
+    for name in (
+        "multimodal_curation_funnel",
+        "multimodal_ahash_incremental",
+    ):
+        f = _outer_final(_plan(spark, name))
+        assert "CartesianProduct" not in f, (name, f)
+        assert "bval" in f, (name, f)
