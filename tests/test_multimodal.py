@@ -778,15 +778,38 @@ def test_pattern_formulas_match_duckdb_sql():
     con = duckdb.connect()
     rows = con.execute(
         """
-        SELECT i.g AS mid, x.g AS x, y.g AS y,
-               ((i.g // 15)*53 + x.g*7 + y.g*11
-                + ((x.g*y.g + i.g // 15) % 13)*17
-                + CASE WHEN ((y.g // 4) * 8 + x.g // 4) % 29
-                            = (((i.g // 5) % 3)*7) % 29
-                       THEN 120 ELSE 0 END) % 256 AS val
-        FROM generate_series(0, 495, 5) i(g),
-             generate_series(0, 31, 3) x(g),
-             generate_series(0, 31, 3) y(g)
+        WITH g AS (
+          SELECT i.g AS mid, x.g AS x, y.g AS y,
+                 i.g // 15 AS fam, (i.g // 5) % 3 AS v,
+                 ((y.g // 4) * 8 + x.g // 4) AS blk
+          FROM generate_series(0, 495, 5) i(g),
+               generate_series(0, 31, 3) x(g),
+               generate_series(0, 31, 3) y(g)
+        ),
+        s1 AS (
+          SELECT *, (fam*2654435761 + blk*1315423911) % 4294967296 AS h1
+          FROM g
+        ),
+        s3 AS (
+          SELECT *, (xor(h1 >> 16, h1) * 73244475) % 4294967296 AS h3
+          FROM s1
+        ),
+        e AS (
+          SELECT *,
+                 (xor(h3 >> 16, h3)
+                  + CASE WHEN blk % (CASE v WHEN 0 THEN 29 WHEN 1 THEN 23
+                                     ELSE 17 END)
+                              = (v*7 + fam) % (CASE v WHEN 0 THEN 29
+                                               WHEN 1 THEN 23 ELSE 17 END)
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN v = 2 AND fam % 3 = 0 AND blk = fam % 64
+                         THEN 1 ELSE 0 END) % 2 AS eff
+          FROM s3
+        )
+        SELECT mid, x, y,
+               eff*140 + (x % 4)*7 + (y % 4)*11
+               + ((x*y + fam) % 13)*3 AS val
+        FROM e
         """
     ).fetchall()
     assert rows
