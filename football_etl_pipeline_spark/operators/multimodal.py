@@ -2454,6 +2454,193 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- video content rung: frame deltas / scene cuts ----------------------
+#
+# multimodal_video_meta walks ftyp/moov metadata; this rung decodes
+# FRAME CONTENT for real — the mdat carries a raw uncompressed
+# grayscale frame track (the shape a codec-free container can hold;
+# a production build swaps the slicer for av.decode behind the same
+# seam), and the features are the ones video curation screens on:
+# per-frame brightness sums, frame-to-frame deltas, and scene cuts
+# (delta above threshold). Frame pixels are exact integer functions
+# of (media_id, frame, x, y) with NO mod-256 wrap, so the oracle
+# recomputes every sum from frame-grain arithmetic: the per-frame
+# texture sums to a constant (1920) and the base fill is a
+# scene-piecewise formula — completing the content-decode matrix
+# (image aHash, audio PCM energy, video frame deltas).
+
+VIDEO_FRAME_W = 16                       # frame side; raw 8-bit gray
+VIDEO_FRAME_BYTES = VIDEO_FRAME_W * VIDEO_FRAME_W
+VIDEO_FPS = 25
+VIDEO_CUT_SUM_THRESH = VIDEO_FRAME_BYTES * 30  # Δframe_sum above = cut
+_VIDF_NFRAMES_MOD = 7                    # n_frames = 8 + media_id % 7
+_VIDF_TEXTURE_SUM = 1920                 # Σ (x + 2y) % 16 over a frame
+
+
+def _video_frame_fill(media_id: int, f: int) -> int:
+    """Per-frame base brightness both engines share: a scene base
+    that advances every 5 frames (phase-shifted by media_id — the
+    planted cuts, |Δ| ∈ [65, 135]) plus a ≤ 6 per-frame jitter, so
+    within-scene deltas stay far below the cut threshold (30) and
+    scene transitions land far above. Max pixel 240 — no wrap."""
+    return (
+        20
+        + (media_id * 37 + ((media_id + f) // 5) * 71) % 200
+        + (media_id + f * 13) % 7
+    )
+
+
+def make_mp4_frames(media_id: int) -> bytes:
+    """Real MP4 whose ``mdat`` carries the deterministic raw
+    grayscale frame track: pixel (x, y) of frame f is
+    ``fill(media_id, f) + (x + 2y) % 16``. Container header comes
+    from ``make_mp4`` (same ftyp/moov chain the metadata rung
+    decodes); only the empty mdat is replaced with the frame data."""
+    import struct
+
+    n_frames = 8 + media_id % _VIDF_NFRAMES_MOD
+    head = make_mp4(
+        VIDEO_FRAME_W,
+        VIDEO_FRAME_W,
+        duration_ms=n_frames * 1000 // VIDEO_FPS,
+    )
+    # make_mp4 ends with an empty mdat box (8 bytes) — swap it for
+    # the real one
+    body = b"".join(
+        bytes(
+            _video_frame_fill(media_id, f) + (x + 2 * y) % 16
+            for y in range(VIDEO_FRAME_W)
+            for x in range(VIDEO_FRAME_W)
+        )
+        for f in range(n_frames)
+    )
+    return head[:-8] + struct.pack(">I", 8 + len(body)) + b"mdat" + body
+
+
+def decode_mp4_frames(payload: bytes) -> list:
+    """Stdlib-only FRAME decode (the depth rung past
+    ``decode_mp4_header``): validates the whole container through the
+    header walk (any truncated box raises there), then walks the
+    top-level boxes to ``mdat`` and slices it into fixed-size raw
+    frames. ValueError on missing/misaligned mdat — the dead-letter
+    contract; every strict prefix of a valid payload fails (pinned by
+    the corpus-wide truncation sweep)."""
+    import struct
+
+    decode_mp4_header(payload)  # full container validation
+    off, mdat = 0, None
+    while off + 8 <= len(payload):
+        size, btype = struct.unpack(">I4s", payload[off : off + 8])
+        body_off = off + 8
+        if size == 1:
+            if off + 16 > len(payload):
+                raise ValueError("MP4 truncated largesize box header")
+            (size,) = struct.unpack(">Q", payload[off + 8 : off + 16])
+            body_off = off + 16
+        elif size == 0:
+            size = len(payload) - off
+        if size < 8 or off + size > len(payload):
+            raise ValueError(f"MP4 box {btype!r} overruns container")
+        if btype == b"mdat":
+            mdat = payload[body_off : off + size]
+            break
+        off += size
+    if mdat is None:
+        raise ValueError("MP4 missing mdat box")
+    if not mdat or len(mdat) % VIDEO_FRAME_BYTES:
+        raise ValueError("MP4 mdat not aligned to raw frame size")
+    return [
+        mdat[i : i + VIDEO_FRAME_BYTES]
+        for i in range(0, len(mdat), VIDEO_FRAME_BYTES)
+    ]
+
+
+_VIDF_SCHEMA = (
+    "media_id long, frame_idx long, frame_sum long, delta_sum long,"
+    " is_cut boolean"
+)
+
+
+def _video_frame_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    cols = ("media_id", "frame_idx", "frame_sum", "delta_sum", "is_cut")
+    for pdf in batches:
+        out: dict = {k: [] for k in cols}
+        for media_id in pdf["media_id"]:
+            mid = int(media_id)
+            frames = decode_mp4_frames(make_mp4_frames(mid))
+            prev = None
+            for f, fr in enumerate(frames):
+                s = sum(fr)
+                d = 0 if prev is None else abs(s - prev)
+                out["media_id"].append(mid)
+                out["frame_idx"].append(f)
+                out["frame_sum"].append(s)
+                out["delta_sum"].append(d)
+                out["is_cut"].append(
+                    prev is not None and d > VIDEO_CUT_SUM_THRESH
+                )
+                prev = s
+        yield pd.DataFrame(out)
+
+
+def _video_frames_oracle() -> str:
+    fill = (
+        "(20 + (i.media_id*37 + ((i.media_id + g.g) // 5) * 71) % 200"
+        " + (i.media_id + g.g * 13) % 7)"
+    )
+    return f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id,
+             (8 + doc_id % {_VIDF_NFRAMES_MOD})::BIGINT AS nf
+      FROM documents WHERE ({_MIME_CASE}) = 'video/mp4'
+    ),
+    fr AS (
+      SELECT i.media_id, g.g AS frame_idx,
+             ({VIDEO_FRAME_BYTES} * {fill}
+              + {_VIDF_TEXTURE_SUM})::BIGINT AS frame_sum
+      FROM ids i, generate_series(0, 14) g(g)
+      WHERE g.g < i.nf
+    )
+    SELECT media_id, frame_idx, frame_sum,
+           COALESCE(ABS(frame_sum - LAG(frame_sum) OVER w), 0)::BIGINT
+             AS delta_sum,
+           COALESCE(frame_idx > 0
+                    AND ABS(frame_sum - LAG(frame_sum) OVER w)
+                        > {VIDEO_CUT_SUM_THRESH}, FALSE) AS is_cut
+    FROM fr WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)
+    """
+
+
+@query("multimodal_video_frame_features", oracle=_video_frames_oracle())
+def multimodal_video_frame_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Video CONTENT features by real frame decode (completing the
+    content matrix: image aHash, audio PCM energy, now video): every
+    video/mp4 row synthesizes its deterministic raw-frame track as a
+    real MP4 (ftyp + moov + data-carrying mdat), decodes it back
+    through the stdlib box walk + frame slicer inside one Arrow
+    ``mapInPandas`` pass, and reports the per-frame screens a video
+    curation pipeline runs — brightness sum, frame-to-frame delta,
+    and scene-cut flags (delta > {VIDEO_CUT_SUM_THRESH}). The frame
+    texture sums to a constant and the base fill is scene-piecewise,
+    so the oracle recomputes every sum/delta/cut from frame-grain
+    integer arithmetic without touching a byte — a regression in the
+    box walk, mdat slicing, frame ordering, or the delta window
+    breaks the value hash.
+
+    Scale: one narrow mapInPandas 1→n_frames expansion over the mp4
+    rows, no shuffle (the frame fan-out stays inside the Arrow pass);
+    a codec-equipped build swaps the slicer for av.decode behind the
+    same seam and keeps the plumbing, exactly like the audio rung."""
+    m = media_table(spark, sf_dir).filter(F.col("mime") == "video/mp4")
+    return m.select("media_id").mapInPandas(
+        _video_frame_batches, schema=_VIDF_SCHEMA
+    )
+
+
 # ---- composed media curation funnel --------------------------------------
 #
 # The media sibling of dedup_pipeline_e2e: corrupt screen → perceptual
@@ -2733,6 +2920,15 @@ def multimodal_ahash_incremental(
     s = read_fingerprints(spark, state).select(
         "media_id", "ahash_hi", "ahash_lo"
     )
+    return _ahash_screen(b, s)
+
+
+def _ahash_screen(b: DataFrame, s: DataFrame) -> DataFrame:
+    """(media_id, keep, dup_of) screen of batch hashes ``b`` against
+    standing fingerprints ``s`` (both (media_id, ahash_hi, ahash_lo))
+    — the banded daily-screen plan, spelled once for the registered
+    incremental query and the scale probe's batch-proportionality
+    measurement."""
     icand = (
         _bandify(b)
         .alias("bb")

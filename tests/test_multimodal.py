@@ -729,6 +729,7 @@ def test_every_decoder_truncation_is_valueerror_corpus_wide():
         (m.decode_wav_header, m.make_wav(64, junk_bytes=5), True),
         (m.decode_wav_samples, m.make_wav_tone(35), False),
         (m.decode_mp4_header, m.make_mp4(320, 240, 1000), True),
+        (m.decode_mp4_frames, m.make_mp4_frames(35), False),
     ]
     for fn, payload, prefix_ok in pairs:
         for cut in range(len(payload)):
@@ -828,3 +829,60 @@ def test_pattern_formulas_match_duckdb_sql():
     ).fetchall()
     for mid, f, amp in arows:
         assert amp == _audio_frame_amp(mid, f), (mid, f)
+
+
+def test_mp4_frame_decode_roundtrip_and_cuts():
+    """decode_mp4_frames must return exactly the raw frame track the
+    encoder wrote (lossless round trip — what lets the video oracle
+    recompute sums from frame arithmetic), the per-frame sums must
+    match the closed form 256*fill + texture, and the planted scene
+    cuts must clear the threshold while within-scene jitter stays
+    far below it."""
+    from football_etl_pipeline_spark.operators.multimodal import (
+        VIDEO_CUT_SUM_THRESH,
+        VIDEO_FRAME_BYTES,
+        _VIDF_TEXTURE_SUM,
+        _video_frame_fill,
+        decode_mp4_frames,
+        decode_mp4_header,
+        make_mp4_frames,
+    )
+
+    for mid in (4, 35, 123, 4004):
+        payload = make_mp4_frames(mid)
+        # the metadata rung still reads the same container
+        head = decode_mp4_header(payload)
+        assert head["width"] == head["height"] == 16
+        frames = decode_mp4_frames(payload)
+        assert len(frames) == 8 + mid % 7
+        prev = None
+        saw_cut = saw_still = False
+        for f, fr in enumerate(frames):
+            assert len(fr) == VIDEO_FRAME_BYTES
+            s = sum(fr)
+            want = (
+                VIDEO_FRAME_BYTES * _video_frame_fill(mid, f)
+                + _VIDF_TEXTURE_SUM
+            )
+            assert s == want, (mid, f)
+            if prev is not None:
+                d = abs(s - prev)
+                if d > VIDEO_CUT_SUM_THRESH:
+                    saw_cut = True
+                else:
+                    saw_still = True
+                    # within-scene jitter is ≤ 6 fill units
+                    assert d <= VIDEO_FRAME_BYTES * 6
+            prev = s
+        assert saw_cut and saw_still, mid
+
+    # misaligned mdat dead-letters (complete container, bad track)
+    import struct
+
+    p = bytearray(make_mp4_frames(35))
+    # chop one byte off the mdat while fixing its declared size
+    moff = p.index(b"mdat") - 4
+    (msize,) = struct.unpack(">I", p[moff : moff + 4])
+    p[moff : moff + 4] = struct.pack(">I", msize - 1)
+    with pytest.raises(ValueError, match="aligned"):
+        decode_mp4_frames(bytes(p[:-1]))
