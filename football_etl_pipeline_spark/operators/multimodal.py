@@ -2680,15 +2680,15 @@ def _funnel_hash_batches(
         yield pd.DataFrame(out)
 
 
-def _mm_funnel_oracle() -> str:
-    chain = _ahash_chain_sql(
-        extra_ids_where=f"AND doc_id % {_QUARANTINE_MOD} <> 0"
-    )
-    return f"""
-    WITH RECURSIVE {chain},
+# The near-dup COLLAPSE as a reusable CTE chain over the aHash
+# ``pairs``/``ids`` CTEs: undirected edges → recursive reachability →
+# min-label components → kept survivors (component minimum or
+# untouched singleton). Shared by the funnel and the cross-modal
+# paired report so their survivor sets cannot drift.
+_AHASH_COLLAPSE_CTES = """
     png AS (
       SELECT doc_id AS media_id FROM documents
-      WHERE ({_MIME_CASE}) = 'image/png'
+      WHERE ({mime_case}) = 'image/png'
     ),
     edges AS (
       SELECT a_id AS u, b_id AS v FROM pairs
@@ -2705,7 +2705,16 @@ def _mm_funnel_oracle() -> str:
       SELECT i.media_id FROM ids i
       LEFT JOIN comp c ON c.node = i.media_id
       WHERE c.node IS NULL OR c.component = i.media_id
+    )"""
+
+
+def _mm_funnel_oracle() -> str:
+    chain = _ahash_chain_sql(
+        extra_ids_where=f"AND doc_id % {_QUARANTINE_MOD} <> 0"
     )
+    return f"""
+    WITH RECURSIVE {chain},
+    {_AHASH_COLLAPSE_CTES.format(mime_case=_MIME_CASE)}
     SELECT
       (SELECT COUNT(*) FROM png)::BIGINT AS n_png,
       (SELECT COUNT(*) FROM png
@@ -2963,4 +2972,160 @@ def _ahash_screen(b: DataFrame, s: DataFrame) -> DataFrame:
             F.coalesce(F.col("dup_of"), F.lit(-1)).cast("bigint")
             .alias("dup_of"),
         )
+    )
+
+
+# ---- cross-modal paired curation -----------------------------------------
+#
+# The corpus carries documents, embeddings, AND media keyed by doc_id,
+# but until round 15 no query JOINED the text and media curation
+# decisions. This is the composition a multimodal training-data
+# pipeline actually ships: a doc/image pair enters training iff its
+# TEXT survives the three production text screens (gopher ∧ CCNet
+# terciles ∧ DSIR — textops.curation_doc_verdicts, the exact frame
+# text_curation_report aggregates) AND its IMAGE survives the media
+# funnel (decode screen ∧ aHash near-dup collapse — the exact rungs
+# multimodal_curation_funnel composes). Both sides reuse the shared
+# helpers/CTE fragments, so this report cannot drift from either
+# standalone funnel.
+
+
+def _crossmodal_oracle() -> str:
+    from .textops import _CURATION_VERDICT_CTES
+
+    chain = _ahash_chain_sql(
+        extra_ids_where=f"AND doc_id % {_QUARANTINE_MOD} <> 0"
+    )
+    return f"""
+    WITH RECURSIVE {chain},
+    {_AHASH_COLLAPSE_CTES.format(mime_case=_MIME_CASE)},
+    tkeep AS (
+      SELECT doc_id,
+             pass_gopher * pass_quality * pass_dsir AS text_keep
+      FROM ({_CURATION_VERDICT_CTES}
+            SELECT doc_id, pass_gopher, pass_quality, pass_dsir
+            FROM verdict)
+    ),
+    media AS (
+      SELECT p.media_id AS doc_id,
+             CASE WHEN p.media_id % {_QUARANTINE_MOD} = 0 THEN 0
+                  WHEN k.media_id IS NULL THEN 0 ELSE 1 END AS media_keep
+      FROM png p LEFT JOIN kept k ON k.media_id = p.media_id
+    ),
+    paired AS (
+      SELECT m.doc_id, m.media_keep, t.text_keep
+      FROM media m JOIN tkeep t ON t.doc_id = m.doc_id
+    )
+    SELECT COUNT(*)::BIGINT AS n_paired,
+           SUM(text_keep)::BIGINT AS n_text_keep,
+           SUM(media_keep)::BIGINT AS n_media_keep,
+           SUM(text_keep * media_keep)::BIGINT AS n_keep_both,
+           SUM(text_keep * (1 - media_keep))::BIGINT AS n_text_only,
+           SUM((1 - text_keep) * media_keep)::BIGINT AS n_media_only,
+           SUM((1 - text_keep) * (1 - media_keep))::BIGINT
+             AS n_drop_both,
+           COALESCE(SUM(CASE WHEN text_keep * media_keep = 1
+                             THEN doc_id END), 0)::BIGINT AS kept_id_sum
+    FROM paired
+    """
+
+
+@query("crossmodal_paired_curation", oracle=_crossmodal_oracle())
+def crossmodal_paired_curation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Paired text×media curation decision for every doc/PNG pair:
+    text_keep = the three-screen text verdict
+    (``textops.curation_doc_verdicts`` — gopher rules ∧ per-language
+    LM terciles ∧ DSIR importance), media_keep = the media funnel
+    verdict (real decode screen over the corrupted quarantine subset
+    ∧ aHash near-dup collapse keeping each cluster's lowest id). The
+    one-row report counts the 2×2 outcome grid — pairs kept by both,
+    text-only, media-only, dropped by both — and ``kept_id_sum`` pins
+    the exact both-keep survivor set cross-engine. Sources of
+    text/media disagreement (clean prose with near-dup imagery, crisp
+    images with junk captions) are exactly what a multimodal curation
+    run audits before training.
+
+    Composition: the text side is the SAME per-doc verdict frame
+    ``text_curation_report`` aggregates; the media side reuses the
+    funnel's decode+hash pass, banded pairing, and star-contraction
+    collapse — no screen is re-implemented, so the paired report
+    cannot drift from the standalone funnels (the oracle likewise
+    splices ``_CURATION_VERDICT_CTES`` and ``_AHASH_COLLAPSE_CTES``).
+
+    Scale: text screens are token-aggregate joins on doc_id; the
+    media side is one mapInPandas pass over PNG rows + the band-key
+    pair shuffle; the final join is doc_id ⋈ doc_id co-partitioned,
+    collapsing to a one-row broadcast aggregate."""
+    from .graph import connected_components_star
+    from .textops import curation_doc_verdicts
+
+    tkeep = curation_doc_verdicts(spark, sf_dir).select(
+        "doc_id",
+        (
+            F.col("pass_gopher")
+            * F.col("pass_quality")
+            * F.col("pass_dsir")
+        ).alias("text_keep"),
+    )
+    m = media_table(spark, sf_dir).filter(F.col("mime") == "image/png")
+    rep = persist_tracked(
+        m.select("media_id").mapInPandas(
+            _funnel_hash_batches,
+            "media_id long, decode_ok boolean, ahash_hi long, ahash_lo long",
+        )
+    )
+    clean = rep.filter(F.col("decode_ok")).select(
+        "media_id", "ahash_hi", "ahash_lo"
+    )
+    pairs = persist_tracked(_ahash_pairs(clean))
+    comp = connected_components_star(pairs.select("a_id", "b_id"))
+    kept = (
+        clean.join(comp, clean.media_id == comp.node, "left")
+        .filter(
+            F.col("node").isNull() | (F.col("label") == F.col("media_id"))
+        )
+        .select(F.col("media_id").alias("kept_id"))
+    )
+    media = (
+        rep.select("media_id", "decode_ok")
+        .join(kept, rep.media_id == kept.kept_id, "left")
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.when(
+                F.col("decode_ok") & F.col("kept_id").isNotNull(), 1
+            )
+            .otherwise(0)
+            .alias("media_keep"),
+        )
+    )
+    paired = media.join(tkeep, "doc_id")
+    return paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paired"),
+        F.sum("text_keep").cast("bigint").alias("n_text_keep"),
+        F.sum("media_keep").cast("bigint").alias("n_media_keep"),
+        F.sum(F.col("text_keep") * F.col("media_keep"))
+        .cast("bigint")
+        .alias("n_keep_both"),
+        F.sum(F.col("text_keep") * (1 - F.col("media_keep")))
+        .cast("bigint")
+        .alias("n_text_only"),
+        F.sum((1 - F.col("text_keep")) * F.col("media_keep"))
+        .cast("bigint")
+        .alias("n_media_only"),
+        F.sum((1 - F.col("text_keep")) * (1 - F.col("media_keep")))
+        .cast("bigint")
+        .alias("n_drop_both"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("text_keep") * F.col("media_keep") == 1,
+                    F.col("doc_id"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("kept_id_sum"),
     )

@@ -3788,10 +3788,13 @@ def _gopher_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- composed curation decision report -----------------------------------
 
-
-@query(
-    "text_curation_report",
-    oracle=f"""{_GOPHER_DOC_CTE},
+# The per-document outcome of the three production text screens as
+# ONE reusable CTE chain ending in ``verdict (doc_id, source,
+# pass_gopher, pass_quality, pass_dsir)`` — shared by
+# ``text_curation_report`` and the cross-modal paired report
+# (operators/multimodal.crossmodal_paired_curation) so the two can
+# never drift.
+_CURATION_VERDICT_CTES = f"""{_GOPHER_DOC_CTE},
     g AS (
       SELECT doc_id, source,
              CASE WHEN f_wc + f_mwl + f_sym + f_alpha + f_stop = 0
@@ -3817,14 +3820,20 @@ def _gopher_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ({_DSIR_DOCW_CTE} SELECT doc_id, logw FROM docw)
     ),
     verdict AS (
-      SELECT g.source,
+      SELECT g.doc_id,
+             g.source,
              g.pass_gopher,
              COALESCE(q.pass_quality, 0) AS pass_quality,
              CASE WHEN dsir.logw > 0 THEN 1 ELSE 0 END AS pass_dsir
       FROM g
       LEFT JOIN q ON q.doc_id = g.doc_id
       LEFT JOIN dsir ON dsir.doc_id = g.doc_id
-    )
+    )"""
+
+
+@query(
+    "text_curation_report",
+    oracle=f"""{_CURATION_VERDICT_CTES}
     SELECT source,
            COUNT(*)::BIGINT AS n_docs,
            SUM(pass_gopher)::BIGINT AS n_pass_gopher,
@@ -3861,6 +3870,30 @@ def text_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     standalone operators use; the three doc-level frames join on
     doc_id (co-partitioned hash joins) into a 20-group rollup.
     Everything partial-aggregates; nothing is driver-bound."""
+    verdict = curation_doc_verdicts(spark, sf_dir)
+    return verdict.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pass_gopher").alias("n_pass_gopher"),
+        F.sum("pass_quality").alias("n_pass_quality"),
+        F.sum("pass_dsir").alias("n_pass_dsir"),
+        F.sum(
+            F.col("pass_gopher")
+            * F.col("pass_quality")
+            * F.col("pass_dsir")
+        ).alias("n_keep"),
+        F.expr(
+            "CAST(CAST(CAST(SUM(pass_gopher * pass_quality * pass_dsir)"
+            " AS DOUBLE) / COUNT(*) AS DECIMAL(18,9)) AS DOUBLE)"
+        ).alias("keep_rate"),
+    )
+
+
+def curation_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, pass_gopher, pass_quality, pass_dsir) — the
+    per-document outcome of the three production text screens, the
+    Spark twin of ``_CURATION_VERDICT_CTES``. Shared by
+    ``text_curation_report`` and the cross-modal paired report so
+    their text-keep decisions cannot drift."""
     gop = _gopher_doc_flags(spark, sf_dir).select(
         "doc_id",
         "source",
@@ -3900,30 +3933,16 @@ def text_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dsir = _dsir_docw(spark, sf_dir).select("doc_id", "logw")
-    verdict = (
+    return (
         gop.join(q, "doc_id", "left")
         .join(dsir, "doc_id", "left")
         .select(
+            "doc_id",
             "source",
             "pass_gopher",
             F.coalesce("pass_quality", F.lit(0)).alias("pass_quality"),
             F.when(F.col("logw") > 0, 1).otherwise(0).alias("pass_dsir"),
         )
-    )
-    return verdict.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("pass_gopher").alias("n_pass_gopher"),
-        F.sum("pass_quality").alias("n_pass_quality"),
-        F.sum("pass_dsir").alias("n_pass_dsir"),
-        F.sum(
-            F.col("pass_gopher")
-            * F.col("pass_quality")
-            * F.col("pass_dsir")
-        ).alias("n_keep"),
-        F.expr(
-            "CAST(CAST(CAST(SUM(pass_gopher * pass_quality * pass_dsir)"
-            " AS DOUBLE) / COUNT(*) AS DECIMAL(18,9)) AS DOUBLE)"
-        ).alias("keep_rate"),
     )
 
 

@@ -969,584 +969,6 @@ def round15() -> None:
     print("\n".join(lines))
 
 
-def round13() -> None:
-    """Probe rows for the round-12 iterative heavies (r12 verdict
-    task #2), APPENDED to SCALE.md like the 100x validation:
-
-    - ``text_unigram_lm_train`` / ``text_unigram_segment_stats``:
-      their scale argument is that EM/DP rounds run on the word-TYPE
-      frame, not the corpus — so the probe measures BOTH the type
-      count and the wall at 1x vs 10x. The synthetic corpus is the
-      Heaps'-law WORST case (copy vocabularies fully disjoint →
-      types grow exactly linearly); real corpora grow types
-      sublinearly, so a ~linear wall bound here is conservative.
-    - ``eval_bradley_terry_ratings``: the data-sized half is one
-      stride self-join; every MM round runs on ≤|sources|² aggregate
-      frames that do NOT grow with the corpus (copies reuse the same
-      20 source labels), so wall must grow ~linearly and rows stay 20.
-    - ``dedup_semantic_incremental``: the claim is per-day cost ~
-      |batch|, not |corpus|. Probe: FIXED 10x corpus, standing
-      membership materialized (the warehouse state, untimed), then
-      the batch-side screen (assign + cell join + cosine verify)
-      measured at batch = 1% vs 10% of the corpus — candidates and
-      wall must track the 10x batch ratio, not the constant corpus.
-    """
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from football_etl_pipeline_spark.operators import (
-        QUERIES,
-        similarity as sim,
-        textops,
-    )
-    from football_etl_pipeline_spark.operators.registry import (
-        persist_tracked,
-        release_persists,
-    )
-    from football_etl_pipeline_spark.session import get_spark
-    from football_etl_pipeline_spark.sources.testdata import load_table
-
-    copies = 10
-    spark = get_spark("scale_probe_r13")
-    big = build_synthetic(spark, copies)
-
-    def measure(fn, d):
-        t0 = time.time()
-        n = fn(d).count()
-        wall = time.time() - t0
-        release_persists()
-        return n, round(wall, 2)
-
-    def word_types(d) -> int:
-        return (
-            load_table(spark, d, "documents")
-            .repartition(spark.sparkContext.defaultParallelism)
-            .select(F.explode(F.expr(textops.TOKENS_SPARK)).alias("w"))
-            .distinct()
-            .count()
-        )
-
-    types1 = word_types(BASE_SF)
-    typesN = word_types(big)
-    print(f"# word types: 1x={types1} {copies}x={typesN} "
-          f"growth/linear={typesN / types1 / copies:.2f}")
-
-    text_rows = []
-    for name in (
-        "text_unigram_lm_train",
-        "text_unigram_segment_stats",
-        "eval_bradley_terry_ratings",
-    ):
-        qfn = QUERIES[name]
-        qfn(spark, "/root/testdata/sf0.001").count()
-        release_persists()
-        n1, w1 = measure(lambda d: qfn(spark, d), BASE_SF)
-        nN, wN = measure(lambda d: qfn(spark, d), big)
-        wg = wN / w1 / copies if w1 else float("nan")
-        text_rows.append((name, n1, nN, w1, wN, round(wg, 2)))
-        print(f"# {name}: wall 1x={w1}s {copies}x={wN}s "
-              f"wall-growth/linear={wg:.2f}")
-
-    def incr_screen(mod: int):
-        """Batch-side screen cost on the FIXED 10x corpus: standing
-        membership + quantizer are warehouse state (untimed); timed =
-        batch assignment + cell join vs standing + cosine verify —
-        exactly the per-ingest work of dedup_semantic_incremental."""
-        eall = persist_tracked(sim._normed(spark, big))
-        eall.count()
-        standing = eall.filter(F.col("vec_id") % mod != 0)
-        cents = sim._train_centroids(spark, standing, sim.KMEANS_ITERS)
-        cent = sim._cent_df(spark, cents)
-        ccos = F.expr(sim._dot_spark("v", "cv")) / (
-            F.col("nrm") * F.col("cnrm")
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("ccos").desc(), F.col("c_id").asc()
-        )
-
-        def memb_of(df):
-            return (
-                df.join(F.broadcast(cent))
-                .withColumn("ccos", ccos)
-                .withColumn("crank", F.row_number().over(w))
-                .filter(F.col("crank") <= sim.SEMDEDUP_NPROBE)
-                .select("vec_id", "v", "nrm", F.col("c_id").alias("cell"))
-            )
-
-        m_stand = persist_tracked(memb_of(standing))
-        m_stand.count()  # materialized standing membership — untimed
-        batch = eall.filter(F.col("vec_id") % mod == 0)
-        n_batch = batch.count()
-        t0 = time.time()
-        cand = (
-            memb_of(batch)
-            .alias("b")
-            .join(m_stand.alias("s"), F.col("b.cell") == F.col("s.cell"))
-        )
-        n_cand = cand.count()
-        bcos = F.expr(sim._dot_spark("b.v", "s.v")) / (
-            F.col("b.nrm") * F.col("s.nrm")
-        )
-        n_drop = (
-            cand.filter(bcos >= sim.SEMDEDUP_TAU)
-            .select(F.col("b.vec_id"))
-            .distinct()
-            .count()
-        )
-        wall = round(time.time() - t0, 2)
-        release_persists()
-        return n_batch, n_cand, n_drop, wall
-
-    incr_rows = []
-    for mod in (100, 10):  # batch = 1% then 10% of the fixed corpus
-        nb, nc, nd, wl = incr_screen(mod)
-        incr_rows.append((mod, nb, nc, nd, wl))
-        print(f"# incr screen mod={mod}: batch={nb} candidates={nc} "
-              f"dropped={nd} wall={wl}s")
-    (m1, b1, c1, _d1, w1), (m2, b2, c2, _d2, w2) = incr_rows
-    batch_ratio = b2 / b1 if b1 else float("nan")
-    cand_ratio = c2 / c1 if c1 else float("nan")
-    wall_ratio = w2 / w1 if w1 else float("nan")
-
-    lines = [
-        "",
-        "## Round-13: iterative heavies (type-frame and batch-bound "
-        "claims, measured)",
-        "",
-        f"Word types on the content-disjoint corpus: 1x={types1}, "
-        f"{copies}x={typesN} (growth/linear="
-        f"{typesN / types1 / copies:.2f} — the synthetic construction "
-        "is the Heaps'-law WORST case: copy vocabularies are fully "
-        "disjoint, so types grow exactly linearly; real corpora grow "
-        "types sublinearly, making the wall bounds below conservative).",
-        "",
-        "| query | rows 1x | rows "
-        f"{copies}x | wall 1x (s) | wall {copies}x (s) | "
-        "wall growth / linear |",
-        "|---|---|---|---|---|---|",
-    ]
-    for name, n1, nN, w1_, wN, wg in text_rows:
-        lines.append(f"| {name} | {n1} | {nN} | {w1_} | {wN} | {wg} |")
-    lines += [
-        "",
-        "Incremental semantic screen, FIXED "
-        f"{copies}x corpus ({copies * 2000} vectors), standing "
-        "membership materialized (warehouse state, untimed); timed = "
-        "batch assignment + cell join + cosine verify — the per-ingest "
-        "work. Candidates and wall must track |batch|, not |corpus|:",
-        "",
-        "| batch fraction | batch size | candidates | wall (s) |",
-        "|---|---|---|---|",
-        f"| 1/{m1} | {b1} | {c1} | {w1} |",
-        f"| 1/{m2} | {b2} | {c2} | {w2} |",
-        "",
-        f"batch ratio {batch_ratio:.1f}x -> candidates "
-        f"{cand_ratio:.1f}x, wall {wall_ratio:.1f}x — per-day cost "
-        "tracks the batch, the standing corpus enters only through "
-        "the (materialized) membership it is screened against.",
-    ]
-    with open(os.path.join(REPO, "SCALE.md"), "a") as f:
-        f.write("\n".join(lines) + "\n")
-    print("\n".join(lines))
-
-
-def round13b() -> None:
-    """Wall-growth rows for the round-13 composed heavies (the two
-    slowest new bench lines), appended to SCALE.md:
-
-    - ``dedup_semantic_recall_sweep``: its candidate side is the
-      probed SemDeDup banding; the ground-truth all-pairs side is a
-      measurement harness that IS quadratic by design (documented:
-      run on a fixed-size sample at scale) — so the probe reports the
-      wall split honestly rather than pretending the whole query is
-      linear.
-    - ``dedup_keep_best_quality``: composes the probed Jaccard pairs
-      + star components with one quality projection and per-component
-      windows — wall must track the (linear) candidate volume.
-    """
-    from football_etl_pipeline_spark.operators import QUERIES
-    from football_etl_pipeline_spark.operators.registry import (
-        release_persists,
-    )
-    from football_etl_pipeline_spark.session import get_spark
-
-    copies = 10
-    spark = get_spark("scale_probe_r13b")
-    big = build_synthetic(spark, copies)
-
-    def measure(fn, d):
-        t0 = time.time()
-        n = fn(d).count()
-        wall = time.time() - t0
-        release_persists()
-        return n, round(wall, 2)
-
-    rows = []
-    for name in (
-        "dedup_keep_best_quality",
-        "dedup_semantic_recall_sweep",
-    ):
-        qfn = QUERIES[name]
-        qfn(spark, "/root/testdata/sf0.001").count()
-        release_persists()
-        n1, w1 = measure(lambda d: qfn(spark, d), BASE_SF)
-        nN, wN = measure(lambda d: qfn(spark, d), big)
-        wg = wN / w1 / copies if w1 else float("nan")
-        rows.append((name, n1, nN, w1, wN, round(wg, 2)))
-        print(f"# {name}: wall 1x={w1}s {copies}x={wN}s "
-              f"wall-growth/linear={wg:.2f}")
-
-    lines = [
-        "",
-        "## Round-13b: the new composed heavies",
-        "",
-        "`dedup_keep_best_quality` composes the probed Jaccard +",
-        "star-component rungs with a quality projection and",
-        "per-component windows — wall must track the linear candidate",
-        "volume. `dedup_semantic_recall_sweep` carries a deliberately",
-        "quadratic MEASUREMENT side (brute-force ground truth, run on",
-        "a fixed-size sample at production scale per its docstring);",
-        "its growth row documents that trade explicitly instead of",
-        "hiding it — superlinear wall here is the harness, the",
-        "screen side stays banded (SemDeDup rows above).",
-        "",
-        f"| query | rows 1x | rows {copies}x | wall 1x (s) | "
-        f"wall {copies}x (s) | wall growth / linear |",
-        "|---|---|---|---|---|---|",
-    ]
-    for name, n1, nN, w1, wN, wg in rows:
-        lines.append(f"| {name} | {n1} | {nN} | {w1} | {wN} | {wg} |")
-    with open(os.path.join(REPO, "SCALE.md"), "a") as f:
-        f.write("\n".join(lines) + "\n")
-    print("\n".join(lines))
-
-
-def round14() -> None:
-    """Re-measure ``dedup_semantic_recall_sweep`` after the round-14
-    in-query ground-truth cohort cap (hash-rank top-K, K=512): the
-    truth side is now K²/2 exact cosines at ANY corpus size, so the
-    Round-13b 1.9×/linear wall (11.1s → 211.0s at 10×) should
-    collapse to ~linear — only the banded screen side still grows."""
-    from football_etl_pipeline_spark.operators import QUERIES
-    from football_etl_pipeline_spark.operators.registry import (
-        release_persists,
-    )
-    from football_etl_pipeline_spark.session import get_spark
-
-    copies = 10
-    spark = get_spark("scale_probe_r14")
-    big = build_synthetic(spark, copies)
-    name = "dedup_semantic_recall_sweep"
-    qfn = QUERIES[name]
-    qfn(spark, "/root/testdata/sf0.001").count()
-    release_persists()
-
-    def measure(d):
-        t0 = time.time()
-        n = qfn(spark, d).count()
-        wall = time.time() - t0
-        release_persists()
-        return n, round(wall, 2)
-
-    n1, w1 = measure(BASE_SF)
-    nN, wN = measure(big)
-    wg = wN / w1 / copies if w1 else float("nan")
-    lines = [
-        "",
-        "## Round-14: recall-sweep ground truth capped in-query",
-        "",
-        "The Round-13b row measured the sweep's brute-force ground",
-        "truth at 1.9x/linear wall (the harness was honest but",
-        "unbounded). Round 14 moves the fixed-size sample INSIDE the",
-        "registered query: a deterministic hash-rank cohort of",
-        "K=512 vec_ids (the text_uniform_sample pattern) gates the",
-        "exact-cosine join, so the truth side is K^2/2 pairs at any",
-        "corpus size; the banded screen side is unchanged.",
-        "",
-        f"| query | rows 1x | rows {copies}x | wall 1x (s) | "
-        f"wall {copies}x (s) | wall growth / linear |",
-        "|---|---|---|---|---|---|",
-        f"| {name} | {n1} | {nN} | {w1} | {wN} | {round(wg, 2)} |",
-    ]
-    with open(os.path.join(REPO, "SCALE.md"), "a") as f:
-        f.write("\n".join(lines) + "\n")
-    print("\n".join(lines))
-
-
-def round14_knob() -> None:
-    """The SEMDEDUP_CELLS env knob exercised END-TO-END at the
-    production setting: the REGISTERED dedup_semantic_clusters query
-    runs in subprocesses (the knob is import-time, consumed by both
-    the Spark plan and the oracle text) — 1× corpus at the default
-    K=8, 10× corpus at K=80 (K∝n). Candidate volume per doc should
-    stay ~flat (n·P²/K constant), the fixed-K failure mode the
-    SemDeDup SCALE rows document being dialed away by config instead
-    of code."""
-    import subprocess
-
-    spark = None  # all work happens in subprocesses
-    inner = r'''
-import sys, time
-sys.path.insert(0, "/root/repo")
-from football_etl_pipeline_spark.session import get_spark
-from football_etl_pipeline_spark.operators import similarity
-from football_etl_pipeline_spark.operators.registry import release_persists
-spark = get_spark("knob_probe")
-sf = sys.argv[1]
-similarity.dedup_semantic_clusters(spark, "/root/testdata/sf0.001").count()
-release_persists()
-t0 = time.time()
-cand = similarity.dedup_semantic_clusters(spark, sf, candidates_only=True).count()
-wall = time.time() - t0
-print(f"KNOBROW {cand} {wall:.2f}")
-'''
-    # build the 10x corpus with a throwaway session first
-    from football_etl_pipeline_spark.session import get_spark
-
-    big = build_synthetic(get_spark("knob_probe_build"), 10)
-    rows = []
-    for sf, cells in ((BASE_SF, None), (big, "80")):
-        env = dict(os.environ)
-        env.pop("SPARK_GRAFT_SEMDEDUP_CELLS", None)
-        if cells:
-            env["SPARK_GRAFT_SEMDEDUP_CELLS"] = cells
-        r = subprocess.run(
-            [sys.executable, "-c", inner, sf],
-            env=env, capture_output=True, text=True,
-        )
-        got = [ln for ln in r.stdout.splitlines()
-               if ln.startswith("KNOBROW")]
-        if r.returncode != 0 or not got:
-            # a silently missing row would read as "nothing to
-            # report" — fail loudly instead (round-14 review find)
-            raise RuntimeError(
-                f"knob probe subprocess failed for {sf} cells={cells}:"
-                f" rc={r.returncode}\n{r.stderr[-2000:]}"
-            )
-        _, cand, wall = got[-1].split()
-        from football_etl_pipeline_spark.operators.similarity import IVF_K
-
-        rows.append((sf, cells or f"{IVF_K} (default)", int(cand),
-                     float(wall)))
-    lines = [
-        "",
-        "## Round-14: SEMDEDUP_CELLS knob at the production setting",
-        "",
-        "The K∝n dial, now an env knob (SPARK_GRAFT_SEMDEDUP_CELLS)",
-        "read by BOTH the registered Spark plan and its oracle:",
-        "10x corpus at K=80 vs 1x at the default K=8 — candidate",
-        "volume per doc stays ~flat instead of growing 10x.",
-        "",
-        "| corpus | cells | candidate pairs | cand/doc | wall (s) |",
-        "|---|---|---|---|---|",
-    ]
-    n_docs = {BASE_SF: 2000, big: 20000}
-    for sf, cells, cand, wall in rows:
-        nd = n_docs.get(sf, 0)
-        lines.append(
-            f"| {'1x' if sf == BASE_SF else '10x'} | {cells} | {cand} |"
-            f" {cand / nd:.1f} | {wall} |"
-        )
-    with open(os.path.join(REPO, "SCALE.md"), "a") as f:
-        f.write("\n".join(lines) + "\n")
-    print("\n".join(lines))
-
-
-def round14b() -> None:
-    """Wall-growth rows for the round-14 additions that scan the
-    documents/embeddings corpus — aHash near-dup (banded Hamming
-    candidates must grow ~linearly: each content-disjoint copy
-    reproduces its own band collisions), per-domain quota sampling
-    (one window + one agg — linear), and the quantile sketch rollup
-    (bounded histogram rows — the 10x corpus only grows the FIRST
-    aggregate's input). events/documents synthetic corpora reuse
-    build_synthetic / build_synthetic_events."""
-    from football_etl_pipeline_spark.operators import QUERIES
-    from football_etl_pipeline_spark.operators.registry import (
-        release_persists,
-    )
-    from football_etl_pipeline_spark.session import get_spark
-
-    copies = 10
-    spark = get_spark("scale_probe_r14b")
-    big_docs = build_synthetic(spark, copies)
-    big_events = build_synthetic_events(spark, copies)
-
-    def measure(name, d):
-        qfn = QUERIES[name]
-        t0 = time.time()
-        n = qfn(spark, d).count()
-        wall = time.time() - t0
-        release_persists()
-        return n, round(wall, 2)
-
-    rows = []
-    for name, big in (
-        ("multimodal_image_ahash_neardup", big_docs),
-        ("text_domain_quota_sample", big_docs),
-        ("events_quantile_sketch_rollup", big_events),
-    ):
-        QUERIES[name](spark, "/root/testdata/sf0.001").count()
-        release_persists()
-        n1, w1 = measure(name, BASE_SF)
-        nN, wN = measure(name, big)
-        wg = wN / w1 / copies if w1 else float("nan")
-        rows.append((name, n1, nN, w1, wN, round(wg, 2)))
-        print(f"# {name}: wall 1x={w1}s {copies}x={wN}s "
-              f"growth/linear={wg:.2f}")
-
-    lines = [
-        "",
-        "## Round-14b: the new corpus-scanning additions",
-        "",
-        "aHash near-dup candidates come from 8-bit band buckets —",
-        "content-disjoint copies reproduce the 1x collision structure",
-        "(cross-copy band collisions add only exact-Hamming-verified",
-        "rejects). Domain quota is one window + one agg. The quantile",
-        "rollup's second stage is bounded by the grid, so only the",
-        "first aggregate sees the 10x corpus.",
-        "",
-        f"| query | rows 1x | rows {copies}x | wall 1x (s) | "
-        f"wall {copies}x (s) | wall growth / linear |",
-        "|---|---|---|---|---|---|",
-    ]
-    for name, n1, nN, w1, wN, wg in rows:
-        lines.append(f"| {name} | {n1} | {nN} | {w1} | {wN} | {wg} |")
-    with open(os.path.join(REPO, "SCALE.md"), "a") as f:
-        f.write("\n".join(lines) + "\n")
-    print("\n".join(lines))
-
-
-
-
-def round15() -> None:
-    """Round-15 probe rows (VERDICT r14 items 1 & 5), appended to
-    SCALE.md:
-
-    - ``multimodal_image_ahash_neardup`` at 1x vs 100x — the second
-      decade the widened fixture unlocks. The old base pattern
-      repeated mod ~3328 families, so a 100x corpus manufactured
-      cross-copy true pairs quadratically and the decade measured the
-      FIXTURE, not the banding. With the murmur-mixed per-(family,
-      block) bitmap, cross-family collisions are ~zero and pair
-      growth must be ~linear in copies.
-    - the incremental perceptual screen's |batch| claim: FIXED 10x
-      corpus, standing fingerprint STORE materialized once through
-      the gated maintenance merge (the warehouse state, untimed),
-      then the daily screen (batch decode + band join against the
-      store read) measured at batch = 1% vs 10% of the corpus —
-      wall must track the ~10x batch ratio, not the constant corpus
-      (the pre-store plan re-decoded standing payloads, so both
-      walls were identical and corpus-sized).
-    """
-    import tempfile
-
-    from pyspark.sql import functions as F
-
-    from football_etl_pipeline_spark.operators import QUERIES
-    from football_etl_pipeline_spark.operators import multimodal as mm
-    from football_etl_pipeline_spark.operators.registry import (
-        persist_tracked,
-        release_persists,
-    )
-    from football_etl_pipeline_spark.session import get_spark
-    from football_etl_pipeline_spark.streaming.ahash_maintenance import (
-        merge_batch_fingerprints,
-        read_fingerprints,
-    )
-
-    spark = get_spark("scale_probe_r15")
-    lines = [
-        "",
-        "## Round-15: aHash second decade + batch-proportional "
-        "incremental screen",
-        "",
-    ]
-
-    # ---- probe 1: the 100x decade ------------------------------------
-    copies = 100
-    big = build_synthetic(spark, copies)
-    name = "multimodal_image_ahash_neardup"
-    QUERIES[name](spark, "/root/testdata/sf0.001").count()
-    release_persists()
-    t0 = time.time()
-    n1 = QUERIES[name](spark, BASE_SF).count()
-    w1 = round(time.time() - t0, 2)
-    release_persists()
-    t0 = time.time()
-    nN = QUERIES[name](spark, big).count()
-    wN = round(time.time() - t0, 2)
-    release_persists()
-    pg = round(nN / n1 / copies, 2) if n1 else float("nan")
-    wg = round(wN / w1 / copies, 2) if w1 else float("nan")
-    print(f"# {name}: pairs 1x={n1} 100x={nN} pair-growth/linear={pg}"
-          f" wall 1x={w1}s 100x={wN}s wall-growth/linear={wg}")
-    lines += [
-        "The widened fixture (murmur-mixed per-(family, block) base "
-        "bitmap, round 15) makes true-pair density constant in corpus "
-        "size, so this decade measures BANDING:",
-        "",
-        "| rung | pairs 1x | pairs 100x | pair growth / linear | "
-        "wall 1x (s) | wall 100x (s) | wall growth / linear |",
-        "|---|---|---|---|---|---|---|",
-        f"| {name} | {n1} | {nN} | {pg} | {w1} | {wN} | {wg} |",
-    ]
-
-    # ---- probe 2: screen cost tracks |batch|, not |corpus| -----------
-    big10 = build_synthetic(spark, 10)
-    m = (
-        mm.media_table(spark, big10)
-        .filter(F.col("mime") == "image/png")
-        .select("media_id")
-    )
-    state = os.path.join(tempfile.mkdtemp(prefix="r15_ahash_fp_"), "fp")
-    # warehouse state: standing fingerprints maintained at prior
-    # ingests (untimed — the store pre-exists the daily run)
-    merge_batch_fingerprints(
-        spark, m.filter(F.col("media_id") % 100 >= 10), state, batch_id=0
-    )
-    s = read_fingerprints(spark, state).select(
-        "media_id", "ahash_hi", "ahash_lo"
-    )
-
-    def screen(batch_filter):
-        t0 = time.time()
-        b = persist_tracked(
-            m.filter(batch_filter).mapInPandas(
-                mm._ahash_batches, schema=mm._AHASH_SCHEMA
-            )
-        )
-        n = mm._ahash_screen(b, s).count()
-        w = round(time.time() - t0, 2)
-        release_persists()
-        return n, w
-
-    screen(F.col("media_id") % 100 == 1)  # warm the screen path
-    n1p, w1p = screen(F.col("media_id") % 100 == 0)   # 1% batch
-    n10p, w10p = screen(F.col("media_id") % 100 < 10)  # 10% batch
-    ratio = round(w10p / w1p, 2) if w1p else float("nan")
-    print(f"# ahash incremental screen: 1%={w1p}s ({n1p} rows) "
-          f"10%={w10p}s ({n10p} rows) wall-ratio={ratio} (batch 10x)")
-    lines += [
-        "",
-        "Incremental screen on a FIXED 10x corpus, standing store "
-        "pre-materialized: per-run cost must follow the batch size.",
-        "",
-        "| batch | screen rows | wall (s) |",
-        "|---|---|---|",
-        f"| 1% of corpus | {n1p} | {w1p} |",
-        f"| 10% of corpus | {n10p} | {w10p} |",
-        "",
-        f"wall ratio {ratio} for a 10x batch on an unchanged corpus "
-        "- the screen pays |batch| decode+hash plus the band join; "
-        "the standing side is a fingerprint-store read, never a "
-        "payload re-decode.",
-    ]
-    with open(os.path.join(REPO, "SCALE.md"), "a") as f:
-        f.write("\n".join(lines) + "\n")
-    print("\n".join(lines))
-
-
 def main() -> None:
     copies = 10
     if "--copies" in sys.argv:
