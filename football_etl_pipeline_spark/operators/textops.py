@@ -5602,6 +5602,173 @@ def text_packing_boundary_report(
     )
 
 
+# ---- context-window packing EXECUTION (first-fit-decreasing) -------------
+#
+# text_packing_boundary_report MEASURES the fragmentation of naive
+# concat-and-cut; this operator RUNS the better packer — first-fit-
+# decreasing into fixed {PACK_CTX}-token windows, independently per
+# substream (partition-parallel bins, the shard-manifest scale
+# recipe) — and emits the packed-window manifest a training run's
+# data loader actually consumes: one row per window with its doc
+# count, used/wasted tokens, and the doc_id sum pinning the exact
+# doc→window assignment. FFD is inherently sequential per substream,
+# so the Spark side runs it as a per-group Python loop inside
+# ``applyInPandas`` (64 groups × ~n/64 docs — embarrassingly
+# parallel, never a global sort), and the oracle replays the same
+# placement order step-by-step in a recursive CTE carrying the bins'
+# remaining capacities as a list.
+
+PACK_SUBSTREAMS = 64
+
+
+def _ffd_oracle() -> str:
+    # NULLIF guard: DuckDB's list_position returns 0 (not NULL) when
+    # nothing matches — without it the ELSE branch indexes rems[0]
+    # and the working lists blow up exponentially.
+    pos = (
+        "NULLIF(list_position("
+        "list_transform(r.rems, x -> x >= dd.n_tok), true), 0)"
+    )
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, doc_id % {PACK_SUBSTREAMS} AS substream,
+             CAST(len({TOKENS_DUCK}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    eligible AS (
+      SELECT * FROM toks WHERE n_tok > 0 AND n_tok <= {PACK_CTX}
+    ),
+    ranked AS MATERIALIZED (
+      SELECT doc_id, substream, n_tok,
+             ROW_NUMBER() OVER (
+               PARTITION BY substream ORDER BY n_tok DESC, doc_id
+             ) AS rnk
+      FROM eligible
+    ),
+    psteps AS (
+      SELECT substream, MAX(rnk) AS n_steps FROM ranked GROUP BY 1
+    ),
+    rec AS (
+      SELECT s.substream, 0 AS step,
+             CAST([] AS BIGINT[]) AS rems,
+             CAST([] AS BIGINT[]) AS assigned
+      FROM psteps s
+      UNION ALL
+      SELECT r.substream, r.step + 1,
+             CASE WHEN {pos} IS NULL
+                  THEN r.rems || [{PACK_CTX} - dd.n_tok]
+                  ELSE list_slice(r.rems, 1, {pos} - 1)
+                       || [r.rems[{pos}] - dd.n_tok]
+                       || list_slice(r.rems, {pos} + 1, len(r.rems))
+             END,
+             r.assigned || [COALESCE({pos}, len(r.rems) + 1)]
+      FROM rec r JOIN ranked dd
+        ON dd.substream = r.substream AND dd.rnk = r.step + 1
+    ),
+    pfinal AS (
+      SELECT r.substream, r.assigned
+      FROM rec r JOIN psteps s
+        ON s.substream = r.substream AND r.step = s.n_steps
+    ),
+    passign AS (
+      SELECT f.substream, f.assigned[g.g] AS bin_seq, g.g AS rnk
+      FROM pfinal f, generate_series(1, 1000000) g(g)
+      WHERE g.g <= len(f.assigned)
+    ),
+    perdoc AS (
+      SELECT a.substream, a.bin_seq, d.doc_id, d.n_tok
+      FROM passign a JOIN ranked d
+        ON d.substream = a.substream AND d.rnk = a.rnk
+    )
+    SELECT substream, bin_seq,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tok)::BIGINT AS used_tokens,
+           ({PACK_CTX} - SUM(n_tok))::BIGINT AS waste_tokens,
+           SUM(doc_id)::BIGINT AS doc_id_sum
+    FROM perdoc GROUP BY 1, 2
+    """
+
+
+def _ffd_pack_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """First-fit-decreasing over ONE substream's documents: sort by
+    (n_tok DESC, doc_id), place each doc into the first window with
+    room, open a new window when none fits. The (n_tok, doc_id) sort
+    key makes placement — and therefore the manifest — deterministic
+    and engine-reproducible."""
+    import pandas as pd
+
+    ss = int(pdf["substream"].iloc[0])
+    docs = sorted(
+        zip(pdf["n_tok"], pdf["doc_id"]),
+        key=lambda p: (-int(p[0]), int(p[1])),
+    )
+    rems: list = []
+    content: list = []
+    for nt, did in docs:
+        nt, did = int(nt), int(did)
+        for i, rem in enumerate(rems):
+            if rem >= nt:
+                rems[i] -= nt
+                content[i].append((did, nt))
+                break
+        else:
+            rems.append(PACK_CTX - nt)
+            content.append([(did, nt)])
+    out: dict = {
+        "substream": [], "bin_seq": [], "n_docs": [],
+        "used_tokens": [], "waste_tokens": [], "doc_id_sum": [],
+    }
+    for i, c in enumerate(content):
+        used = sum(n for _, n in c)
+        out["substream"].append(ss)
+        out["bin_seq"].append(i + 1)
+        out["n_docs"].append(len(c))
+        out["used_tokens"].append(used)
+        out["waste_tokens"].append(PACK_CTX - used)
+        out["doc_id_sum"].append(sum(d for d, _ in c))
+    return pd.DataFrame(out)
+
+
+@query("text_packing_execute", oracle=_ffd_oracle())
+def text_packing_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the boundary-respecting packer: first-fit-decreasing
+    into fixed {PACK_CTX}-token context windows, independently per
+    ``doc_id % {PACK_SUBSTREAMS}`` substream. Emits the packed-window
+    manifest (one row per window: doc count, used/wasted tokens, and
+    ``doc_id_sum`` pinning the exact doc→window assignment) — the
+    artifact a training data loader consumes, where
+    ``text_packing_boundary_report`` only measures what naive
+    concat-and-cut would fragment. Documents longer than the context
+    (none in this corpus, but the contract matters) route OUT to the
+    chunking path the boundary report models; empty documents pack
+    nothing — both engines apply the same eligibility filter.
+
+    Exactness: token counts, capacities, and the (n_tok DESC, doc_id)
+    placement order are integers, so the manifest is bit-identical to
+    the oracle's step-by-step recursive-CTE replay of the same FFD.
+
+    Scale: FFD is sequential ONLY within a substream — the groupBy
+    shuffles once on the substream key and each group runs its
+    Python loop over ~n/{PACK_SUBSTREAMS} docs inside Arrow
+    ``applyInPandas``; no global sort, no single task ever sees the
+    corpus (plan-pinned). Substream boundaries cost at most one
+    underfull window each — measured fill 0.946 at sf0.1 vs 1.0 for
+    concat-and-cut, the price of ZERO document fragmentation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SUBSTREAMS).alias("substream"),
+        F.expr(f"CAST(size({TOKENS_SPARK}) AS BIGINT)").alias("n_tok"),
+    ).filter((F.col("n_tok") > 0) & (F.col("n_tok") <= PACK_CTX))
+    return toks.groupBy("substream").applyInPandas(
+        _ffd_pack_group,
+        schema=(
+            "substream long, bin_seq long, n_docs long,"
+            " used_tokens long, waste_tokens long, doc_id_sum long"
+        ),
+    )
+
+
 # ---- calibration report (reliability diagram + ECE) ----------------------
 #
 # A quality classifier that gates training data must be CALIBRATED,

@@ -1512,3 +1512,15 @@ def test_ahash_incremental_decodes_batch_only_reads_store(spark):
             nodes |= set(re.findall(r"MapInPandas \((\d+)\)", ln))
     assert len(nodes) == 1, (nodes, full)
     assert "ahash_fp_store" in full, full
+
+
+def test_packing_execute_partition_parallel_no_global_sort(spark):
+    """The FFD packer must stay partition-parallel: one hash exchange
+    on the substream key feeding per-group Python, never a range
+    exchange / global sort (a single task must never see the corpus
+    — the whole point of substream bins)."""
+    f = _outer_final(_plan(spark, "text_packing_execute"))
+    assert "rangepartitioning" not in f, f
+    assert "substream" in f, f
+    salted = [ln for ln in f.split("\n") if "hashpartitioning" in ln]
+    assert any("substream" in ln for ln in salted), f
