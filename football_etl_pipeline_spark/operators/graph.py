@@ -33,9 +33,13 @@ def connected_components(edges: DataFrame, src: str = "a_id", dst: str = "b_id")
     """(node, component) for every node in ``edges``; the component id
     is the minimum node id reachable. Undirected. One shuffle per
     iteration; converges in O(diameter) iterations."""
-    sym = edges.select(
+    # r15: materialize the input pair list once — the symmetric union
+    # reads it twice with mirrored projections (no exchange reuse), so
+    # an un-cut input re-ran the whole candidate pipeline per branch.
+    edges0 = edges.select(F.col(src), F.col(dst)).localCheckpoint()
+    sym = edges0.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    ).union(edges0.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     sym = sym.distinct().localCheckpoint()
 
     labels = (
@@ -60,7 +64,11 @@ def connected_components(edges: DataFrame, src: str = "a_id", dst: str = "b_id")
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()  # cut lineage: the plan must not grow per iteration
+            # cut lineage (the plan must not grow per iteration);
+            # eager=False: the changed-count action right below is the
+            # iteration's materializing job (r15 — one job per round,
+            # not two).
+            .localCheckpoint(eager=False)
         )
         changed = (
             updated.alias("n")
@@ -103,8 +111,15 @@ def connected_components_star(
     (count + bit_xor of xxhash64; XOR can't overflow and the edge set
     is distinct, so no pair cancellation) — one tiny aggregate per
     round instead of a full except-join."""
+    # r15: materialize the INPUT pair list once — ``e`` and
+    # ``all_nodes`` are both cheap derivations of it, and without the
+    # shared cut each one re-executed the whole upstream candidate
+    # pipeline (shingle explode + self-join) from scratch: two full
+    # pair computations per components query (guide §2.4 — remove
+    # recompute, not just shuffles).
+    edges0 = edges.select(F.col(src), F.col(dst)).localCheckpoint()
     e = (
-        edges.select(
+        edges0.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
             F.least(F.col(src), F.col(dst)).alias("v"),
         )
@@ -113,8 +128,8 @@ def connected_components_star(
         .localCheckpoint()
     )
     all_nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        edges0.select(F.col(src).alias("node"))
+        .union(edges0.select(F.col(dst).alias("node")))
         .distinct()
         .localCheckpoint()
     )
@@ -154,7 +169,12 @@ def connected_components_star(
             .filter(F.col("u") != F.col("v"))
             .union(minsS.select(F.col("u"), F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint()
+            # eager=False: the checksum aggregate right below is the
+            # round's materializing action — an eager checkpoint would
+            # pay one extra no-op job per round just to count the rows
+            # the checksum is about to read (r15, guide §1.2 step 1:
+            # fewer sequential driver round-trips per iteration).
+            .localCheckpoint(eager=False)
         )
         e = small
         cur = checksum(e)
@@ -603,6 +623,11 @@ def graph_khop_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
+            # eager stays: the per-hop probe is isEmpty(), which only
+            # materializes the first non-empty partition — a lazy
+            # checkpoint would leave the cache partially built and the
+            # next hop would recompute the rest (measured 2.1→2.7s
+            # with eager=False in r15; reverted).
             .localCheckpoint()
         )
         frontier = merged.filter(F.col("dist") == hop + 1)
@@ -811,9 +836,16 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .events import events_interval_overlap_join
 
     pairs = events_interval_overlap_join(spark, sf_dir)
+    # r15: materialize the edge list ONCE (the khop/kcore rule). The
+    # plan reads it through sym (both wedge sides), the degree frame,
+    # the adjacency anti-join, and both endpoint degree joins — before
+    # this cut the sessionize→overlap-join subtree appeared 8× in the
+    # physical plan (62 Exchanges, zero reuse; measured 11.0s → the
+    # checkpoint collapses every reader to a cheap scan, guide §2.4).
     edges = (
         pairs.select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
         .distinct()
+        .localCheckpoint()
     )
     sym = edges.union(edges.select(F.col("v"), F.col("u"))).toDF(
         "src", "dst"
@@ -1074,13 +1106,19 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .events import events_interval_overlap_join
 
     pairs = events_interval_overlap_join(spark, sf_dir)
+    # r15: edge list materialized once (sym's two mirrored projections
+    # get no exchange reuse), and the (tiny) degree frame persisted —
+    # the histogram and the broadcast total both read it; before the
+    # cuts each reader re-derived the overlap join (guide §2.4).
     edges = pairs.select(
         F.col("user_a").alias("u"), F.col("user_b").alias("v")
-    ).distinct()
+    ).distinct().localCheckpoint()
     sym = edges.select(F.col("u").alias("src")).union(
         edges.select(F.col("v").alias("src"))
     )
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    deg = persist_tracked(
+        sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    )
     tot = deg.agg(F.count(F.lit(1)).alias("n"))
     return (
         deg.select(
@@ -1160,14 +1198,22 @@ def graph_degree_assortativity(
     from .events import events_interval_overlap_join
 
     pairs = events_interval_overlap_join(spark, sf_dir)
+    # r15: edge list materialized once — sym (2 reads), the degree
+    # aggregate, and both decorate joins otherwise each re-derive the
+    # overlap join (guide §2.4); sym and deg are then persisted so the
+    # two endpoint joins share one degree computation.
     edges = pairs.select(
         F.col("user_a").alias("u"), F.col("user_b").alias("v")
-    ).distinct()
-    sym = edges.union(edges.select(F.col("v"), F.col("u"))).toDF(
-        "src", "dst"
+    ).distinct().localCheckpoint()
+    sym = persist_tracked(
+        edges.union(edges.select(F.col("v"), F.col("u"))).toDF(
+            "src", "dst"
+        )
     )
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d")).toDF(
-        "node", "d"
+    deg = persist_tracked(
+        sym.groupBy("src").agg(F.count(F.lit(1)).alias("d")).toDF(
+            "node", "d"
+        )
     )
     da = deg.toDF("src", "x")
     db = deg.toDF("dst", "y")
@@ -1609,7 +1655,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = (
             deg.filter(F.col("d") >= KCORE_K)
             .select("node")
-            .localCheckpoint()
+            # eager=False (r15): the peel has NO driver-side decision
+            # — rounds are FIXED — so nothing needs a blocking job
+            # per round; the lineage cut is what matters, and the
+            # final action materializes the cascade with its stages.
+            .localCheckpoint(eager=False)
         )
         keeps.append(keep)
         # localCheckpoint each round: every round references the
@@ -1628,7 +1678,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("kv") == F.col("v"),
             )
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # same rule as keep above
         )
     final_deg = (
         r.select(F.col("u").alias("node"))
