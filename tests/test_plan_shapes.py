@@ -386,13 +386,21 @@ def test_unigram_lm_total_rides_as_broadcast_scalar(spark):
     assert not bad, bad
 
 
-def test_profile_onepass_is_one_scan_with_expand(spark):
-    """profile_table_onepass: all 4 columns x 6 metrics from ONE scan
-    of lineitem (that is the point of the operator); exact
-    multi-column COUNT(DISTINCT) plans through Catalyst's Expand."""
+def test_profile_onepass_no_expand_split_distincts(spark):
+    """profile_table_onepass (r15 shape): the non-distinct metrics
+    ride ONE aggregate; each exact COUNT(DISTINCT) is its own
+    SINGLE-distinct two-phase hash agg over a column-pruned scan and
+    enters by broadcast — NO Expand anywhere (the Expand spelling
+    multiplied the row volume 5x through the partial-agg buffers:
+    measured 3.6-4.2s vs 0.9-1.3s at sf0.1), and no shuffle join."""
+    from football_etl_pipeline_spark.operators.profiling import (
+        PROFILE_COLS,
+    )
+
     plan = _final(_plan(spark, "profile_table_onepass"))
-    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
-    assert "Expand" in plan
+    assert "Expand" not in plan
+    assert plan.count("Scan parquet") == 1 + len(PROFILE_COLS)
+    assert "SortMergeJoin" not in plan
 
 
 def test_profile_approx_has_no_expand(spark):
