@@ -4539,6 +4539,12 @@ def text_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     No driver math; the only corpus-scale exchanges are the ones the
     screens already pay."""
     kept, docs = _mixture_kept(spark, sf_dir)
+    # r15: persist the kept frame exactly like text_mixture_execute —
+    # Spark inlines WITH-chain CTE references, and the planner tail
+    # (mixbase/mixlo/caps) references the mixagg chain repeatedly, so
+    # an un-cut kept re-ran the three screening pipelines per
+    # reference (168 Exchanges, 119 stage jobs measured; guide §2.4).
+    kept = persist_tracked(kept)
     kept.createOrReplaceTempView("mixplan_kept")
     docs.select("source").distinct().createOrReplaceTempView(
         "mixplan_srcs"
