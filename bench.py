@@ -320,6 +320,15 @@ HEADLINE = [
     "streaming_quantile_sketch_maintenance",
     "multimodal_curation_funnel",
     "multimodal_ahash_incremental",
+    # round-15 additions (the r14-verdict fold-in rule: every
+    # benchable registry addition enters HEADLINE at the next round
+    # close so snapshot n_queries re-converges with the registry;
+    # same comparability rule — shared prefix comparable across
+    # rounds, totals comparable from r15 on)
+    "multimodal_video_frame_features",
+    "crossmodal_paired_curation",
+    "text_packing_execute",
+    "streaming_ahash_fingerprint_maintenance",
     # join_bucketed_no_shuffle: writes BOTH fact tables bucketed
     # (full-table rewrite) before the shuffle-free join it exists to
     # demonstrate — gate-checked + plan-pinned, excluded from the
@@ -515,10 +524,21 @@ def tag_run(
             anchor_ratio=round(ratio, 3),
             anchor_movers=movers,
         )
-        if not (ANCHOR_BAND[0] <= ratio <= ANCHOR_BAND[1]):
+        # r15 measurement fix: only anchor INFLATION marks
+        # contamination. Host contention can only make the frozen
+        # prefix slower; a subtotal BELOW the band means the anchor
+        # code itself got faster (exactly what an optimization round
+        # produces) and must not disqualify the run — it is still
+        # recorded in anchor_ratio for the cross-round audit trail.
+        if ratio > ANCHOR_BAND[1]:
             reasons.append(
                 f"anchor subtotal {ratio:.2f}x the last official"
                 f" snapshot (band {ANCHOR_BAND[0]}-{ANCHOR_BAND[1]})"
+            )
+        elif ratio < ANCHOR_BAND[0]:
+            out["anchor_note"] = (
+                f"anchor subtotal {ratio:.2f}x BELOW the band — code"
+                " speedup, not contention; not a contamination signal"
             )
         if len(movers) > ANCHOR_MOVERS_MAX:
             reasons.append(

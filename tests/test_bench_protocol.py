@@ -49,6 +49,19 @@ def test_anchor_inflation_contaminates():
     assert any("anchor subtotal" in r for r in v["reasons"])
 
 
+def test_anchor_speedup_is_not_contamination():
+    # r15: contention only ever INFLATES the frozen prefix; a subtotal
+    # below the band is a code speedup (what an optimization round
+    # produces) and must stay official, with the ratio recorded and a
+    # note emitted for the audit trail.
+    ref = _anchor_timings()
+    t = {q: s * 0.6 for q, s in ref.items()}
+    v = bench.tag_run(0.05, 600.0, t, ref, full_tier=True)
+    assert v["tag"] == "official"
+    assert v["anchor_ratio"] == 0.6
+    assert "BELOW the band" in v.get("anchor_note", "")
+
+
 def test_diffuse_movers_contaminate_even_with_total_in_band():
     # The subtle round-10 signature: total only ~1.06x but several
     # individual untouched queries at multi-x — diffuse host noise.
