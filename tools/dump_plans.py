@@ -53,7 +53,7 @@ SHOWCASE = {
     "pandas_udaf_rms_by_segment": "ArrowAggregatePython: both UDAFs ride ONE Python pass after the segment exchange; the shuffle carries raw rows (no partial agg for UDAFs — the documented GROUPED_AGG trade)",
     "dedup_exact_substring": "span explode collapsed by the (gram, doc) partial agg before its one exchange; gram stats join reads the persisted reduction — no second tokenize",
     "text_unigram_lm_quality": "persisted (token, doc) reduction feeds vocab and scoring; 1-row corpus total rides a broadcast Cross — the only nested loop",
-    "profile_table_onepass": "ONE lineitem scan; 4-column exact multi-distinct through a single Expand; stack unpivot over the 1-row aggregate",
+    "profile_table_onepass": "no Expand (r15): non-distinct profile in ONE aggregate; each exact distinct a single-distinct two-phase agg over a column-pruned scan, broadcast-joined; stack unpivot over the 1-row result",
     "events_sketch_rollup_merge": "hll_sketch_agg partials at (type, day); ONE sketch row per group crosses the second exchange into hll_union_agg",
     "text_bpe_train_merges": "BPE training: per round one pair-count shuffle over the persisted distinct-word frame; 1-row argmax broadcast back; merge fold is a codegen aggregate HOF",
     "text_bpe_segment_stats": "encode side: merged vocabulary (Heaps-small) broadcast to the single corpus scan; per-doc rollup is the only fact shuffle",
@@ -77,7 +77,7 @@ SHOWCASE = {
     "events_rolling_active_users": "sliding COUNT(DISTINCT) as linear explode fan-out (sequence + Generate) — no BETWEEN nested-loop join; two hash aggregates",
     "text_dataset_datasheet": "seven release-card statistics in ONE documents scan + one aggregate; stack() unpivot over the 1-row frame (per-metric UNION re-executed the aggregate 7x)",
     "incremental_join_view_merge": "standing view read from its materialized parquet; delta group joined to customer once; full-outer coalesce-sum merge — per-batch cost |delta| not |orders|",
-    "graph_link_prediction": "center cap joined BEFORE the wedge self-join (capped pairs never generate); equi wedge join; TakeOrdered top-K",
+    "graph_link_prediction": "edge list localCheckpointed ONCE (r15: the overlap-join subtree appeared 8x / 62 Exchanges before the cut); equi wedge self-join reuses one exchange; broadcast center cap; TakeOrdered top-K",
     "stats_anova_priority_price": "five groups' exact moments as conditional aggregates in one scan; the cross-group F is a 1-row fixed-order projection",
     "stats_spearman_price_quantity": "price-side rank map cumsums through the range exchange (no SinglePartition window over distinct prices); quantity map broadcasts; one moment aggregate",
     "text_dsir_importance_weights": "one token explode into the persisted (doc,bucket) frame read 3x from cache; 256-row log-ratio map BROADCAST back; rollups shuffle on doc then source",
