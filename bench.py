@@ -404,6 +404,38 @@ ANCHOR_MOVERS_MAX = 1
 MOVER_RATIO = 1.5
 MOVER_ABS_SEC = 0.3
 
+# r16 hardening (the r15 verdict's finding #3): the anchor-mover screen
+# only watches the frozen prefix, so a transient 3x outlier OUTSIDE it
+# (r15: text_mixture_execute 14.9s vs 4.6s steady-state, untouched
+# code) could sit in the official snapshot and poison the family
+# subtotals. Any shared NON-anchor query at >= OUTLIER_RATIO x its
+# last-official reference (and over the absolute floor, so sub-second
+# noise stays exempt) is re-timed once before the snapshot is stamped;
+# both readings are recorded in ``outlier_retimes``. The retime result
+# stands either way — a genuine plan regression reproduces, transient
+# contention does not.
+OUTLIER_RATIO = 2.5
+OUTLIER_ABS_SEC = 1.0
+
+
+def flag_outliers(
+    timings: dict[str, float],
+    ref_all: dict[str, float],
+    anchor: set[str],
+) -> list[str]:
+    """Shared non-anchor queries whose timing is anomalously above the
+    last official snapshot (pure function — unit-pinned in
+    tests/test_bench_protocol.py). Anchor-prefix queries are excluded:
+    the mover screen already covers them with a tag-level verdict."""
+    return sorted(
+        q
+        for q, s in timings.items()
+        if q not in anchor
+        and q in ref_all
+        and s >= ref_all[q] * OUTLIER_RATIO
+        and s >= ref_all[q] + OUTLIER_ABS_SEC
+    )
+
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 # Round-12: the round-11 protocol correctly TAGGED the driver's run
@@ -465,9 +497,11 @@ def last_sweep_age_sec(now: float) -> float:
     return now - max(os.path.getmtime(p) for p in stamps)
 
 
-def anchor_reference() -> tuple[str | None, dict[str, float]]:
-    """Per-query anchor timings from the newest round-stamped official
-    snapshot (BENCH_DETAIL_r*.json with the highest round number)."""
+def full_reference() -> tuple[str | None, dict[str, float]]:
+    """FULL per-query timings from the newest round-stamped official
+    snapshot (BENCH_DETAIL_r*.json with the highest round number) —
+    the anchor screen reads its prefix subset, the r16 outlier retime
+    reads the rest."""
     import glob
 
     cands = sorted(glob.glob(os.path.join(_REPO, "BENCH_DETAIL_r*.json")))
@@ -476,11 +510,15 @@ def anchor_reference() -> tuple[str | None, dict[str, float]]:
     ref_path = cands[-1]
     with open(ref_path) as f:
         ref = json.load(f)
+    return os.path.basename(ref_path), dict(ref.get("queries", {}))
+
+
+def anchor_reference() -> tuple[str | None, dict[str, float]]:
+    """Per-query anchor timings from the newest round-stamped official
+    snapshot (BENCH_DETAIL_r*.json with the highest round number)."""
+    ref_name, ref_all = full_reference()
     anchor = set(HEADLINE[:FAST_TIER_N])
-    return (
-        os.path.basename(ref_path),
-        {k: v for k, v in ref.get("queries", {}).items() if k in anchor},
-    )
+    return ref_name, {k: v for k, v in ref_all.items() if k in anchor}
 
 
 def tag_run(
@@ -489,6 +527,7 @@ def tag_run(
     timings: dict[str, float],
     ref_anchor: dict[str, float],
     full_tier: bool,
+    anchor_speedup_commit: str | None = None,
 ) -> dict:
     """Pure tagging decision: returns {tag, reasons, anchor_*} from
     the recorded telemetry. Kept side-effect-free so the protocol
@@ -524,22 +563,37 @@ def tag_run(
             anchor_ratio=round(ratio, 3),
             anchor_movers=movers,
         )
-        # r15 measurement fix: only anchor INFLATION marks
-        # contamination. Host contention can only make the frozen
-        # prefix slower; a subtotal BELOW the band means the anchor
-        # code itself got faster (exactly what an optimization round
-        # produces) and must not disqualify the run — it is still
-        # recorded in anchor_ratio for the cross-round audit trail.
+        # r16 fix of the r15 asymmetric band (the r15 verdict's finding
+        # #2): the protocol's own axiom is that the r5 prefix is FROZEN
+        # — anchor movement is by construction environment, not code —
+        # so a below-band reading is an anomalous-environment signal
+        # (warm caches, leftover persists, a lucky window) UNLESS the
+        # round demonstrably changed an anchor-prefix plan. A below-
+        # band run therefore tags contaminated (and, being an
+        # anchor-subtotal-only failure, gets the bounded r14 second
+        # look) unless the builder names the commit that touched the
+        # anchor prefix via $SPARK_GRAFT_ANCHOR_COMMIT, in which case
+        # the attribution is recorded for the audit trail.
         if ratio > ANCHOR_BAND[1]:
             reasons.append(
                 f"anchor subtotal {ratio:.2f}x the last official"
                 f" snapshot (band {ANCHOR_BAND[0]}-{ANCHOR_BAND[1]})"
             )
         elif ratio < ANCHOR_BAND[0]:
-            out["anchor_note"] = (
-                f"anchor subtotal {ratio:.2f}x BELOW the band — code"
-                " speedup, not contention; not a contamination signal"
-            )
+            if anchor_speedup_commit:
+                out["anchor_note"] = (
+                    f"anchor subtotal {ratio:.2f}x BELOW the band —"
+                    " attributed to named anchor-prefix change"
+                    f" {anchor_speedup_commit}"
+                )
+            else:
+                reasons.append(
+                    f"anchor subtotal {ratio:.2f}x BELOW the band"
+                    f" ({ANCHOR_BAND[0]}-{ANCHOR_BAND[1]}) with no"
+                    " named anchor-prefix commit"
+                    " ($SPARK_GRAFT_ANCHOR_COMMIT) — anomalously"
+                    " fast environment until attributed"
+                )
         if len(movers) > ANCHOR_MOVERS_MAX:
             reasons.append(
                 f"{len(movers)} anchor movers >= {MOVER_RATIO}x"
@@ -645,7 +699,10 @@ def main() -> None:
     # run; only JIT/codegen state carries over (steady-state
     # throughput, the number that extrapolates to a long-running
     # cluster).
-    from football_etl_pipeline_spark.operators.registry import release_persists
+    from football_etl_pipeline_spark.operators.registry import (
+        release_checkpoints,
+        release_persists,
+    )
 
     warm_dir = "/root/testdata/sf0.001"
     for name in headline:
@@ -653,6 +710,7 @@ def main() -> None:
         if fn is not None:
             fn(spark, warm_dir).count()
             release_persists()
+            release_checkpoints(spark)
 
     # Median of N_RUNS per query, releasing tracked persisted frames
     # after every run: each timing sees the same clean cache state, so
@@ -684,6 +742,17 @@ def main() -> None:
                 n = fn(spark, sf_dir).count()
                 runs.append(time.time() - t0)
                 release_persists()
+                # r16 measurement fix (documented in
+                # OPTIMIZATION_r16.md): also blocking-release the
+                # run's localCheckpoint blocks. They are not tracked
+                # persists, and leaving them to the async
+                # ContextCleaner let dead blocks from run k race run
+                # k+1's executors — measured 3.3/7.0/22.8s across
+                # three identical back-to-back dedup_semantic_
+                # incremental runs. Same clean-cache-per-run protocol
+                # the BENCH_r02/r05 lessons established, extended to
+                # the r15/r16 checkpoint-heavy plans.
+                release_checkpoints(spark)
             out[name] = round(sorted(runs)[N_RUNS // 2], 3)
             print(
                 f"# {name}: {out[name]:.3f}s median of "
@@ -707,13 +776,35 @@ def main() -> None:
             fams[fam] = round(fams.get(fam, 0.0) + secs, 3)
         return fams
 
-    ref_name, ref_anchor = anchor_reference()
+    ref_name, ref_all = full_reference()
+    anchor_names = set(HEADLINE[:FAST_TIER_N])
+    ref_anchor = {k: v for k, v in ref_all.items() if k in anchor_names}
+    anchor_commit = os.environ.get("SPARK_GRAFT_ANCHOR_COMMIT") or None
+
+    # r16 outlier retime (see flag_outliers): a transient multi-x
+    # outlier OUTSIDE the anchor prefix must not be stamped into the
+    # official snapshot un-rechecked. One retime, both values kept.
+    outlier_retimes: dict[str, list[float]] = {}
+    if tier in ("full", ""):
+        for q in flag_outliers(timings, ref_all, anchor_names):
+            print(
+                f"# outlier retime: {q} {timings[q]:.2f}s >="
+                f" {OUTLIER_RATIO}x ref {ref_all[q]:.2f}s",
+                file=sys.stderr,
+            )
+            fresh = time_queries([q])
+            outlier_retimes[q] = [timings[q], fresh[q]]
+            timings[q] = fresh[q]
+        if outlier_retimes:
+            total = round(sum(timings.values()), 3)
+
     verdict = tag_run(
         load1,
         cooldown,
         timings,
         ref_anchor,
         full_tier=tier in ("full", ""),
+        anchor_speedup_commit=anchor_commit,
     )
     anchor_retry = None
     if should_retry_anchor(verdict):
@@ -738,7 +829,12 @@ def main() -> None:
         timings.update(fresh)
         total = round(sum(timings.values()), 3)
         verdict = tag_run(
-            retry_load1, cooldown, timings, ref_anchor, full_tier=True
+            retry_load1,
+            cooldown,
+            timings,
+            ref_anchor,
+            full_tier=True,
+            anchor_speedup_commit=anchor_commit,
         )
         anchor_retry = {
             "first_anchor_ratio": first_ratio,
@@ -772,6 +868,7 @@ def main() -> None:
         },
         "protocol": verdict,
         "anchor_retry": anchor_retry,
+        "outlier_retimes": outlier_retimes,
     }
     # Full record: committed file + stderr (never the driver-parsed line).
     if tier in ("full", ""):

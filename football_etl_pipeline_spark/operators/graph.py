@@ -70,11 +70,17 @@ def connected_components(edges: DataFrame, src: str = "a_id", dst: str = "b_id")
             # not two).
             .localCheckpoint(eager=False)
         )
+        # Full count, deliberately NOT limit(1): the probe is also the
+        # job that fills the lazy checkpoint above, and a short-
+        # circuiting limit would leave the cache partially built — the
+        # fill-in job would then run anyway, re-paying the round
+        # (ADVICE r15; the same pitfall graph_khop_bfs documents for
+        # isEmpty). One full aggregate = one job per round, complete
+        # checkpoint.
         changed = (
             updated.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
             .count()
         )
         labels = updated

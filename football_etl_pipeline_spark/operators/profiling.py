@@ -589,12 +589,14 @@ def _profile_oracle() -> str:
 def profile_table_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-profile summary for the fact table's measure columns —
     null count, exact distinct cardinality, min/max, exact
-    decimal-stable sum — computed in ONE aggregate pass and unpivoted
-    to a (col_name, metric...) long format. This is the data-quality
-    profile every warehouse load runs after ingest (the engine-side
+    decimal-stable sum — computed as one aggregate pass for every
+    non-distinct metric plus one column-pruned single-distinct
+    aggregate per column (the name keeps its r1 "onepass" spelling;
+    the r15 split below is why the literal single-scan claim no
+    longer holds, and what it buys). This is the data-quality profile
+    every warehouse load runs after ingest (the engine-side
     generalization of the reference's per-row validation guards,
-    ``dataflow-flex/transforms.py:109-123``, which only null-check —
-    here the table-level distributional profile rides one scan).
+    ``dataflow-flex/transforms.py:109-123``, which only null-check).
 
     Scale story (100 TB), r15-optimized: the non-distinct metrics
     (null count, min/max, decimal-stable sum) for all 4 columns ride

@@ -64,6 +64,28 @@ def release_persists() -> int:
     return n
 
 
+def release_checkpoints(spark) -> int:
+    """Blocking-unpersist EVERY still-cached RDD — the companion to
+    ``release_persists`` for ``localCheckpoint`` blocks, which are not
+    tracked frames and otherwise die only when the async
+    ContextCleaner gets to them after a driver GC (r16 finding: dead
+    checkpoint blocks from a query's prior runs raced the next run's
+    executors — ``dedup_semantic_incremental`` measured 3.3 → 7.0 →
+    22.8 s across three back-to-back identical runs).
+
+    ONLY call between queries when no returned-but-unexecuted plan is
+    still alive: a localCheckpointed frame's lineage is truncated, so
+    unpersisting it makes any later action on it fail loudly (which is
+    the correct failure mode for a harness bug, not silent recompute).
+    Returns how many RDDs were unpersisted."""
+    jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for jrdd in jrdds.values():
+        jrdd.unpersist(True)
+        n += 1
+    return n
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query operator and (optionally) its oracle."""
 

@@ -689,6 +689,51 @@ def _train_centroids(
     return cents
 
 
+def _train_centroids_df(e: DataFrame, iters: int, k: int = IVF_K) -> DataFrame:
+    """DataFrame-native Lloyd trainer (r16, guide §1.2/§5): the same
+    ``iters``-step trajectory as ``_train_centroids`` but with NO
+    driver round-trip per step — each refinement is the oracle's own
+    ``cent{{i}}`` CTE shape (assignment means LEFT-joined onto the
+    previous centroid set, empty cells keep their vector), composed
+    lazily and executed inside the consumer query's single action.
+    The driver loop's per-step ``collect()`` + ``createDataFrame()``
+    round-trips (4 py4j/Python stalls per training run, measured
+    ~2.9 s of dedup_semantic_clusters' ~4.5 s at sf0.1) disappear;
+    the trained values are bit-identical because the driver path's
+    Python division of exactly-representable ints IS the engine's
+    double division (the ``_train_centroids`` docstring invariant,
+    certified by the unchanged kmeans-family oracle hashes).
+
+    Each step's centroid frame is lazily localCheckpointed (the
+    graph.py eager=False rule — no driver decision per step, so the
+    consumer's action is the materializing cascade): iteration i+1
+    references cent_i twice (the left join and the carry-forward
+    coalesce), so an uncut chain would both recompute the prefix
+    2^iters times AND double the analyzed plan per step (measured:
+    the persist-only variant left 1008–6634 Exchange nodes of inlined
+    lineage text in the consumers' plans)."""
+    cent = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    for _ in range(iters):
+        means = _cell_dim_means(_assign_cells(e, cent))
+        mcv = means.groupBy("cell").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, centroid))),"
+                " x -> x.centroid)"
+            ).alias("mcv")
+        )
+        cent = (
+            cent.join(mcv, cent.c_id == mcv.cell, "left")
+            .select("c_id", F.coalesce("mcv", "cv").alias("cv"))
+            .withColumn("cnrm", F.expr(_norm_spark("cv")))
+            .localCheckpoint(eager=False)
+        )
+    return cent
+
+
 def _kmeans_cte_chain(
     iters: int, k: int = IVF_K, e_select: str | None = None
 ) -> tuple[str, str, str]:
@@ -767,8 +812,8 @@ def embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     last step. Scale: per step, one broadcast(K) scan + one K·DIM-
     group shuffle; driver traffic is K·DIM rows per step."""
     e = persist_tracked(_normed(spark, sf_dir))
-    cents = _train_centroids(spark, e, KMEANS_ITERS - 1)
-    return _cell_dim_means(_assign_cells(e, _cent_df(spark, cents)))
+    cent = _train_centroids_df(e, KMEANS_ITERS - 1)
+    return _cell_dim_means(_assign_cells(e, cent))
 
 
 def _ivf_trained_oracle() -> str:
@@ -817,8 +862,7 @@ def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate volume; the oracle replays training AND search, so the
     green row certifies both."""
     e = persist_tracked(_normed(spark, sf_dir))
-    cents = _train_centroids(spark, e, KMEANS_ITERS)
-    cent = _cent_df(spark, cents)
+    cent = _train_centroids_df(e, KMEANS_ITERS)
     ccos = F.expr(_dot_spark("v", "cv")) / (F.col("nrm") * F.col("cnrm"))
     wcell = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("c_id").asc()
@@ -2233,10 +2277,7 @@ def dedup_semantic_clusters(
     and the per-cell work stays flat while everything shuffles on
     cell. The keep-list left join is a hash join on vec_id."""
     e = persist_tracked(_normed(spark, sf_dir))
-    cents = _train_centroids(
-        spark, e, KMEANS_ITERS, k=cells or SEMDEDUP_CELLS
-    )
-    cent = _cent_df(spark, cents)
+    cent = _train_centroids_df(e, KMEANS_ITERS, k=cells or SEMDEDUP_CELLS)
     ccos = F.expr(_dot_spark("v", "cv")) / (F.col("nrm") * F.col("cnrm"))
     wcell = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("c_id").asc()
@@ -2454,10 +2495,7 @@ def dedup_semantic_incremental(
     standing = eall.filter(
         F.col("vec_id") % SEMDEDUP_INCR_MOD != 0
     )
-    cents = _train_centroids(
-        spark, standing, KMEANS_ITERS, k=SEMDEDUP_CELLS
-    )
-    cent = _cent_df(spark, cents)
+    cent = _train_centroids_df(standing, KMEANS_ITERS, k=SEMDEDUP_CELLS)
     ccos = F.expr(_dot_spark("v", "cv")) / (F.col("nrm") * F.col("cnrm"))
     wcell = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("c_id").asc()
@@ -2617,8 +2655,7 @@ def dedup_semantic_recall_sweep(
     onto pair levels. Everything shuffles on cell / pair keys;
     centroids ride the same broadcast as dedup_semantic_clusters."""
     e = persist_tracked(_normed(spark, sf_dir))
-    cents = _train_centroids(spark, e, KMEANS_ITERS, k=SEMDEDUP_CELLS)
-    cent = _cent_df(spark, cents)
+    cent = _train_centroids_df(e, KMEANS_ITERS, k=SEMDEDUP_CELLS)
     max_np = max(SEMDEDUP_SWEEP_PROBES)
     # build the probe frame FROM the tuple so Spark and the oracle
     # share the constant even if it stops being contiguous-from-1

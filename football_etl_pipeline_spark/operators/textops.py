@@ -5258,26 +5258,59 @@ def _ug_steps(dialect: str, table: str) -> list[tuple[str, str]]:
       FROM ug_seed_cnt CROSS JOIN ug_seed_tot""",
     ))
     for it in range(1, UG_EM_ITERS + 1):
-        steps.extend(_ug_sweep_steps(f"e{it}", f"ug_vocab{it - 1}"))
-        steps.append((
-            f"ug_cnt{it}",
-            f"""SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+        steps.extend(
+            _ug_sweep_steps(f"e{it}", f"ug_vocab{it - 1}", dialect)
+        )
+        if dialect == "spark":
+            # r16: the fused fin (``_ug_fused_sweep``) carries freq
+            # through its GROUP BY (word determines freq), so the
+            # count re-estimation skips the types join — one fewer
+            # broadcast stage per EM iteration. Identical counts.
+            steps.append((
+                f"ug_cnt{it}",
+                f"""SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT f.freq,
+               {explode}({split}(substr(f.st, 20), ' ')) AS piece
+        FROM ug_fin_e{it} f
+      ) x GROUP BY piece""",
+            ))
+        else:
+            steps.append((
+                f"ug_cnt{it}",
+                f"""SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
       FROM (
         SELECT t.freq,
                {explode}({split}(substr(f.st, 20), ' ')) AS piece
         FROM ug_fin_e{it} f JOIN ug_types t ON t.word = f.word
       ) x GROUP BY piece""",
-        ))
-        steps.append((
-            f"ug_kept{it}",
-            f"""SELECT piece FROM (
+            ))
+        if dialect == "spark":
+            # r16: same top-{UG_KEEP} set, spelled ORDER BY … LIMIT so
+            # Spark plans TakeOrderedAndProject — no global-window
+            # Exchange + Sort stage (one fewer AQE stage-job per EM
+            # iteration). row_number ≤ K over a total order (cnt DESC,
+            # piece ASC; piece is unique) ≡ LIMIT K under that order.
+            steps.append((
+                f"ug_kept{it}",
+                f"""SELECT piece FROM (
+        SELECT piece FROM ug_cnt{it} WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece ASC LIMIT {UG_KEEP}
+      ) top
+      UNION
+      SELECT piece FROM ug_chars""",
+            ))
+        else:
+            steps.append((
+                f"ug_kept{it}",
+                f"""SELECT piece FROM (
         SELECT piece,
                ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rk
         FROM ug_cnt{it} WHERE length(piece) > 1
       ) rnk WHERE rk <= {UG_KEEP}
       UNION
       SELECT piece FROM ug_chars""",
-        ))
+            ))
         steps.append((
             f"ug_cc{it}",
             f"""SELECT k.piece, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
@@ -5297,13 +5330,113 @@ def _ug_steps(dialect: str, table: str) -> list[tuple[str, str]]:
     return steps
 
 
-def _ug_sweep_steps(tag: str, pieces_tbl: str) -> list[tuple[str, str]]:
+def _ug_comp_rows() -> str:
+    """Every segmentation SHAPE of a ≤UG_MAX_WLEN-char word into
+    pieces of 1..UG_MAX_PLEN chars, as VALUES rows
+    (wl, s1, l1, …, s{UG_MAX_WLEN}, l{UG_MAX_WLEN}) — slot i covers
+    substr(word, s_i, l_i); unused trailing slots are (1, 0), whose
+    substr is '' and matches the zero-cost sentinel piece. 223 rows at
+    the module constants (compositions of 1..8 into parts ≤ 4) — a
+    broadcastable constant at ANY corpus size, because it depends only
+    on the two length caps, never on the data."""
+    vals: list[str] = []
+
+    def rec(rem: int, parts: list[int], total: int) -> None:
+        if rem == 0:
+            cells = [str(total)]
+            pos = 1
+            for ln in parts:
+                cells += [str(pos), str(ln)]
+                pos += ln
+            for _ in range(UG_MAX_WLEN - len(parts)):
+                cells += ["1", "0"]
+            vals.append("(" + ", ".join(cells) + ")")
+            return
+        for p in range(1, min(UG_MAX_PLEN, rem) + 1):
+            rec(rem - p, parts + [p], total)
+
+    for length in range(1, UG_MAX_WLEN + 1):
+        rec(length, [], length)
+    return ", ".join(vals)
+
+
+def _ug_fused_sweep(tag: str, pieces_tbl: str) -> list[tuple[str, str]]:
+    """Spark-side replacement for one Viterbi sweep (r16, guide
+    §1.2/§2.4): because words are ≤ UG_MAX_WLEN chars and pieces
+    ≤ UG_MAX_PLEN, the full segmentation space is a CONSTANT set of
+    223 composition shapes — so instead of UG_MAX_WLEN sequential
+    DP rounds (each an eager localCheckpoint job reading the 4 prior
+    rounds), ONE plan enumerates every segmentation per word type
+    (shape join + {UG_MAX_WLEN} broadcast piece-cost lookups) and
+    takes the lexicographic MIN state per word.
+
+    Equivalence to the DP (the oracle keeps the round-by-round text):
+    the state string is lpad(cost, 18, '0') || '|' || path, and state
+    extension is monotone — adding the same suffix cost preserves
+    numeric (= padded-string) order, and appending the same ' '+piece
+    tail preserves path order because two prefix paths over the same
+    chars can never be prefixes of each other (their non-space chars
+    are identical, so the first difference survives any suffix).
+    Hence MIN distributes over extension and the per-position DP
+    argmin equals the global MIN over all compositions — bit-for-bit,
+    which the sf0.001/sf0.01 oracle hash certifies.
+
+    Scale: the type frame is Heaps-law bounded; per type the expansion
+    is ≤ 108 rows (compositions of 8), all generated co-located with
+    the type row, so the map-side partial MIN collapses them before
+    the one |types|-row exchange. Piece lookups are broadcast joins
+    against the ≤seed-row vocab; the sentinel '' piece (cost 0) makes
+    unused slots join-neutral. One job per sweep instead of
+    {UG_MAX_WLEN} checkpoint round-trips."""
+    slots = range(1, UG_MAX_WLEN + 1)
+    cols = ", ".join(f"s{i}, l{i}" for i in slots)
+    joins = "\n      ".join(
+        f"JOIN ug_pcs_{tag} p{i}"
+        f" ON p{i}.piece = substr(b.word, c.s{i}, c.l{i})"
+        for i in slots
+    )
+    cost = " + ".join(f"p{i}.cu" for i in slots)
+    path = ", ".join(f"nullif(p{i}.piece, '')" for i in slots)
+    return [
+        (
+            f"ug_pcs_{tag}",
+            f"""SELECT piece, cu FROM {pieces_tbl}
+      UNION ALL SELECT '' AS piece, CAST(0 AS BIGINT) AS cu""",
+        ),
+        (
+            f"ug_fin_{tag}",
+            f"""SELECT b.word, b.freq,
+             MIN(
+               lpad(CAST({cost} AS STRING), 18, '0')
+               || '|'
+               || concat_ws(' ', {path})
+             ) AS st
+      FROM ug_types b
+      JOIN (VALUES {_ug_comp_rows()}) AS c(wl, {cols})
+        ON c.wl = length(b.word)
+      {joins}
+      GROUP BY b.word, b.freq""",
+        ),
+    ]
+
+
+def _ug_sweep_steps(
+    tag: str, pieces_tbl: str, dialect: str = "duck"
+) -> list[tuple[str, str]]:
     """One Viterbi sweep: UG_MAX_WLEN forward rounds over the word-type
     frame. Round t extends states at positions t−4..t−1 by every vocab
     piece that exactly spells word[pos+1 .. t] and keeps the
     lexicographic-MIN state per word — exact integer-cost argmin with
     path tie-break. ``ug_fin_{tag}`` collects each word's full-length
-    state; its path substring IS the segmentation."""
+    state; its path substring IS the segmentation.
+
+    The round-by-round text below is the ORACLE's form (DuckDB
+    materializes each CTE once). The Spark side executes the
+    equivalent single-plan composition enumeration instead
+    (``_ug_fused_sweep`` — one job per sweep, not UG_MAX_WLEN
+    sequential checkpoints; equivalence argument in its docstring)."""
+    if dialect == "spark":
+        return _ug_fused_sweep(tag, pieces_tbl)
     steps: list[tuple[str, str]] = []
     for t in range(1, UG_MAX_WLEN + 1):
         srcs = []
@@ -5375,12 +5508,19 @@ def _ug_run_spark(
         if _ug_lazy(name):
             spark.sql(sql).createOrReplaceTempView(name)
             continue
-        (
-            spark.sql(sql)
-            .coalesce(1)
-            .localCheckpoint()
-            .createOrReplaceTempView(name)
-        )
+        df = spark.sql(sql)
+        if name == "ug_types":
+            # r16: checkpoint the type frame SPREAD (defaultParallelism,
+            # scale-adaptive) rather than coalesce(1): the fused sweep
+            # (``_ug_fused_sweep``) expands each type row ≤108× in
+            # place, so the checkpoint's own partitioning is what
+            # parallelizes the expansion — no per-sweep repartition
+            # exchange needed.
+            df = df.repartition(spark.sparkContext.defaultParallelism)
+            df = df.localCheckpoint()
+        else:
+            df = df.coalesce(1).localCheckpoint()
+        df.createOrReplaceTempView(name)
     return spark.sql(final)
 
 
@@ -5396,18 +5536,34 @@ def _ug_lazy(name: str) -> bool:
       is ≤2× over a ≤vocab-sized frame qualify — materializing each
       costs a whole Spark job, which is the larger number here.
 
-    Every Viterbi round stays checkpointed: round t is referenced by
-    up to UG_MAX_PLEN later rounds plus the fin union, so a lazy
-    round's join work re-executes ~4× — measured SLOWER (9.4s vs
-    4.3s at sf0.1) than paying its one materialization job, the
-    mirror lesson to the BT exponential-CTE one. ``ug_types``,
-    ``ug_seed_cnt`` and every ``ug_vocab*`` are multi-referenced
-    across sweeps and stay checkpointed too."""
-    if name in ("ug_occ", "ug_npieces", "ug_seed_tot", "ug_chars"):
+    r16 materialization set (with the fused sweep the job count IS
+    the cost at bench SF — every frame after ``ug_types`` is ≤
+    seed-inventory-sized, so each saved checkpoint/exchange is a
+    saved AQE stage-job):
+
+    - materialized: ``ug_types`` (the one corpus-sized aggregate),
+      ``ug_seed_cnt`` (read by chars/vocab0 across jobs), each
+      ``ug_cnt{{it}}`` (the EM tail references it 4× through
+      kept/cc/tot — its lazy subplan would re-run the fused sweep
+      per reference across separate stage-jobs), and ``ug_vocab1+``
+      (broadcast 8× by the NEXT sweep's piece lookups and read by
+      the final select).
+    - lazy: ``ug_fin_*`` (referenced exactly once — by ug_cnt in
+      training sweeps, by ug_npieces in the apply sweep), ``ug_pcs_*``
+      (8 broadcast references collapse to one reused broadcast
+      build), ``ug_vocab0`` (referenced only inside pcs_e1's reused
+      broadcast), and the tiny kept/cc/tot/chars/seed_tot plumbing."""
+    if name in (
+        "ug_occ",
+        "ug_npieces",
+        "ug_seed_tot",
+        "ug_chars",
+        "ug_vocab0",
+    ):
         return True
-    if name.startswith("ug_fin_"):
+    if name.startswith(("ug_pcs_", "ug_fin_")):
         return True
-    if name.startswith(("ug_cnt", "ug_kept", "ug_cc", "ug_tot")):
+    if name.startswith(("ug_kept", "ug_cc", "ug_tot")):
         return True
     return False
 
@@ -5465,7 +5621,7 @@ def _ug_stats_steps(dialect: str, table: str) -> list[tuple[str, str]]:
     explode = "explode" if dialect == "spark" else "unnest"
     steps = _ug_steps(dialect, table)
     steps.extend(
-        _ug_sweep_steps("apply", f"ug_vocab{UG_EM_ITERS}")
+        _ug_sweep_steps("apply", f"ug_vocab{UG_EM_ITERS}", dialect)
     )
     steps.append((
         "ug_npieces",

@@ -49,17 +49,71 @@ def test_anchor_inflation_contaminates():
     assert any("anchor subtotal" in r for r in v["reasons"])
 
 
-def test_anchor_speedup_is_not_contamination():
-    # r15: contention only ever INFLATES the frozen prefix; a subtotal
-    # below the band is a code speedup (what an optimization round
-    # produces) and must stay official, with the ratio recorded and a
-    # note emitted for the audit trail.
+def test_anchor_speedup_without_named_commit_contaminates():
+    # r16 fix of the r15 asymmetric band: the r5 prefix is FROZEN, so
+    # a below-band subtotal is an anomalous-environment signal (warm
+    # caches, leftover persists, a lucky window) unless the round
+    # names the commit that changed an anchor-prefix plan. Unattributed
+    # below-band runs tag contaminated — and, being anchor-subtotal-
+    # only failures, stay eligible for the bounded second look.
     ref = _anchor_timings()
     t = {q: s * 0.6 for q, s in ref.items()}
     v = bench.tag_run(0.05, 600.0, t, ref, full_tier=True)
-    assert v["tag"] == "official"
+    assert v["tag"] == "contaminated"
     assert v["anchor_ratio"] == 0.6
-    assert "BELOW the band" in v.get("anchor_note", "")
+    assert any("BELOW the band" in r for r in v["reasons"])
+    assert bench.should_retry_anchor(v)
+
+
+def test_anchor_speedup_with_named_commit_is_official():
+    # The one legitimate below-band case: the round demonstrably
+    # touched anchor-prefix code and says which commit did it. The
+    # attribution is recorded in the audit trail.
+    ref = _anchor_timings()
+    t = {q: s * 0.6 for q, s in ref.items()}
+    v = bench.tag_run(
+        0.05, 600.0, t, ref, full_tier=True,
+        anchor_speedup_commit="abc1234",
+    )
+    assert v["tag"] == "official"
+    assert "abc1234" in v.get("anchor_note", "")
+
+
+def _nonanchor_name() -> str:
+    return bench.HEADLINE[bench.FAST_TIER_N]
+
+
+def test_flag_outliers_flags_shared_nonanchor_multi_x():
+    # r16: the r15 snapshot carried text_mixture_execute at 14.9s vs
+    # 4.6s steady-state — a >2.5x transient OUTSIDE the anchor prefix
+    # that the mover screen could not see. flag_outliers catches it.
+    anchor = set(bench.HEADLINE[: bench.FAST_TIER_N])
+    q = _nonanchor_name()
+    assert bench.flag_outliers({q: 14.9}, {q: 4.6}, anchor) == [q]
+
+
+def test_flag_outliers_exempts_anchor_subsecond_and_unshared():
+    anchor = set(bench.HEADLINE[: bench.FAST_TIER_N])
+    a = bench.HEADLINE[0]
+    q = _nonanchor_name()
+    q2 = bench.HEADLINE[bench.FAST_TIER_N + 1]
+    timings = {
+        a: 10.0,   # anchor: the mover screen owns it
+        q: 0.6,    # 3x of 0.2s but under the 1.0s absolute floor
+        q2: 9.9,   # new query, no reference: nothing to compare
+    }
+    ref = {a: 1.0, q: 0.2}
+    assert bench.flag_outliers(timings, ref, anchor) == []
+
+
+def test_flag_outliers_requires_both_ratio_and_abs():
+    anchor = set(bench.HEADLINE[: bench.FAST_TIER_N])
+    q = _nonanchor_name()
+    # 2.0x of a 4s query: big absolute move but under the ratio gate
+    assert bench.flag_outliers({q: 8.0}, {q: 4.0}, anchor) == []
+    # 3x of a 0.5s query: over the ratio but only +1.0s — boundary is
+    # inclusive on the absolute floor
+    assert bench.flag_outliers({q: 1.5}, {q: 0.5}, anchor) == [q]
 
 
 def test_diffuse_movers_contaminate_even_with_total_in_band():
