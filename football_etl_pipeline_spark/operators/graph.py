@@ -697,9 +697,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .events import events_interval_overlap_join
 
     pairs = events_interval_overlap_join(spark, sf_dir)
-    edges = pairs.select(
-        F.col("user_a").alias("u"), F.col("user_b").alias("v")
-    ).distinct()
+    # r16: materialize the edge list once (the link_prediction/khop
+    # rule, guide §2.4) — the symmetric union reads it twice and every
+    # LPA round's plan inlines sym's lineage; with the cut each
+    # reference is a cheap RDD scan instead of the sessionize→overlap
+    # subtree re-analyzed per round.
+    edges = (
+        pairs.select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
     sym = persist_tracked(
         edges.union(edges.select(F.col("v"), F.col("u")))
     )
@@ -987,15 +994,28 @@ def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .events import events_interval_overlap_join
 
     pairs = events_interval_overlap_join(spark, sf_dir)
-    edges = persist_tracked(
+    # r16: localCheckpoint instead of persist for the edge list — the
+    # report reads edges/sym/comm through SIX downstream joins, and a
+    # persist keeps the whole sessionize→overlap lineage inside every
+    # consumer's analyzed plan (measured: 1054 Exchange nodes of
+    # inlined plan text, re-analyzed per build). The cut makes every
+    # reference a cheap RDD scan (guide §2.4; the r15 link_prediction
+    # treatment, which took that plan 62 Exchanges → 18).
+    edges = (
         pairs.select(
             F.col("user_a").alias("u"), F.col("user_b").alias("v")
-        ).distinct()
+        )
+        .distinct()
+        .localCheckpoint()
     )
     sym = persist_tracked(
         edges.union(edges.select(F.col("v"), F.col("u")))
     )
-    comm = persist_tracked(_lpa_labels(sym))
+    # comm feeds the volume aggregate and BOTH endpoint joins of the
+    # internal-edge count — checkpoint (not persist) so the three
+    # consumers' plans carry an RDD scan, not three inlined copies of
+    # the LPA round chain.
+    comm = _lpa_labels(sym).localCheckpoint()
 
     mm = edges.agg(F.count(F.lit(1)).alias("m"))
     deg = sym.groupBy(F.col("u").alias("node")).agg(
