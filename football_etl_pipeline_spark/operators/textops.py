@@ -1393,11 +1393,19 @@ def _bpe_round_best(words) -> DataFrame:
 
 def _bpe_apply_merge(words, best) -> DataFrame:
     """Apply the broadcast 1-row merge to every word (greedy
-    left-to-right Sennrich fold) and persist the next round's frame."""
-    return persist_tracked(
+    left-to-right Sennrich fold). r16: the next round's frame is
+    lazily localCheckpointed (was persist_tracked) — round r is read
+    twice by round r+1 (pair argmax + merge apply), and a persist
+    dedupes the EXECUTION but keeps the whole 2^r-copy lineage in
+    every later round's analyzed plan (the kmeans cent-chain lesson;
+    the train plan carried 412 Exchange nodes of inlined text, the
+    segment face 1210). eager=False: no driver decision per round, so
+    the consumer's one action materializes the cascade (guide §1.2)."""
+    return (
         words.crossJoin(F.broadcast(best)).select(
             F.expr(_BPE_FOLD_SPARK).alias("w"), "freq"
         )
+        .localCheckpoint(eager=False)
     )
 
 
