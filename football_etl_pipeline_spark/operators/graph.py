@@ -1818,10 +1818,15 @@ def graph_hits_hubs_authorities(
     )
     h1 = edges.groupBy("c").agg(F.count(F.lit(1)).alias("h"))
     a1 = edges.join(h1, "c").groupBy("p").agg(F.sum("h").alias("a"))
-    # h2 feeds BOTH the second authority round and the hub top-K —
-    # persist so the h1→a1→h2 chain executes once (guide §2.4).
-    h2 = persist_tracked(
-        edges.join(a1, "p").groupBy("c").agg(F.sum("a").alias("h"))
+    # h2 feeds BOTH the second authority round and the hub top-K — cut
+    # it (lazy checkpoint: the one result action materializes the
+    # cascade) so the h1→a1→h2 chain executes once instead of once per
+    # consumer (guide §2.4).
+    h2 = (
+        edges.join(a1, "p")
+        .groupBy("c")
+        .agg(F.sum("a").alias("h"))
+        .localCheckpoint(eager=False)
     )
     a2 = edges.join(h2, "c").groupBy("p").agg(F.sum("h").alias("a"))
     top_auth = (
